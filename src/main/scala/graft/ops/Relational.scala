@@ -1,0 +1,461 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.engine.Tables
+
+/** Relational operator suite over the TPC-H-ish test tables.
+  *
+  * Each entry re-expresses one operator family from the reference pipeline
+  * (SURVEY.md §2: scans S1-S2, predicates P2, joins J1-J5, aggregations
+  * A1-A4, surrogate keys §2.5, plus the join/set-op/window breadth a
+  * complete engine needs). Every query:
+  *   - is a declarative DataFrame plan (Catalyst does pushdown/pruning);
+  *   - broadcasts dimension legs explicitly (dims are tiny at any SF;
+  *     fact-fact legs stay shuffle joins for 100 TB scale);
+  *   - casts money sums through DecimalType so results are exact and
+  *     order-independent (double sums are not associative — they would
+  *     hash-mismatch a DuckDB oracle run);
+  *   - ends in a deterministic ORDER BY so output is reproducible.
+  */
+object Relational {
+
+  /** Money/quantity doubles (2-dp in the data) -> exact decimal. */
+  private val M = DecimalType(18, 6)
+  /** Common result type for decimal sums on both engines. */
+  private val S = DecimalType(38, 6)
+
+  private def dec(c: Column): Column = c.cast(M)
+  private def ts(s: String): Column = to_timestamp(lit(s), "yyyy-MM-dd HH:mm:ss")
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1/A4-family: multi-aggregate groupBy (TPC-H Q1 shape).
+    * Map-side partial aggregation + single shuffle on the (tiny) group key.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(S).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(S).as("sum_base_price"),
+        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** S2/P2: the reference's incremental windowed scan — closed interval on
+    * the event-time column, pushed down to the parquet scan
+    * (reference `dags/flights_data_pipeline.py:102-109`).
+    */
+  def incrWindowScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(ts("1997-03-01 00:00:00"), ts("1997-03-07 23:59:59")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** S1/P1: full scan + projection + predicate; Catalyst prunes columns at
+    * the parquet reader (ReadSchema) and pushes the filter.
+    */
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Sort/limit top-k: revenue per order, deterministic tie-break on key.
+    * The limit is pushed into a TakeOrderedAndProject — no global sort.
+    */
+  def topkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.groupBy(col("l_orderkey"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("revenue"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** J1/J2: fact ⋈ fact ⋈ broadcast dims (star join), revenue by region and
+    * nation. lineitem⋈orders is the shuffle leg; customer/nation/region are
+    * broadcast so the star lookup adds zero shuffles.
+    */
+  def joinStar(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** J4: left join preserving zero-match rows (the reference's
+    * fct_seat_occupied_daily must keep flights with zero passengers).
+    * count(o_orderkey) counts only matches — zeros survive.
+    */
+  def leftJoinZeroCounts(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one 'F' order. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === lit("F"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no pending orders. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === lit("P"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A3: dimension dedup — the reference's dim_passenger SELECT DISTINCT
+    * (reconstructed, SURVEY.md §2.4 A3).
+    */
+  def dedupDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** §2.5: deterministic surrogate keys / latest-row-per-key via
+    * row_number() over an explicit ordering (never
+    * monotonically_increasing_id — not reproducible by an oracle).
+    */
+  def windowLatestOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Running (cumulative) aggregate window per key. */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(S))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** A2: capacity-style count per group (seats per aircraft analog). */
+  def groupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_size").cast(LongType)).as("total_size"))
+      .orderBy(col("p_brand"))
+
+  /** Set op: UNION (distinct) of two key sets. */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === lit("P"))
+      .select(col("o_custkey").as("c_custkey"))
+    a.union(b).distinct().orderBy(col("c_custkey"))
+  }
+
+  /** Set op: INTERSECT of the same two key sets. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === lit("P"))
+      .select(col("o_custkey").as("c_custkey"))
+    a.intersect(b).orderBy(col("c_custkey"))
+  }
+
+  /** Set op: EXCEPT of the same two key sets. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === lit("P"))
+      .select(col("o_custkey").as("c_custkey"))
+    a.except(b).orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP hierarchy totals (region -> nation -> grand total). */
+  def rollupCounts(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** F1-family: calendar bucketing (year/month + month truncation). */
+  def dateBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        month(col("o_orderdate")).cast(LongType).as("o_month"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast(S).as("total"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** F4-family: interval arithmetic — shipping delay in days, averaged.
+    * avg computed as exact-decimal sum -> double divide so both engines
+    * produce bit-identical doubles.
+    */
+  def shipDelay(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days", datediff(col("l_shipdate"), col("o_orderdate")).cast(LongType))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("delay_days")).as("sum_delay_days"),
+        (sum(col("delay_days")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_delay_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DecimalType money semantics (the reference's numeric(10,2) columns,
+    * SURVEY.md §1.3): exact 2-dp sums grouped by status.
+    */
+  def moneyDecimal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total_amount"),
+        min(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(12, 2)).as("min_amount"),
+        max(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(12, 2)).as("max_amount"))
+      .orderBy(col("o_orderstatus"))
+
+  /** A4: booking-grain rollup (per-order item counts + amounts) joined back
+    * to the order header — the reference's fct_booking_ticket shape.
+    */
+  def orderRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val per = li.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("n_items"),
+      sum(dec(col("l_quantity"))).cast(S).as("sum_qty"))
+    o.join(per, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("sum_qty"), lit(0).cast(S)).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J3: one fact joined twice to the same dimension under two aliases
+    * (the reference's departure/arrival airport double-join).
+    * Here: customer nation vs supplier nation per lineitem.
+    */
+  def selfAliasedDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation").select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val n2 = t(s, dir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("revenue"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_incr_window_scan" -> (incrWindowScan _),
+    "q03_scan_project" -> (scanProject _),
+    "q04_topk_revenue" -> (topkRevenue _),
+    "q05_join_star" -> (joinStar _),
+    "q06_left_join_zero_counts" -> (leftJoinZeroCounts _),
+    "q07_semi_join" -> (semiJoin _),
+    "q08_anti_join" -> (antiJoin _),
+    "q09_dedup_distinct" -> (dedupDistinct _),
+    "q10_window_latest" -> (windowLatestOrder _),
+    "q11_window_running_sum" -> (windowRunningSum _),
+    "q12_group_count" -> (groupCount _),
+    "q13_set_union" -> (setUnion _),
+    "q14_set_intersect" -> (setIntersect _),
+    "q15_set_except" -> (setExcept _),
+    "q16_rollup_counts" -> (rollupCounts _),
+    "q17_date_buckets" -> (dateBuckets _),
+    "q18_ship_delay" -> (shipDelay _),
+    "q19_money_decimal" -> (moneyDecimal _),
+    "q20_order_rollup" -> (orderRollup _),
+    "q21_self_aliased_dim_join" -> (selfAliasedDimJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_incr_window_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-03-01 00:00:00' AND TIMESTAMP '1997-03-07 23:59:59'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_topk_revenue" ->
+      """SELECT o_orderkey, o_orderdate, revenue
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q05_join_star" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q06_left_join_zero_counts" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_dedup_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment
+        |FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q10_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) x
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q12_group_count" ->
+      """SELECT p_brand, count(*) AS n_parts, CAST(sum(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q13_set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_rollup_counts" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q17_date_buckets" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY o_year, o_month""".stripMargin,
+    "q18_ship_delay" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS sum_delay_days,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q19_money_decimal" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_amount,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS min_amount,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_amount
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q20_order_rollup" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  COALESCE(n_items, 0) AS n_items,
+        |  COALESCE(sum_qty, CAST(0 AS DECIMAL(38,6))) AS sum_qty
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n_items,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q21_self_aliased_dim_join" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY cust_nation, supp_nation""".stripMargin)
+}
