@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Tables
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language ID, and
+  * document fingerprinting. Everything is built-in column expressions
+  * (whole-stage codegen, no UDFs) and purely per-row — embarrassingly
+  * parallel, no shuffle at 100 TB beyond the final aggregation, filters
+  * and projections push down to the parquet scan.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Whitespace tokens of `text`. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish lexer: letter runs, digit runs, single punctuation marks. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  /** Per-language stopword marker lists for the language-ID heuristic. */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "you", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "est", "pas"))
+
+  /** Tokens matching a fixed list — `filter` keeps repeats (ratio needs
+    * token occurrences, not distinct hits).
+    */
+  private def hits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, w => w.isInCollection(words))).cast(LongType)
+
+  /** Token counting: whitespace tokens + a BPE-ish regex lexer. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(wsTokens(col("text"))).cast(LongType).as("n_tokens_ws"),
+        size(bpeTokens(col("text"))).cast(LongType).as("n_tokens_bpe"),
+        length(col("text")).cast(LongType).as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, and a
+    * boolean keep/drop verdict — the standard pre-training corpus filter.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nChars = length(col("text")).cast(LongType)
+    val nToks = size(toks).cast(LongType)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    val nStop = hits(toks, Seq("the", "a", "and", "of", "to", "in", "is"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"), nChars.as("n_chars_calc"), nToks.as("n_tokens"),
+        (nPunct.cast(DoubleType) / nChars.cast(DoubleType)).as("punct_ratio"),
+        (nStop.cast(DoubleType) / nToks.cast(DoubleType)).as("stopword_ratio"),
+        (nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
+          (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)).as("quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: n-gram/stopword-hit heuristic. CJK characters short-
+    * circuit to zh; otherwise argmax of per-language stopword hits with a
+    * fixed priority tie-break; no hits at all -> 'und'.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val cjk = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
+    val scores = LangStops.map { case (lang, words) => lang -> hits(toks, words) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_labeled"),
+        when(cjk > 0, lit("zh")).otherwise(pick).as("lang_detected"),
+        cjk.as("n_cjk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical fingerprint: md5 over lowercased alphanumerics — the exact-
+    * dedup key (whitespace/punctuation-insensitive).
+    */
+  def fingerprintCol(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  /** Per-token 60-bit hash both engines can compute identically: the first
+    * 15 hex digits of md5, parsed as an integer.
+    */
+  def tokenHash(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast(LongType)
+
+  /** Document fingerprinting: canonical md5 + a polynomial rolling hash of
+    * the token stream (order-sensitive, unlike the bag-of-words md5).
+    * Folded mod 1e9+7 so the BIGINT multiply-add never overflows (Spark 4
+    * runs ANSI mode: 64-bit overflow throws, it does not wrap).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val rolling = aggregate(
+      toks, lit(1125899906842597L),
+      (acc, w) => (acc * lit(31L) + tokenHash(w)) % lit(1000000007L))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        fingerprintCol(col("text")).as("fingerprint"),
+        rolling.as("rolling_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_token_count" -> (tokenCount _),
+    "x02_quality_score" -> (qualityScore _),
+    "x03_lang_id" -> (langId _),
+    "x04_fingerprint" -> (fingerprint _))
+
+  private val StopListSql = "'the','a','and','of','to','in','is'"
+
+  val oracles: Map[String, String] = Map(
+    "x01_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x02_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ($StopListSql))) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio,
+         |  (length(text) >= 100 AND length(text) <= 5000
+         |    AND len(string_split_regex(trim(text), '\\s+')) >= 20
+         |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1) AS quality_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x03_lang_id" -> {
+      val hitsSql = TextAnalysis.LangStops.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(",")
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN ($list)))"
+      }
+      val best = s"greatest(${hitsSql.mkString(", ")})"
+      val pick = TextAnalysis.LangStops.zip(hitsSql).reverse
+        .foldLeft("'und'") { case (acc, ((lang, _), h)) =>
+          s"CASE WHEN $h = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+        }
+      s"""SELECT doc_id, lang AS lang_labeled,
+         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |       ELSE $pick END AS lang_detected,
+         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "x04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+        |  list_reduce(list_prepend(1125899906842597::BIGINT,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.engine.Tables
+
+/** Scalar-function surface (SURVEY.md §2.7): JSON extraction/serialization
+  * (the reference's jsonb columns, F2/F5), date/time parts (F1), string
+  * functions, and conditional logic. All built-ins — codegen'd, no UDFs.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** F2: JSON field extraction (`model ->> 'en'` analog) + aggregation.
+    * `events.props` carries a JSON object just like the reference's
+    * jsonb columns (reference `dags/flights_data_pipeline.py:87-91`).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** F5: JSON serialization (`json.dumps` analog at the reference's
+    * extract/load edges) — struct -> compact JSON text.
+    */
+  def jsonConstruct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") < 100)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"), col("user_id"))).as("payload"))
+      .orderBy(col("event_id"))
+
+  /** String functions: case, substring (1-based), length, concat. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 3, 5).as("name_mid"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        concat(col("c_mktsegment"), lit("_"), col("c_name")).as("seg_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Conditional bucketing (CASE WHEN) + conditional aggregation. */
+  def caseWhenBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("price_band",
+        when(col("o_totalprice") < 50000, lit("low"))
+          .when(col("o_totalprice") < 150000, lit("mid"))
+          .otherwise(lit("high")))
+      .groupBy(col("price_band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .orderBy(col("price_band"))
+
+  /** F1: timestamp parts — hour buckets, day names, epoch seconds. */
+  def timeParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        dayofmonth(col("ts")).cast(LongType).as("day"),
+        hour(col("ts")).cast(LongType).as("hour_of_day"),
+        date_format(col("ts"), "EEEE").as("day_name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("first_epoch"))
+      .orderBy(col("day"), col("hour_of_day"))
+
+  /** Closed-interval timestamp window on the events stream table
+    * (the reference's daily extract window shape, S2/F1).
+    */
+  def eventDayWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts").between(
+        to_timestamp(lit("2024-01-05 00:00:00")),
+        to_timestamp(lit("2024-01-05 23:59:59"))))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_json_extract" -> (jsonExtract _),
+    "q23_json_construct" -> (jsonConstruct _),
+    "q24_string_funcs" -> (stringFuncs _),
+    "q25_case_when_buckets" -> (caseWhenBuckets _),
+    "q26_time_parts" -> (timeParts _),
+    "q27_event_day_window" -> (eventDayWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "q22_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_json_construct" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id))::VARCHAR AS payload
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    "q24_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  substr(c_name, 3, 5) AS name_mid,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  concat(c_mktsegment, '_', c_name) AS seg_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q25_case_when_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS price_band,
+        |  count(*) AS n_orders,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin,
+    "q26_time_parts" ->
+      """SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+        |  dayname(ts) AS day_name,
+        |  count(*) AS n_events,
+        |  CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS first_epoch
+        |FROM events GROUP BY 1, 2, 3 ORDER BY day, hour_of_day""".stripMargin,
+    "q27_event_day_window" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-05 23:59:59'
+        |ORDER BY event_id""".stripMargin)
+}
