@@ -1,18 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology: each query is first run once at sf0.001 (JIT + whole-stage
+  * codegen compilation dominate a cold first run — a 64-slot aggregate
+  * costs ~10 s of janino alone) so the timed run at the target scale
+  * measures steady-state throughput, which is what a long-running cluster
+  * actually sees. Timing drives `queryExecution.toRdd.count()`, not
+  * `Dataset.count()` — count() lets Spark drop sorts and projections, so
+  * it understates real materialization cost (dump-style queries would
+  * bench as scan-only).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

