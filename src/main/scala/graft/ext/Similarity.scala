@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.engine.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, mirroring a production vector pipeline:
+  *   - `cosineTopk` — exact brute-force cosine top-k: the correctness
+  *     baseline, verified against a DuckDB oracle built from the same
+  *     left-fold float->double arithmetic (bitwise-identical doubles);
+  *   - `annTopk` — random-hyperplane LSH (SimHash for angles): each
+  *     vector gets `numTables` bucket ids from `bitsPerTable` sign bits;
+  *     a query only scores candidates sharing a bucket in some table.
+  *     Same banding skeleton as the MinHash dedup path.
+  *
+  * Scale notes (the 100 TB story):
+  *   - the query set is broadcast — the corpus is never shuffled to score;
+  *   - top-k is two-phase: partition-local row_number prunes to k per
+  *     (query, partition) before the per-query shuffle, so the global
+  *     rank sees |queries| x partitions x k rows, not |corpus| rows;
+  *   - LSH projections are relational (explode + broadcast-join the tiny
+  *     hyperplane table + two codegen'd hash-aggregates), not interpreted
+  *     array lambdas — the projection cost is one linear map-side pass;
+  *   - at 100 TB the bucketed corpus would be written bucketBy(table,
+  *     bucket) once and probed per query batch; here both sides derive
+  *     from the same scan.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Left-fold double dot product of two float-array columns — the exact
+    * shape the DuckDB oracle mirrors (`list_reduce(list_transform(...))`)
+    * so float->double casts and the summation order agree bitwise.
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of a float-array column (left-fold sum of squares). */
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** embeddings with the precomputed norm (norms are reused per row in
+    * every cosine the row participates in).
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+
+  /** Exact cosine top-k: for each query vector (vec_id < numQueries),
+    * the k nearest corpus vectors by cosine, self excluded.
+    * Ties broken by vec_id, so the ranking is a total order.
+    */
+  def cosineTopk(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
+  /** Two-phase per-query top-k on a (query_id, vec_id, cosine) frame:
+    * partition-local prune to k, then the global rank over the survivors.
+    */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic Gaussian hyperplanes as a tiny (pos, tbl, bit, w)
+    * table: numTables x bitsPerTable hyperplanes of dimension `dim`.
+    */
+  private def hyperplanes(s: SparkSession, dim: Int,
+      numTables: Int, bitsPerTable: Int): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      tbl <- 0 until numTables
+      bit <- 0 until bitsPerTable
+      pos <- 0 until dim
+    } yield (pos, tbl, bit, rnd.nextGaussian())
+    import s.implicits._
+    rows.toDF("pos", "tbl", "bit", "w")
+  }
+
+  /** (vec_id, tbl, bucket) LSH bucket ids per vector: bucket = the
+    * `bitsPerTable` sign bits of the hyperplane projections. Relational
+    * on purpose: posexplode + broadcast join + two hash-aggregates are
+    * whole-stage-codegen'd, where per-row array lambdas would be
+    * interpreted 64x per vector.
+    */
+  def lshBuckets(vecs: DataFrame, planes: DataFrame): DataFrame = {
+    val exploded = vecs
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast(DoubleType).as("x"))
+    exploded.join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("tbl"), col("bit"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("bucket"))
+  }
+
+  /** ANN cosine top-k via random-hyperplane LSH: candidates = corpus
+    * vectors sharing any (table, bucket) with the query, then exact
+    * cosine on the candidates only. Parameters tuned for ~0.9+ recall on
+    * weakly-clustered corpora (top-10 cosine ~0.3 here): few bits, many
+    * tables. No oracle (approximate by design) — SimilaritySpec measures
+    * recall against `cosineTopk`.
+    */
+  def annTopk(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10,
+      numTables: Int = 18, bitsPerTable: Int = 4): DataFrame = {
+    val c = corpus(s, dir)
+    val planes = hyperplanes(s, 64, numTables, bitsPerTable)
+    val buckets = lshBuckets(c, planes)
+    val qb = buckets.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val candIds = buckets.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = candIds
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
+    "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)))
+
+  /** DuckDB twin of the exact path. `list_reduce` folds left from the
+    * first element and Spark's `aggregate` folds left from 0.0 — the sum
+    * sequences are identical (0.0 + p1 == p1 exactly), so the doubles
+    * compare equal bitwise. x21 is approximate: rows-only check.
+    */
+  val oracles: Map[String, String] = Map(
+    "x20_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+}

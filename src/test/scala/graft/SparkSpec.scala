@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs — `getOrCreate` reuses one session
+  * across all suites in the forked test JVM (never stopped; the JVM exit
+  * tears it down). `local[4]` with 4 shuffle partitions is plenty at the
+  * sf0.001 fixtures all specs use.
+  */
+trait SparkSpec extends AnyFunSuite {
+
+  /** Smallest driver-generated scale factor — specs verify semantics, not
+    * throughput.
+    */
+  val Sf: String = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-spec")
+    .getOrCreate()
+}

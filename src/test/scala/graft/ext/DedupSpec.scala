@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Correctness contracts for the dedup operators that the DuckDB oracle
+  * cannot see (xxhash64 is Spark-specific): the LSH candidate set must
+  * cover the exact near-dup pairs, and the two simhash formulations
+  * (relational aggregate vs column expression) must agree.
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Brute-force exact Jaccard over all doc pairs (sf0.001 is ~50 docs,
+    * so the cross join is trivially small) — the ground truth the
+    * approximate paths are held against.
+    */
+  private lazy val exactPairs: Map[(Long, Long), Double] = {
+    val docs = Dedup.docShingles(spark, Sf)
+    docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          (size(col("a.shingles")) + size(col("b.shingles")) -
+            size(array_intersect(col("a.shingles"), col("b.shingles")))).cast("double"))
+          .as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+  }
+
+  test("shinglePostings agrees with the array-form docShingles") {
+    val fromArrays = Dedup.docShingles(spark, Sf)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val posts = Dedup.shinglePostings(spark, Sf)
+    assert(posts.exceptAll(fromArrays).isEmpty && fromArrays.exceptAll(posts).isEmpty)
+  }
+
+  test("wordShingles yields empty array below n tokens") {
+    val row = spark.sql("SELECT array('a','b') AS toks")
+      .select(Dedup.wordShingles(col("toks"), 3).as("sh"))
+      .head()
+    assert(row.getSeq[String](0).isEmpty)
+  }
+
+  test("minhashPairs covers every strongly-similar exact pair") {
+    val found = Dedup.minhashPairs(spark, Sf, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands x 4 rows detects j=0.8 with p ~ 0.9998 (and the hash seeds
+    // are fixed, so this is deterministic for the fixture); pairs near the
+    // 0.5 threshold are only ~65%-likely candidates by design.
+    val expected = exactPairs.filter(_._2 >= 0.8).keySet
+    assert(expected.nonEmpty, "fixture should contain near-duplicate pairs")
+    assert(expected.subsetOf(found),
+      s"missed pairs: ${expected -- found}")
+  }
+
+  test("minhashPairs reports the exact Jaccard for each emitted pair") {
+    Dedup.minhashPairs(spark, Sf, threshold = 0.5).collect().foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(math.abs(r.getAs[Double]("jaccard") - exactPairs(key)) < 1e-12)
+    }
+  }
+
+  test("jaccardTopk matches brute force on head pairs") {
+    val topk = Dedup.jaccardTopk(spark, Sf).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(math.abs(r.getAs[Double]("jaccard") - exactPairs(key)) < 1e-12)
+    }
+    // the maximum similarity cannot be lost to the df cut
+    val best = exactPairs.values.max
+    assert(math.abs(topk.head.getAs[Double]("jaccard") - best) < 1e-12)
+  }
+
+  test("relational simhashSketch equals the expression-form simhash64") {
+    val rel = Dedup.simhashSketch(spark, Sf)
+    val expr = graft.engine.Tables(spark, Sf, "documents")
+      .select(col("doc_id"),
+        Dedup.simhash64(graft.ext.TextAnalysis.wsTokens(lower(col("text")))).as("simhash"))
+    assert(rel.exceptAll(expr).isEmpty && expr.exceptAll(rel).isEmpty)
+  }
+
+  test("identical texts collapse to identical simhash (Hamming 0)") {
+    val sketches = Dedup.simhashSketch(spark, Sf)
+    val byText = graft.engine.Tables(spark, Sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("tkey"))
+    val joined = byText.join(sketches, "doc_id")
+      .groupBy("tkey")
+      .agg(countDistinct(col("simhash")).as("n_sketches"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    assert(joined.filter(col("n_sketches") =!= 1).isEmpty,
+      "identical texts must hash to identical sketches")
+  }
+
+  test("simhash uses only the declared 60 bits") {
+    val bad = Dedup.simhashSketch(spark, Sf)
+      .filter(col("simhash").bitwiseAND(lit(0xF000000000000000L)) =!= 0L)
+    assert(bad.isEmpty)
+  }
+}

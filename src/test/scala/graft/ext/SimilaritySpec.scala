@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ANN contract: the LSH-bucketed path must recover (nearly) the exact
+  * brute-force neighbors. sf0.01 per the acceptance bar; the fixed
+  * hyperplane seed makes the measurement deterministic.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  test("ann recall >= 0.9 against exact cosine top-10") {
+    val exact = Similarity.cosineTopk(spark, Dir).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopk(spark, Dir).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"recall = $recall (${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.9, s"ANN recall $recall below 0.9")
+  }
+
+  test("exact top-k ranks are dense 1..k per query") {
+    val ranks = Similarity.cosineTopk(spark, Dir)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(ranks.length == 5)
+    ranks.foreach { r =>
+      assert(r.getAs[Long]("n") == 10 && r.getAs[Int]("lo") == 1 && r.getAs[Int]("hi") == 10)
+    }
+  }
+
+  test("ann scores candidates with exact cosine (subset consistency)") {
+    val exact = Similarity.cosineTopk(spark, Dir)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annTopk(spark, Dir)
+      .select("query_id", "vec_id", "cosine").collect()
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-15))
+    }
+  }
+}
