@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Scalars.queries ++
-      ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries
+      ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
+      flights.StarSchema.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Scalars.oracles ++
-      ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles
+      ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
+      flights.StarSchema.oracles
 }
