@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The load layer (SURVEY.md §2.1 S6-S9): every way the reference writes
+  * a table, re-expressed as parquet writes.
+  *
+  *   - S8 append — plain batch insert;
+  *   - S7 truncate-load — full overwrite;
+  *   - S6 idempotent windowed load — DYNAMIC partition overwrite on the
+  *     day partition: exactly the reference's DELETE day-window +
+  *     re-INSERT (`dags/flights_data_pipeline.py:168-177`) as one atomic
+  *     operation, and the 100 TB shape (each daily increment rewrites
+  *     only its own partitions; days are embarrassingly parallel);
+  *   - S9 keyed upsert — MERGE without Delta: keep target rows whose key
+  *     is absent from the source (left_anti), union the full source.
+  *     Written via temp-dir swap because a parquet path cannot be
+  *     overwritten while a plan still reads it lazily.
+  */
+object Sinks {
+
+  /** S8: batch append insert. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S7: full truncate-load. */
+  def truncateLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S6: idempotent day-window load. Adds a `p_date` partition column
+    * derived from `tsCol`; dynamic overwrite replaces exactly the
+    * partitions present in `df` and leaves every other day untouched —
+    * re-running a day is a no-op-equivalent, late days never clobber
+    * earlier ones.
+    */
+  def overwriteDayPartitions(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write
+      .partitionBy("p_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** S9: keyed upsert (the PK map the reference declares in
+    * `start.sh:24-33`): source rows win on key collision, target rows
+    * without a colliding key survive. Returns the merged row count.
+    */
+  def upsert(spark: SparkSession, src: DataFrame, path: String, keys: Seq[String]): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val merged =
+      if (fs.exists(target)) {
+        val current = spark.read.parquet(path)
+        current.join(src.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(src)
+      } else src
+    val tmp = new Path(path + "__upsert_tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    n
+  }
+}

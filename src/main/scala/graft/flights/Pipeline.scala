@@ -1,0 +1,107 @@
+package graft.flights
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{Incremental, Sinks, Sources}
+
+/** The orchestration layer (SURVEY.md §2.10 O1-O5): the reference's
+  * per-day DAG run — extract each staging table for the logical date,
+  * load idempotently, then rebuild the star schema — as one driver call.
+  *
+  *   - O1: per-table extract->load in the FK-safe order declared in the
+  *     reference (`start.sh:20-23`; irrelevant for parquet, kept for
+  *     determinism and parity);
+  *   - O2: transforms strictly dims-then-facts
+  *     (`dags/flights_data_pipeline.py:229-251`);
+  *   - O4: a table with an empty increment is skipped, and its previously
+  *     loaded days remain untouched;
+  *   - O5: `PipelineConfig` replaces the Airflow Variables surface
+  *     (`incremental`, table list, CSV edge toggle).
+  *
+  * Scale: each daily run only touches that day's partitions (S6), so a
+  * backfill (`catchup=True`, `:63-66`) is a loop of independent `runFor`
+  * calls — at 100 TB those are embarrassingly parallel across days.
+  */
+final case class PipelineConfig(
+    tables: Seq[String] = Pipeline.FkOrder,
+    incremental: Boolean = true,
+    tsCol: String = "updated_at",
+    /** route extract->load through the CSV edge (S3/S5), as the
+      * reference does via MinIO, instead of handing DataFrames across
+      * directly.
+      */
+    csvEdge: Boolean = false)
+
+object Pipeline {
+
+  /** FK-safe load order (reference `start.sh:20-23`). */
+  val FkOrder: Seq[String] = Seq(
+    "aircrafts_data", "airports_data", "bookings", "tickets",
+    "seats", "flights", "ticket_flights", "boarding_passes")
+
+  private def stgPath(warehouseDir: String, table: String) = s"$warehouseDir/stg/$table"
+
+  /** One logical-date run: extract+load every staging table for `ds`,
+    * then rebuild all 8 dims/facts from the accumulated staging layer.
+    * Returns per-table load results keyed by table name.
+    */
+  def runFor(spark: SparkSession, source: Map[String, DataFrame],
+      warehouseDir: String, ds: String,
+      cfg: PipelineConfig = PipelineConfig()): Map[String, Incremental.LoadStatus] = {
+    val results = cfg.tables.map { table =>
+      val extracted =
+        if (cfg.incremental) Incremental.dayWindow(source(table), cfg.tsCol, ds)
+        else source(table)
+      val status =
+        if (extracted.isEmpty) Incremental.SkippedEmpty
+        else {
+          val loaded =
+            if (cfg.csvEdge) {
+              // the reference's MinIO hop: extract writes CSV, load
+              // re-reads it under the declared schema (S3 -> S5)
+              val edge = s"$warehouseDir/edge/$table"
+              Sources.writeCsv(extracted, edge)
+              Sources.readCsv(spark, extracted.schema, edge)
+            } else extracted
+          if (cfg.incremental) {
+            Sinks.overwriteDayPartitions(loaded, cfg.tsCol, stgPath(warehouseDir, table))
+            Incremental.Loaded(loaded.count())
+          } else {
+            Sinks.truncateLoad(loaded, stgPath(warehouseDir, table))
+            Incremental.Loaded(loaded.count())
+          }
+        }
+      table -> status
+    }.toMap
+    transform(spark, warehouseDir)
+    results
+  }
+
+  /** Rebuild the 8 warehouse tables (dims before facts) from whatever the
+    * staging layer currently holds. Tables whose staging input has never
+    * loaded are skipped — the downstream targets simply don't appear yet
+    * (the reference would have failed its transform task; we treat the
+    * run as partial).
+    */
+  def transform(spark: SparkSession, warehouseDir: String): Unit = {
+    val fs = new Path(warehouseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stg: Map[String, DataFrame] = FkOrder.flatMap { t =>
+      val p = stgPath(warehouseDir, t)
+      if (fs.exists(new Path(p))) Some(t -> spark.read.parquet(p)) else None
+    }.toMap
+    if (FkOrder.forall(stg.contains)) {
+      StarSchema.transforms.foreach { case (name, fn) =>
+        Sinks.truncateLoad(fn(stg), s"$warehouseDir/$name")
+      }
+    }
+  }
+
+  /** The reference's `catchup=True` backfill: ordered daily runs
+    * (`max_active_runs=1`).
+    */
+  def backfill(spark: SparkSession, source: Map[String, DataFrame],
+      warehouseDir: String, days: Seq[String],
+      cfg: PipelineConfig = PipelineConfig()): Map[String, Map[String, Incremental.LoadStatus]] =
+    days.map(ds => ds -> runFor(spark, source, warehouseDir, ds, cfg)).toMap
+}

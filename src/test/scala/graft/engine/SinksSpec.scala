@@ -1,0 +1,87 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Sink-layer semantics: keyed upsert (S9) and the CSV edge NA rules
+  * (S3/S5).
+  */
+class SinksSpec extends SparkSpec {
+
+  private def tmpDir(): String = Files.createTempDirectory("graft_sinks").toString
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def df(rows: (Int, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+
+  test("upsert inserts new keys and overwrites colliding ones") {
+    val path = tmpDir() + "/t"
+    Sinks.upsert(spark, df(1 -> "a", 2 -> "b"), path, Seq("k"))
+    Sinks.upsert(spark, df(2 -> "B", 3 -> "c"), path, Seq("k"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
+  test("upsert is idempotent") {
+    val path = tmpDir() + "/t"
+    Sinks.upsert(spark, df(1 -> "a", 2 -> "b"), path, Seq("k"))
+    val n1 = Sinks.upsert(spark, df(2 -> "B"), path, Seq("k"))
+    val n2 = Sinks.upsert(spark, df(2 -> "B"), path, Seq("k"))
+    assert(n1 == 2 && n2 == 2)
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "B"))
+  }
+
+  test("CSV round-trip preserves values, NULLs and numeric-looking strings") {
+    val s = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("amount", DecimalType(10, 2)),
+      StructField("ts", TimestampType),
+      StructField("note", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1, "alice", new java.math.BigDecimal("120000.00"),
+        java.sql.Timestamp.valueOf("2024-06-01 08:00:00"), "00123"),
+      Row(2, null, new java.math.BigDecimal("9900.25"), null, "NaN-like"),
+      Row(3, "NaN", null, java.sql.Timestamp.valueOf("2024-06-03 23:59:59"), null))
+    val in = spark.createDataFrame(rows, s)
+    val path = tmpDir() + "/csv"
+    Sources.writeCsv(in, path)
+    val back = Sources.readCsv(spark, s, path)
+    val c = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")).sorted.toSeq
+    // the literal string "NaN" is indistinguishable from NULL on the CSV
+    // edge by design (the reference's pandas NA rule does the same) —
+    // row 3's name comes back NULL
+    val expected = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1, "alice", new java.math.BigDecimal("120000.00"),
+        java.sql.Timestamp.valueOf("2024-06-01 08:00:00"), "00123"),
+      Row(2, null, new java.math.BigDecimal("9900.25"), null, "NaN-like"),
+      Row(3, null, null, java.sql.Timestamp.valueOf("2024-06-03 23:59:59"), null)), s)
+    assert(c(back) == c(expected))
+  }
+
+  test("day-partition overwrite replaces only its own day") {
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("updated_at", TimestampType)))
+    def mk(rows: (Int, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        Row(r._1, java.sql.Timestamp.valueOf(r._2))): _*), s)
+    val path = tmpDir() + "/t"
+    Sinks.overwriteDayPartitions(mk(1 -> "2024-06-10 10:00:00", 2 -> "2024-06-11 10:00:00"),
+      "updated_at", path)
+    // rewrite day 11 with a different row; day 10 must survive
+    Sinks.overwriteDayPartitions(mk(3 -> "2024-06-11 12:00:00"), "updated_at", path)
+    val ids = spark.read.parquet(path).select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids == Seq(1, 3))
+  }
+}
