@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Scalars.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
-      flights.StarSchema.queries
+      flights.StarSchema.queries ++ streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Scalars.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
-      flights.StarSchema.oracles
+      flights.StarSchema.oracles ++ streaming.EventStream.oracles
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.engine.Tables
+
+/** Streaming semantics (SURVEY.md §2.9). The reference's only "stream"
+  * is the daily incremental micro-batch (`@daily` + `catchup=True`,
+  * `dags/flights_data_pipeline.py:63-66`) whose fixed day window silently
+  * drops late data; `Pipeline.runFor` reproduces that batch parity. This
+  * module is the idiomatic upgrade: event-time windows + watermarks over
+  * the `events` stream, which handle late data *correctly* instead.
+  *
+  * Every transform here is a plain DataFrame function, so the SAME code
+  * runs in batch (driver-gradable, DuckDB oracle) and under
+  * `readStream` (StreamingSpec drives it through MemoryStream) — the
+  * unified-engine property that makes Structured Streaming the right
+  * substrate for the 100 TB path: watermarked windowed aggregation is
+  * partition-parallel per key and stateful only within the watermark
+  * horizon.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour event-time windows with order-independent
+    * aggregates (count/min/max — double `sum` would be float-order
+    * dependent and oracle-unfriendly).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("min_value"), col("max_value"))
+
+  /** Streaming variant: watermarked so append mode can finalize windows
+    * and state is bounded by the horizon.
+    */
+  def hourlyStatsStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    hourlyStats(events.withWatermark("ts", watermark))
+
+  /** Exactly-once-per-id event dedup within the watermark horizon —
+    * streaming `dropDuplicates`, the at-scale guard against at-least-once
+    * sources.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Session windows per user: activity separated by >= `gap` starts a
+    * new session.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Custom keyed state (the §2.8 extension surface the reference lacks):
+    * per-user running count/max via flatMapGroupsWithState — emits the
+    * updated aggregate on every micro-batch touching the user.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, Double.MinValue))
+          val next = it.foldLeft(prev)((acc, e) =>
+            UserRunning(uid, acc.n_events + 1, math.max(acc.max_value, e.value)))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Batch registration of the windowed aggregation over the `events`
+    * table (same code path the stream runs).
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_tumbling_hourly" -> ((s: SparkSession, dir: String) =>
+      hourlyStats(Tables(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
+    "s02_session_windows" -> ((s: SparkSession, dir: String) =>
+      sessionStats(Tables(s, dir, "events"))
+        .orderBy(col("session_start"), col("user_id"))))
+
+  /** DuckDB twin for the tumbling windows (`time_bucket` aligns to the
+    * same wall-clock hour boundaries as Spark's `window`). Session
+    * windows have no DuckDB analog -> rows-only check + StreamingSpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "s01_tumbling_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Drives the streaming transforms through MemoryStream micro-batches:
+  * watermark-closed windows match the batch computation, late data is
+  * dropped, duplicate ids collapse, and keyed state accumulates across
+  * batches.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling windows finalize and match batch; late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyStatsStream(df)
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 3.0),
+        (ts("2024-01-01 11:10:00"), "view", 2.0))
+      q.processAllAvailable()
+      // watermark is still behind -> nothing finalized yet
+      assert(spark.table("hourly").isEmpty)
+      // an event far ahead advances the watermark past hours 10 and 11
+      in.addData((ts("2024-01-01 15:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      // a late event inside hour 10 — beyond the watermark, must be dropped
+      in.addData((ts("2024-01-01 10:50:00"), "click", 100.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("window_start", "event_type", "n_events", "max_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates collapses repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:01:00"), "click"), (2L, ts("2024-01-01 10:02:00"), "view"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      in.addData(
+        EventStream.UserEvent(7L, ts("2024-01-01 10:00:00"), 1.5),
+        EventStream.UserEvent(8L, ts("2024-01-01 10:01:00"), 4.0))
+      q.processAllAvailable()
+      in.addData(EventStream.UserEvent(7L, ts("2024-01-01 10:05:00"), 9.5))
+      q.processAllAvailable()
+      val finalPerUser = spark.table("running")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("max_value").as("mx"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(finalPerUser == Map(7L -> ((2L, 9.5)), 8L -> ((1L, 4.0))))
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 11:30:00")),
+      (2L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val got = EventStream.sessionStats(df, "30 minutes")
+      .collect().map(r => (r.getLong(2), r.getTimestamp(0), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 11:30:00"), 1L),
+      (2L, ts("2024-01-01 10:00:00"), 1L)))
+  }
+}
