@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Scalars.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
+      ext.Multimodal.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

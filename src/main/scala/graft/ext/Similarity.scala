@@ -146,9 +146,28 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Per-label top-3 vectors by norm via the typed TopKAgg aggregator —
+    * the UDAF surface (§2.8) with an oracle twin (map-side partial
+    * buffers of k entries vs the window's full-group shuffle).
+    */
+  def labelTopkNorm(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      Encoders.product[graft.functions.Scored])
+    t(s, dir, "embeddings")
+      .select(col("label"), normD(col("embedding")).as("score"), col("vec_id").as("id"))
+      .groupBy(col("label"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("label"), posexplode(col("top")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("norm"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
-    "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)))
+    "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),
+    "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)))
 
   /** DuckDB twin of the exact path. `list_reduce` folds left from the
     * first element and Spark's `aggregate` folds left from 0.0 — the sum
@@ -175,5 +194,16 @@ object Similarity {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x22_label_topk_norm" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |r AS (SELECT label, vec_id, nrm,
+        |  row_number() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rank FROM e)
+        |SELECT label, CAST(rank AS INT) AS rank, vec_id, nrm AS norm
+        |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin)
 }

@@ -184,13 +184,22 @@ object StarSchema {
 
   /** Driver-gradable queries: each transform over the literal fixtures
     * (sfDir intentionally unused — the star schema has its own staging
-    * tables, carried inside the oracle SQL as VALUES).
+    * tables, carried inside the oracle SQL as VALUES). f09 exercises the
+    * native `parse_point` Catalyst expression end-to-end against the
+    * same oracle the regexp spelling uses.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     transforms.zipWithIndex.map { case ((name, fn), i) =>
       f"f${i + 1}%02d_$name" ->
         ((s: SparkSession, _: String) => fn(Fixtures.stg(s)))
-    }.toMap
+    }.toMap + ("f09_geo_point_native" -> ((s: SparkSession, _: String) => {
+      graft.functions.ParsePoint.register(s)
+      Fixtures.df(s, Fixtures.airportsData)
+        .select(col("airport_code"),
+          expr("parse_point(coordinates).lon").as("lon"),
+          expr("parse_point(coordinates).lat").as("lat"))
+        .orderBy(col("airport_code"))
+    }))
 
   private val W = Fixtures.withClause
 
@@ -253,6 +262,11 @@ object StarSchema {
       " JOIN airports_data arr ON f.arrival_airport = arr.airport_code" +
       " JOIN aircrafts_data ac ON f.aircraft_code = ac.aircraft_code" +
       " ORDER BY f.flight_id"),
+    "f09_geo_point_native" -> (W +
+      " SELECT airport_code," +
+      " CAST(regexp_extract(coordinates, '^\\(([^,]+),([^)]+)\\)$', 1) AS DOUBLE) AS lon," +
+      " CAST(regexp_extract(coordinates, '^\\(([^,]+),([^)]+)\\)$', 2) AS DOUBLE) AS lat" +
+      " FROM airports_data ORDER BY airport_code"),
     "f08_fct_seat_occupied_daily" -> (W + ", occ AS (" +
       " SELECT flight_id, count(*) AS occupied FROM boarding_passes GROUP BY flight_id)," +
       " cap AS (SELECT aircraft_code, count(*) AS capacity FROM seats GROUP BY aircraft_code)" +

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts for the custom extension surface: the native ParsePoint
+  * expression (eval + codegen agreement, malformed-input NULLs) and the
+  * TopKAgg typed aggregator (equivalence with the window spelling).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("parse_point parses valid points and NULLs malformed input") {
+    ParsePoint.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      "(37.906111,55.408611)",
+      "(-0.5,12.25)",
+      "garbage",
+      "(1.0)",
+      "(a,b)",
+      null
+    ).toDF("c").select(col("c"), expr("parse_point(c)").as("p"))
+    val got = df.select(col("p.lon"), col("p.lat")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1))))
+    assert(got.toSeq == Seq(
+      Some((37.906111, 55.408611)),
+      Some((-0.5, 12.25)),
+      None, None, None, None))
+  }
+
+  test("parse_point agrees between interpreted eval and codegen") {
+    ParsePoint.register(spark)
+    import spark.implicits._
+    val data = Seq("(1.5,-2.5)", "(0.0,0.0)", "bad", "(9,9)")
+    val df = data.toDF("c")
+    val viaCodegen = df.select(expr("parse_point(c)").as("p"))
+      .select(col("p.lon")).collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    val viaEval = data.map { s =>
+      val r = ParsePoint.parseOrNull(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      if (r == null) null else r.getDouble(0)
+    }
+    assert(viaCodegen == viaEval)
+  }
+
+  test("parse_point matches the regexp_extract spelling on the fixtures") {
+    ParsePoint.register(spark)
+    val pt = "^\\(([^,]+),([^)]+)\\)$"
+    val ap = graft.flights.Fixtures.df(spark, graft.flights.Fixtures.airportsData)
+    val native = ap.select(col("airport_code"), expr("parse_point(coordinates).lon").as("lon"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val regex = ap.select(col("airport_code"),
+      regexp_extract(col("coordinates"), pt, 1).cast("double").as("lon"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(native == regex)
+  }
+
+  test("TopKAgg equals the window row_number spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.engine.Tables(spark, Sf, "embeddings")
+      .select(col("label"), col("vec_id"),
+        graft.ext.Similarity.normD(col("embedding")).as("score"))
+    val viaWindow = emb
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("label").orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("label", "rank", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val viaAgg = graft.ext.Similarity.labelTopkNorm(spark, Sf)
+      .select("label", "rank", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+}
