@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Scalars.queries ++
+    ops.Relational.queries ++ ops.Scalars.queries ++ ops.Skew.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries
@@ -28,7 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.Scalars.oracles ++
+    ops.Relational.oracles ++ ops.Scalars.oracles ++ ops.Skew.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles
 }

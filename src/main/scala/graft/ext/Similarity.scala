@@ -164,10 +164,29 @@ object Similarity {
       .orderBy(col("label"), col("rank"))
   }
 
+  /** Symmetric int8 quantization per vector (the storage/compute shape a
+    * serving-side vector store wants): scale = max |x|, q = round(x /
+    * scale * 127). Pure codegen'd projection — zero shuffle at any
+    * scale; zero vectors quantize to zeros.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val scale = aggregate(col("embedding"),
+      lit(0.0), (acc, v) => greatest(acc, abs(v.cast(DoubleType))))
+    t(s, dir, "embeddings")
+      .withColumn("scale", scale)
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"), v =>
+          when(col("scale") === 0.0, lit(0).cast("tinyint"))
+            .otherwise(round(v.cast(DoubleType) / col("scale") * 127.0).cast("tinyint")))
+          .as("q8"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
     "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),
-    "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)))
+    "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
+    "x23_quantize_int8" -> (quantizeInt8 _))
 
   /** DuckDB twin of the exact path. `list_reduce` folds left from the
     * first element and Spark's `aggregate` folds left from 0.0 — the sum
@@ -195,6 +214,17 @@ object Similarity {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x23_quantize_int8" ->
+      """SELECT vec_id,
+        |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |    (a, b) -> greatest(a, b)) AS scale,
+        |  list_transform(embedding, x ->
+        |    CASE WHEN list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+        |           (a, b) -> greatest(a, b)) = 0 THEN CAST(0 AS TINYINT)
+        |         ELSE CAST(round(CAST(x AS DOUBLE)
+        |           / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+        |               (a, b) -> greatest(a, b)) * 127.0) AS TINYINT) END) AS q8
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "x22_label_topk_norm" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -126,15 +126,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite corpus curation — the end-to-end filter a pre-training
+    * pipeline runs: keep documents that pass the quality gate, detect as
+    * English, and are the canonical copy of their duplicate group. Each
+    * leg is an already-oracle-verified operator; this asserts the
+    * composition.
+    */
+  def corpusCurate(s: SparkSession, dir: String): DataFrame =
+    qualityScore(s, dir).select(col("doc_id"), col("n_tokens"), col("quality_ok"))
+      .join(langId(s, dir).select(col("doc_id"), col("lang_detected")), "doc_id")
+      .join(Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_canonical")), "doc_id")
+      .filter(col("quality_ok") && col("is_canonical") && col("lang_detected") === "en")
+      .select(col("doc_id"), col("n_tokens"), col("lang_detected"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count" -> (tokenCount _),
     "x02_quality_score" -> (qualityScore _),
     "x03_lang_id" -> (langId _),
-    "x04_fingerprint" -> (fingerprint _))
+    "x04_fingerprint" -> (fingerprint _),
+    "x05_corpus_curation" -> (corpusCurate _))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "x01_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
@@ -176,4 +191,16 @@ object TextAnalysis {
         |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** x05 composes the already-verified x02/x03/x10 oracle SQL as
+    * subqueries — one definition per leg, no duplication to drift.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("x05_corpus_curation" ->
+      (s"SELECT doc_id, q.n_tokens, l.lang_detected" +
+        s" FROM (${baseOracles("x02_quality_score")}) q" +
+        s" JOIN (${baseOracles("x03_lang_id")}) l USING (doc_id)" +
+        s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
+        " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
+        " ORDER BY doc_id"))
 }

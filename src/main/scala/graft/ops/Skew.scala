@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Skew mitigation (SURVEY.md "hard parts" #5): two-phase salted
+  * aggregation. A hot group key (one event_type carrying half the
+  * corpus) turns a plain groupBy into a single straggler task; salting
+  * fans each key across `nSalts` partial groups, aggregates partials in
+  * parallel, then combines per key — the shuffle carries nSalts rows per
+  * key instead of every raw row into one partition.
+  *
+  * The result is bit-identical to the unsalted aggregate for
+  * decomposable aggregates (count/min/max here), which is exactly what
+  * the DuckDB oracle asserts. Exact distinct-count is handled by its own
+  * two-phase shape: dedup on (key, value) first — itself salt-free
+  * because the dedup key is high-cardinality — then count per key.
+  */
+object Skew {
+
+  /** Per-key count/min/max via explicit salt fan-out, plus exact distinct
+    * users via the dedup-then-count phase.
+    */
+  def saltedEventStats(s: SparkSession, dir: String, nSalts: Int = 16): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val salted = ev
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(nSalts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("pc"),
+        min(col("value")).as("pmin"),
+        max(col("value")).as("pmax"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pc")).as("n_events"),
+        min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value"))
+    val distinctUsers = ev
+      .select(col("event_type"), col("user_id")).dropDuplicates()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    salted.join(distinctUsers, "event_type")
+      .select(col("event_type"), col("n_events"), col("min_value"),
+        col("max_value"), col("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_salted_agg" -> ((s: SparkSession, dir: String) => saltedEventStats(s, dir)))
+
+  /** The oracle is the PLAIN aggregate — proving the salted plan computes
+    * the same answer.
+    */
+  val oracles: Map[String, String] = Map(
+    "q28_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events, min(value) AS min_value,
+        |  max(value) AS max_value, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

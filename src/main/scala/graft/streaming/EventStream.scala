@@ -94,13 +94,29 @@ object EventStream {
       sessionStats(Tables(s, dir, "events"))
         .orderBy(col("session_start"), col("user_id"))))
 
-  /** DuckDB twin for the tumbling windows (`time_bucket` aligns to the
-    * same wall-clock hour boundaries as Spark's `window`). Session
-    * windows have no DuckDB analog -> rows-only check + StreamingSpec.
+  /** DuckDB twins. `time_bucket` aligns to the same wall-clock hour
+    * boundaries as Spark's `window`; session windows are rebuilt in SQL
+    * with the lag-gap-flag + running-sum idiom (a new session starts when
+    * the gap is >= 30 min, since Spark's session span is
+    * `[first, last + gap)` half-open).
     */
   val oracles: Map[String, String] = Map(
     "s01_tumbling_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "s02_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY session_start, user_id""".stripMargin)
 }
