@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Scalars.queries ++ ops.Skew.queries ++
+      ops.Sketches.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries

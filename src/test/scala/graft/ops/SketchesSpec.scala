@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Error-bound contracts for the sketch aggregates (no SQL oracle —
+  * HLL++/KLL are engine-specific; the exact columns in the same result
+  * are the reference).
+  */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val rows = Sketches.eventSketches(spark, Sf).collect()
+
+  test("approx distinct within the HLL++ default rsd against exact") {
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_users_exact").toDouble
+      val approx = r.getAs[Long]("n_users_approx").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("approx median lands between the exact p50 neighborhood") {
+    rows.foreach { r =>
+      val p50 = r.getAs[Double]("p50_exact")
+      val p90 = r.getAs[Double]("p90_exact")
+      val p50a = r.getAs[Double]("p50_approx")
+      assert(p50 <= p90, "exact percentiles must be ordered")
+      // with accuracy 10000 on these group sizes the approx median is exact
+      assert(math.abs(p50a - p50) <= math.max(1e-9, (p90 - p50) * 0.1),
+        s"${r.getString(0)}: approx median $p50a vs exact $p50")
+    }
+  }
+}
