@@ -70,16 +70,33 @@ object TextAnalysis {
   /** Language ID: n-gram/stopword-hit heuristic. CJK characters short-
     * circuit to zh; otherwise argmax of per-language stopword hits with a
     * fixed priority tie-break; no hits at all -> 'und'.
+    *
+    * Shape: the per-language hit counts come from exploding tokens
+    * against a broadcast (word, lang) marker table and pivoting — all
+    * codegen'd — instead of 4 interpreted `filter` lambdas per row.
+    * Docs whose tokens hit nothing drop out of the aggregate and rejoin
+    * with zero counts through the left join.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
-    val cjk = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
-    val scores = LangStops.map { case (lang, words) => lang -> hits(toks, words) }
+    val spark = s
+    import spark.implicits._
+    val langs = LangStops.map(_._1)
+    val stops = LangStops.flatMap { case (lang, words) => words.map(w => (w, lang)) }
+      .toDF("w", "stop_lang")
+    val hitCounts = t(s, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
+      .join(broadcast(stops), "w")
+      .groupBy(col("doc_id"))
+      .pivot("stop_lang", langs)
+      .agg(count(lit(1)))
+    val scores = langs.map(l => l -> coalesce(col(l), lit(0L)))
     val best = greatest(scores.map(_._2): _*)
     val pick = scores.foldRight(lit("und")) { case ((lang, score), acc) =>
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
+    val cjk = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
     t(s, dir, "documents")
+      .join(hitCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang").as("lang_labeled"),
         when(cjk > 0, lit("zh")).otherwise(pick).as("lang_detected"),
         cjk.as("n_cjk"))
