@@ -104,10 +104,16 @@ object TextAnalysis {
   }
 
   /** Canonical fingerprint: md5 over lowercased alphanumerics — the exact-
-    * dedup key (whitespace/punctuation-insensitive).
+    * dedup key (whitespace/punctuation-insensitive). The normalization is
+    * the native CanonicalAlnum expression (one codegen'd byte pass;
+    * FunctionsSpec proves equality with the regexp_replace spelling the
+    * oracle uses).
     */
-  def fingerprintCol(c: Column): Column =
-    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+  def fingerprintCol(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    md5(ColumnBridge.column(
+      graft.functions.CanonicalAlnum(ColumnBridge.expression(c))).cast("binary"))
+  }
 
   /** Per-token 60-bit hash both engines can compute identically: the first
     * 15 hex digits of md5, parsed as an integer.

@@ -54,6 +54,26 @@ class FunctionsSpec extends SparkSpec {
     assert(native == regex)
   }
 
+  test("CanonicalAlnum equals the regexp_replace spelling on real text") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = graft.engine.Tables(spark, Sf, "documents")
+    val native = docs.select(col("doc_id"),
+      ColumnBridge.column(CanonicalAlnum(ColumnBridge.expression(col("text")))).as("c"))
+    val regex = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("c"))
+    assert(native.exceptAll(regex).isEmpty && regex.exceptAll(native).isEmpty)
+  }
+
+  test("CanonicalAlnum handles multibyte, empty and null input") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import spark.implicits._
+    val got = Seq("Héllo, Wörld! 42", "", "日本語テキスト", null, "ABC")
+      .toDF("s")
+      .select(ColumnBridge.column(CanonicalAlnum(ColumnBridge.expression(col("s")))))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("hllowrld42", "", "", null, "abc"))
+  }
+
   test("TopKAgg equals the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.engine.Tables(spark, Sf, "embeddings")
