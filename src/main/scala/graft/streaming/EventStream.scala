@@ -83,6 +83,22 @@ object EventStream {
       }
   }
 
+  /** The reference's load stage as a stream: watermark-deduped events
+    * appended to a warehouse parquet path per micro-batch via
+    * foreachBatch — exactly-once per event_id within the watermark
+    * horizon over an at-least-once source, no day-boundary races. The
+    * checkpoint carries the dedup state across restarts.
+    */
+  def streamingLoad(events: DataFrame, path: String, checkpoint: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupEvents(events, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.engine.Sinks.append(batch.toDF(), path)
+      }
+      .start()
+
   /** Batch registration of the windowed aggregation over the `events`
     * table (same code path the stream runs).
     */

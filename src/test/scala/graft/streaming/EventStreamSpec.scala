@@ -83,6 +83,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLoad appends exactly-once per event id into the sink") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamload").toString
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.streamingLoad(df, s"$dir/events", s"$dir/ckpt")
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // a replay of id 1 plus a new id — at-least-once source
+      in.addData((1L, ts("2024-01-01 10:00:30"), "click"), (2L, ts("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      val loaded = spark.read.parquet(s"$dir/events")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(loaded == Seq(1L, 2L), "duplicate replay must not double-load")
+    } finally q.stop()
+  }
+
   test("session windows split on the gap") {
     import spark.implicits._
     val df = Seq(
