@@ -215,6 +215,19 @@ object Relational {
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
+  /** CUBE over both grouping axes with an explicit grouping marker —
+    * the full lattice q16's ROLLUP only walks one path of. GROUPING()
+    * flags disambiguate real NULL keys from subtotal rows.
+    */
+  def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"),
+        col("g_status"), col("g_priority"))
+
   /** F1-family: calendar bucketing (year/month + month truncation). */
   def dateBuckets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -317,7 +330,8 @@ object Relational {
     "q18_ship_delay" -> (shipDelay _),
     "q19_money_decimal" -> (moneyDecimal _),
     "q20_order_rollup" -> (orderRollup _),
-    "q21_self_aliased_dim_join" -> (selfAliasedDimJoin _))
+    "q21_self_aliased_dim_join" -> (selfAliasedDimJoin _),
+    "q30_cube_counts" -> (cubeCounts _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -457,5 +471,13 @@ object Relational {
         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |GROUP BY 1, 2
-        |ORDER BY cust_nation, supp_nation""".stripMargin)
+        |ORDER BY cust_nation, supp_nation""".stripMargin,
+    "q30_cube_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_priority""".stripMargin)
 }
