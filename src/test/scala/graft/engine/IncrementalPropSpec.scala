@@ -1,0 +1,61 @@
+package graft.engine
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based window invariants (SURVEY.md §5.6): for ANY set of
+  * rows, the closed day windows partition the data — every row lands in
+  * exactly the window of its own date, and the union of all daily
+  * increments is the full extract. Timestamps are generated at
+  * second granularity including the exact 00:00:00 / 23:59:59 boundary
+  * instants the closed interval must keep.
+  */
+class IncrementalPropSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("updated_at", TimestampType)))
+
+  private val Days = Seq("2024-06-10", "2024-06-11", "2024-06-12")
+
+  // seconds-of-day biased toward the boundaries
+  private val secondGen: Gen[Int] = Gen.frequency(
+    (1, Gen.const(0)), (1, Gen.const(86399)), (5, Gen.choose(0, 86399)))
+
+  private val rowGen: Gen[(Int, String, Int)] = for {
+    id <- Gen.choose(0, 1000000)
+    day <- Gen.oneOf(Days)
+    sec <- secondGen
+  } yield (id, day, sec)
+
+  private def mkDf(rows: List[(Int, String, Int)]) = {
+    val data = rows.zipWithIndex.map { case ((_, day, sec), i) =>
+      val ts = Timestamp.valueOf(
+        java.time.LocalDate.parse(day).atStartOfDay.plusSeconds(sec.toLong))
+      Row(i, ts)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+  }
+
+  test("daily windows partition any dataset exactly") {
+    val listGen = Gen.listOfN(60, rowGen)
+    (1L to 5L).foreach { seed =>
+      val rows = listGen.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail(s"generator exhausted at seed $seed"))
+      val df = mkDf(rows)
+      val total = df.count()
+      val perDay = Days.map(ds => Incremental.dayWindow(df, "updated_at", ds).count())
+      assert(perDay.sum == total, s"windows lost or duplicated rows: $perDay vs $total")
+      // each row appears in exactly the window of its own day
+      Days.zip(perDay).foreach { case (ds, n) =>
+        val expected = rows.count { case (_, day, _) => day == ds }
+        assert(n == expected, s"seed $seed $ds: window=$n expected=$expected")
+      }
+    }
+  }
+}
