@@ -163,12 +163,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("lang_detected"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary histogram: top-k tokens by corpus frequency (ties broken
+    * lexicographically) — the token-frequency table every corpus
+    * analysis starts from. Explode + count is one shuffle with map-side
+    * partials; the top-k is a TakeOrdered, no global sort.
+    */
+  def vocabTopk(s: SparkSession, dir: String, k: Int = 30): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count" -> (tokenCount _),
     "x02_quality_score" -> (qualityScore _),
     "x03_lang_id" -> (langId _),
     "x04_fingerprint" -> (fingerprint _),
-    "x05_corpus_curation" -> (corpusCurate _))
+    "x05_corpus_curation" -> (corpusCurate _),
+    "x06_vocab_topk" -> ((s: SparkSession, dir: String) => vocabTopk(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -219,6 +233,11 @@ object TextAnalysis {
     * subqueries — one definition per leg, no duplication to drift.
     */
   val oracles: Map[String, String] = baseOracles +
+    ("x06_vocab_topk" ->
+      """SELECT token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin) +
     ("x05_corpus_curation" ->
       (s"SELECT doc_id, q.n_tokens, l.lang_detected" +
         s" FROM (${baseOracles("x02_quality_score")}) q" +

@@ -228,6 +228,22 @@ object Relational {
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"),
         col("g_status"), col("g_priority"))
 
+  /** Sliding row-frame window: per-supplier moving sum over the last 4
+    * shipments (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) under a total
+    * order, summed as exact decimals so both engines hash identically.
+    */
+  def movingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        sum(dec(col("l_quantity"))).over(w).cast(S).as("moving_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** F1-family: calendar bucketing (year/month + month truncation). */
   def dateBuckets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -331,7 +347,8 @@ object Relational {
     "q19_money_decimal" -> (moneyDecimal _),
     "q20_order_rollup" -> (orderRollup _),
     "q21_self_aliased_dim_join" -> (selfAliasedDimJoin _),
-    "q30_cube_counts" -> (cubeCounts _))
+    "q30_cube_counts" -> (cubeCounts _),
+    "q31_moving_window" -> (movingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -479,5 +496,13 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
-        |  g_status, g_priority""".stripMargin)
+        |  g_status, g_priority""".stripMargin,
+    "q31_moving_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS moving_qty
+        |FROM lineitem WHERE l_suppkey < 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)
 }
