@@ -176,13 +176,43 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** TF-IDF-lite: top terms per document scored tf x N/df — the idf is
+    * the exact rational N/df rather than log(N/df) (libm log is not
+    * bit-reproducible across engines; the rational form is, and is
+    * monotone in df, so rankings are the classic ones). One exploded
+    * token pass feeds both the tf aggregate and the df aggregate; the
+    * corpus size joins in as a lazy 1-row cross join, never a driver
+    * collect.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String,
+      maxDocId: Int = 20, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
+    val tf = toks.filter(col("doc_id") < maxDocId)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count" -> (tokenCount _),
     "x02_quality_score" -> (qualityScore _),
     "x03_lang_id" -> (langId _),
     "x04_fingerprint" -> (fingerprint _),
     "x05_corpus_curation" -> (corpusCurate _),
-    "x06_vocab_topk" -> ((s: SparkSession, dir: String) => vocabTopk(s, dir)))
+    "x06_vocab_topk" -> ((s: SparkSession, dir: String) => vocabTopk(s, dir)),
+    "x07_tfidf_topterms" -> ((s: SparkSession, dir: String) => tfidfTopTerms(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -238,6 +268,24 @@ object TextAnalysis {
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin) +
+    ("x07_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE doc_id < 20 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) +
     ("x05_corpus_curation" ->
       (s"SELECT doc_id, q.n_tokens, l.lang_detected" +
         s" FROM (${baseOracles("x02_quality_score")}) q" +
