@@ -182,7 +182,27 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs at/above the
+    * cosine threshold. This is the exact (oracle-verified) spelling —
+    * quadratic candidate space, broadcast-nested-loop over the smaller
+    * side; the 100 TB path generates candidates from the SAME LSH
+    * buckets `annTopk` uses (SimilaritySpec's recall bound covers the
+    * bucketed candidate generation), then verifies with this exact
+    * cosine.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val c = corpus(s, dir)
+    c.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(c.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
     "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
@@ -214,6 +234,22 @@ object Similarity {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x24_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
     "x23_quantize_int8" ->
       """SELECT vec_id,
         |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
