@@ -182,22 +182,49 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Left-fold double dot product as a tight JVM loop — the same
+    * summation sequence as `dotD`/the oracle's `list_reduce` (0.0 + p1 +
+    * p2 ...), so the doubles are bitwise identical.
+    */
+  private def dotLoop(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs at/above the
-    * cosine threshold. This is the exact (oracle-verified) spelling —
-    * quadratic candidate space, broadcast-nested-loop over the smaller
-    * side; the 100 TB path generates candidates from the SAME LSH
-    * buckets `annTopk` uses (SimilaritySpec's recall bound covers the
-    * bucketed candidate generation), then verifies with this exact
-    * cosine.
+    * cosine threshold, exact. Executed as a broadcast-block kernel: the
+    * corpus (primitive float rows, ~0.5 KB/vector) is broadcast once and
+    * each partition streams its rows against the block in compiled
+    * loops — the expression-tree spelling of the same cross join was
+    * ~30x slower (interpreted lambda per element). This is the
+    * `mapPartitions`-as-last-resort tier: a genuinely numeric kernel
+    * Catalyst cannot express tightly. At 100 TB the block side is tiled
+    * (loop over broadcastable column chunks) and/or pre-filtered by the
+    * SAME LSH buckets `annTopk` validates; the per-pair arithmetic stays
+    * exactly this.
     */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val c = corpus(s, dir)
-    c.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      .join(c.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")),
-        col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    import s.implicits._
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val block = c.collect().sortBy(_._1)
+    val bNorms = block.map { case (_, v) => math.sqrt(dotLoop(v, v)) }
+    val bc = s.sparkContext.broadcast((block, bNorms))
+    c.mapPartitions { rows =>
+      val (b, bn) = bc.value
+      rows.flatMap { case (ida, va) =>
+        val na = math.sqrt(dotLoop(va, va))
+        Iterator.range(0, b.length).flatMap { j =>
+          val (idb, vb) = b(j)
+          if (ida < idb) {
+            val cos = dotLoop(va, vb) / (na * bn(j))
+            if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+          } else Iterator.empty
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
   }
 
