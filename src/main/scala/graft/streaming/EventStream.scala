@@ -83,6 +83,14 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment: each micro-batch left-joins the broadcast
+    * dimension — the streaming analog of the star schema's dim joins
+    * (the static side re-resolves per batch, so a refreshed dim table is
+    * picked up without restarting the query).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "event_type"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** The reference's load stage as a stream: watermark-deduped events
     * appended to a warehouse parquet path per micro-batch via
     * foreachBatch — exactly-once per event_id within the watermark

@@ -102,6 +102,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches from the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression")).toDF("event_type", "category")
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("event_id", "event_type")
+    val q = EventStream.enrichWithDim(df, dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData((1L, "click"), (2L, "view"), (3L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("event_id", "category").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("interaction"), 2L -> Some("impression"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("session windows split on the gap") {
     import spark.implicits._
     val df = Seq(
