@@ -244,6 +244,39 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** SQL front-end entry (the `spark.sql` path): correlated EXISTS and a
+    * scalar subquery over temp views — Catalyst rewrites EXISTS to a
+    * semi join and the scalar subquery to a single-row broadcast, the
+    * same physical plans the DataFrame spellings get.
+    */
+  def sqlExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > (SELECT max(o_totalprice) FROM orders_v) * 0.5)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** NULL semantics: null-safe equality, COALESCE/NULLIF, and aggregate
+    * null-skipping — the P5 family made explicit.
+    */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("pri_or_null",
+        when(col("o_orderpriority") === "1-URGENT", col("o_orderpriority")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(col("pri_or_null")).as("n_urgent"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("pri_or_null") <=> lit(null), 1L).otherwise(0L)).as("n_null_safe_eq"),
+        coalesce(max(nullif(col("o_orderpriority"), lit("1-URGENT"))), lit("none"))
+          .as("max_non_urgent"))
+      .orderBy(col("o_orderstatus"))
+
   /** F1-family: calendar bucketing (year/month + month truncation). */
   def dateBuckets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -348,7 +381,9 @@ object Relational {
     "q20_order_rollup" -> (orderRollup _),
     "q21_self_aliased_dim_join" -> (selfAliasedDimJoin _),
     "q30_cube_counts" -> (cubeCounts _),
-    "q31_moving_window" -> (movingWindow _))
+    "q31_moving_window" -> (movingWindow _),
+    "q32_sql_exists" -> (sqlExistsSubquery _),
+    "q33_null_semantics" -> (nullSemantics _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -504,5 +539,20 @@ object Relational {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS moving_qty
         |FROM lineitem WHERE l_suppkey < 5
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q32_sql_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5)
+        |ORDER BY c_custkey""".stripMargin,
+    "q33_null_semantics" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END) AS n_urgent,
+        |  count(*) AS n_total,
+        |  sum(CASE WHEN (CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END)
+        |             IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_eq,
+        |  coalesce(max(nullif(o_orderpriority, '1-URGENT')), 'none') AS max_non_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
