@@ -228,7 +228,103 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
   }
 
+  private def l2normalize(v: Array[Float]): Array[Double] = {
+    val n = math.sqrt(dotLoop(v, v))
+    if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
+  }
+
+  /** Spherical k-means (Lloyd on the unit sphere): centroids trained on a
+    * bounded, deterministic sample collected to the driver — the standard
+    * IVF practice (coarse quantizers train on samples at any scale; only
+    * ASSIGNMENT must be distributed). Fixed iteration count and
+    * first-k init keep the model reproducible.
+    */
+  private def sphericalKMeans(sample: Array[Array[Double]],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var bestC = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; bestC = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bestC)(i) += v(i); i += 1 }
+        counts(bestC) += 1
+      }
+      cents = sums.zipWithIndex.map { case (sv, c) =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val n = math.sqrt(sv.map(x => x * x).sum)
+          if (n == 0.0) cents(c) else sv.map(_ / n)
+        }
+      }
+    }
+    cents
+  }
+
+  /** The `n` centroid indices with the highest dot product against the
+    * normalized vector.
+    */
+  private def nearestCells(cents: Array[Array[Double]],
+      v: Array[Float], n: Int): Seq[Int] = {
+    val nv = l2normalize(v)
+    cents.zipWithIndex.map { case (cv, ci) =>
+      var d = 0.0; var i = 0
+      while (i < nv.length) { d += nv(i) * cv(i); i += 1 }
+      (ci, d)
+    }.sortBy(-_._2).take(n).map(_._1).toSeq
+  }
+
+  /** IVF ANN cosine top-k: the second scale path next to the hyperplane
+    * LSH. Vectors are assigned to their nearest spherical-k-means cell
+    * (distributed, compiled loops over the broadcast centroids); a query
+    * probes its `nProbe` nearest cells and scores only those candidates
+    * with the exact cosine. SimilaritySpec bounds recall vs the exact
+    * top-k.
+    */
+  def ivfTopk(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 6, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    val typed = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val sample = typed.orderBy(col("vec_id")).limit(2048).collect()
+    val cents = sphericalKMeans(sample.map(p => l2normalize(p._2)), nCells, iters)
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = typed.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) => (id, nearestCells(cs, v, 1).head) }
+    }.toDF("vec_id", "cell")
+    val probes = typed.filter(col("vec_id") < numQueries)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) => nearestCells(cs, v, nProbe).map(c => (id, c)) }
+      }.toDF("query_id", "cell")
+    val candIds = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = candIds
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)),
     "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
     "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),

@@ -22,6 +22,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"ANN recall $recall below 0.9")
   }
 
+  test("ivf recall >= 0.9 against exact cosine top-10") {
+    val exact = Similarity.cosineTopk(spark, Dir).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopk(spark, Dir).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"ivf recall = $recall probing 6/16 cells")
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+  }
+
   test("exact top-k ranks are dense 1..k per query") {
     val ranks = Similarity.cosineTopk(spark, Dir)
       .groupBy("query_id")
