@@ -277,6 +277,32 @@ object Relational {
           .as("max_non_urgent"))
       .orderBy(col("o_orderstatus"))
 
+  /** Array aggregation: per market segment, the sorted distinct set of
+    * order priorities its customers used — collect_set is
+    * order-nondeterministic, so sort_array canonicalizes before compare.
+    */
+  def arrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Pivot to wide: order counts per status x priority, priorities as
+    * explicit columns (explicit value list — at scale an implicit pivot
+    * would need an extra distinct pass to discover them).
+    */
+  def pivotWide(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+
   /** F1-family: calendar bucketing (year/month + month truncation). */
   def dateBuckets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -383,7 +409,9 @@ object Relational {
     "q30_cube_counts" -> (cubeCounts _),
     "q31_moving_window" -> (movingWindow _),
     "q32_sql_exists" -> (sqlExistsSubquery _),
-    "q33_null_semantics" -> (nullSemantics _))
+    "q33_null_semantics" -> (nullSemantics _),
+    "q35_array_agg" -> (arrayAgg _),
+    "q36_pivot_wide" -> (pivotWide _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -554,5 +582,19 @@ object Relational {
         |  sum(CASE WHEN (CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END)
         |             IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_eq,
         |  coalesce(max(nullif(o_orderpriority, '1-URGENT')), 'none') AS max_non_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q35_array_agg" ->
+      """SELECT c_mktsegment,
+        |  list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+        |  count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q36_pivot_wide" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
