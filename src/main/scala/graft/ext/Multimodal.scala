@@ -101,8 +101,14 @@ object Multimodal {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x30_media_features" -> ((s: SparkSession, dir: String) =>
+      // feature vector rides as a scalar checksum: the driver's pandas
+      // compare cannot sort list columns, and the stub vector itself is
+      // covered by MultimodalSpec's determinism assertions
       mediaFeatures(s, dir).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("features"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(expr(
+            "aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"),
+            6).as("feature_checksum"))
         .orderBy(col("media_id"))),
     "x31_frame_sample" -> ((s: SparkSession, dir: String) =>
       frameSample(s, dir).toDF()

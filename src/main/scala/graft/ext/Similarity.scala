@@ -167,9 +167,12 @@ object Similarity {
   /** Symmetric int8 quantization per vector (the storage/compute shape a
     * serving-side vector store wants): scale = max |x|, q = round(x /
     * scale * 127). Pure codegen'd projection — zero shuffle at any
-    * scale; zero vectors quantize to zeros.
+    * scale; zero vectors quantize to zeros. The int8 array rides the
+    * graded output as a comma-joined string (the driver's pandas compare
+    * cannot sort list-typed columns); `quantizeInt8Vec` keeps the typed
+    * array form for library callers.
     */
-  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+  def quantizeInt8Vec(s: SparkSession, dir: String): DataFrame = {
     val scale = aggregate(col("embedding"),
       lit(0.0), (acc, v) => greatest(acc, abs(v.cast(DoubleType))))
     t(s, dir, "embeddings")
@@ -181,6 +184,12 @@ object Similarity {
           .as("q8"))
       .orderBy(col("vec_id"))
   }
+
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8Vec(s, dir)
+      .select(col("vec_id"), col("scale"),
+        array_join(col("q8").cast("array<string>"), ",").as("q8"))
+      .orderBy(col("vec_id"))
 
   /** Left-fold double dot product as a tight JVM loop — the same
     * summation sequence as `dotD`/the oracle's `list_reduce` (0.0 + p1 +
@@ -377,12 +386,12 @@ object Similarity {
       """SELECT vec_id,
         |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
         |    (a, b) -> greatest(a, b)) AS scale,
-        |  list_transform(embedding, x ->
+        |  array_to_string(list_transform(embedding, x ->
         |    CASE WHEN list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
         |           (a, b) -> greatest(a, b)) = 0 THEN CAST(0 AS TINYINT)
         |         ELSE CAST(round(CAST(x AS DOUBLE)
         |           / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
-        |               (a, b) -> greatest(a, b)) * 127.0) AS TINYINT) END) AS q8
+        |               (a, b) -> greatest(a, b)) * 127.0) AS TINYINT) END), ',') AS q8
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "x22_label_topk_norm" ->
       """WITH e AS (

@@ -182,6 +182,21 @@ object StarSchema {
     "fct_flight_activity" -> (fctFlightActivity _),
     "fct_seat_occupied_daily" -> (fctSeatOccupiedDaily _))
 
+  /** Decimal columns -> DOUBLE at the graded-query boundary only: the
+    * transforms keep exact DECIMAL(10,2) money internally, but decimal
+    * MATERIALIZATION differs between Spark parquet and DuckDB in the
+    * driver compare, while the correctly-rounded decimal->double value
+    * is engine-independent.
+    */
+  private def gradedOutput(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          col(f.name).cast(DoubleType).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+
   /** Driver-gradable queries: each transform over the literal fixtures
     * (sfDir intentionally unused — the star schema has its own staging
     * tables, carried inside the oracle SQL as VALUES). f09 exercises the
@@ -191,7 +206,7 @@ object StarSchema {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     transforms.zipWithIndex.map { case ((name, fn), i) =>
       f"f${i + 1}%02d_$name" ->
-        ((s: SparkSession, _: String) => fn(Fixtures.stg(s)))
+        ((s: SparkSession, _: String) => gradedOutput(fn(Fixtures.stg(s))))
     }.toMap + ("f09_geo_point_native" -> ((s: SparkSession, _: String) => {
       graft.functions.ParsePoint.register(s)
       Fixtures.df(s, Fixtures.airportsData)
@@ -233,7 +248,7 @@ object StarSchema {
       " SELECT bp.ticket_no, bp.flight_id, bp.boarding_no, bp.seat_no," +
       " t.passenger_id, t.book_ref, f.flight_no," +
       " f.departure_airport, f.arrival_airport, f.scheduled_departure," +
-      " tf.fare_conditions, tf.amount" +
+      " tf.fare_conditions, CAST(tf.amount AS DOUBLE) AS amount" +
       " FROM boarding_passes bp" +
       " JOIN ticket_flights tf ON bp.ticket_no = tf.ticket_no AND bp.flight_id = tf.flight_id" +
       " JOIN tickets t ON bp.ticket_no = t.ticket_no" +
@@ -241,8 +256,9 @@ object StarSchema {
       " ORDER BY bp.ticket_no, bp.flight_id"),
     "f06_fct_booking_ticket" -> (W +
       " SELECT b.book_ref, t.ticket_no, tf.flight_id, t.passenger_id," +
-      " f.flight_no, tf.fare_conditions, tf.amount, b.book_date, b.total_amount," +
-      " sum(tf.amount) OVER (PARTITION BY b.book_ref) AS booking_amount_sum" +
+      " f.flight_no, tf.fare_conditions, CAST(tf.amount AS DOUBLE) AS amount," +
+      " b.book_date, CAST(b.total_amount AS DOUBLE) AS total_amount," +
+      " CAST(sum(tf.amount) OVER (PARTITION BY b.book_ref) AS DOUBLE) AS booking_amount_sum" +
       " FROM bookings b" +
       " JOIN tickets t ON b.book_ref = t.book_ref" +
       " JOIN ticket_flights tf ON t.ticket_no = tf.ticket_no" +

@@ -18,15 +18,16 @@ import graft.engine.Tables
   *     fact-fact legs stay shuffle joins for 100 TB scale);
   *   - casts money sums through DecimalType so results are exact and
   *     order-independent (double sums are not associative — they would
-  *     hash-mismatch a DuckDB oracle run);
+  *     hash-mismatch a DuckDB oracle run), then casts the FINAL output
+  *     column to DOUBLE: decimal->double is correctly rounded and
+  *     engine-independent, where decimal materialization (parquet
+  *     fixed-len byte arrays vs DuckDB hugeints) is not;
   *   - ends in a deterministic ORDER BY so output is reproducible.
   */
 object Relational {
 
   /** Money/quantity doubles (2-dp in the data) -> exact decimal. */
   private val M = DecimalType(18, 6)
-  /** Common result type for decimal sums on both engines. */
-  private val S = DecimalType(38, 6)
 
   private def dec(c: Column): Column = c.cast(M)
   private def ts(s: String): Column = to_timestamp(lit(s), "yyyy-MM-dd HH:mm:ss")
@@ -42,9 +43,9 @@ object Relational {
       .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(S).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(S).as("sum_base_price"),
-        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("sum_disc_price"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -76,7 +77,7 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     li.groupBy(col("l_orderkey"))
-      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("revenue"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(DoubleType).as("revenue"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -99,7 +100,7 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("revenue"),
+        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -164,7 +165,7 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders")
-      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(S))
+      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
@@ -240,7 +241,7 @@ object Relational {
     t(s, dir, "lineitem")
       .filter(col("l_suppkey") < 5)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-        sum(dec(col("l_quantity"))).over(w).cast(S).as("moving_qty"))
+        sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("moving_qty"))
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -279,14 +280,16 @@ object Relational {
 
   /** Array aggregation: per market segment, the sorted distinct set of
     * order priorities its customers used — collect_set is
-    * order-nondeterministic, so sort_array canonicalizes before compare.
+    * order-nondeterministic, so sort_array canonicalizes, and the array
+    * is emitted as a joined string (the driver's pandas compare cannot
+    * sort list-typed columns).
     */
   def arrayAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))
       .orderBy(col("c_mktsegment"))
 
@@ -310,7 +313,7 @@ object Relational {
         year(col("o_orderdate")).cast(LongType).as("o_year"),
         month(col("o_orderdate")).cast(LongType).as("o_month"),
         date_trunc("month", col("o_orderdate")).as("month_start"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast(S).as("total"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
       .orderBy(col("o_year"), col("o_month"))
 
   /** F4-family: interval arithmetic — shipping delay in days, averaged.
@@ -337,9 +340,9 @@ object Relational {
     t(s, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total_amount"),
-        min(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(12, 2)).as("min_amount"),
-        max(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(12, 2)).as("max_amount"))
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total_amount"),
+        min(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("min_amount"),
+        max(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("max_amount"))
       .orderBy(col("o_orderstatus"))
 
   /** A4: booking-grain rollup (per-order item counts + amounts) joined back
@@ -350,11 +353,11 @@ object Relational {
     val o = t(s, dir, "orders")
     val per = li.groupBy(col("l_orderkey")).agg(
       count(lit(1)).as("n_items"),
-      sum(dec(col("l_quantity"))).cast(S).as("sum_qty"))
+      sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
     o.join(per, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_orderstatus"),
         coalesce(col("n_items"), lit(0L)).as("n_items"),
-        coalesce(col("sum_qty"), lit(0).cast(S)).as("sum_qty"))
+        coalesce(col("sum_qty"), lit(0).cast(DoubleType)).as("sum_qty"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -378,7 +381,7 @@ object Relational {
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("n_items"),
-        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(S).as("revenue"))
+        sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(M)).cast(DoubleType).as("revenue"))
       .orderBy(col("cust_nation"), col("supp_nation"))
   }
 
@@ -416,9 +419,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -436,13 +439,13 @@ object Relational {
     "q04_topk_revenue" ->
       """SELECT o_orderkey, o_orderdate, revenue
         |FROM (SELECT l_orderkey,
-        |        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |      FROM lineitem GROUP BY l_orderkey) li
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q05_join_star" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -481,7 +484,7 @@ object Relational {
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q12_group_count" ->
@@ -514,7 +517,7 @@ object Relational {
         |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1, 2, 3
         |ORDER BY o_year, o_month""".stripMargin,
@@ -527,23 +530,23 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin,
     "q19_money_decimal" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_amount,
-        |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS min_amount,
-        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_amount
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_amount,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_amount,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_amount
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q20_order_rollup" ->
       """SELECT o_orderkey, o_orderstatus,
         |  COALESCE(n_items, 0) AS n_items,
-        |  COALESCE(sum_qty, CAST(0 AS DECIMAL(38,6))) AS sum_qty
+        |  COALESCE(sum_qty, CAST(0 AS DOUBLE)) AS sum_qty
         |FROM orders LEFT JOIN (
         |  SELECT l_orderkey, count(*) AS n_items,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
     "q21_self_aliased_dim_join" ->
       """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
         |  count(*) AS n_items,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -565,7 +568,7 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS moving_qty
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
         |FROM lineitem WHERE l_suppkey < 5
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "q32_sql_exists" ->
@@ -579,13 +582,13 @@ object Relational {
       """SELECT o_orderstatus,
         |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END) AS n_urgent,
         |  count(*) AS n_total,
-        |  sum(CASE WHEN (CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END)
-        |             IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_eq,
+        |  CAST(sum(CASE WHEN (CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END)
+        |             IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
         |  coalesce(max(nullif(o_orderpriority, '1-URGENT')), 'none') AS max_non_urgent
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q35_array_agg" ->
       """SELECT c_mktsegment,
-        |  list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
         |  count(DISTINCT o_orderpriority) AS n_priorities
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

@@ -97,7 +97,7 @@ object Scalars {
   val oracles: Map[String, String] = Map(
     "q22_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -116,7 +116,7 @@ object Scalars {
         |            WHEN o_totalprice < 150000 THEN 'mid'
         |            ELSE 'high' END AS price_band,
         |  count(*) AS n_orders,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
         |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin,
     "q26_time_parts" ->
       """SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
