@@ -28,14 +28,20 @@ object Incremental {
       lit(s"$ds 23:59:59").cast(TimestampType)))
 
   /** S2+S6+P3: windowed extract -> skip-on-empty -> idempotent
-    * day-partition overwrite into `path`.
+    * day-partition overwrite into `path`. The increment is persisted for
+    * the count/write pair so both see the SAME snapshot (a re-scanned
+    * source could change between actions and make the returned row count
+    * disagree with what was written).
     */
   def loadTableFor(source: DataFrame, tsCol: String, ds: String, path: String): LoadStatus = {
-    val increment = dayWindow(source, tsCol, ds)
-    if (increment.isEmpty) SkippedEmpty
-    else {
-      Sinks.overwriteDayPartitions(increment, tsCol, path)
-      Loaded(increment.count())
-    }
+    val increment = dayWindow(source, tsCol, ds).persist()
+    try {
+      val rows = increment.count()
+      if (rows == 0) SkippedEmpty
+      else {
+        Sinks.overwriteDayPartitions(increment, tsCol, path)
+        Loaded(rows)
+      }
+    } finally increment.unpersist()
   }
 }

@@ -46,6 +46,11 @@ object Sinks {
   /** S9: keyed upsert (the PK map the reference declares in
     * `start.sh:24-33`): source rows win on key collision, target rows
     * without a colliding key survive. Returns the merged row count.
+    *
+    * Swap order is crash-safe: the old target is renamed ASIDE (not
+    * deleted) before the merged data renames into place, so a failure
+    * between the two renames leaves the previous data recoverable at
+    * `path__upsert_old`; every fs call's boolean result is checked.
     */
   def upsert(spark: SparkSession, src: DataFrame, path: String, keys: Seq[String]): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,10 +62,20 @@ object Sinks {
           .unionByName(src)
       } else src
     val tmp = new Path(path + "__upsert_tmp")
+    val aside = new Path(path + "__upsert_old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    if (fs.exists(aside) && !fs.delete(aside, true))
+      throw new java.io.IOException(s"upsert: cannot clear stale $aside")
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, aside))
+      throw new java.io.IOException(s"upsert: cannot move $target aside")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(aside, target) // best-effort rollback
+      throw new java.io.IOException(s"upsert: cannot move $tmp into place")
+    }
+    if (hadTarget && !fs.delete(aside, true))
+      throw new java.io.IOException(s"upsert: swap succeeded but cannot delete $aside")
     n
   }
 }

@@ -31,7 +31,12 @@ object Tables {
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Sessions should set this at construction (Verify/Bench/SparkSpec
+      // builders do); this is a fallback for ad-hoc sessions. It is
+      // checked first so an already-configured session is never mutated
+      // mid-flight (the set is visible session-wide, not per-read).
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path(dir, name))
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(path(dir, name))

@@ -89,12 +89,13 @@ object Dedup {
     * shingle index with a document-frequency cut (the standard hot-key
     * guard): shingles present in more than `maxDf` documents are dropped
     * from the *candidate index* (a k-hot shingle alone would materialize
-    * k^2/2 pairs), and a candidate pair must share at least `minCommon`
-    * distinct rare shingles — but the Jaccard score of every surviving
-    * candidate is computed exactly over the FULL shingle sets. A pair
-    * sharing only hot shingles or a single common phrase is by
-    * construction low-Jaccard, so the top-k is unaffected; the oracle
-    * implements the identical cut.
+    * k^2/2 pairs), and a candidate pair must share at least
+    * `least(minCommon, nRare(a), nRare(b))` distinct rare shingles —
+    * capping the cut at each doc's own rare-shingle count, so two
+    * near-identical SHORT docs (fewer than `minCommon` shingles total)
+    * still become candidates. The Jaccard score of every surviving
+    * candidate is computed exactly over the FULL shingle sets; the
+    * oracle implements the identical cut.
     */
   def jaccardTopk(s: SparkSession, dir: String,
       maxDf: Int = 20, minCommon: Int = 3): DataFrame = {
@@ -102,17 +103,25 @@ object Dedup {
     // single shuffle on the shingle hash; the df cut and the pair
     // expansion happen inside each group, so a hot shingle never
     // materializes its quadratic pair set
-    val pairs = posts.groupBy(col("h"))
+    val rareIdx = posts.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
+    // per-doc count of rare (df in [2, maxDf]) shingles — the cap that
+    // keeps short docs eligible
+    val rareCounts = rareIdx
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val pairs = rareIdx
       .select(explode(pairsOfSorted(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    // candidate = shares >= minCommon distinct rare shingles. The same
-    // groupBy dedups pair rows; the count prunes the long tail of
-    // one-shared-phrase pairs before the (per-pair) exact verification.
+    // candidate = shares >= least(minCommon, n_rare(a), n_rare(b)) rare
+    // shingles. The same groupBy dedups pair rows; the count prunes the
+    // long tail of one-shared-phrase pairs before exact verification.
     val cand = pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_rare_common"))
-      .filter(col("n_rare_common") >= minCommon)
+      .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nr_a")), "doc_a")
+      .join(rareCounts.select(col("doc_id").as("doc_b"), col("n_rare").as("nr_b")), "doc_b")
+      .filter(col("n_rare_common") >= least(lit(minCommon), col("nr_a"), col("nr_b")))
       .select(col("doc_a"), col("doc_b"))
     verifyPairs(cand, posts)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
@@ -281,13 +290,18 @@ object Dedup {
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
         |  WHERE len(w) >= 3),
         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
-        |hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > 20),
-        |inv2 AS (SELECT doc_id, shingle FROM inv
-        |         WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM inv2 a JOIN inv2 b
-        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2 HAVING count(*) >= 3)
+        |dfc AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+        |inv2 AS (SELECT doc_id, inv.shingle FROM inv
+        |         JOIN dfc ON inv.shingle = dfc.shingle WHERE df BETWEEN 2 AND 20),
+        |rc AS (SELECT doc_id, count(*) AS nr FROM inv2 GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+        |           FROM inv2 a JOIN inv2 b
+        |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |cand AS (SELECT doc_a, doc_b FROM shared
+        |         JOIN rc ra ON ra.doc_id = shared.doc_a
+        |         JOIN rc rb ON rb.doc_id = shared.doc_b
+        |         WHERE n >= least(3, ra.nr, rb.nr))
         |SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
         |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)

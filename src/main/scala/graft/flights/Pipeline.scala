@@ -53,25 +53,29 @@ object Pipeline {
       val extracted =
         if (cfg.incremental) Incremental.dayWindow(source(table), cfg.tsCol, ds)
         else source(table)
+      // persisted so the emptiness check, the write, and the returned
+      // row count all see one snapshot of the extract
+      val pinned = extracted.persist()
       val status =
-        if (extracted.isEmpty) Incremental.SkippedEmpty
-        else {
-          val loaded =
-            if (cfg.csvEdge) {
-              // the reference's MinIO hop: extract writes CSV, load
-              // re-reads it under the declared schema (S3 -> S5)
-              val edge = s"$warehouseDir/edge/$table"
-              Sources.writeCsv(extracted, edge)
-              Sources.readCsv(spark, extracted.schema, edge)
-            } else extracted
-          if (cfg.incremental) {
-            Sinks.overwriteDayPartitions(loaded, cfg.tsCol, stgPath(warehouseDir, table))
-            Incremental.Loaded(loaded.count())
-          } else {
-            Sinks.truncateLoad(loaded, stgPath(warehouseDir, table))
-            Incremental.Loaded(loaded.count())
+        try {
+          val rows = pinned.count()
+          if (rows == 0) Incremental.SkippedEmpty
+          else {
+            val loaded =
+              if (cfg.csvEdge) {
+                // the reference's MinIO hop: extract writes CSV, load
+                // re-reads it under the declared schema (S3 -> S5)
+                val edge = s"$warehouseDir/edge/$table"
+                Sources.writeCsv(pinned, edge)
+                Sources.readCsv(spark, pinned.schema, edge)
+              } else pinned
+            if (cfg.incremental)
+              Sinks.overwriteDayPartitions(loaded, cfg.tsCol, stgPath(warehouseDir, table))
+            else
+              Sinks.truncateLoad(loaded, stgPath(warehouseDir, table))
+            Incremental.Loaded(if (cfg.csvEdge) loaded.count() else rows)
           }
-        }
+        } finally pinned.unpersist()
       table -> status
     }.toMap
     transform(spark, warehouseDir)

@@ -91,19 +91,36 @@ object EventStream {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "event_type"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Idempotent per-batch load: each micro-batch lands in its own
+    * `_batch_id=<id>` partition via dynamic partition overwrite, so a
+    * replayed batch (foreachBatch is at-least-once on failure/restart)
+    * OVERWRITES its own partition instead of appending twice. Readers of
+    * `path` see an extra `_batch_id` partition column to drop.
+    */
+  def loadBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write
+      .partitionBy("_batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
   /** The reference's load stage as a stream: watermark-deduped events
-    * appended to a warehouse parquet path per micro-batch via
-    * foreachBatch — exactly-once per event_id within the watermark
-    * horizon over an at-least-once source, no day-boundary races. The
-    * checkpoint carries the dedup state across restarts.
+    * loaded to a warehouse parquet path per micro-batch via foreachBatch.
+    * Exactly-once per event_id within the watermark horizon over an
+    * at-least-once source: in-stream dropDuplicates kills source-level
+    * replays, and `loadBatch`'s per-batch partition overwrite makes a
+    * batch REPLAY (failure after a partial append, restart from the
+    * checkpoint) idempotent rather than double-appending. The checkpoint
+    * carries the dedup state across restarts.
     */
   def streamingLoad(events: DataFrame, path: String, checkpoint: String,
       watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery =
     dedupEvents(events, watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.engine.Sinks.append(batch.toDF(), path)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        loadBatch(batch.toDF(), batchId, path)
       }
       .start()
 

@@ -102,6 +102,20 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("loadBatch replay overwrites its own partition instead of appending") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_batchload").toString
+    val path = s"$dir/events"
+    val b0 = Seq((1L, "click"), (2L, "view")).toDF("event_id", "event_type")
+    EventStream.loadBatch(b0, 0L, path)
+    EventStream.loadBatch(Seq((3L, "click")).toDF("event_id", "event_type"), 1L, path)
+    // simulate a foreachBatch replay of batch 0 after a failure
+    EventStream.loadBatch(b0, 0L, path)
+    val ids = spark.read.parquet(path).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), "batch replay must be idempotent")
+  }
+
   test("stream-static join enriches micro-batches from the broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
