@@ -202,38 +202,67 @@ object Similarity {
     acc
   }
 
+  final case class VecRow(vec_id: Long, embedding: Array[Float])
+  final case class BlockPair(blk_a: Long, blk_b: Long,
+      va: Seq[VecRow], vb: Seq[VecRow])
+
   /** Embedding-cosine near-duplicate pairs: all pairs at/above the
-    * cosine threshold, exact. Executed as a broadcast-block kernel: the
-    * corpus (primitive float rows, ~0.5 KB/vector) is broadcast once and
-    * each partition streams its rows against the block in compiled
-    * loops — the expression-tree spelling of the same cross join was
-    * ~30x slower (interpreted lambda per element). This is the
-    * `mapPartitions`-as-last-resort tier: a genuinely numeric kernel
-    * Catalyst cannot express tightly. At 100 TB the block side is tiled
-    * (loop over broadcastable column chunks) and/or pre-filtered by the
-    * SAME LSH buckets `annTopk` validates; the per-pair arithmetic stays
-    * exactly this.
+    * cosine threshold, exact — executed as a DISTRIBUTED block-pair
+    * join, never materializing the corpus on the driver:
+    *
+    *   1. each vector lands in block `vec_id / blockSize` (monotonic, so
+    *      blk_a < blk_b implies every a-id < every b-id — the upper
+    *      triangle dedups pairs for free);
+    *   2. blocks pack to one row each (collect_list bounded by
+    *      `blockSize`, ~0.5 MB at 64-dim floats);
+    *   3. each block replicates to its partner blocks >= itself
+    *      (explode over a block-id sequence) and joins the partner's
+    *      packed row — a B-row-by-B-row join, NOT a row-level cross
+    *      join;
+    *   4. the per-(blockA, blockB) compiled double loop emits the
+    *      surviving pairs (the expression-tree spelling of the same
+    *      kernel was ~30x slower — interpreted lambda per element).
+    *
+    * Exact all-pairs is inherently O(n^2) compares; this shape spreads
+    * them over B^2/2 independent tasks with two-block memory bounds and
+    * O(n x B/2) shuffle volume — the standard distributed
+    * block-nested-loop. At 100 TB you precede it with the LSH/MinHash
+    * candidate generation (`annTopk`, `Dedup.minhashPairs`) and run this
+    * kernel only on candidate buckets; the per-pair arithmetic is
+    * identical either way.
     */
-  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+      blockSize: Int = 2048): DataFrame = {
     import s.implicits._
-    val c = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val block = c.collect().sortBy(_._1)
-    val bNorms = block.map { case (_, v) => math.sqrt(dotLoop(v, v)) }
-    val bc = s.sparkContext.broadcast((block, bNorms))
-    c.mapPartitions { rows =>
-      val (b, bn) = bc.value
-      rows.flatMap { case (ida, va) =>
-        val na = math.sqrt(dotLoop(va, va))
-        Iterator.range(0, b.length).flatMap { j =>
-          val (idb, vb) = b(j)
-          if (ida < idb) {
-            val cos = dotLoop(va, vb) / (na * bn(j))
-            if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
-          } else Iterator.empty
-        }
+    val packed = t(s, dir, "embeddings")
+      .select((col("vec_id").cast("long") / blockSize).cast("long").as("blk"),
+        col("vec_id"), col("embedding"))
+      .groupBy(col("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vecs"))
+    // block count: a 1-row aggregate (like IVF's bounded sample), not a
+    // corpus materialization
+    val maxBlk = packed.agg(max(col("blk"))).head().getLong(0)
+    val pairs = packed
+      .select(col("blk").as("blk_a"), col("vecs").as("va"),
+        explode(sequence(col("blk"), lit(maxBlk))).as("blk_b"))
+      .join(packed.select(col("blk").as("blk_b"), col("vecs").as("vb")), "blk_b")
+      .select(col("blk_a"), col("blk_b"), col("va"), col("vb"))
+      .as[BlockPair]
+      .flatMap { bp =>
+        val a = bp.va.toArray
+        val b = bp.vb.toArray
+        val na = a.map(r => math.sqrt(dotLoop(r.embedding, r.embedding)))
+        val nb = if (bp.blk_a == bp.blk_b) na
+                 else b.map(r => math.sqrt(dotLoop(r.embedding, r.embedding)))
+        for {
+          i <- a.indices.iterator
+          j <- b.indices.iterator
+          if a(i).vec_id < b(j).vec_id
+          cos = dotLoop(a(i).embedding, b(j).embedding) / (na(i) * nb(j))
+          if cos >= threshold
+        } yield (a(i).vec_id, b(j).vec_id, cos)
       }
-    }.toDF("vec_a", "vec_b", "cosine")
+    pairs.toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
   }
 

@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blocked near-dup pair set is block-size invariant (incl. multi-block)") {
+    def pairs(blockSize: Int) =
+      Similarity.embeddingNearDup(spark, Dir, blockSize = blockSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val one = pairs(blockSize = 100000) // single block: plain all-pairs loop
+    val many = pairs(blockSize = 37)    // forces cross-block pairs + odd tail
+    assert(one.nonEmpty)
+    assert(many.keySet == one.keySet, "blocking must not add or drop pairs")
+    one.foreach { case (k, c) => assert(many(k) == c, s"cosine differs for $k") }
+  }
+
   test("ann scores candidates with exact cosine (subset consistency)") {
     val exact = Similarity.cosineTopk(spark, Dir)
       .select("query_id", "vec_id", "cosine").collect()
