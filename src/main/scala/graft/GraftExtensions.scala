@@ -4,18 +4,24 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ParsePoint
+import graft.functions.{BpeTokenCount, ParsePoint}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions first-class SQL functions in any session built with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`), so SQL users get
-  * `parse_point(...)` without calling the registrar from code.
+  * `parse_point(...)` / `bpe_token_count(...)` without calling the
+  * registrars from code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("parse_point"),
       new ExpressionInfo(classOf[ParsePoint].getName, "parse_point"),
       (children: Seq[Expression]) => ParsePoint(children.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (children: Seq[Expression]) => BpeTokenCount(children.head)))
+  }
 }

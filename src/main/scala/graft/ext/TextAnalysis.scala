@@ -25,6 +25,16 @@ object TextAnalysis {
 
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
 
+  /** Count of BPE tokens via the native one-pass expression — the token
+    * COUNT never needs the match array `size(bpeTokens(...))` would
+    * build per row (FunctionsSpec proves equality with that spelling).
+    */
+  def bpeTokenCountCol(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BpeTokenCount(ColumnBridge.expression(c)))
+  }
+
   /** Per-language stopword marker lists for the language-ID heuristic. */
   val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "you", "for"),
@@ -44,7 +54,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(wsTokens(col("text"))).cast(LongType).as("n_tokens_ws"),
-        size(bpeTokens(col("text"))).cast(LongType).as("n_tokens_bpe"),
+        bpeTokenCountCol(col("text")).cast(LongType).as("n_tokens_bpe"),
         length(col("text")).cast(LongType).as("n_chars_calc"))
       .orderBy(col("doc_id"))
 

@@ -54,6 +54,23 @@ class FunctionsSpec extends SparkSpec {
     assert(native == regex)
   }
 
+  test("BpeTokenCount equals size(regexp_extract_all) on real text and edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      "", "   ", "abc", "abc123", "a1b2", "hello, world! 42",
+      "tabs\tand\nnewlinesform\ffeeds\rhere",
+      "unicode éé café 中文 😀 mix3d",
+      "!!!", "a-b_c.d").toDF("text")
+    val docs = graft.engine.Tables(spark, Sf, "documents").select("text")
+    val all = edge.unionByName(docs)
+    val mismatch = all.select(
+      graft.ext.TextAnalysis.bpeTokenCountCol(col("text")).as("native"),
+      size(graft.ext.TextAnalysis.bpeTokens(col("text"))).as("regex"))
+      .filter(col("native") =!= col("regex")).count()
+    assert(mismatch == 0, "native count must match the regex spelling")
+    assert(BpeTokenCount.count(null) == 0)
+  }
+
   test("CanonicalAlnum equals the regexp_replace spelling on real text") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = graft.engine.Tables(spark, Sf, "documents")
