@@ -268,10 +268,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** x12 is registered with verification-grade banding (32 bands x 2
+    * rows — same 64-hash signature as the 16x4 default, but per-pair
+    * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
+    * emitted set EQUALS the exact Jaccard >= 0.5 pair set and the DuckDB
+    * oracle can check it outright. Production banding stays the caller's
+    * choice; DedupSpec separately bounds the default's recall.
+    */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_dedup_exact" -> (dedupExact _),
     "x11_jaccard_topk" -> ((s: SparkSession, dir: String) => jaccardTopk(s, dir)),
-    "x12_minhash_pairs" -> ((s: SparkSession, dir: String) => minhashPairs(s, dir)),
+    "x12_minhash_pairs" -> ((s: SparkSession, dir: String) =>
+      minhashPairs(s, dir, bands = 32, rowsPerBand = 2)),
     "x13_simhash" -> (simhashSketch _))
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +315,28 @@ object Dedup {
         |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
         |    / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
         |FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
-        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin)
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // the exact Jaccard >= 0.5 pair set over the FULL inverted index (no
+    // df cut: completeness matters here) — x12's high-recall banding must
+    // reproduce it exactly
+    "x12_minhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM inv a JOIN inv b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |      / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+        |SELECT doc_a, doc_b, n_common, jaccard FROM scored
+        |WHERE jaccard >= 0.5
+        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)
 }
