@@ -1,0 +1,58 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Binned range join semantics: half-open boundaries, bin-width
+  * invariance (the binning is an execution detail, never a semantics
+  * change), and the equi-join plan (no nested loop).
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def points = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:30:00")),
+      (3L, ts("2024-01-01 11:00:00")), // exactly at an interval end
+      (4L, ts("2024-01-01 23:59:59")),
+      (5L, ts("2024-01-02 03:00:00"))
+    ).toDF("pid", "ts")
+  }
+
+  private def intervals = {
+    import spark.implicits._
+    Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (200L, ts("2024-01-01 22:00:00"), ts("2024-01-02 04:00:00"))
+    ).toDF("iid", "start", "end")
+  }
+
+  private def pairs(binSeconds: Long) =
+    RangeJoin.binnedRangeJoin(points, intervals, "ts", "start", "end", binSeconds)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("half-open [start, end): start inclusive, end exclusive, spans bins") {
+    assert(pairs(3600L) == Set((1L, 100L), (2L, 100L), (4L, 200L), (5L, 200L)),
+      "pid 1 at start is in, pid 3 at end is out, 200 spans midnight")
+  }
+
+  test("bin width never changes the result") {
+    val expected = pairs(3600L)
+    Seq(60L, 599L, 7200L, 86400L).foreach { w =>
+      assert(pairs(w) == expected, s"bin width $w changed the join result")
+    }
+  }
+
+  test("the plan is an equi-join on the bin, not a nested loop") {
+    val plan = RangeJoin.binnedRangeJoin(points, intervals, "ts", "start", "end")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+}
