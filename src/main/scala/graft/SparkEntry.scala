@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Scalars.queries ++ ops.Skew.queries ++
       ops.Sketches.queries ++ ops.Profile.queries ++ ops.BucketedStar.queries ++
-      ops.AsofJoin.queries ++ ops.RangeJoin.queries ++
+      ops.AsofJoin.queries ++ ops.RangeJoin.queries ++ ops.Sampling.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries
@@ -32,7 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Scalars.oracles ++ ops.Skew.oracles ++
       ops.Profile.oracles ++ ops.BucketedStar.oracles ++
-      ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++
+      ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles
 }

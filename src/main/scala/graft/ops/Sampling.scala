@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Tables
+
+/** Deterministic sampling / dataset splitting — the reproducibility
+  * primitive a training-data pipeline needs: train/val/test membership
+  * must be a pure function of the row key (stable across runs, engines,
+  * partitionings, and cluster sizes), never `rand()` (whose draw order
+  * depends on partitioning) and never a sampled-once materialized list
+  * (which has to be joined everywhere).
+  *
+  * The hash is the md5-prefix integer both engines compute identically
+  * (the same cross-engine trick `TextAnalysis.tokenHash` uses), bucketed
+  * modulo 100: row -> bucket is uniform, deterministic, and computable
+  * as a pure projection at any scale — the split never shuffles.
+  */
+object Sampling {
+
+  /** Uniform deterministic bucket in [0, buckets) from a key column. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast(LongType), lit(buckets.toLong))
+
+  /** 80/10/10 train/val/test assignment over `documents`. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        hashBucket(col("doc_id"), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified deterministic sample: per-language keep rates (50% of
+    * English, 20% of everything else) applied through the same hash
+    * bucket — the downsample-the-majority-class move, reproducible by
+    * construction.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id"), 100))
+      .filter(
+        when(col("lang") === "en", col("bucket") < 50)
+          .otherwise(col("bucket") < 20))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x40_hash_split" -> (hashSplit _),
+    "x41_stratified_sample" -> (stratifiedSample _))
+
+  val oracles: Map[String, String] = Map(
+    "x40_hash_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x41_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE CASE WHEN lang = 'en' THEN bucket < 50 ELSE bucket < 20 END
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -46,15 +46,49 @@ object Skew {
       .orderBy(col("event_type"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q28_salted_agg" -> ((s: SparkSession, dir: String) => saltedEventStats(s, dir)))
+  /** Salted skew JOIN: the fact side appends a deterministic salt to the
+    * join key; the (too-big-to-broadcast, hot-keyed) build side replicates
+    * once per salt; the join runs on (key, salt). A hot key's rows spread
+    * over `nSalts` tasks instead of one straggler partition, at the cost
+    * of `nSalts`x replication of the build side only. Every fact row
+    * still matches exactly one replica (its own salt), so the result is
+    * row-identical to the plain join — which is what the oracle asserts.
+    * (AQE's skew-join split handles sort-merge stragglers adaptively;
+    * explicit salting is the plan-stable spelling that also covers
+    * aggregate-followed joins AQE cannot split.)
+    */
+  def saltedEnrichJoin(s: SparkSession, dir: String, nSalts: Int = 16): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val dim = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("user_n_events"),
+      max(col("value")).as("user_max_value"))
+    val fact = ev.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(nSalts)))
+    val dimReplicated = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    fact.join(dimReplicated, Seq("user_id", "salt"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_n_events"), col("user_max_value"))
+      .orderBy(col("event_id"))
+  }
 
-  /** The oracle is the PLAIN aggregate — proving the salted plan computes
-    * the same answer.
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_salted_agg" -> ((s: SparkSession, dir: String) => saltedEventStats(s, dir)),
+    "q40_salted_join" -> ((s: SparkSession, dir: String) => saltedEnrichJoin(s, dir)))
+
+  /** The oracles are the PLAIN aggregate / join — proving the salted
+    * plans compute the same answers.
     */
   val oracles: Map[String, String] = Map(
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n_events, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q40_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(*) AS user_n_events, max(value) AS user_max_value
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value, d.user_n_events, d.user_max_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin)
 }

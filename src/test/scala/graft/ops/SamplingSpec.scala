@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling contracts: membership is a pure function of
+  * the key (partitioning-invariant), splits are disjoint and exhaustive,
+  * and realized fractions track the configured rates.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("split membership is partitioning-invariant and repeatable") {
+    val a = Sampling.hashSplit(spark, Sf).collect().map(r => (r.getLong(0), r.getString(2)))
+    val b = Sampling.hashSplit(spark, Sf).repartition(7).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(a.toSet == b.toSet)
+  }
+
+  test("splits are disjoint, exhaustive, and near the 80/10/10 rates") {
+    val counts = Sampling.hashSplit(spark, Sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val docs = graft.engine.Tables(spark, Sf, "documents").count()
+    assert(total == docs, "every document lands in exactly one split")
+    val trainFrac = counts.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.68 && trainFrac < 0.92,
+      s"train fraction $trainFrac far from 0.8 (50-doc fixture tolerance)")
+  }
+
+  test("stratified sample keeps only rows under their language's rate") {
+    val kept = Sampling.stratifiedSample(spark, Sf).collect()
+    kept.foreach { r =>
+      val cap = if (r.getString(1) == "en") 50 else 20
+      assert(r.getLong(2) < cap, s"row ${r.getLong(0)} exceeds its stratum cap")
+    }
+    assert(kept.nonEmpty)
+  }
+
+  test("salted enrich join equals the plain join row-for-row") {
+    val salted = Skew.saltedEnrichJoin(spark, Sf).collect().toSeq
+    val ev = graft.engine.Tables(spark, Sf, "events")
+    val dim = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("user_n_events"), max(col("value")).as("user_max_value"))
+    val plain = ev.select(col("event_id"), col("user_id"), col("value"))
+      .join(dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_n_events"), col("user_max_value"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(salted == plain)
+  }
+}
