@@ -91,6 +91,28 @@ object EventStream {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "event_type"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: clicks matched to the same user's view
+    * events from the preceding `lookback` — the attribution join
+    * ("which impression led to this click") that only works as
+    * stream-stream because BOTH sides arrive continuously. Watermarks on
+    * both inputs plus the time-bound join condition let Spark expire
+    * buffered state: a view older than `lookback` past the click
+    * watermark can never match again and is dropped — bounded state at
+    * any throughput, the property that makes this runnable forever.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "1 hour", lookback: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    c.join(v,
+      expr(s"""click_ts >= view_ts AND click_ts - INTERVAL $lookback <= view_ts""")
+        && c("user_id") === v("user_id"))
+      .select(col("click_id"), c("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Idempotent per-batch load: each micro-batch lands in its own
     * `_batch_id=<id>` partition via dynamic partition overwrite, so a
     * replayed batch (foreachBatch is at-least-once on failure/restart)
@@ -133,7 +155,14 @@ object EventStream {
         .orderBy(col("window_start"), col("event_type"))),
     "s02_session_windows" -> ((s: SparkSession, dir: String) =>
       sessionStats(Tables(s, dir, "events"))
-        .orderBy(col("session_start"), col("user_id"))))
+        .orderBy(col("session_start"), col("user_id"))),
+    "s03_stream_interval_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id"), col("view_id"))
+    }))
 
   /** DuckDB twins. `time_bucket` aligns to the same wall-clock hour
     * boundaries as Spark's `window`; session windows are rebuilt in SQL
@@ -159,5 +188,13 @@ object EventStream {
         |SELECT min(ts) AS session_start,
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY session_start, user_id""".stripMargin)
+        |FROM s GROUP BY user_id, sid ORDER BY session_start, user_id""".stripMargin,
+    "s03_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |ORDER BY click_id, view_id""".stripMargin)
 }

@@ -116,6 +116,30 @@ class EventStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "batch replay must be idempotent")
   }
 
+  test("stream-stream interval join matches views inside the lookback only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val viewsIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("event_id", "user_id", "ts")
+    val views = viewsIn.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStream.clickViewJoin(clicks, views)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      viewsIn.addData(
+        (100L, 7L, ts("2024-01-01 10:00:00")), // 10 min before the click: in window
+        (101L, 7L, ts("2024-01-01 09:30:00")), // 40 min before: outside lookback
+        (102L, 8L, ts("2024-01-01 10:05:00"))) // other user
+      clicksIn.addData((1L, 7L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L)),
+        "only the same-user view inside the 30-minute lookback matches")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches micro-batches from the broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
