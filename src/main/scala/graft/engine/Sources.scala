@@ -40,4 +40,26 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .schema(schema)
       .csv(path)
+
+  /** JSON-lines sink — the interchange format LLM training corpora ship
+    * in. One JSON object per line, partition-parallel like any text
+    * sink; timestamps pinned to a zone-less micros format so the read
+    * side re-parses bit-identically in a UTC session.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("ignoreNullFields", "false")
+      .mode(SaveMode.Overwrite)
+      .json(path)
+
+  /** JSON-lines source under a DECLARED schema (inference over a corpus
+    * is a full extra pass AND nondeterministic under partial reads —
+    * never at 100 TB).
+    */
+  def readJsonl(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .schema(schema)
+      .json(path)
 }

@@ -70,6 +70,21 @@ class SinksSpec extends SparkSpec {
     assert(c(back) == c(expected))
   }
 
+  test("JSONL round-trip preserves documents and event timestamps exactly") {
+    val dir = tmpDir()
+    val docs = Tables(spark, Sf, "documents")
+    Sources.writeJsonl(docs, s"$dir/docs")
+    val docsBack = Sources.readJsonl(spark, docs.schema, s"$dir/docs")
+    assert(docsBack.count() == docs.count())
+    assert(docsBack.exceptAll(docs).isEmpty && docs.exceptAll(docsBack).isEmpty,
+      "unicode text and metadata must survive the JSONL hop")
+    val ev = Tables(spark, Sf, "events").limit(500)
+    Sources.writeJsonl(ev, s"$dir/ev")
+    val evBack = Sources.readJsonl(spark, ev.schema, s"$dir/ev")
+    assert(evBack.exceptAll(ev).isEmpty && ev.exceptAll(evBack).isEmpty,
+      "micro-precision timestamps must re-parse bit-identically")
+  }
+
   test("day-partition overwrite replaces only its own day") {
     val s = StructType(Seq(
       StructField("id", IntegerType), StructField("updated_at", TimestampType)))

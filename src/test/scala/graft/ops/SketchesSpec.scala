@@ -31,4 +31,23 @@ class SketchesSpec extends SparkSpec {
         s"${r.getString(0)}: approx median $p50a vs exact $p50")
     }
   }
+
+  test("count-min estimates never undercount and stay within eps * N") {
+    val hh = Sketches.tokenHeavyHitters(spark, Sf).collect()
+    assert(hh.nonEmpty)
+    val totalTokens = graft.engine.Tables(spark, Sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text"))), "\\s+")))
+      .count()
+    hh.foreach { r =>
+      val exact = r.getLong(1)
+      val est = r.getLong(2)
+      assert(est >= exact, s"'${r.getString(0)}': CMS undercounted $est < $exact")
+      assert(est <= exact + (0.001 * totalTokens).ceil.toLong + 1,
+        s"'${r.getString(0)}': CMS estimate $est beyond the eps bound over $exact")
+    }
+  }
 }
