@@ -61,21 +61,81 @@ object Sinks {
         current.join(src.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(src)
       } else src
-    val tmp = new Path(path + "__upsert_tmp")
-    val aside = new Path(path + "__upsert_old")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapWrite(spark, merged, path)
+  }
+
+  /** Crash-safe replace of `path` with `df` (which may READ from `path` —
+    * a parquet path cannot be overwritten while a plan still scans it
+    * lazily): write to a tmp dir, rename the old target ASIDE (not
+    * deleted), rename tmp into place, then drop the aside copy. A
+    * failure between the renames leaves the previous data recoverable at
+    * `path__swap_old`; every fs call's boolean result is checked.
+    * Returns the written row count.
+    */
+  def swapWrite(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val tmp = new Path(path + "__swap_tmp")
+    val aside = new Path(path + "__swap_old")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     if (fs.exists(aside) && !fs.delete(aside, true))
-      throw new java.io.IOException(s"upsert: cannot clear stale $aside")
+      throw new java.io.IOException(s"swapWrite: cannot clear stale $aside")
     val hadTarget = fs.exists(target)
     if (hadTarget && !fs.rename(target, aside))
-      throw new java.io.IOException(s"upsert: cannot move $target aside")
+      throw new java.io.IOException(s"swapWrite: cannot move $target aside")
     if (!fs.rename(tmp, target)) {
       if (hadTarget) fs.rename(aside, target) // best-effort rollback
-      throw new java.io.IOException(s"upsert: cannot move $tmp into place")
+      throw new java.io.IOException(s"swapWrite: cannot move $tmp into place")
     }
     if (hadTarget && !fs.delete(aside, true))
-      throw new java.io.IOException(s"upsert: swap succeeded but cannot delete $aside")
+      throw new java.io.IOException(s"swapWrite: swap succeeded but cannot delete $aside")
     n
+  }
+
+  /** SCD Type 2 merge — dimension history the reference's truncate-load
+    * dims cannot keep: the target carries `valid_from`/`valid_to`/
+    * `is_current` alongside the attributes; merging a snapshot dated
+    * `effectiveTs`
+    *
+    *   - inserts unseen keys as new current versions;
+    *   - closes the current version (valid_to = effectiveTs,
+    *     is_current = false) and opens a new one when any compared
+    *     attribute changed;
+    *   - leaves unchanged keys and all closed history untouched.
+    *
+    * One key-partitioned join per merge; history rows never reshuffle.
+    * Re-merging the same snapshot is a no-op (idempotent backfill).
+    */
+  def scd2Merge(spark: SparkSession, updates: DataFrame, path: String,
+      keys: Seq[String], compareCols: Seq[String],
+      effectiveTs: java.sql.Timestamp): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val attrs = updates.columns.toSeq
+    val fresh = updates
+      .withColumn("valid_from", lit(effectiveTs))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val merged =
+      if (!fs.exists(new Path(path))) fresh
+      else {
+        val target = spark.read.parquet(path)
+        val history = target.filter(!col("is_current"))
+        val current = target.filter(col("is_current"))
+        val changeKeys = current.alias("c")
+          .join(updates.alias("u"), keys)
+          .filter(compareCols.map(a => !(col(s"c.$a") <=> col(s"u.$a")))
+            .reduce(_ || _))
+          .select(keys.map(col): _*) // USING join: key columns are unqualified
+        val closed = current.join(changeKeys, keys, "left_semi")
+          .withColumn("valid_to", lit(effectiveTs))
+          .withColumn("is_current", lit(false))
+        val stillCurrent = current.join(changeKeys, keys, "left_anti")
+        val opened = fresh.join(
+          // new key, or key whose attributes changed
+          current.select(keys.map(col): _*).exceptAll(changeKeys), keys, "left_anti")
+        history.unionByName(closed).unionByName(stillCurrent).unionByName(opened)
+      }
+    swapWrite(spark, merged, path)
   }
 }

@@ -70,6 +70,35 @@ class SinksSpec extends SparkSpec {
     assert(c(back) == c(expected))
   }
 
+  test("scd2 merge tracks attribute history and is idempotent") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val path = tmpDir() + "/dim"
+    // day 1: two fresh keys
+    Sinks.scd2Merge(spark, df(1 -> "a", 2 -> "b"), path,
+      Seq("k"), Seq("v"), ts("2024-01-01 00:00:00"))
+    // day 2: key 2 changes, key 3 appears, key 1 unchanged
+    Sinks.scd2Merge(spark, df(1 -> "a", 2 -> "B", 3 -> "c"), path,
+      Seq("k"), Seq("v"), ts("2024-01-02 00:00:00"))
+    // replay of day 2 must be a no-op
+    val n = Sinks.scd2Merge(spark, df(1 -> "a", 2 -> "B", 3 -> "c"), path,
+      Seq("k"), Seq("v"), ts("2024-01-02 00:00:00"))
+    assert(n == 4, s"expected 4 rows after idempotent replay, got $n")
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(rows == Set(
+      (1, "a", None, true),
+      (2, "b", Some("2024-01-02 00:00:00.0"), false),
+      (2, "B", None, true),
+      (3, "c", None, true)))
+    // the current view is one row per key with the latest attributes
+    val current = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(current == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
   test("JSONL round-trip preserves documents and event timestamps exactly") {
     val dir = tmpDir()
     val docs = Tables(spark, Sf, "documents")
