@@ -27,6 +27,48 @@ object Incremental {
       lit(s"$ds 00:00:00").cast(TimestampType),
       lit(s"$ds 23:59:59").cast(TimestampType)))
 
+  /** Incremental aggregate maintenance, the at-scale shape: the day's
+    * PER-KEY PARTIAL aggregates land in that day's partition (dynamic
+    * overwrite — replaying a day replaces its own partials, idempotent
+    * by construction), and the running total is a merge-on-read rollup
+    * over the partials. No read-modify-write of the whole aggregate
+    * table ever happens: a daily merge touches one partition of
+    * |keys|-sized partials regardless of history length, and the rollup
+    * reads |days| x |keys| partial rows instead of the raw corpus.
+    * Works for any decomposable aggregate carried as sum-able columns
+    * (counts, sums; min/max via their own combine — see
+    * `readRunningAgg`'s caller choosing the combiner).
+    */
+  def writeDailyPartials(source: DataFrame, tsCol: String, ds: String,
+      keys: Seq[String], partials: Seq[org.apache.spark.sql.Column],
+      path: String): LoadStatus = {
+    val day = dayWindow(source, tsCol, ds)
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      // every partial row carries the window's day so the sink can
+      // partition by it
+      .withColumn(tsCol, lit(s"$ds 00:00:00").cast(TimestampType))
+      .persist()
+    try {
+      val rows = day.count()
+      if (rows == 0) SkippedEmpty
+      else {
+        Sinks.overwriteDayPartitions(day, tsCol, path)
+        Loaded(rows)
+      }
+    } finally day.unpersist()
+  }
+
+  /** The running aggregate over all merged days: combine the partials
+    * with the supplied per-column combiners (sum-of-counts,
+    * min-of-mins, ...).
+    */
+  def readRunningAgg(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String], combine: Seq[org.apache.spark.sql.Column]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keys.map(col): _*)
+      .agg(combine.head, combine.tail: _*)
+
   /** S2+S6+P3: windowed extract -> skip-on-empty -> idempotent
     * day-partition overwrite into `path`. The increment is persisted for
     * the count/write pair so both see the SAME snapshot (a re-scanned

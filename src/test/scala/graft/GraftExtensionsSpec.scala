@@ -21,6 +21,8 @@ class GraftExtensionsSpec extends SparkSpec {
       val r = s2.sql("SELECT parse_point('(1.5,-2.25)') AS p")
         .selectExpr("p.lon", "p.lat").head()
       assert(r.getDouble(0) == 1.5 && r.getDouble(1) == -2.25)
+      val n = s2.sql("SELECT bpe_token_count('hello, world 42') AS n").head().getInt(0)
+      assert(n == 4, s"expected [hello][,][world][42], got $n")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -42,6 +42,30 @@ class IncrementalPropSpec extends SparkSpec {
     spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
   }
 
+  test("daily partial aggregates roll up to the direct aggregate, replay-safe") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_runagg").toString + "/agg"
+    val ev = Tables(spark, Sf, "events")
+    val days = Seq("2024-01-03", "2024-01-04", "2024-01-05")
+    days.foreach { ds =>
+      Incremental.writeDailyPartials(ev, "ts", ds, Seq("event_type"),
+        Seq(count(lit(1)).as("pc"), min(col("value")).as("pmin")), dir)
+    }
+    // replaying a day must replace, not double, its partials
+    Incremental.writeDailyPartials(ev, "ts", days.head, Seq("event_type"),
+      Seq(count(lit(1)).as("pc"), min(col("value")).as("pmin")), dir)
+    val running = Incremental.readRunningAgg(spark, dir, Seq("event_type"),
+      Seq(sum(col("pc")).as("n"), min(col("pmin")).as("mn")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val direct = ev.filter(col("ts").between(
+      lit("2024-01-03 00:00:00").cast("timestamp"),
+      lit("2024-01-05 23:59:59").cast("timestamp")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(running == direct)
+  }
+
   test("daily windows partition any dataset exactly") {
     val listGen = Gen.listOfN(60, rowGen)
     (1L to 5L).foreach { seed =>
