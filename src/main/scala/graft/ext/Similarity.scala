@@ -361,7 +361,31 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Per-label embedding centroids (the preprocessing step an IVF index
+    * or a nearest-centroid classifier trains from): mean vector per
+    * label, computed per (label, dimension) after posexplode — one
+    * codegen'd explode + hash-aggregate, no driver math. The per-group
+    * sum folds in vec_id order (array_sort + left fold, the x04
+    * pattern) so the doubles are bitwise-reproducible cross-engine
+    * rather than summed in arbitrary hash-partition order.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        struct(col("vec_id"), col("col").cast(DoubleType).as("x")).as("vx"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(col("vx"))), v => v.getField("x")),
+          lit(0.0), (acc, v) => acc + v).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        (col("sx") / col("n").cast(DoubleType)).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x42_label_centroids" -> (labelCentroids _),
     "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)),
     "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
@@ -375,6 +399,14 @@ object Similarity {
     * compare equal bitwise. x21 is approximate: rows-only check.
     */
   val oracles: Map[String, String] = Map(
+    "x42_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i))
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (a, b) -> a + b)
+        |    / CAST(count(*) AS DOUBLE) AS centroid
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x20_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
