@@ -62,4 +62,43 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .schema(schema)
       .json(path)
+
+  /** Schema-aligned read over evolving parquet: every incremental append
+    * era wrote whatever columns existed then; the read presents ONE
+    * target schema — missing columns become typed NULLs, present ones
+    * cast to the target type. `mergeSchema` unions the file footers (a
+    * footer pass, not a data pass), then the projection aligns. The
+    * columns a file lacks are filled at scan time from the footer diff,
+    * so old eras never need rewriting — the 100 TB answer to "we added a
+    * column last year".
+    */
+  def readParquetEvolving(spark: SparkSession, schema: StructType, path: String): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val present = merged.columns.toSet
+    merged.select(schema.fields.toSeq.map { f =>
+      if (present.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+      else
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Small-file compaction: rewrite `path` into ~`targetFileBytes` files
+    * (long incremental histories accumulate thousands of tiny part
+    * files; at scale the scan's task-scheduling overhead and NameNode/
+    * listing pressure dominate — compaction restores healthy file
+    * sizes). Uses the crash-safe swap so readers never see a partial
+    * rewrite. Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path).repartition(nFiles)
+    Sinks.swapWrite(spark, df, path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -114,6 +114,42 @@ class SinksSpec extends SparkSpec {
       "micro-precision timestamps must re-parse bit-identically")
   }
 
+  test("evolving parquet read aligns old eras to the target schema") {
+    val path = tmpDir() + "/evolving"
+    // era 1: two columns
+    df(1 -> "a", 2 -> "b").write.parquet(path)
+    // era 2: a third column exists now
+    val v2 = StructType(schema.fields :+ StructField("extra", LongType))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(3, "c", 30L)), v2)
+      .write.mode("append").parquet(path)
+    val target = StructType(Seq(
+      StructField("k", LongType),          // widened from int
+      StructField("v", StringType),
+      StructField("extra", LongType),      // absent in era 1
+      StructField("brand_new", StringType) // absent everywhere
+    ))
+    val got = Sources.readParquetEvolving(spark, target, path)
+    assert(got.schema == target)
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), Option(r.getString(3)))).toSet
+    assert(rows == Set(
+      (1L, "a", None, None), (2L, "b", None, None), (3L, "c", Some(30L), None)))
+  }
+
+  test("compaction rewrites many small files into few, data intact") {
+    val path = tmpDir() + "/frag"
+    // simulate a long incremental history: 20 tiny appends
+    (1 to 20).foreach(i => df(i -> s"v$i").write.mode("append").parquet(path))
+    val before = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    val nAfter = Sources.compact(spark, path)
+    assert(nAfter < 20, s"expected fewer files after compaction, got $nAfter")
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("day-partition overwrite replaces only its own day") {
     val s = StructType(Seq(
       StructField("id", IntegerType), StructField("updated_at", TimestampType)))
