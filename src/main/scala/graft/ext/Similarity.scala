@@ -232,7 +232,7 @@ object Similarity {
     * identical either way.
     */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      blockSize: Int = 2048): DataFrame = {
+      blockSize: Int = 1024): DataFrame = {
     import s.implicits._
     val packed = t(s, dir, "embeddings")
       .select((col("vec_id").cast("long") / blockSize).cast("long").as("blk"),
