@@ -159,6 +159,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition metrics — the C4/RefinedWeb-style quality signal exact
+    * dedup misses: a document that repeats ITSELF. Per doc: the fraction
+    * of duplicated word-trigrams (1 - distinct/total) and the most
+    * frequent single token's share of all tokens. Shaped for codegen:
+    * one posexplode + a lead window builds occurrence-counted trigrams
+    * (the shinglePostings shape WITHOUT the per-doc dedup), and both
+    * ratios reduce in ordinary hash-aggregates — no interpreted array
+    * lambdas per doc.
+    */
+  def repetitionMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))))
+      .withColumnRenamed("col", "tok")
+    val tri = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tri"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), countDistinct(col("tri")).as("n_distinct"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        ((col("n_trigrams") - col("n_distinct")).cast(DoubleType) /
+          col("n_trigrams").cast(DoubleType)).as("dup_trigram_ratio"))
+    val topTok = toks
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_token_count"), sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"),
+        (col("top_token_count").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("top_token_ratio"))
+    tri.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        col("dup_trigram_ratio"), col("top_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite corpus curation — the end-to-end filter a pre-training
     * pipeline runs: keep documents that pass the quality gate, detect as
     * English, and are the canonical copy of their duplicate group. Each
@@ -222,7 +260,8 @@ object TextAnalysis {
     "x04_fingerprint" -> (fingerprint _),
     "x05_corpus_curation" -> (corpusCurate _),
     "x06_vocab_topk" -> ((s: SparkSession, dir: String) => vocabTopk(s, dir)),
-    "x07_tfidf_topterms" -> ((s: SparkSession, dir: String) => tfidfTopTerms(s, dir)))
+    "x07_tfidf_topterms" -> ((s: SparkSession, dir: String) => tfidfTopTerms(s, dir)),
+    "x43_repetition" -> (repetitionMetrics _))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -296,6 +335,30 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) +
+    ("x43_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |tri AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS tri,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |  FROM toks),
+        |trig AS (
+        |  SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT tri) AS n_distinct
+        |  FROM tri WHERE t2 IS NOT NULL GROUP BY doc_id),
+        |tt AS (
+        |  SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_ratio
+        |  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(n_trigrams - n_distinct AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS dup_trigram_ratio,
+        |  top_token_ratio
+        |FROM trig JOIN tt USING (doc_id) ORDER BY doc_id""".stripMargin) +
     ("x05_corpus_curation" ->
       (s"SELECT doc_id, q.n_tokens, l.lang_detected" +
         s" FROM (${baseOracles("x02_quality_score")}) q" +

@@ -55,6 +55,20 @@ class SourceSpec extends SparkSpec {
     assert(day.queryExecution.executedPlan.toString.contains("JDBCRelation"))
   }
 
+  test("jdbc partitioned extract splits into N parallel reads, data complete") {
+    seeded
+    val partitioned = JdbcSource(Url, "bookings", "updated_at",
+      options = Map(
+        "partitionColumn" -> "amount",
+        "lowerBound" -> "0", "upperBound" -> "60",
+        "numPartitions" -> "3"),
+      tsLiteral = ts => s"TIMESTAMP('$ts')")
+    val df = partitioned.load(spark)
+    assert(df.rdd.getNumPartitions == 3,
+      "the JDBC scale knob: one connection per stride partition")
+    assert(df.count() == 5, "stride partitioning must not lose boundary rows")
+  }
+
   test("parquet source day window matches Incremental.dayWindow") {
     val ps = ParquetSource(s"$Sf/orders.parquet", "o_orderdate")
     val viaSource = ps.loadDay(spark, "1997-03-01").count()
