@@ -268,6 +268,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-contamination screening: for every corpus document, the
+    * fraction of its distinct word-trigrams that also occur in a
+    * held-out benchmark set (here: docs with id < `benchMax` stand in
+    * for the eval set). The benchmark's shingle set is tiny relative to
+    * the corpus, so it BROADCASTS into the corpus postings scan — the
+    * corpus is never shuffled; per-doc ratios reduce in one
+    * hash-aggregate that reuses the postings' doc partitioning. The
+    * decontamination filter at 100 TB is exactly this plan with the real
+    * eval suites on the broadcast side.
+    */
+  def contamination(s: SparkSession, dir: String, benchMax: Int = 20): DataFrame = {
+    val posts = shinglePostings(s, dir)
+    val bench = posts.filter(col("doc_id") < benchMax)
+      .select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    posts.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        (col("n_matched").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -280,7 +307,8 @@ object Dedup {
     "x11_jaccard_topk" -> ((s: SparkSession, dir: String) => jaccardTopk(s, dir)),
     "x12_minhash_pairs" -> ((s: SparkSession, dir: String) =>
       minhashPairs(s, dir, bands = 32, rowsPerBand = 2)),
-    "x13_simhash" -> (simhashSketch _))
+    "x13_simhash" -> (simhashSketch _),
+    "x44_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "x10_dedup_exact" ->
@@ -338,5 +366,22 @@ object Dedup {
         |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
         |SELECT doc_a, doc_b, n_common, jaccard FROM scored
         |WHERE jaccard >= 0.5
-        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)
+        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
+    "x44_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id < 20)
+        |SELECT i.doc_id,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS contamination_ratio
+        |FROM inv i LEFT JOIN bench b ON i.shingle = b.shingle
+        |WHERE i.doc_id >= 20
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin)
 }
