@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Scalars.queries ++ ops.Skew.queries ++
       ops.Sketches.queries ++ ops.Profile.queries ++ ops.BucketedStar.queries ++
       ops.AsofJoin.queries ++ ops.RangeJoin.queries ++ ops.Sampling.queries ++
+      ops.DataQuality.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries
@@ -33,6 +34,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Scalars.oracles ++ ops.Skew.oracles ++
       ops.Profile.oracles ++ ops.BucketedStar.oracles ++
       ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
+      ops.DataQuality.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles
 }
