@@ -253,7 +253,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** The full preprocessing run a pre-training corpus goes through,
+    * composed from individually-verified legs: exact-dedup to canonical
+    * copies, quality-gate, keep English, assign deterministic
+    * train/val/test splits, then report per-split document and token
+    * budgets — the numbers a training run is provisioned from.
+    */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    corpusCurate(s, dir)
+      .join(graft.ops.Sampling.hashSplit(s, dir).select(col("doc_id"), col("split")), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_corpus_pipeline" -> (corpusPipeline _),
     "x01_token_count" -> (tokenCount _),
     "x02_quality_score" -> (qualityScore _),
     "x03_lang_id" -> (langId _),
@@ -365,5 +379,16 @@ object TextAnalysis {
         s" JOIN (${baseOracles("x03_lang_id")}) l USING (doc_id)" +
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
-        " ORDER BY doc_id"))
+        " ORDER BY doc_id")) +
+    ("x45_corpus_pipeline" ->
+      (s"WITH kept AS (SELECT doc_id, q.n_tokens" +
+        s" FROM (${baseOracles("x02_quality_score")}) q" +
+        s" JOIN (${baseOracles("x03_lang_id")}) l USING (doc_id)" +
+        s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
+        " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en')" +
+        " SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'" +
+        "             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'" +
+        "             ELSE 'test' END AS split," +
+        "   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens" +
+        " FROM kept GROUP BY 1 ORDER BY split"))
 }

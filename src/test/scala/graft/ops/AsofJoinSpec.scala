@@ -65,6 +65,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected the single key shuffle, got $exchanges:\n$plan")
   }
 
+  test("randomized as-of joins match the brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(off: Long) = new Timestamp(base + off * 1000)
+    for (_ <- 1 to 3) {
+      val left = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, t(rnd.nextInt(10000).toLong)))
+      // right side unique per (key, ts) by construction of the generator
+      val right = rnd.shuffle((0 until 8).flatMap(k =>
+        rnd.nextInt(20).until(10000, 137).map(off =>
+          (k.toLong, t(off.toLong), rnd.nextDouble())))).toSeq
+      val l = left.toDF("id", "k", "ts")
+      val r = right.toDF("k", "rts", "price")
+      val got = AsofJoin.asofJoin(l, r, Seq("k"), "ts", "rts", Map("price" -> "price"))
+        .collect().map(x => x.getLong(1) ->
+          (Option(x.getTimestamp(3)), if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+      val byKey = right.groupBy(_._1)
+      val expected = left.map { case (id, k, lts) =>
+        val cand = byKey.getOrElse(k, Seq.empty).filter(!_._2.after(lts))
+        id -> (if (cand.isEmpty) (None, None)
+               else { val m = cand.maxBy(_._2.getTime); (Some(m._2), Some(m._3)) })
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("graded query matches a window-free reference computation") {
     val got = AsofJoin.clickAsofView(spark, Sf)
     val ev = graft.engine.Tables(spark, Sf, "events")

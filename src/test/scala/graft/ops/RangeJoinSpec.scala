@@ -49,6 +49,30 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized range joins match the brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(off: Long) = new Timestamp(base + off * 1000)
+    for (_ <- 1 to 3) {
+      val pts = (1 to 150).map(i => (i.toLong, t(rnd.nextInt(50000).toLong)))
+      val ivs = (1 to 40).map { i =>
+        val s = rnd.nextInt(50000)
+        (i.toLong, t(s.toLong), t((s + 1 + rnd.nextInt(8000)).toLong))
+      }
+      val got = RangeJoin.binnedRangeJoin(
+        pts.toDF("pid", "ts"), ivs.toDF("iid", "start", "end"),
+        "ts", "start", "end", binSeconds = 777L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (pid, pt) <- pts
+        (iid, s, e) <- ivs
+        if !pt.before(s) && pt.before(e)
+      } yield (pid, iid)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("the plan is an equi-join on the bin, not a nested loop") {
     val plan = RangeJoin.binnedRangeJoin(points, intervals, "ts", "start", "end")
       .queryExecution.executedPlan.toString
