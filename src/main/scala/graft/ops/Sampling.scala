@@ -51,9 +51,37 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Sequence-packing manifest: within each train/val/test split,
+    * documents stream in deterministic doc_id order into fixed
+    * token-budget bins — bin = floor(prefix_sum_before / budget), the
+    * contiguous-fill packing a pre-training dataloader chunks from. The
+    * cumulative sum runs PER SPLIT (a keyed window, parallel across
+    * splits — at corpus scale the partition key is the finer shard id,
+    * never a global order-by, which would serialize the corpus through
+    * one task). The per-bin rollup reports the fill the loader relies
+    * on; token counts are the verified whitespace spelling.
+    */
+  def sequencePacking(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hashSplit(s, dir).select(col("doc_id"), col("split"))
+      .join(Tables(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens")), "doc_id")
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / budget))
+      .groupBy(col("split"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x40_hash_split" -> (hashSplit _),
-    "x41_stratified_sample" -> (stratifiedSample _))
+    "x41_stratified_sample" -> (stratifiedSample _),
+    "x46_sequence_packing" -> ((s: SparkSession, dir: String) => sequencePacking(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "x40_hash_split" ->
@@ -70,5 +98,23 @@ object Sampling {
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM b
         |WHERE CASE WHEN lang = 'en' THEN bucket < 50 ELSE bucket < 20 END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "x46_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, split, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM t)
+        |SELECT split, CAST(FLOOR(tokens_before / 4096) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM m GROUP BY 1, 2 ORDER BY split, bin""".stripMargin)
 }
