@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -17,8 +17,6 @@ import graft.engine.Tables
   * independent jobs and each pushes only its own columns into the scan.
   */
 object DataQuality {
-
-  final case class Check(name: String, table: String, violations: DataFrame => Column)
 
   private def report(s: SparkSession, dir: String,
       rows: Seq[(String, String, DataFrame)]): DataFrame = {
