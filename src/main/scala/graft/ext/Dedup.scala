@@ -268,6 +268,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the SMALLEST
+    * node id in its component (the canonical-doc convention). Each round
+    * is one join + one hash-aggregate — the plan repeats, it never
+    * grows — and `localCheckpoint` truncates the lineage so round N's
+    * DAG does not replay rounds 1..N-1. Rounds needed = graph diameter
+    * in the worst case (near-dup clusters are shallow; the cap is a
+    * safety net, convergence is detected by counting label changes).
+    */
+  private[ext] def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster resolution: the verified near-dup pair set
+    * (exact Jaccard >= 0.5, same pairs x12 grades) resolved into
+    * clusters — per doc: the cluster's canonical (minimum) id and its
+    * size. This is the step between pair detection and keeping one copy
+    * per group; singleton docs (no near-dup) are not rows here by
+    * definition.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-contamination screening: for every corpus document, the
     * fraction of its distinct word-trigrams that also occur in a
     * held-out benchmark set (here: docs with id < `benchMax` stand in
@@ -308,7 +358,8 @@ object Dedup {
     "x12_minhash_pairs" -> ((s: SparkSession, dir: String) =>
       minhashPairs(s, dir, bands = 32, rowsPerBand = 2)),
     "x13_simhash" -> (simhashSketch _),
-    "x44_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)))
+    "x44_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
+    "x47_dup_clusters" -> (dupClusters _))
 
   val oracles: Map[String, String] = Map(
     "x10_dedup_exact" ->
@@ -367,6 +418,37 @@ object Dedup {
         |SELECT doc_a, doc_b, n_common, jaccard FROM scored
         |WHERE jaccard >= 0.5
         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
+    // transitive closure by recursive CTE — an independent execution
+    // strategy for the same component semantics the iterative
+    // min-label propagation computes
+    "x47_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM inv a JOIN inv b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |      / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lbl AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lbl ORDER BY doc_id""".stripMargin,
     "x44_contamination" ->
       """WITH d AS (
         |  SELECT doc_id,

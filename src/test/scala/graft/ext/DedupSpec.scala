@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(row.getSeq[String](0).isEmpty)
   }
 
+  test("connected components resolve chains, cycles and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L),
+      "every node must carry its component's minimum id")
+  }
+
   test("minhashPairs covers every strongly-similar exact pair") {
     val found = Dedup.minhashPairs(spark, Sf, threshold = 0.5)
       .select("doc_a", "doc_b").collect()
