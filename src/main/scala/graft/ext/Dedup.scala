@@ -49,15 +49,31 @@ object Dedup {
   /** documents -> one row per distinct word-3-gram per doc, the shingle
     * reduced to its 64-bit xxhash64: (doc_id, h).
     *
-    * Fully whole-stage-codegen'd, unlike the array form (higher-order
-    * `transform` lambdas are interpreted): split -> posexplode -> one
-    * window shuffle per doc -> `lead`-built n-gram -> hash. The per-doc
-    * distinct and every downstream per-doc aggregate reuse the window's
-    * hash-partitioning (no extra shuffle), and branches that share this
-    * subtree share its exchange at runtime (ReuseExchange).
+    * The n-grams come from the native `WordNGrams` generator — one pass
+    * per document that keeps token adjacency, so the ONLY shuffle in
+    * this subtree is the (doc_id, h) dedup, which every downstream
+    * per-doc aggregate then reuses (and branches sharing this subtree
+    * share its exchange at runtime, ReuseExchange). The previous
+    * spelling rebuilt adjacency with a lead() window — paying a full
+    * per-doc sort Exchange for information the input string already
+    * had; `windowShinglePostings` keeps that form as the spec's
+    * independent reference.
     */
   private[ext] def shinglePostings(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    require(n == 3, "lead-built shingles are fixed at n=3")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ngrams = ColumnBridge.column(
+      graft.functions.WordNGrams(
+        ColumnBridge.expression(lower(col("text"))), n))
+    t(s, dir, "documents")
+      .select(col("doc_id"), ngrams)
+      .select(col("doc_id"), xxhash64(col("ngram")).as("h"))
+      .dropDuplicates("doc_id", "h")
+  }
+
+  /** The window spelling of `shinglePostings` — kept as the independent
+    * reference implementation DedupSpec proves the generator against.
+    */
+  private[ext] def windowShinglePostings(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     t(s, dir, "documents")
       .select(col("doc_id"),

@@ -43,6 +43,18 @@ class DedupSpec extends SparkSpec {
     assert(row.getSeq[String](0).isEmpty)
   }
 
+  test("generator shingle postings equal the window spelling exactly") {
+    val viaGen = Dedup.shinglePostings(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWindow = Dedup.windowShinglePostings(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGen.nonEmpty && viaGen == viaWindow)
+    // and the generator subtree must not shuffle before the dedup
+    val plan = Dedup.shinglePostings(spark, Sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the dedup shuffle, got $exchanges:\n$plan")
+  }
+
   test("connected components resolve chains, cycles and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
