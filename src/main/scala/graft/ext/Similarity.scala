@@ -146,6 +146,67 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Session-catalog name for the persisted ANN index of `dir`. */
+  def annIndexTable(dir: String): String =
+    "graft_ann_idx_" + (dir.hashCode & 0x7fffffff)
+
+  /** Materialize the ANN index ONCE: every corpus vector's LSH bucket
+    * ids flattened to a single `tb = tbl * 2^bits + bucket` key and
+    * written `bucketBy(tb)` with the embedding and norm alongside. This
+    * is the persisted form the `annTopk` docstring promises: the
+    * one-time index write amortizes across every probe batch, and
+    * because the table is bucketed by `tb`, a probe's `tb IN (...)`
+    * filter prunes to matching buckets at the FILE level
+    * (SelectedBucketsCount in the scan) — the index is never fully
+    * read, let alone shuffled.
+    */
+  def buildAnnIndex(s: SparkSession, dir: String,
+      numTables: Int = 18, bitsPerTable: Int = 4, numBuckets: Int = 256): String = {
+    val tbl = annIndexTable(dir)
+    if (!s.catalog.tableExists(tbl)) {
+      val c = corpus(s, dir)
+      val planes = hyperplanes(s, 64, numTables, bitsPerTable)
+      val idx = lshBuckets(c, planes)
+        .withColumn("tb", col("tbl") * (1 << bitsPerTable) + col("bucket"))
+        .join(c, "vec_id")
+        .select(col("tb"), col("vec_id"), col("embedding"), col("nrm"))
+      graft.engine.Bucketing.writeBucketed(idx, tbl, "tb", numBuckets)
+    }
+    tbl
+  }
+
+  /** ANN top-k against the PERSISTED index: the query batch's bucket
+    * keys (numQueries x numTables values — bounded by construction, the
+    * same driver-scalar tier as IVF's training sample) prune the
+    * bucketed index scan, candidates join the broadcast probe list, and
+    * only candidates are scored exactly. Identical parameters and
+    * hyperplanes to `annTopk`, so the results agree exactly —
+    * SimilaritySpec asserts it, plus the bucket-pruned scan property.
+    */
+  def annTopkIndexed(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10,
+      numTables: Int = 18, bitsPerTable: Int = 4): DataFrame = {
+    val tbl = buildAnnIndex(s, dir, numTables, bitsPerTable)
+    val c = corpus(s, dir)
+    val planes = hyperplanes(s, 64, numTables, bitsPerTable)
+    val q = c.filter(col("vec_id") < numQueries)
+    val qb = lshBuckets(q, planes)
+      .withColumn("tb", col("tbl") * (1 << bitsPerTable) + col("bucket"))
+      .select(col("vec_id").as("query_id"), col("tb"))
+    val probeKeys = qb.select(col("tb")).distinct().collect().map(_.getLong(0)).toSeq
+    val qv = q.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = s.table(tbl)
+      .filter(col("tb").isin(probeKeys: _*))
+      .join(broadcast(qb), "tb")
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
   /** Per-label top-3 vectors by norm via the typed TopKAgg aggregator —
     * the UDAF surface (§2.8) with an oracle twin (map-side partial
     * buffers of k entries vs the window's full-group shuffle).
@@ -390,6 +451,7 @@ object Similarity {
     "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
     "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),
+    "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexed(s, dir)),
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
     "x23_quantize_int8" -> (quantizeInt8 _))
 

@@ -43,6 +43,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed ann equals the inline ann and prunes the bucketed scan") {
+    val inline = Similarity.annTopk(spark, Dir).collect().toSeq
+    val indexed = Similarity.annTopkIndexed(spark, Dir).collect().toSeq
+    assert(indexed == inline,
+      "same planes + params must produce identical results from the persisted index")
+    val plan = Similarity.annTopkIndexed(spark, Dir).queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected a bucket-pruned scan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"probe must read a strict subset of buckets: ${m.get.matched}")
+  }
+
   test("blocked near-dup pair set is block-size invariant (incl. multi-block)") {
     def pairs(blockSize: Int) =
       Similarity.embeddingNearDup(spark, Dir, blockSize = blockSize)
