@@ -86,7 +86,46 @@ object Scalars {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Quantile binning (feature discretization): each event lands in its
+    * per-type value decile via ntile under a TOTAL order (value, then
+    * event_id — rank-based bins are deterministic only with a full
+    * tie-break), with per-bin occupancy and bounds. The ML-prep
+    * discretizer: one window shuffle per key, no percentile
+    * materialization.
+    */
+  def quantileBinning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  /** Time-RANGE window frame — a different semantics from every
+    * rows-frame window in the suite: per user, how many events landed in
+    * the preceding hour INCLUSIVE of now, however many rows that is.
+    * The frame is over epoch seconds (RANGE frames need a numeric
+    * order key; both engines see identical integers).
+    */
+  def slidingHourCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_quantile_binning" -> (quantileBinning _),
+    "q44_time_range_window" -> (slidingHourCounts _),
     "q22_json_extract" -> (jsonExtract _),
     "q23_json_construct" -> (jsonConstruct _),
     "q24_string_funcs" -> (stringFuncs _),
@@ -95,6 +134,18 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q43_quantile_binning" ->
+      """SELECT event_type, CAST(decile AS BIGINT) AS decile,
+        |  count(*) AS n_events, min(value) AS lo, max(value) AS hi
+        |FROM (SELECT event_type, value,
+        |        ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin,
+    "q44_time_range_window" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "q22_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
