@@ -46,7 +46,7 @@ object AsofJoin {
       .withColumn("_side", lit(1))
       .select((by.map(col) ++ Seq(col("_ts"), col("_side")) ++
         leftCols.filterNot(by.contains).map(col) ++
-        Seq(lit(null).cast("timestamp").as("_rts")) ++
+        Seq(lit(null).cast(right.schema(rightTs).dataType).as("_rts")) ++
         carried.map(c => lit(null).cast(right.schema(rightVals.find(_._2 == c).get._1)
           .dataType).as(c))): _*)
     val r = right
