@@ -385,6 +385,54 @@ object Relational {
       .orderBy(col("cust_nation"), col("supp_nation"))
   }
 
+  /** Rank-family windows: percent_rank and cume_dist under a TOTAL order
+    * (value then key — rank functions are deterministic only with a full
+    * tie-break). Both reduce to exact integer rank arithmetic divided as
+    * doubles, so the engines agree bitwise.
+    */
+  def rankFamilies(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        rank().over(w).cast(LongType).as("rnk"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Lag-delta analysis: per customer, days since the previous order and
+    * a new-burst flag (gap >= 30 days) — the sessionization primitive in
+    * its batch window form.
+    */
+  def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast(LongType).as("days_since_prev"),
+        (coalesce(datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)), lit(9999)) >= 30).as("new_burst"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** min_by / max_by aggregates with a composite (value, key) ordering
+    * argument so ties resolve identically on both engines.
+    */
+  def argExtremes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("max_price_orderkey"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("min_price_orderkey"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("o_orderstatus"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -414,7 +462,10 @@ object Relational {
     "q32_sql_exists" -> (sqlExistsSubquery _),
     "q33_null_semantics" -> (nullSemantics _),
     "q35_array_agg" -> (arrayAgg _),
-    "q36_pivot_wide" -> (pivotWide _))
+    "q36_pivot_wide" -> (pivotWide _),
+    "q45_rank_families" -> (rankFamilies _),
+    "q46_order_gaps" -> (orderGaps _),
+    "q47_arg_extremes" -> (argExtremes _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -592,6 +643,43 @@ object Relational {
         |  count(DISTINCT o_orderpriority) AS n_priorities
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q45_rank_families" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk
+        |FROM orders WHERE o_orderkey < 3000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q46_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+        |  COALESCE(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)), 9999) >= 30 AS new_burst
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q47_arg_extremes" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders),
+        |agg AS (SELECT o_orderstatus, max(o_totalprice) AS max_price,
+        |        min(o_totalprice) AS min_price FROM orders GROUP BY 1)
+        |SELECT a.o_orderstatus,
+        |  mx.o_orderkey AS max_price_orderkey,
+        |  mn.o_orderkey AS min_price_orderkey,
+        |  a.max_price, a.min_price
+        |FROM agg a
+        |JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmax = 1) mx USING (o_orderstatus)
+        |JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmin = 1) mn USING (o_orderstatus)
+        |ORDER BY a.o_orderstatus""".stripMargin,
     "q36_pivot_wide" ->
       """SELECT o_orderstatus,
         |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
