@@ -150,6 +150,23 @@ class SinksSpec extends SparkSpec {
     assert(after == before, "compaction must not change the data")
   }
 
+  test("day-partitioned staging prunes partitions on read") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir() + "/staged"
+    val ev = Tables(spark, Sf, "events")
+      .filter(col("ts").between(
+        lit("2024-01-03 00:00:00").cast("timestamp"),
+        lit("2024-01-05 23:59:59").cast("timestamp")))
+    Sinks.overwriteDayPartitions(ev, "ts", path)
+    val oneDay = spark.read.parquet(path)
+      .filter(col("p_date") === lit("2024-01-04").cast("date"))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("p_date"),
+      s"day filter must prune at the partition level, not post-scan:\n$plan")
+    val expected = ev.filter(to_date(col("ts")) === lit("2024-01-04").cast("date")).count()
+    assert(oneDay.count() == expected && expected > 0)
+  }
+
   test("day-partition overwrite replaces only its own day") {
     val s = StructType(Seq(
       StructField("id", IntegerType), StructField("updated_at", TimestampType)))
