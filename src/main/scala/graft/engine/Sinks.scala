@@ -104,6 +104,10 @@ object Sinks {
     *     attribute changed;
     *   - leaves unchanged keys and all closed history untouched.
     *
+    * `updates` must be UNIQUE per key (one attribute row per entity in
+    * the snapshot — the same contract a MERGE statement has); duplicate
+    * keys would open two concurrent current versions.
+    *
     * One key-partitioned join per merge; history rows never reshuffle.
     * Re-merging the same snapshot is a no-op (idempotent backfill).
     */

@@ -319,9 +319,11 @@ object Dedup {
           coalesce(col("nmin"), col("lbl")),
           coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val s = BigDecimal(next.agg(
+      // sum is NULL on an empty graph — treat as converged immediately
+      val sumDec = next.agg(
         sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0))
+        .head().getDecimal(0)
+      val s = if (sumDec == null) prevSum else BigDecimal(sumDec)
       converged = s == prevSum
       prevSum = s
       labels = next

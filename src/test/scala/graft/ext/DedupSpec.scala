@@ -55,6 +55,12 @@ class DedupSpec extends SparkSpec {
     assert(exchanges == 1, s"expected only the dedup shuffle, got $exchanges:\n$plan")
   }
 
+  test("connected components of an empty pair set is empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("connected components resolve chains, cycles and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
