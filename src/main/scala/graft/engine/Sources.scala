@@ -70,7 +70,11 @@ object Sources {
     * footer pass, not a data pass), then the projection aligns. The
     * columns a file lacks are filled at scan time from the footer diff,
     * so old eras never need rewriting — the 100 TB answer to "we added a
-    * column last year".
+    * column last year". Caveat: eras must agree on the PHYSICAL type of
+    * shared columns (parquet footer merging cannot reconcile e.g. an
+    * int32 era with an int64 era of the same column — that change still
+    * requires a rewrite); widening happens in the aligning projection,
+    * from the merged type to the target type.
     */
   def readParquetEvolving(spark: SparkSession, schema: StructType, path: String): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
