@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, ParsePoint}
+import graft.functions.{BpeCountRewrite, BpeTokenCount, ParsePoint}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions first-class SQL functions in any session built with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`), so SQL users get
   * `parse_point(...)` / `bpe_token_count(...)` without calling the
-  * registrars from code.
+  * registrars from code, plus the [[BpeCountRewrite]] optimizer rule
+  * that turns the naive count spelling into the native expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -23,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (children: Seq[Expression]) => BpeTokenCount(children.head)))
+    extensions.injectOptimizerRule(_ => BpeCountRewrite)
   }
 }

@@ -23,6 +23,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getDouble(0) == 1.5 && r.getDouble(1) == -2.25)
       val n = s2.sql("SELECT bpe_token_count('hello, world 42') AS n").head().getInt(0)
       assert(n == 4, s"expected [hello][,][world][42], got $n")
+      // the optimizer rule rewrites the naive count spelling to the
+      // native expression (non-constant input — a literal would just
+      // constant-fold straight through the rewritten expression)
+      s2.range(3).selectExpr("concat('a b, c', CAST(id AS STRING)) AS t")
+        .createOrReplaceTempView("naive_src")
+      val naive = s2.sql(
+        s"SELECT size(regexp_extract_all(t, '${graft.ext.TextAnalysis.BpePattern.replace("\\", "\\\\")}', 0)) AS n FROM naive_src")
+      assert(naive.queryExecution.optimizedPlan.toString.contains("bpe_token_count"),
+        s"rewrite must fire:\n${naive.queryExecution.optimizedPlan}")
+      // "a b, c<digit>" -> [a][b][,][c<digit>… letters+digit split] = 5 tokens
+      assert(naive.collect().map(_.getInt(0)).toSeq == Seq(5, 5, 5))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
