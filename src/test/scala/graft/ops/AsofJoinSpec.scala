@@ -65,6 +65,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected the single key shuffle, got $exchanges:\n$plan")
   }
 
+  test("composite-key as-of joins group on all key columns") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 10L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "B", ts("2024-01-01 10:00:00"))).toDF("id", "k1", "k2", "ts")
+    val r = Seq(
+      (10L, "A", ts("2024-01-01 09:00:00"), 1.0),
+      (10L, "B", ts("2024-01-01 09:30:00"), 2.0)).toDF("k1", "k2", "rts", "price")
+    val got = AsofJoin.asofJoin(l, r, Seq("k1", "k2"), "ts", "rts", Map("price" -> "price"))
+      .collect().map(x => x.getLong(2) -> x.getDouble(5)).toMap // k1,k2,id,ts,matched_ts,price
+    assert(got == Map(1L -> 1.0, 2L -> 2.0),
+      "rows must only match within their full composite key group")
+  }
+
   test("randomized as-of joins match the brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
