@@ -15,6 +15,31 @@ import graft.SparkSpec
   */
 class RuntimeFilterSpec extends SparkSpec {
 
+  test("dim filter dynamically prunes the day-partitioned fact at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/fact"
+    val ev = Tables(spark, Sf, "events").filter(col("ts").between(
+      lit("2024-01-03 00:00:00").cast("timestamp"),
+      lit("2024-01-05 23:59:59").cast("timestamp")))
+    Sinks.overwriteDayPartitions(ev, "ts", dir)
+    val fact = spark.read.parquet(dir)
+    // DPP needs a scan-based filtering side with a selective predicate —
+    // an in-memory LocalRelation dim never triggers the rewrite
+    val dimPath = dir + "_dim"
+    Seq(("2024-01-04", "keep"), ("2024-01-05", "drop"))
+      .toDF("d", "tag").select(col("d").cast("date").as("d"), col("tag"))
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val j = fact.join(dim, fact("p_date") === dim("d"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
+    val expected = ev.filter(to_date(col("ts")) === lit("2024-01-04").cast("date")).count()
+    assert(j.count() == expected && expected > 0,
+      "pruned execution must return exactly the kept day's rows")
+  }
+
   test("selective join injects a bloom filter on the probe side and stays correct") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
