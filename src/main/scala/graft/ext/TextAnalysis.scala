@@ -211,6 +211,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("lang_detected"))
       .orderBy(col("doc_id"))
 
+  /** Suffix-stripping token normalizer (stemming-lite): the first
+    * matching rule of ies->y, sses->ss, trailing-s (not ss), -ing, -ed,
+    * each guarded so the stem keeps >= 3 characters. Pure string CASE —
+    * deliberately portable (the DuckDB twin is the same CASE, no
+    * engine-specific stemmer), codegen'd, shuffle-free.
+    */
+  def normalizeToken(w: Column): Column = {
+    val len = length(w)
+    when(len > 4 && w.endsWith("ies"), concat(w.substr(lit(1), len - 3), lit("y")))
+      .when(len > 5 && w.endsWith("sses"), w.substr(lit(1), len - 2))
+      .when(len > 3 && w.endsWith("s") && !w.endsWith("ss"), w.substr(lit(1), len - 1))
+      .when(len > 5 && w.endsWith("ing"), w.substr(lit(1), len - 3))
+      .when(len > 4 && w.endsWith("ed"), w.substr(lit(1), len - 2))
+      .otherwise(w)
+  }
+
+  /** Normalized vocabulary: top-k stems by corpus frequency — the
+    * vocab histogram after suffix folding (runs/running/run collapse).
+    */
+  def stemVocabTopk(s: SparkSession, dir: String, k: Int = 30): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .select(normalizeToken(col("w")).as("stem"))
+      .groupBy(col("stem"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("stem"))
+      .limit(k)
+
   /** Vocabulary histogram: top-k tokens by corpus frequency (ties broken
     * lexicographically) — the token-frequency table every corpus
     * analysis starts from. Explode + count is one shuffle with map-side
@@ -275,7 +303,8 @@ object TextAnalysis {
     "x05_corpus_curation" -> (corpusCurate _),
     "x06_vocab_topk" -> ((s: SparkSession, dir: String) => vocabTopk(s, dir)),
     "x07_tfidf_topterms" -> ((s: SparkSession, dir: String) => tfidfTopTerms(s, dir)),
-    "x43_repetition" -> (repetitionMetrics _))
+    "x43_repetition" -> (repetitionMetrics _),
+    "x49_stem_vocab" -> ((s: SparkSession, dir: String) => stemVocabTopk(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -331,6 +360,22 @@ object TextAnalysis {
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin) +
+    ("x49_stem_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |stems AS (
+        |  SELECT CASE
+        |    WHEN length(w) > 4 AND w LIKE '%ies' THEN substr(w, 1, length(w)-3) || 'y'
+        |    WHEN length(w) > 5 AND w LIKE '%sses' THEN substr(w, 1, length(w)-2)
+        |    WHEN length(w) > 3 AND w LIKE '%s' AND w NOT LIKE '%ss' THEN substr(w, 1, length(w)-1)
+        |    WHEN length(w) > 5 AND w LIKE '%ing' THEN substr(w, 1, length(w)-3)
+        |    WHEN length(w) > 4 AND w LIKE '%ed' THEN substr(w, 1, length(w)-2)
+        |    ELSE w END AS stem
+        |  FROM toks)
+        |SELECT stem, count(*) AS n_occurrences
+        |FROM stems GROUP BY stem
+        |ORDER BY n_occurrences DESC, stem LIMIT 30""".stripMargin) +
     ("x07_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
