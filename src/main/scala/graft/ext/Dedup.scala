@@ -496,5 +496,27 @@ object Dedup {
         |    / CAST(count(*) AS DOUBLE) AS contamination_ratio
         |FROM inv i LEFT JOIN bench b ON i.shingle = b.shingle
         |WHERE i.doc_id >= 20
-        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin)
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+    // SimHash IS SQL-expressible: both engines share the md5-prefix token
+    // hash, the +-1 votes are 60 conditional sums in one GROUP BY, and the
+    // sketch is the OR of the positive bits' masks. Upgrades x13 from
+    // rows-only to a full hash-compared oracle.
+    "x13_simhash" -> {
+      val votes = (0 until SimhashBits)
+        .map(b => s"sum(CASE WHEN th & ${1L << b} <> 0 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n        ")
+      val orBits = (0 until SimhashBits)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS th
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents)),
+         |votes AS (
+         |  SELECT doc_id,
+         |        $votes
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($orBits AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin
+    })
 }

@@ -62,12 +62,76 @@ object Sketches {
       .toDF("token", "n_exact", "n_est")
   }
 
+  /** Exact percentiles by the order-statistic definition (the value at
+    * rank ceil(p*n) under a TOTAL order — percentile_disc semantics,
+    * no interpolation): deterministic and engine-portable, so unlike the
+    * interpolating `percentile`/`quantile_cont` pair (whose float
+    * arithmetic orders differ across engines) this one hash-compares
+    * against DuckDB outright. One window shuffle per key; the rank
+    * filter reduces in the same hash-aggregate.
+    */
+  def exactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value"), col("event_id"))
+    def atRank(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+    Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_events"),
+        atRank(0.5).as("p50"), atRank(0.9).as("p90"), atRank(0.99).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Incremental distinct-count maintenance with mergeable HLL sketches
+    * (DataSketches HllSketch): per-day partial sketches — the artifact a
+    * daily pipeline would PERSIST next to its day partition — then the
+    * overall distinct estimate from `hll_union_agg` over the partials,
+    * never re-reading raw history. At 100 TB: each daily run aggregates
+    * only its own day; the running total is a union of kilobyte sketches.
+    * Rows-only (sketch internals are engine-specific); SketchesSpec
+    * proves union-of-partials == one-shot sketch and bounds the error
+    * vs exact.
+    */
+  def hllDailyMerge(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_users_day_exact"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_total_est"))
+    daily
+      .select(col("day"),
+        hll_sketch_estimate(col("sk")).as("n_users_day_est"),
+        col("n_users_day_exact"))
+      .crossJoin(merged) // 1-row estimate, lazy — never a driver collect
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sketches" -> (eventSketches _),
-    "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => tokenHeavyHitters(s, dir)))
+    "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => tokenHeavyHitters(s, dir)),
+    "q49_exact_percentiles" -> (exactPercentiles _),
+    "q50_hll_daily_merge" -> (hllDailyMerge _))
 
-  /** No oracle — HLL++/KLL/CMS sketches are engine-specific. SketchesSpec
-    * asserts the error bounds against the exact columns.
+  /** q29/q41/q50 have no oracle — HLL++/KLL/CMS/DataSketches sketches are
+    * engine-specific. SketchesSpec asserts their error bounds against the
+    * exact columns. q49 is exact by construction and fully oracle-gated.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q49_exact_percentiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

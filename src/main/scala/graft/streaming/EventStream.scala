@@ -162,6 +162,16 @@ object EventStream {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "view"))
         .orderBy(col("click_id"), col("view_id"))
+    }),
+    // the dedup transform the streaming load runs, graded over a
+    // simulated at-least-once source (every third event replayed)
+    "s04_stream_dedup" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val replayed = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+      val before = replayed.groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+      val after = dedupEvents(replayed)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_deduped"))
+      before.join(after, "event_type").orderBy(col("event_type"))
     }))
 
   /** DuckDB twins. `time_bucket` aligns to the same wall-clock hour
@@ -196,5 +206,12 @@ object EventStream {
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
-        |ORDER BY click_id, view_id""".stripMargin)
+        |ORDER BY click_id, view_id""".stripMargin,
+    "s04_stream_dedup" ->
+      """WITH replayed AS (
+        |  SELECT * FROM events
+        |  UNION ALL SELECT * FROM events WHERE event_id % 3 = 0)
+        |SELECT event_type, count(*) AS n_raw,
+        |  count(DISTINCT event_id) AS n_deduped
+        |FROM replayed GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

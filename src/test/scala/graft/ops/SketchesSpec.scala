@@ -50,4 +50,31 @@ class SketchesSpec extends SparkSpec {
         s"'${r.getString(0)}': CMS estimate $est beyond the eps bound over $exact")
     }
   }
+
+  test("union of daily HLL partials equals the one-shot sketch and tracks exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables(spark, Sf, "events")
+    val merged = Sketches.hllDailyMerge(spark, Sf).collect()
+    assert(merged.nonEmpty)
+    // per-day estimates track the per-day exact counts (daily cardinalities
+    // are small enough that the sketch is near-exact there)
+    merged.foreach { r =>
+      val exact = r.getAs[Long]("n_users_day_exact").toDouble
+      val est = r.getAs[Long]("n_users_day_est").toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"day ${r.get(0)}: daily HLL estimate $est vs exact $exact")
+    }
+    // the merged estimate from partials is EXACTLY the one-shot sketch's —
+    // the lossless-merge property incremental maintenance relies on
+    val oneShot = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getAs[Long]("est")
+    val fromPartials = merged.head.getAs[Long]("n_users_total_est")
+    assert(fromPartials === oneShot,
+      s"union-of-partials $fromPartials != one-shot sketch $oneShot")
+    // and it tracks the exact overall distinct within HLL error
+    val exactTotal = ev.select(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    assert(math.abs(fromPartials - exactTotal) / exactTotal <= 0.05,
+      s"merged estimate $fromPartials vs exact $exactTotal")
+  }
 }
