@@ -281,6 +281,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Bigram language-model scoring — the perplexity-proxy quality filter
+    * (the CCNet/KenLM idea): score each document by how predictable its
+    * token stream is under a corpus-wide bigram MLE model,
+    * P(w2|w1) = c(w1 w2) / c(w1). The score is the arithmetic mean of
+    * the per-bigram probabilities rather than mean log-prob: +,-,*,/ are
+    * IEEE-exact and cross-engine reproducible, libm `log` is not, and
+    * the mean is monotone enough to rank gibberish below fluent text.
+    *
+    * Shape: bigrams come from the native `WordNGrams` generator (no
+    * window Exchange to rebuild adjacency); the model tables reduce with
+    * map-side partials; the per-doc mean folds the probabilities in
+    * ascending value order (array_sort ↔ ORDER BY p) so the double sum
+    * is order-pinned and matches DuckDB's `list_reduce` bitwise.
+    */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ngrams = ColumnBridge.column(
+      graft.functions.WordNGrams(ColumnBridge.expression(lower(col("text"))), 2))
+    val bi = t(s, dir, "documents")
+      .select(col("doc_id"), ngrams)
+      .select(col("doc_id"),
+        substring_index(col("ngram"), " ", 1).as("w1"),
+        substring_index(col("ngram"), " ", -1).as("w2"))
+    val uni = t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("p", col("c2").cast(DoubleType) / col("c1").cast(DoubleType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(array_sort(collect_list(col("p"))), lit(0.0d), (a, b) => a + b)
+          / count(lit(1)).cast(DoubleType)).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full preprocessing run a pre-training corpus goes through,
     * composed from individually-verified legs: exact-dedup to canonical
     * copies, quality-gate, keep English, assign deterministic
@@ -304,7 +341,8 @@ object TextAnalysis {
     "x06_vocab_topk" -> ((s: SparkSession, dir: String) => vocabTopk(s, dir)),
     "x07_tfidf_topterms" -> ((s: SparkSession, dir: String) => tfidfTopTerms(s, dir)),
     "x43_repetition" -> (repetitionMetrics _),
-    "x49_stem_vocab" -> ((s: SparkSession, dir: String) => stemVocabTopk(s, dir)))
+    "x49_stem_vocab" -> ((s: SparkSession, dir: String) => stemVocabTopk(s, dir)),
+    "x54_bigram_lm" -> (bigramLmScore _))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -425,6 +463,25 @@ object TextAnalysis {
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
         " ORDER BY doc_id")) +
+    ("x54_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT bi.doc_id, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
+        |    / CAST(count(*) AS DOUBLE) AS avg_p
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
     ("x45_corpus_pipeline" ->
       (s"WITH kept AS (SELECT doc_id, q.n_tokens" +
         s" FROM (${baseOracles("x02_quality_score")}) q" +

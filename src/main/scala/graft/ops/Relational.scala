@@ -136,6 +136,44 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full-outer join completing the join-type family (inner/left/semi/
+    * anti/full): suppliers below key 60 reconciled against lineitem
+    * activity at key 40+, so the result carries left-only rows (null
+    * activity), right-only rows (null name), and the matched band —
+    * the reconciliation-report shape (who is missing from which side).
+    */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_suppkey") < 60)
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val act = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") >= 40)
+      .groupBy(col("l_suppkey").as("k"))
+      .agg(count(lit(1)).as("n_items"))
+    sup.join(act, Seq("k"), "full_outer")
+      .select(col("k"), col("s_name"), col("n_items"))
+      .orderBy(col("k"))
+  }
+
+  /** Running distinct-user counts per event_type by day. Spark's window
+    * functions don't support COUNT(DISTINCT ...) OVER — the standard
+    * emulation reduces each (type, user) to its FIRST day (one
+    * aggregate), counts first-appearances per day, and prefix-sums:
+    * mathematically identical, and two cheap shuffles instead of a
+    * quadratic re-scan per frame.
+    */
+  def windowedDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("n_distinct_users_cum", sum(col("n_new_users")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** A3: dimension dedup — the reference's dim_passenger SELECT DISTINCT
     * (reconstructed, SURVEY.md §2.4 A3).
     */
@@ -465,7 +503,9 @@ object Relational {
     "q36_pivot_wide" -> (pivotWide _),
     "q45_rank_families" -> (rankFamilies _),
     "q46_order_gaps" -> (orderGaps _),
-    "q47_arg_extremes" -> (argExtremes _))
+    "q47_arg_extremes" -> (argExtremes _),
+    "q51_full_outer_join" -> (fullOuterJoin _),
+    "q52_windowed_distinct" -> (windowedDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -687,5 +727,23 @@ object Relational {
         |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
         |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
         |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q51_full_outer_join" ->
+      """SELECT k, s_name, n_items
+        |FROM (SELECT s_suppkey AS k, s_name FROM supplier WHERE s_suppkey < 60) sup
+        |FULL OUTER JOIN (SELECT l_suppkey AS k, count(*) AS n_items
+        |                 FROM lineitem WHERE l_suppkey >= 40 GROUP BY 1) act
+        |USING (k)
+        |ORDER BY k""".stripMargin,
+    "q52_windowed_distinct" ->
+      """WITH first_seen AS (
+        |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY event_type, user_id),
+        |per_day AS (
+        |  SELECT event_type, day, count(*) AS n_new_users
+        |  FROM first_seen GROUP BY event_type, day)
+        |SELECT event_type, day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_users_cum
+        |FROM per_day ORDER BY event_type, day""".stripMargin)
 }
