@@ -376,6 +376,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocked fuzzy record linkage — the entity-resolution counterpart of
+    * document dedup: candidate pairs come from an equality BLOCK key
+    * (here nation), the expensive edit-distance runs only within blocks,
+    * and pairs at Levenshtein distance <= `maxDist` are linked. The
+    * blocking join is the same skew-bounded shape as LSH bucketing: the
+    * quadratic pair expansion is confined to block size, never the
+    * corpus; at 100 TB the block key is whatever cheap equality evidence
+    * exists (zip, sorted-neighborhood window, phonetic code) and the
+    * plan is unchanged. `maxKey` pins the graded slice so the output is
+    * scale-invariant.
+    */
+  def fuzzyNameMatch(s: SparkSession, dir: String,
+      maxKey: Int = 300, maxDist: Int = 2): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_custkey") < maxKey)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast(LongType).as("block"))
+    val a = c.select(col("block"), col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = c.select(col("block"), col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("block"), col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("block"), col("key_a"), col("key_b"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -390,7 +417,8 @@ object Dedup {
       minhashPairs(s, dir, bands = 32, rowsPerBand = 2)),
     "x13_simhash" -> (simhashSketch _),
     "x44_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
-    "x47_dup_clusters" -> (dupClusters _))
+    "x47_dup_clusters" -> (dupClusters _),
+    "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "x10_dedup_exact" ->
@@ -518,5 +546,14 @@ object Dedup {
          |  FROM toks GROUP BY doc_id)
          |SELECT doc_id, CAST($orBits AS BIGINT) AS simhash
          |FROM votes ORDER BY doc_id""".stripMargin
-    })
+    },
+    "x56_fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS block
+        |  FROM customer WHERE c_custkey < 300)
+        |SELECT a.block, a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.block = b.block AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY block, key_a, key_b""".stripMargin)
 }
