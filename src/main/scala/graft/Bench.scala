@@ -47,10 +47,17 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail on its own line (humans + BASELINE.md); the
+    // FINAL line must fit the driver's 2000-char stdout tail (minus sbt's
+    // trailing "[success] ..." line), so it carries the total plus the
+    // slowest 30 queries only.
+    val detail = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    println(s"""{"metric":"detail","n_queries":${results.size},"queries":${detail.mkString("{", ",", "}")}}""")
+    val top = detail.take(30).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

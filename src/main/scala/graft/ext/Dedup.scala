@@ -551,9 +551,9 @@ object Dedup {
       """WITH c AS (
         |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS block
         |  FROM customer WHERE c_custkey < 300)
-        |SELECT a.block, a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |SELECT a.block AS block, a.c_custkey AS key_a, b.c_custkey AS key_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM c a JOIN c b ON a.block = b.block AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
-        |ORDER BY block, key_a, key_b""".stripMargin)
+        |ORDER BY a.block, key_a, key_b""".stripMargin)
 }

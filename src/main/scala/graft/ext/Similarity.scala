@@ -315,13 +315,24 @@ object Similarity {
         val na = a.map(r => math.sqrt(dotLoop(r.embedding, r.embedding)))
         val nb = if (bp.blk_a == bp.blk_b) na
                  else b.map(r => math.sqrt(dotLoop(r.embedding, r.embedding)))
-        for {
-          i <- a.indices.iterator
-          j <- b.indices.iterator
-          if a(i).vec_id < b(j).vec_id
-          cos = dotLoop(a(i).embedding, b(j).embedding) / (na(i) * nb(j))
-          if cos >= threshold
-        } yield (a(i).vec_id, b(j).vec_id, cos)
+        // explicit while loops: the for-comprehension spelling allocates a
+        // tuple per INNER iteration (n^2 total), which dominated the kernel
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < a.length) {
+          val ai = a(i); val via = ai.vec_id; val ea = ai.embedding; val ni = na(i)
+          var j = 0
+          while (j < b.length) {
+            val bj = b(j)
+            if (via < bj.vec_id) {
+              val cos = dotLoop(ea, bj.embedding) / (ni * nb(j))
+              if (cos >= threshold) out += ((via, bj.vec_id, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
       }
     pairs.toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))

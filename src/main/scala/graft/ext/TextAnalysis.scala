@@ -88,12 +88,24 @@ object TextAnalysis {
     * with zero counts through the left join.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("lang"))
+      .join(langDetected(docs.select(col("doc_id"), col("text"))), Seq("doc_id"))
+      .select(col("doc_id"), col("lang").as("lang_labeled"),
+        col("lang_detected"), col("n_cjk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Core of `langId` over any (doc_id, text) frame — shared with
+    * `corpusCurate`, which runs it post-filter over the survivors only.
+    */
+  private def langDetected(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
     val langs = LangStops.map(_._1)
     val stops = LangStops.flatMap { case (lang, words) => words.map(w => (w, lang)) }
       .toDF("w", "stop_lang")
-    val hitCounts = t(s, dir, "documents")
+    val hitCounts = docs
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
       .join(broadcast(stops), "w")
       .groupBy(col("doc_id"))
@@ -105,12 +117,10 @@ object TextAnalysis {
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
     val cjk = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
-    t(s, dir, "documents")
-      .join(hitCounts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang").as("lang_labeled"),
+    docs.join(hitCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
         when(cjk > 0, lit("zh")).otherwise(pick).as("lang_detected"),
         cjk.as("n_cjk"))
-      .orderBy(col("doc_id"))
   }
 
   /** Canonical fingerprint: md5 over lowercased alphanumerics — the exact-
@@ -199,17 +209,34 @@ object TextAnalysis {
 
   /** Composite corpus curation — the end-to-end filter a pre-training
     * pipeline runs: keep documents that pass the quality gate, detect as
-    * English, and are the canonical copy of their duplicate group. Each
-    * leg is an already-oracle-verified operator; this asserts the
-    * composition.
+    * English, and are the canonical copy of their duplicate group. The
+    * legs are individually oracle-verified (x02/x03/x10); here they FUSE
+    * into one scan: quality + fingerprint in a single projection, the
+    * canonical-copy window, and language ID over the SURVIVORS only —
+    * the cheap per-row gates prune before the explode/pivot leg, and the
+    * document text is scanned twice total instead of once per leg.
     */
-  def corpusCurate(s: SparkSession, dir: String): DataFrame =
-    qualityScore(s, dir).select(col("doc_id"), col("n_tokens"), col("quality_ok"))
-      .join(langId(s, dir).select(col("doc_id"), col("lang_detected")), "doc_id")
-      .join(Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_canonical")), "doc_id")
-      .filter(col("quality_ok") && col("is_canonical") && col("lang_detected") === "en")
+  def corpusCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = wsTokens(col("text"))
+    val nChars = length(col("text")).cast(LongType)
+    val nToks = size(toks).cast(LongType)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    val qualityOk = nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
+      (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)
+    val survivors = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), nToks.as("n_tokens"),
+        qualityOk.as("quality_ok"), fingerprintCol(col("text")).as("fp"))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("quality_ok") && col("is_canonical"))
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+    survivors.select(col("doc_id"), col("n_tokens"))
+      .join(langDetected(survivors.select(col("doc_id"), col("text"))), "doc_id")
+      .filter(col("lang_detected") === "en")
       .select(col("doc_id"), col("n_tokens"), col("lang_detected"))
       .orderBy(col("doc_id"))
+  }
 
   /** Suffix-stripping token normalizer (stemming-lite): the first
     * matching rule of ies->y, sses->ss, trailing-s (not ss), -ing, -ed,
