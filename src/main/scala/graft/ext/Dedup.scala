@@ -268,7 +268,13 @@ object Dedup {
     * 60x the hashing work; this shape hashes once and lets whole-stage
     * codegen run the votes.
     */
-  def simhashSketch(s: SparkSession, dir: String): DataFrame = {
+  def simhashSketch(s: SparkSession, dir: String): DataFrame =
+    simhashCore(s, dir).orderBy(col("doc_id"))
+
+  /** (doc_id, simhash) without the presentation sort — shared by the
+    * sketch query and the band-bucketed near-dup join.
+    */
+  private def simhashCore(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
       .select(col("doc_id"), TextAnalysis.tokenHash(col("w")).as("th"))
@@ -281,7 +287,43 @@ object Dedup {
         (0 until SimhashBits)
           .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance <= `maxHamming`,
+    * found via band buckets — and EXACT, not probabilistic: with the 60
+    * sketch bits cut into 4 bands of 15, a pair differing in <= 3 bits
+    * can touch at most 3 bands, so by pigeonhole at least one band is
+    * bit-identical and the pair lands in that band's bucket. Only
+    * (doc_id, band, band-key) rides the candidate shuffle; the full
+    * sketches re-join per candidate pair for the Hamming check — the
+    * same O(corpus-ids) shuffle shape as MinHash banding, against the
+    * all-pairs self-join the oracle can afford at test scale.
+    */
+  def simhashNearDup(s: SparkSession, dir: String,
+      bandBits: Int = 15, maxHamming: Int = 3): DataFrame = {
+    val nBands = SimhashBits / bandBits
+    require(maxHamming < nBands, "pigeonhole exactness needs maxHamming < nBands")
+    val sk = simhashCore(s, dir)
+    val banded = sk.select(col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cand = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sk.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+      .join(sk.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components over an undirected edge list by min-label
@@ -418,7 +460,29 @@ object Dedup {
     "x13_simhash" -> (simhashSketch _),
     "x44_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
     "x47_dup_clusters" -> (dupClusters _),
-    "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)))
+    "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)),
+    "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)))
+
+  /** The (doc_id, simhash) sketch as DuckDB CTEs ending in `sk` — shared
+    * by the x13 and x58 oracles.
+    */
+  private def simhashSketchCtes: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN th & ${1L << b} <> 0 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n        ")
+    val orBits = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" | ")
+    s"""toks AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS th
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents)),
+       |votes AS (
+       |  SELECT doc_id,
+       |        $votes
+       |  FROM toks GROUP BY doc_id),
+       |sk AS (SELECT doc_id, CAST($orBits AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "x10_dedup_exact" ->
@@ -529,24 +593,18 @@ object Dedup {
     // hash, the +-1 votes are 60 conditional sums in one GROUP BY, and the
     // sketch is the OR of the positive bits' masks. Upgrades x13 from
     // rows-only to a full hash-compared oracle.
-    "x13_simhash" -> {
-      val votes = (0 until SimhashBits)
-        .map(b => s"sum(CASE WHEN th & ${1L << b} <> 0 THEN 1 ELSE -1 END) AS v$b")
-        .mkString(",\n        ")
-      val orBits = (0 until SimhashBits)
-        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" | ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS th
-         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |        FROM documents)),
-         |votes AS (
-         |  SELECT doc_id,
-         |        $votes
-         |  FROM toks GROUP BY doc_id)
-         |SELECT doc_id, CAST($orBits AS BIGINT) AS simhash
-         |FROM votes ORDER BY doc_id""".stripMargin
-    },
+    "x13_simhash" ->
+      s"""WITH $simhashSketchCtes
+         |SELECT doc_id, simhash
+         |FROM sk ORDER BY doc_id""".stripMargin,
+    // the oracle affords the all-pairs self-join the banded plan avoids
+    "x58_simhash_neardup" ->
+      s"""WITH $simhashSketchCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x56_fuzzy_match" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS block

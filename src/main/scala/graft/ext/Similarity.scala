@@ -338,6 +338,23 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
   }
 
+  /** Semantic-dedup cluster resolution: the exact cosine near-dup pair
+    * set (same pairs x24 grades) resolved into clusters by the shared
+    * pointer-jumping connected-components kernel — per vector: the
+    * cluster's canonical (minimum) id and its size. This is embedding-
+    * space dedup's keep-one-copy step, the counterpart of x47 on the
+    * MinHash side; singletons (no near-dup) are not rows by definition.
+    */
+  def embeddingDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingNearDup(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   private def l2normalize(v: Array[Float]): Array[Double] = {
     val n = math.sqrt(dotLoop(v, v))
     if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
@@ -464,7 +481,8 @@ object Similarity {
     "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),
     "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexed(s, dir)),
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
-    "x23_quantize_int8" -> (quantizeInt8 _))
+    "x23_quantize_int8" -> (quantizeInt8 _),
+    "x57_embedding_dup_clusters" -> (embeddingDupClusters _))
 
   /** DuckDB twin of the exact path. `list_reduce` folds left from the
     * first element and Spark's `aggregate` folds left from 0.0 — the sum
@@ -527,6 +545,31 @@ object Similarity {
         |           / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
         |               (a, b) -> greatest(a, b)) * 127.0) AS TINYINT) END), ',') AS q8
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x57_embedding_dup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |lbl AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lbl ORDER BY vec_id""".stripMargin,
     "x22_label_topk_norm" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -300,6 +300,43 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Arbitrary GROUPING SETS — the general form rollup (q20) and cube
+    * (q30) are shorthands of: here (flag, status), (flag) and the grand
+    * total, skipping the (status)-only set a cube would add. Spark
+    * expands the sets in a single Expand + one hash-aggregate (one
+    * shuffle), not one pass per set; `grouping()` flags disambiguate
+    * real NULLs from subtotal rows.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Scalar subqueries, correlated and uncorrelated: the per-order item
+    * count is a correlated scalar (decorrelated by Catalyst into a left
+    * outer aggregate join — no per-row re-execution), the average price
+    * gate an uncorrelated scalar evaluated once and broadcast.
+    */
+  def scalarSubqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST((SELECT count(*) FROM lineitem_v l
+        |        WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_items
+        |FROM orders_v o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v) * 1.8
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** NULL semantics: null-safe equality, COALESCE/NULLIF, and aggregate
     * null-skipping — the P5 family made explicit.
     */
@@ -499,6 +536,8 @@ object Relational {
     "q31_moving_window" -> (movingWindow _),
     "q32_sql_exists" -> (sqlExistsSubquery _),
     "q33_null_semantics" -> (nullSemantics _),
+    "q54_grouping_sets" -> (groupingSets _),
+    "q55_scalar_subquery" -> (scalarSubqueries _),
     "q35_array_agg" -> (arrayAgg _),
     "q36_pivot_wide" -> (pivotWide _),
     "q45_rank_families" -> (rankFamilies _),
@@ -677,6 +716,22 @@ object Relational {
         |             IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
         |  coalesce(max(nullif(o_orderpriority, '1-URGENT')), 'none') AS max_non_urgent
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q54_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q55_scalar_subquery" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_items
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
     "q35_array_agg" ->
       """SELECT c_mktsegment,
         |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,

@@ -123,7 +123,39 @@ object Scalars {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered event funnel (view -> click -> purchase): per user, the
+    * first view, the first click STRICTLY AFTER that view, and the first
+    * purchase strictly after that click — the stage-k timestamp depends
+    * on stage k-1, which is what distinguishes a funnel from three
+    * independent mins. Three conditional aggregates chained by joins on
+    * user_id: each stage's frame is the (tiny) per-user stage table, so
+    * AQE broadcasts it into the next event scan; the events table is
+    * scanned once per stage and never self-joined row-to-row. Users who
+    * never viewed are out of the funnel (stage 0) by definition.
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        (lit(1L) + when(col("first_click").isNotNull, 1L).otherwise(0L)
+          + when(col("first_purchase").isNotNull, 1L).otherwise(0L)).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_funnel" -> (funnelStages _),
     "q43_quantile_binning" -> (quantileBinning _),
     "q44_time_range_window" -> (slidingHourCounts _),
     "q22_json_extract" -> (jsonExtract _),
@@ -134,6 +166,26 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q53_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  CAST(1 + CASE WHEN c.first_click IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.first_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q43_quantile_binning" ->
       """SELECT event_type, CAST(decile AS BIGINT) AS decile,
         |  count(*) AS n_events, min(value) AS lo, max(value) AS hi

@@ -163,6 +163,19 @@ object EventStream {
         ev.filter(col("event_type") === "view"))
         .orderBy(col("click_id"), col("view_id"))
     }),
+    // stream-static enrichment graded in batch: the same enrichWithDim
+    // the stream runs, keyed on user (events outside the dim keep the
+    // left-join NULL segment), rolled up per segment x event_type
+    "s05_stream_static_enrich" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      enrichWithDim(ev, dim, "user_id")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
     // the dedup transform the streaming load runs, graded over a
     // simulated at-least-once source (every third event replayed)
     "s04_stream_dedup" -> ((s: SparkSession, dir: String) => {
@@ -207,6 +220,11 @@ object EventStream {
         | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |ORDER BY click_id, view_id""".stripMargin,
+    "s05_stream_static_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
     "s04_stream_dedup" ->
       """WITH replayed AS (
         |  SELECT * FROM events
