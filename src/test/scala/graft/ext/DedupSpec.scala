@@ -135,4 +135,21 @@ class DedupSpec extends SparkSpec {
       .filter(col("simhash").bitwiseAND(lit(0xF000000000000000L)) =!= 0L)
     assert(bad.isEmpty)
   }
+
+  test("band-bucketed simhash near-dup equals brute-force Hamming <= 3") {
+    val banded = Dedup.simhashNearDup(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sk = Dedup.simhashSketch(spark, Sf)
+    val a = sk.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = sk.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val brute = a.crossJoin(b) // test-scale oracle only
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      "pigeonhole banding (4 x 15 bits) must be exact for Hamming <= 3")
+  }
 }

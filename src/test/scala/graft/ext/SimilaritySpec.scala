@@ -66,6 +66,24 @@ class SimilaritySpec extends SparkSpec {
     one.foreach { case (k, c) => assert(many(k) == c, s"cosine differs for $k") }
   }
 
+  test("embedding dup clusters are consistent with the exact pair set") {
+    val pairs = Similarity.embeddingNearDup(spark, Dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Similarity.embeddingDupClusters(spark, Dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every near-dup pair lands in the same cluster
+    pairs.foreach { case (x, y) =>
+      assert(clusters(x)._1 == clusters(y)._1, s"pair ($x,$y) split across clusters")
+    }
+    // the cluster label is the member minimum and sizes match membership
+    clusters.groupBy(_._2._1).foreach { case (lbl, members) =>
+      assert(members.keySet.min == lbl)
+      members.foreach { case (_, (_, size)) => assert(size == members.size) }
+    }
+  }
+
   test("ann scores candidates with exact cosine (subset consistency)") {
     val exact = Similarity.cosineTopk(spark, Dir)
       .select("query_id", "vec_id", "cosine").collect()

@@ -158,6 +158,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim into every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("event_id", "event_type")
+    val q = EventStream.enrichWithDim(df, dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData((1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      in.addData((3L, "signup")) // no dim row -> left join keeps it with NULL
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("event_id", "category").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == Set(
+        (1L, Some("interactive")), (2L, Some("passive")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("session windows split on the gap") {
     import spark.implicits._
     val df = Seq(
