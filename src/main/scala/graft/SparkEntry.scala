@@ -32,7 +32,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Scalars.oracles ++ ops.Skew.oracles ++
-      ops.Profile.oracles ++ ops.BucketedStar.oracles ++
+      ops.Sketches.oracles ++ ops.Profile.oracles ++ ops.BucketedStar.oracles ++
       ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
       ops.DataQuality.oracles ++ ops.ZOrder.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
