@@ -303,26 +303,24 @@ object Dedup {
       bandBits: Int = 15, maxHamming: Int = 3): DataFrame = {
     val nBands = SimhashBits / bandBits
     require(maxHamming < nBands, "pigeonhole exactness needs maxHamming < nBands")
-    val sk = simhashCore(s, dir)
-    val banded = sk.select(col("doc_id"),
+    // the 8-byte sketch rides the band shuffle next to the id (16-byte
+    // rows instead of 8) so the Hamming check needs NO re-join — the
+    // sketch aggregate is computed exactly once, not once per join leg
+    val banded = simhashCore(s, dir).select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = banded
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bkey"))
+    banded
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairsOfSorted(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sk.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
-      .join(sk.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"),
+        bit_count(col("p.doc_a.simhash").bitwiseXOR(col("p.doc_b.simhash")))
+          .cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

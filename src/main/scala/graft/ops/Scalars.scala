@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.engine.Tables
 
@@ -154,8 +154,71 @@ object Scalars {
       .orderBy(col("user_id"))
   }
 
+  /** Moment-based statistics (mean / variance / correlation) from EXACT
+    * integer power sums — the distributed-statistics pattern: each of
+    * n, Σx, Σy, Σx², Σy², Σxy is a single-pass, map-side-combinable,
+    * ORDER-INDEPENDENT aggregate (integer addition is associative-exact,
+    * double addition is not), and the statistics assemble from the sums
+    * in one final projection. Floating-point `corr`/`stddev` built-ins
+    * are order-dependent under partition parallelism and can't be
+    * hash-gated cross-engine; this shape can. `value` carries 2 decimal
+    * digits, so x = round(value·100) is lossless; the BIGINT moment
+    * combinations stay well under 2^53, making every int→double
+    * conversion exact and the final double tree bitwise reproducible.
+    * (At 100 TB row counts the power sums outgrow int64 — swap the
+    * partials to DECIMAL(38,0); the shape is unchanged.)
+    */
+  def corrMoments(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("value") * lit(100.0)).cast(LongType)
+    val y = get_json_object(col("props"), "$.k").cast(LongType)
+    val nD = col("n").cast(DoubleType)
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast(DoubleType) / nD / lit(100.0)).as("mean_value"),
+        ((col("sxx") * col("n") - col("sx") * col("sx")).cast(DoubleType)
+          / (nD * (nD - lit(1.0))) / lit(10000.0)).as("var_value"),
+        ((col("sxy") * col("n") - col("sx") * col("sy")).cast(DoubleType)
+          / (sqrt((col("sxx") * col("n") - col("sx") * col("sx")).cast(DoubleType))
+            * sqrt((col("syy") * col("n") - col("sy") * col("sy")).cast(DoubleType))))
+          .as("corr_vk"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Calendar resample + forward fill: per user, a contiguous daily spine
+    * from their first to last active day; days without events carry the
+    * last seen daily max forward (gap_filled marks them). The spine is
+    * per-key `sequence()` over day epochs — dimension-sized, never a
+    * cross join against the event stream — and the fill is an
+    * ignore-nulls running `last` over the one per-user window sort. The
+    * standard time-series densification Spark has no native operator for.
+    */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("day_max"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_max"), ignoreNulls = true).over(w).as("filled_max"),
+        col("day_max").isNull.as("gap_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_funnel" -> (funnelStages _),
+    "q56_corr_moments" -> (corrMoments _),
+    "q57_resample_ffill" -> (resampleFfill _),
     "q43_quantile_binning" -> (quantileBinning _),
     "q44_time_range_window" -> (slidingHourCounts _),
     "q22_json_extract" -> (jsonExtract _),
@@ -166,6 +229,40 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q56_corr_moments" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS x,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+        |  CAST(sxx * n - sx * sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_value,
+        |  CAST(sxy * n - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(sxx * n - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(syy * n - sy * sy AS DOUBLE))) AS corr_vk
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q57_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+        |    CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.day,
+        |  last_value(d.day_max IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max,
+        |  d.day_max IS NULL AS gap_filled
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
     "q53_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS first_view
