@@ -416,6 +416,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup — the operational shape of exact dedup inside a
+    * daily pipeline: only the INCREMENT (here: doc_id >= `histMax`,
+    * standing in for today's partition) is scanned in full; the history
+    * participates as its distinct fingerprint set only (at 100 TB: the
+    * persisted fingerprint index, bucketed by fingerprint so the probe
+    * is co-located — never a rescan of the historical corpus). An
+    * increment doc is kept iff its fingerprint is unseen in history AND
+    * it is the canonical (minimum-id) copy within the increment itself —
+    * the two-level check every batch-append dedup needs.
+    */
+  def incrementalDedup(s: SparkSession, dir: String, histMax: Int = 400): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
+    val history = fp.filter(col("doc_id") < histMax)
+      .select(col("fingerprint")).distinct()
+      .withColumn("in_history", lit(true))
+    val incr = fp.filter(col("doc_id") >= histMax)
+    val wFp = Window.partitionBy(col("fingerprint"))
+    incr
+      .withColumn("incr_canonical_id", min(col("doc_id")).over(wFp))
+      .join(history, Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        coalesce(col("in_history"), lit(false)).as("dup_of_history"),
+        (col("doc_id") === col("incr_canonical_id")).as("incr_canonical"),
+        (coalesce(col("in_history"), lit(false)) === false
+          && col("doc_id") === col("incr_canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Blocked fuzzy record linkage — the entity-resolution counterpart of
     * document dedup: candidate pairs come from an equality BLOCK key
     * (here nation), the expensive edit-distance runs only within blocks,
@@ -459,7 +488,8 @@ object Dedup {
     "x44_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
     "x47_dup_clusters" -> (dupClusters _),
     "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)),
-    "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)))
+    "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)),
+    "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)))
 
   /** The (doc_id, simhash) sketch as DuckDB CTEs ending in `sk` — shared
     * by the x13 and x58 oracles.
@@ -603,6 +633,22 @@ object Dedup {
          |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x59_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+        |incr AS (
+        |  SELECT doc_id, fingerprint,
+        |    min(doc_id) OVER (PARTITION BY fingerprint) AS incr_canonical_id
+        |  FROM fp WHERE doc_id >= 400)
+        |SELECT i.doc_id, i.fingerprint,
+        |  h.fingerprint IS NOT NULL AS dup_of_history,
+        |  i.doc_id = i.incr_canonical_id AS incr_canonical,
+        |  h.fingerprint IS NULL AND i.doc_id = i.incr_canonical_id AS keep
+        |FROM incr i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+        |ORDER BY i.doc_id""".stripMargin,
     "x56_fuzzy_match" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS block
