@@ -41,6 +41,17 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  /** ORC sink/source — the second columnar format Spark ships natively;
+    * full type fidelity (timestamps, decimals, nested types), so unlike
+    * the text formats the round-trip needs no re-parse options. Kept
+    * behind the same declared-schema discipline as every other source.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** JSON-lines sink — the interchange format LLM training corpora ship
     * in. One JSON object per line, partition-parallel like any text
     * sink; timestamps pinned to a zone-less micros format so the read

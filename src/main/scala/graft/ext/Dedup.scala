@@ -445,6 +445,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/val split: assignment is a pure hash of the
+    * NEAR-DUP CLUSTER id, not the document id — two near-duplicate
+    * documents can never straddle the split boundary (the eval-set
+    * contamination x40's per-doc split cannot prevent). Singleton docs
+    * are their own cluster (cluster_id = doc_id); the cluster labels are
+    * the same verified CC resolution x47 grades, and the bucket hash is
+    * the same cross-engine md5-prefix `Sampling.hashBucket` x40 grades —
+    * this operator is their composition, shuffled only on id-sized rows.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("bucket", graft.ops.Sampling.hashBucket(col("cluster_id"), 100))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 80, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Blocked fuzzy record linkage — the entity-resolution counterpart of
     * document dedup: candidate pairs come from an equality BLOCK key
     * (here nation), the expensive edit-distance runs only within blocks,
@@ -489,7 +511,8 @@ object Dedup {
     "x47_dup_clusters" -> (dupClusters _),
     "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)),
     "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)),
-    "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)))
+    "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)),
+    "x61_leakage_safe_split" -> (leakageSafeSplit _))
 
   /** The (doc_id, simhash) sketch as DuckDB CTEs ending in `sk` — shared
     * by the x13 and x58 oracles.
@@ -633,6 +656,38 @@ object Dedup {
          |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x61_leakage_safe_split" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM inv a JOIN inv b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |      / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lbl AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |cl AS (
+        |  SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id
+        |  FROM documents dd LEFT JOIN lbl l ON dd.doc_id = l.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "x59_incremental_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -67,6 +67,44 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
+  /** Matryoshka-style truncated retrieval: coarse top-`coarseK` ranking
+    * on the first `dims` dimensions (a 4x-cheaper dot product — with
+    * MRL-trained embeddings the prefix IS a valid low-dim embedding),
+    * then exact full-dimension rerank of the survivors to top-`k`. The
+    * at-scale payoff: the coarse pass can run over a `dims`-wide
+    * COLUMN-PRUNED projection of the corpus (a fraction of the scan and
+    * broadcast bytes), and the full vectors are only touched for
+    * coarseK candidates per query. Deterministic two-phase selection —
+    * both phases total-order by (score desc, vec_id) — so the result is
+    * oracle-checkable, unlike recall-bounded ANN.
+    */
+  def truncatedRerank(s: SparkSession, dir: String, dims: Int = 16,
+      numQueries: Int = 5, coarseK: Int = 40, k: Int = 10): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), slice(col("embedding"), 1, dims).as("emb_t"))
+      .select(col("vec_id"), col("embedding"), col("emb_t"),
+        normD(col("embedding")).as("nrm"), normD(col("emb_t")).as("nrm_t"))
+    val q = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("emb_t").as("qv_t"), col("nrm").as("qn"), col("nrm_t").as("qn_t"))
+    val coarse = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("nrm"),
+        col("qv"), col("qn"),
+        (dotD(col("qv_t"), col("emb_t")) / (col("qn_t") * col("nrm_t"))).as("coarse_cosine"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_cosine").desc, col("vec_id"))
+    val rer = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= coarseK)
+      .select(col("query_id"), col("vec_id"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    val wg = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Two-phase per-query top-k on a (query_id, vec_id, cosine) frame:
     * partition-local prune to k, then the global rank over the survivors.
     */
@@ -482,7 +520,8 @@ object Similarity {
     "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexed(s, dir)),
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
     "x23_quantize_int8" -> (quantizeInt8 _),
-    "x57_embedding_dup_clusters" -> (embeddingDupClusters _))
+    "x57_embedding_dup_clusters" -> (embeddingDupClusters _),
+    "x60_truncated_rerank" -> ((s: SparkSession, dir: String) => truncatedRerank(s, dir)))
 
   /** DuckDB twin of the exact path. `list_reduce` folds left from the
     * first element and Spark's `aggregate` folds left from 0.0 — the sum
@@ -545,6 +584,40 @@ object Similarity {
         |           / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
         |               (a, b) -> greatest(a, b)) * 127.0) AS TINYINT) END), ',') AS q8
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x60_truncated_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, embedding[1:16] AS emb_t,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm,
+        |    sqrt(list_reduce(list_transform(generate_series(1, 16),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm_t
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, emb_t AS qv_t,
+        |        nrm AS qn, nrm_t AS qn_t FROM e WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT q.query_id, e.vec_id, e.embedding, e.nrm, q.qv, q.qn,
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> CAST(q.qv_t[i] AS DOUBLE) * CAST(e.emb_t[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.qn_t * e.nrm_t) AS coarse_cosine
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY coarse_cosine DESC, vec_id) AS crank
+        |  FROM coarse),
+        |rer AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(qv)),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (qn * nrm) AS cosine
+        |  FROM cand WHERE crank <= 40),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM rer)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x57_embedding_dup_clusters" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding,

@@ -114,6 +114,19 @@ class SinksSpec extends SparkSpec {
       "micro-precision timestamps must re-parse bit-identically")
   }
 
+  test("ORC round-trip preserves timestamps, doubles and text exactly") {
+    val dir = tmpDir()
+    val ev = Tables(spark, Sf, "events").limit(500)
+    Sources.writeOrc(ev, s"$dir/ev")
+    val evBack = Sources.readOrc(spark, ev.schema, s"$dir/ev")
+    assert(evBack.exceptAll(ev).isEmpty && ev.exceptAll(evBack).isEmpty,
+      "ORC is a typed columnar format — the round-trip must be lossless")
+    val docs = Tables(spark, Sf, "documents")
+    Sources.writeOrc(docs, s"$dir/docs")
+    val docsBack = Sources.readOrc(spark, docs.schema, s"$dir/docs")
+    assert(docsBack.exceptAll(docs).isEmpty && docs.exceptAll(docsBack).isEmpty)
+  }
+
   test("evolving parquet read aligns old eras to the target schema") {
     val path = tmpDir() + "/evolving"
     // era 1: two columns
