@@ -116,31 +116,29 @@ object Dedup {
   def jaccardTopk(s: SparkSession, dir: String,
       maxDf: Int = 20, minCommon: Int = 3): DataFrame = {
     val posts = shinglePostings(s, dir)
-    // single shuffle on the shingle hash; the df cut and the pair
-    // expansion happen inside each group, so a hot shingle never
-    // materializes its quadratic pair set
-    val rareIdx = posts.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-    // per-doc count of rare (df in [2, maxDf]) shingles — the cap that
-    // keeps short docs eligible
-    val rareCounts = rareIdx
-      .select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
-    val pairs = rareIdx
-      .select(explode(pairsOfSorted(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-    // candidate = shares >= least(minCommon, n_rare(a), n_rare(b)) rare
-    // shingles. The same groupBy dedups pair rows; the count prunes the
-    // long tail of one-shared-phrase pairs before exact verification.
-    val cand = pairs.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_rare_common"))
-      .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nr_a")), "doc_a")
-      .join(rareCounts.select(col("doc_id").as("doc_b"), col("n_rare").as("nr_b")), "doc_b")
-      .filter(col("n_rare_common") >= least(lit(minCommon), col("nr_a"), col("nr_b")))
-      .select(col("doc_a"), col("doc_b"))
-    verifyPairs(cand, posts)
+    verifyPairs(dfCutCandidates(posts, maxDf, minCommon), posts)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Containment-similarity top-k: |A∩B| / min(|A|, |B|) — the
+    * SUB-DOCUMENT duplication detector. A short document embedded
+    * verbatim inside a much longer one scores containment 1.0 while its
+    * Jaccard (union denominator) can be arbitrarily small, so the x11
+    * ranking never surfaces it. Same df-cut candidate generation and
+    * exact posting-intersection verification as x11 — only the
+    * denominator differs; the oracle implements the identical cut.
+    */
+  def containmentTopk(s: SparkSession, dir: String,
+      maxDf: Int = 20, minCommon: Int = 3): DataFrame = {
+    val posts = shinglePostings(s, dir)
+    verifyPairs(dfCutCandidates(posts, maxDf, minCommon), posts)
+      .withColumn("n_min", least(col("n_a"), col("n_b")))
+      .withColumn("containment",
+        col("n_common").cast(DoubleType) / col("n_min").cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_min"), col("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
 
@@ -163,7 +161,40 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
+
+  /** Candidate (doc_a, doc_b) pairs from the df-cut inverted index —
+    * shared by the Jaccard and containment top-k operators. A candidate
+    * must share at least `least(minCommon, nRare(a), nRare(b))` rare
+    * (df in [2, maxDf]) shingles; the cap at each doc's own rare-shingle
+    * count keeps short docs eligible.
+    */
+  private def dfCutCandidates(posts: DataFrame, maxDf: Int, minCommon: Int): DataFrame = {
+    // single shuffle on the shingle hash; the df cut and the pair
+    // expansion happen inside each group, so a hot shingle never
+    // materializes its quadratic pair set
+    val rareIdx = posts.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    // per-doc count of rare (df in [2, maxDf]) shingles — the cap that
+    // keeps short docs eligible
+    val rareCounts = rareIdx
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val pairs = rareIdx
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    // candidate = shares >= least(minCommon, n_rare(a), n_rare(b)) rare
+    // shingles. The same groupBy dedups pair rows; the count prunes the
+    // long tail of one-shared-phrase pairs before exact verification.
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_rare_common"))
+      .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nr_a")), "doc_a")
+      .join(rareCounts.select(col("doc_id").as("doc_b"), col("n_rare").as("nr_b")), "doc_b")
+      .filter(col("n_rare_common") >= least(lit(minCommon), col("nr_a"), col("nr_b")))
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash signatures for (doc_id, shingles) docs, computed in exploded
@@ -228,6 +259,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     verifyPairs(cand, posts)
       .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -512,7 +544,8 @@ object Dedup {
     "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)),
     "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)),
     "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)),
-    "x61_leakage_safe_split" -> (leakageSafeSplit _))
+    "x61_leakage_safe_split" -> (leakageSafeSplit _),
+    "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
   /** The (doc_id, simhash) sketch as DuckDB CTEs ending in `sk` — shared
     * by the x13 and x58 oracles.
@@ -569,6 +602,35 @@ object Dedup {
         |    / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
         |FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // x62: identical df-cut candidate generation as x11; containment
+    // denominator min(|A|,|B|) instead of the union
+    "x62_containment_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |dfc AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+        |inv2 AS (SELECT doc_id, inv.shingle FROM inv
+        |         JOIN dfc ON inv.shingle = dfc.shingle WHERE df BETWEEN 2 AND 20),
+        |rc AS (SELECT doc_id, count(*) AS nr FROM inv2 GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+        |           FROM inv2 a JOIN inv2 b
+        |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |cand AS (SELECT doc_a, doc_b FROM shared
+        |         JOIN rc ra ON ra.doc_id = shared.doc_a
+        |         JOIN rc rb ON rb.doc_id = shared.doc_b
+        |         WHERE n >= least(3, ra.nr, rb.nr))
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
+        |  CAST(least(len(da.sh), len(db.sh)) AS BIGINT) AS n_min,
+        |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |    / CAST(least(len(da.sh), len(db.sh)) AS DOUBLE) AS containment
+        |FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b
+        |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // the exact Jaccard >= 0.5 pair set over the FULL inverted index (no
     // df cut: completeness matters here) — x12's high-recall banding must
     // reproduce it exactly

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -345,6 +346,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** LM-score quality gate: rank every document by its x54 bigram-LM
+    * score WITHIN its language (LM probabilities are not comparable
+    * across languages — a per-language percentile is the principled
+    * cut), drop the bottom quartile. `percent_rank` over
+    * (avg_p, doc_id) is (rank-1)/(n-1) — exact integer division, so the
+    * doubles match DuckDB bitwise. The window partitions by language, so
+    * the sort is per-group and distributed, not a global single-partition
+    * order; at 100 TB the same plan holds (a language is the natural
+    * balance unit, and a skewed giant language falls back to the
+    * approx-quantile threshold + filter spelling).
+    */
+  def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_p"), col("doc_id"))
+    bigramLmScore(s, dir)
+      .join(lang, "doc_id")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep", col("pct_rank") >= 0.25)
+      .select(col("doc_id"), col("lang"), col("avg_p"), col("pct_rank"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document bigram novelty: the share of a doc's DISTINCT bigrams
+    * that occur in no other document (corpus df = 1). High novelty =
+    * genuinely new text; low novelty = boilerplate recombination. The
+    * memorization-risk screen next to x43's within-doc repetition: one
+    * distinct-bigram shuffle + one df aggregate, both codegen'd.
+    */
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ngrams = ColumnBridge.column(
+      graft.functions.WordNGrams(ColumnBridge.expression(lower(col("text"))), 2))
+    val posts = t(s, dir, "documents")
+      .select(col("doc_id"), ngrams)
+      .dropDuplicates("doc_id", "ngram")
+    val dfc = posts.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+    posts.join(dfc, "ngram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams_distinct"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast(DoubleType) / col("n_bigrams_distinct").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full preprocessing run a pre-training corpus goes through,
     * composed from individually-verified legs: exact-dedup to canonical
     * copies, quality-gate, keep English, assign deterministic
@@ -369,9 +415,34 @@ object TextAnalysis {
     "x07_tfidf_topterms" -> ((s: SparkSession, dir: String) => tfidfTopTerms(s, dir)),
     "x43_repetition" -> (repetitionMetrics _),
     "x49_stem_vocab" -> ((s: SparkSession, dir: String) => stemVocabTopk(s, dir)),
-    "x54_bigram_lm" -> (bigramLmScore _))
+    "x54_bigram_lm" -> (bigramLmScore _),
+    "x63_lm_quality_filter" -> (lmQualityFilter _),
+    "x65_bigram_novelty" -> (bigramNovelty _))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
+
+  /** The x54 per-doc bigram-LM score as standalone DuckDB SQL — shared by
+    * the x54 oracle and the x63 quality-filter oracle that wraps it.
+    */
+  private val BigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, w, i AS pos
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+      |bi AS (
+      |  SELECT doc_id, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM toks QUALIFY w2 IS NOT NULL),
+      |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT bi.doc_id, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+      |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
+      |    / CAST(count(*) AS DOUBLE) AS avg_p
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     "x01_token_count" ->
@@ -490,25 +561,32 @@ object TextAnalysis {
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
         " ORDER BY doc_id")) +
-    ("x54_bigram_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, w, i AS pos
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
-        |bi AS (
-        |  SELECT doc_id, w AS w1,
-        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        |  FROM toks QUALIFY w2 IS NOT NULL),
-        |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
-        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
-        |scored AS (
-        |  SELECT bi.doc_id, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
-        |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1))
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
-        |    / CAST(count(*) AS DOUBLE) AS avg_p
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
+    ("x54_bigram_lm" -> BigramLmSql) +
+    // x63 wraps the x54 scoring verbatim in a per-language percent_rank
+    // (rank-1)/(n-1) — exact integer division on both engines
+    ("x63_lm_quality_filter" ->
+      s"""WITH s54 AS ($BigramLmSql),
+         |ranked AS (
+         |  SELECT s54.doc_id, d.lang, s54.avg_p,
+         |    percent_rank() OVER (PARTITION BY d.lang ORDER BY s54.avg_p, s54.doc_id) AS pct_rank
+         |  FROM s54 JOIN documents d ON d.doc_id = s54.doc_id)
+         |SELECT doc_id, lang, avg_p, pct_rank, pct_rank >= 0.25 AS keep
+         |FROM ranked ORDER BY doc_id""".stripMargin) +
+    ("x65_bigram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-1, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |inv AS (SELECT doc_id, unnest(bg) AS ngram FROM d),
+        |dfc AS (SELECT ngram, count(*) AS df FROM inv GROUP BY ngram)
+        |SELECT doc_id, count(*) AS n_bigrams_distinct,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty_ratio
+        |FROM inv JOIN dfc USING (ngram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
     ("x45_corpus_pipeline" ->
       (s"WITH kept AS (SELECT doc_id, q.n_tokens" +
         s" FROM (${baseOracles("x02_quality_score")}) q" +

@@ -508,6 +508,38 @@ object Relational {
         min(col("o_totalprice")).as("min_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Gaps-and-islands interval coalescing: per supplier, merge the
+    * overlapping-or-touching shipment-activity intervals of its
+    * high-volume shipments into maximal covered spans (the interval end
+    * is a deterministic transit duration derived from the quantity —
+    * this lineitem has no receipt date column). A new island starts
+    * where an interval's start exceeds the running max of every earlier
+    * interval's end (ROWS frame to 1 PRECEDING); the island id is the
+    * running count of such starts. Both windows partition by supplier —
+    * per-group sorts, no global order; the rollup then reuses the same
+    * partitioning. The filter keeps interval counts per group small and
+    * pushes down to the scan.
+    */
+  def intervalIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d_start"), col("d_end"))
+    val prevMax = max(col("d_end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("d_start"),
+        expr("date_add(CAST(l_shipdate AS DATE), CAST(l_quantity AS INT) % 20 + 1)").as("d_end"))
+      .withColumn("new_island",
+        when(prevMax.isNull || col("d_start") > prevMax, 1L).otherwise(0L))
+      .withColumn("island_id",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("l_suppkey"), col("island_id"))
+      .agg(min(col("d_start")).as("island_start"),
+        max(col("d_end")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered_days",
+        (datediff(col("island_end"), col("island_start")) + 1).cast(LongType))
+      .orderBy(col("l_suppkey"), col("island_id"))
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -544,7 +576,8 @@ object Relational {
     "q46_order_gaps" -> (orderGaps _),
     "q47_arg_extremes" -> (argExtremes _),
     "q51_full_outer_join" -> (fullOuterJoin _),
-    "q52_windowed_distinct" -> (windowedDistinct _))
+    "q52_windowed_distinct" -> (windowedDistinct _),
+    "q58_interval_islands" -> (intervalIslands _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -800,5 +833,29 @@ object Relational {
         |SELECT event_type, day, n_new_users,
         |  CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_users_cum
-        |FROM per_day ORDER BY event_type, day""".stripMargin)
+        |FROM per_day ORDER BY event_type, day""".stripMargin,
+    "q58_interval_islands" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d_start,
+        |    CAST(l_shipdate AS DATE) + to_days(CAST(CAST(l_quantity AS INT) % 20 + 1 AS INT)) AS d_end
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |m AS (
+        |  SELECT l_suppkey, d_start, d_end,
+        |    CASE WHEN max(d_end) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR d_start > max(d_end) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |lab AS (
+        |  SELECT l_suppkey, d_start, d_end,
+        |    CAST(sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        |  FROM m)
+        |SELECT l_suppkey, island_id,
+        |  min(d_start) AS island_start, CAST(max(d_end) AS DATE) AS island_end,
+        |  count(*) AS n_intervals,
+        |  CAST(date_diff('day', min(d_start), CAST(max(d_end) AS DATE)) + 1 AS BIGINT) AS covered_days
+        |FROM lab GROUP BY l_suppkey, island_id
+        |ORDER BY l_suppkey, island_id""".stripMargin)
 }

@@ -78,10 +78,43 @@ object Sampling {
       .orderBy(col("split"), col("bin"))
   }
 
+  /** Domain-mixture rebalancing: sample the corpus down to `share` of its
+    * size with the budget spread EQUALLY across (lang, source) groups —
+    * the mixture-ratio control a pre-training data recipe applies (cap
+    * the over-represented crawl slices, keep all of the rare ones). Each
+    * group's quota is min(group size, ceil(total * share / n_groups));
+    * WHICH rows fill a quota is decided by ranking on the deterministic
+    * hash bucket then doc_id — a pure function of the key, stable across
+    * runs/engines/partitionings like every sampler here. The group stats
+    * are two tiny aggregates broadcast back onto the corpus; the rank is
+    * a per-group window — no global sort, scales with the widest group.
+    */
+  def mixtureRebalance(s: SparkSession, dir: String, share: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+    val groups = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_group"))
+    val totals = groups.agg(sum(col("n_group")).cast(LongType).as("n_total"),
+      count(lit(1)).as("n_groups"))
+    val quotas = groups.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_group"),
+        least(col("n_group"),
+          ceil(col("n_total").cast("double") * lit(share) / col("n_groups").cast("double"))
+            .cast(LongType)).as("quota"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(hashBucket(col("doc_id"), 1000000), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w).cast(LongType))
+      .join(broadcast(quotas.select(col("lang"), col("source"), col("quota"))),
+        Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quota"), col("rnk"),
+        (col("rnk") <= col("quota")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x40_hash_split" -> (hashSplit _),
     "x41_stratified_sample" -> (stratifiedSample _),
-    "x46_sequence_packing" -> ((s: SparkSession, dir: String) => sequencePacking(s, dir)))
+    "x46_sequence_packing" -> ((s: SparkSession, dir: String) => sequencePacking(s, dir)),
+    "x64_mixture_rebalance" -> ((s: SparkSession, dir: String) => mixtureRebalance(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "x40_hash_split" ->
@@ -116,5 +149,19 @@ object Sampling {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM m GROUP BY 1, 2 ORDER BY split, bin""".stripMargin)
+        |FROM m GROUP BY 1, 2 ORDER BY split, bin""".stripMargin,
+    "x64_mixture_rebalance" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_group FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_group) AS BIGINT) AS n_total, count(*) AS n_groups FROM g),
+        |q AS (SELECT lang, source,
+        |        least(n_group,
+        |          CAST(ceil(CAST(n_total AS DOUBLE) * 0.6 / CAST(n_groups AS DOUBLE)) AS BIGINT)) AS quota
+        |      FROM g, t),
+        |r AS (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY lang, source
+        |          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+        |                   doc_id) AS rnk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.source, q.quota, r.rnk, r.rnk <= q.quota AS keep
+        |FROM r JOIN q USING (lang, source) ORDER BY doc_id""".stripMargin)
 }

@@ -50,6 +50,31 @@ object EventStream {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * overlapping windows (the smoothing view a monitoring dashboard
+    * reads). Spark's `window(ts, size, slide)` expands the per-event
+    * window set map-side, then it's an ordinary hash-aggregate — state
+    * is bounded by (horizon / slide) windows per key under a watermark.
+    */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("n_users"))
+
+  /** Streaming variant (distinct users via in-window first-seen dedup —
+    * streaming aggregation cannot hold a COUNT(DISTINCT) buffer, so
+    * dedup-then-count is the streaming spelling).
+    */
+  def slidingCountsStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
   /** Session windows per user: activity separated by >= `gap` starts a
     * new session.
     */
@@ -153,6 +178,9 @@ object EventStream {
     "s01_tumbling_hourly" -> ((s: SparkSession, dir: String) =>
       hourlyStats(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
+    "s06_sliding_hourly" -> ((s: SparkSession, dir: String) =>
+      slidingStats(Tables(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
     "s02_session_windows" -> ((s: SparkSession, dir: String) =>
       sessionStats(Tables(s, dir, "events"))
         .orderBy(col("session_start"), col("user_id"))),
@@ -198,6 +226,17 @@ object EventStream {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // each event belongs to the 4 sliding windows whose starts are the
+    // last 4 quarter-hour boundaries at or before it — same epoch
+    // alignment as Spark's window(ts, '1 hour', '15 minutes')
+    "s06_sliding_hourly" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+        |    event_type, user_id
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, event_type,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
     "s02_session_windows" ->
       """WITH g AS (
         |  SELECT user_id, ts,

@@ -109,6 +109,31 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(topk.head.getAs[Double]("jaccard") - best) < 1e-12)
   }
 
+  test("containmentTopk matches brute force and dominates Jaccard") {
+    val exactContainment: Map[(Long, Long), Double] = {
+      val docs = Dedup.docShingles(spark, Sf)
+      docs.as("a").crossJoin(docs.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+            least(size(col("a.shingles")), size(col("b.shingles"))).cast("double"))
+            .as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    }
+    val topk = Dedup.containmentTopk(spark, Sf).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(math.abs(r.getAs[Double]("containment") - exactContainment(key)) < 1e-12)
+      // min(|A|,|B|) <= |A union B|, so containment >= jaccard always
+      assert(r.getAs[Double]("containment") >= exactPairs(key) - 1e-12)
+    }
+    // the maximum containment cannot be lost to the df cut
+    assert(math.abs(topk.head.getAs[Double]("containment") - exactContainment.values.max) < 1e-12)
+  }
+
   test("relational simhashSketch equals the expression-form simhash64") {
     val rel = Dedup.simhashSketch(spark, Sf)
     val expr = graft.engine.Tables(spark, Sf, "documents")

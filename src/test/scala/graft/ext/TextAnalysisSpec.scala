@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts for the corpus-scoring operators whose oracle twins only
+  * check end-to-end equality: the quality gate's percentile semantics and
+  * the novelty score's global consistency.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("lmQualityFilter drops exactly the bottom quartile per language") {
+    val rows = TextAnalysis.lmQualityFilter(spark, Sf)
+      .select("lang", "avg_p", "pct_rank", "keep").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      val n = grp.length
+      val dropped = grp.filterNot(_.getBoolean(3))
+      // dropped = ranks r in 1..n with (r-1)/(n-1) < 0.25
+      val expectedDropped =
+        if (n == 1) 0 else (1 to n).count(r => (r - 1).toDouble / (n - 1) < 0.25)
+      assert(dropped.length == expectedDropped, s"n=$n dropped=${dropped.length}")
+      // order property: every kept doc scores at least every dropped doc
+      if (dropped.nonEmpty) {
+        val worstKept = grp.filter(_.getBoolean(3)).map(_.getDouble(1)).min
+        assert(dropped.map(_.getDouble(1)).max <= worstKept)
+      }
+    }
+  }
+
+  test("bigramNovelty sums to the global df=1 bigram count") {
+    val got = TextAnalysis.bigramNovelty(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val distinct = r.getAs[Long]("n_bigrams_distinct")
+      val novel = r.getAs[Long]("n_novel")
+      val ratio = r.getAs[Double]("novelty_ratio")
+      assert(novel >= 0 && novel <= distinct)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // independent spelling: explode token pairs via the array transform,
+    // count bigrams whose corpus document frequency is exactly 1
+    val docs = graft.engine.Tables(spark, Sf, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))))
+        .as("bg"))
+    val dfOne = docs.groupBy("bg").count().filter(col("count") === 1).count()
+    assert(got.map(_.getAs[Long]("n_novel")).sum == dfOne)
+  }
+}

@@ -38,6 +38,28 @@ class SamplingSpec extends SparkSpec {
     assert(kept.nonEmpty)
   }
 
+  test("mixtureRebalance fills each group quota exactly and deterministically") {
+    val rows = Sampling.mixtureRebalance(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val groups = rows.groupBy(r => (r.getString(1), r.getString(2)))
+    val nGroups = groups.size
+    val total = rows.length
+    val budgetPerGroup = math.ceil(total.toDouble * 0.6 / nGroups).toLong
+    groups.foreach { case (_, grp) =>
+      val quota = grp.head.getAs[Long]("quota")
+      assert(quota == math.min(grp.length.toLong, budgetPerGroup))
+      assert(grp.count(_.getAs[Boolean]("keep")) == quota,
+        "kept rows per group must equal the quota")
+      // within a group, kept rows are exactly the lowest-ranked ones
+      val keptRanks = grp.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("rnk")).sorted
+      assert(keptRanks.sameElements(1L to quota))
+    }
+    // pure function of the key: a second run keeps the identical doc set
+    val again = Sampling.mixtureRebalance(spark, Sf).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    assert(again == rows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet)
+  }
+
   test("salted enrich join equals the plain join row-for-row") {
     val salted = Skew.saltedEnrichJoin(spark, Sf).collect().toSeq
     val ev = graft.engine.Tables(spark, Sf, "events")

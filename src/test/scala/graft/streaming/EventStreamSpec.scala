@@ -46,6 +46,49 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked sliding windows emit all four slides per event") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.slidingCountsStream(df)
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 3.0),
+        (ts("2024-01-01 11:10:00"), "view", 2.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark; all earlier windows close
+      in.addData((ts("2024-01-01 15:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val expected = Set(
+        (ts("2024-01-01 09:15:00"), "click", 1L),
+        (ts("2024-01-01 09:30:00"), "click", 1L),
+        (ts("2024-01-01 09:45:00"), "click", 2L),
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 10:15:00"), "click", 1L),
+        (ts("2024-01-01 10:30:00"), "click", 1L),
+        (ts("2024-01-01 10:15:00"), "view", 1L),
+        (ts("2024-01-01 10:30:00"), "view", 1L),
+        (ts("2024-01-01 10:45:00"), "view", 1L),
+        (ts("2024-01-01 11:00:00"), "view", 1L))
+      assert(got == expected, s"got $got")
+      // batch spelling agrees on the same closed windows
+      val batch = EventStream.slidingStats(
+        Seq((ts("2024-01-01 10:05:00"), "click", 1.0),
+          (ts("2024-01-01 10:40:00"), "click", 3.0),
+          (ts("2024-01-01 11:10:00"), "view", 2.0))
+          .toDF("ts", "event_type", "value").withColumn("user_id", lit(1L)))
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch == expected)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates collapses repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
