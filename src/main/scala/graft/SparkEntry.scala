@@ -36,6 +36,6 @@ object SparkEntry {
       ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
       ops.DataQuality.oracles ++ ops.ZOrder.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
-      ext.Corpus.oracles ++
+      ext.Corpus.oracles ++ ext.Multimodal.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles
 }

@@ -95,11 +95,33 @@ object Multimodal {
       }
   }
 
+  /** Exact media dedup: group payloads by their binary md5 — the
+    * asset-level dedup pass a multimodal corpus runs before any decode
+    * (duplicate images/clips are the norm in web crawls, and hashing
+    * skips the expensive lane entirely). One shuffle on the 128-bit
+    * digest; payload bytes never leave the map side — only (id, md5)
+    * rides the exchange. Unlike the decode stub this IS oracle-checkable:
+    * the digest of the payload bytes is engine-independent.
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMd5 = Window.partitionBy(col("payload_md5"))
+    mediaTable(s, dir)
+      .select(col("media_id"), col("kind"),
+        md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("n_copies", count(lit(1)).over(byMd5))
+      .withColumn("canonical_media_id", min(col("media_id")).over(byMd5))
+      .withColumn("is_canonical", col("media_id") === col("canonical_media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** Rows-only driver queries (binary payloads and the stubbed decode
     * have no DuckDB twin); MultimodalSpec pins determinism and
     * partitioning invariance.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x66_media_dedup" -> (mediaDedup _),
     "x30_media_features" -> ((s: SparkSession, dir: String) =>
       // feature vector rides as a scalar checksum: the driver's pandas
       // compare cannot sort list columns, and the stub vector itself is
@@ -114,4 +136,19 @@ object Multimodal {
       frameSample(s, dir).toDF()
         .select(col("media_id"), col("frame_no"), length(col("frame_bytes")).as("frame_len"))
         .orderBy(col("media_id"), col("frame_no"))))
+
+  /** x66's payload is the documents' UTF-8 bytes, so DuckDB's md5 of the
+    * VARCHAR (it hashes the UTF-8 encoding) and strlen (byte length)
+    * reproduce the Spark-side binary digest and length exactly.
+    */
+  val oracles: Map[String, String] = Map(
+    "x66_media_dedup" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  md5(text) AS payload_md5,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_media_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents ORDER BY media_id""".stripMargin)
 }
