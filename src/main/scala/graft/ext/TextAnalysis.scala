@@ -391,6 +391,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-length histogram in power-of-two buckets with cumulative
+    * document share — the length-distribution report sequence packing
+    * and curriculum schedules are provisioned from. The bucket is
+    * floor(log2(n_tokens)) computed EXACTLY as `length(bin(n)) - 1`
+    * (binary-string length): float log2 rounds 2^k to k-epsilon on one
+    * engine and not the other, so the bit spelling is the only
+    * hash-gateable one. One projection + one tiny aggregate.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = t(s, dir, "documents")
+      .select((length(bin(size(wsTokens(col("text"))).cast(LongType))) - 1)
+        .cast(LongType).as("bucket"),
+        size(wsTokens(col("text"))).cast(LongType).as("n_tokens"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        (col("cum_docs").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Collocation extraction: top-k bigrams by pointwise lift
+    * P(w1 w2) / (P(w1) P(w2)) = c2·N1² / (N2·c1(w1)·c1(w2)) over pairs
+    * seen at least `minCount` times. The ranking needs no logarithm
+    * (lift order = PMI order), and the double arithmetic multiplies the
+    * exact counts in a pinned association order so both engines produce
+    * the identical IEEE value. Corpus totals ride a lazy 1-row broadcast
+    * cross join, never a collect.
+    */
+  def pmiTopk(s: SparkSession, dir: String, minCount: Int = 5, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ngrams = ColumnBridge.column(
+      graft.functions.WordNGrams(ColumnBridge.expression(lower(col("text"))), 2))
+    val bi = t(s, dir, "documents")
+      .select(ngrams)
+      .select(substring_index(col("ngram"), " ", 1).as("w1"),
+        substring_index(col("ngram"), " ", -1).as("w2"))
+    val uni = t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).cast(LongType).as("n1"))
+      .crossJoin(bi.groupBy().agg(count(lit(1)).as("n2")))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("c_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (col("n_pair").cast(DoubleType) * col("n1").cast(DoubleType) * col("n1").cast(DoubleType)
+          / (col("n2").cast(DoubleType) * col("c_w1").cast(DoubleType) * col("c_w2").cast(DoubleType)))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** The full preprocessing run a pre-training corpus goes through,
     * composed from individually-verified legs: exact-dedup to canonical
     * copies, quality-gate, keep English, assign deterministic
@@ -417,7 +477,9 @@ object TextAnalysis {
     "x49_stem_vocab" -> ((s: SparkSession, dir: String) => stemVocabTopk(s, dir)),
     "x54_bigram_lm" -> (bigramLmScore _),
     "x63_lm_quality_filter" -> (lmQualityFilter _),
-    "x65_bigram_novelty" -> (bigramNovelty _))
+    "x65_bigram_novelty" -> (bigramNovelty _),
+    "x67_length_histogram" -> (lengthHistogram _),
+    "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -587,6 +649,40 @@ object TextAnalysis {
         |    / CAST(count(*) AS DOUBLE) AS novelty_ratio
         |FROM inv JOIN dfc USING (ngram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
+    // x67: floor(log2) via binary-string length — float log2 is not
+    // cross-engine exact at powers of two
+    ("x67_length_histogram" ->
+      """WITH d AS (
+        |  SELECT CAST(length(bin(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))) - 1 AS BIGINT) AS bucket,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |      FROM d GROUP BY bucket),
+        |t AS (SELECT count(*) AS n_total FROM d)
+        |SELECT bucket, n_docs, total_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE) AS cum_share
+        |FROM h, t ORDER BY bucket""".stripMargin) +
+    ("x68_pmi_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |uni AS (SELECT w AS wu, count(*) AS c1 FROM toks GROUP BY w),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM toks),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM bi),
+        |big AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2)
+        |SELECT w1, w2, n_pair,
+        |  (CAST(n_pair AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        |    / (CAST(n2 AS DOUBLE) * CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)) AS lift
+        |FROM big JOIN uni a ON a.wu = w1 JOIN uni b ON b.wu = w2, n1, n2
+        |WHERE n_pair >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin) +
     ("x45_corpus_pipeline" ->
       (s"WITH kept AS (SELECT doc_id, q.n_tokens" +
         s" FROM (${baseOracles("x02_quality_score")}) q" +

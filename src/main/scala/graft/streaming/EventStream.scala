@@ -108,6 +108,62 @@ object EventStream {
       }
   }
 
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Session close via event-time TIMEOUT (the custom-state counterpart
+    * of `session_window`): per-user state accumulates start/end/count
+    * across micro-batches and registers a timeout at last-event + gap;
+    * when the WATERMARK passes that point the state times out and the
+    * CLOSED session is emitted exactly once — the emit-on-close contract
+    * downstream consumers (billing, abuse scoring) need, which the
+    * windowed aggregate's append output gives per window, not per
+    * session decision point. State is one small row per ACTIVE user —
+    * bounded by the watermark horizon, the property that lets this run
+    * forever at any user cardinality.
+    */
+  def timeoutSessions(events: Dataset[UserEvent],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMillis = gapMinutes * 60000L
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClosedSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[ClosedSession]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // fold this batch's events in event-time order, CLOSING the
+            // running session whenever the next event starts past the
+            // gap — a batch can span several sessions and must not lump
+            // them (the watermark timeout only closes the idle tail)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              cur = cur match {
+                case Some(c) if e.ts.getTime > c.session_end.getTime + gapMillis =>
+                  closed += c
+                  Some(ClosedSession(uid, e.ts, e.ts, 1L))
+                case Some(c) =>
+                  Some(ClosedSession(uid, c.session_start,
+                    new java.sql.Timestamp(math.max(c.session_end.getTime, e.ts.getTime)),
+                    c.n_events + 1))
+                case None => Some(ClosedSession(uid, e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.session_end.getTime + gapMillis)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: each micro-batch left-joins the broadcast
     * dimension — the streaming analog of the star schema's dim joins
     * (the static side re-resolves per batch, so a refreshed dim table is

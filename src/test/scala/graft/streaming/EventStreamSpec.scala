@@ -89,6 +89,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout sessions close on watermark and split in-batch gaps") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.timeoutSessions(in.toDS())
+      .writeStream.format("memory").queryName("tsessions").outputMode("append").start()
+    try {
+      // one batch containing TWO sessions for user 1 (gap > 30 min):
+      // the first must close immediately from the in-batch fold
+      in.addData(
+        EventStream.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStream.UserEvent(1L, ts("2024-01-01 10:10:00"), 2.0),
+        EventStream.UserEvent(1L, ts("2024-01-01 12:00:00"), 3.0),
+        EventStream.UserEvent(2L, ts("2024-01-01 12:05:00"), 4.0))
+      q.processAllAvailable()
+      val afterBatch = spark.table("tsessions").as[EventStream.ClosedSession].collect().toSet
+      assert(afterBatch == Set(
+        EventStream.ClosedSession(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+      // advancing the watermark past 12:00/12:05 + gap times out the
+      // remaining state; both idle sessions close exactly once
+      in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:00:00"), 5.0))
+      q.processAllAvailable()
+      in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:01:00"), 6.0))
+      q.processAllAvailable()
+      val closed = spark.table("tsessions").as[EventStream.ClosedSession].collect().toSet
+      assert(closed.contains(
+        EventStream.ClosedSession(1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
+      assert(closed.contains(
+        EventStream.ClosedSession(2L, ts("2024-01-01 12:05:00"), ts("2024-01-01 12:05:00"), 1L)))
+      assert(closed.count(_.user_id == 1L) == 2, "each session closes exactly once")
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates collapses repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
