@@ -511,7 +511,29 @@ object Similarity {
         (col("sx") / col("n").cast(DoubleType)).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Class-balance report over the labeled embeddings: per-label counts
+    * and shares plus the corpus Gini impurity 1 - Σ pᵢ² — the imbalance
+    * screen a training run checks before weighting/resampling decides
+    * anything. Entropy needs a logarithm (not cross-engine exact); Gini
+    * is a ratio of exact BIGINT sums — Σcᵢ² / N² — so it hash-gates.
+    * One tiny aggregate + a broadcast total.
+    */
+  def labelBalance(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+    val totals = counts.agg(
+      sum(col("n_vectors")).cast("long").as("n_total"),
+      sum(col("n_vectors") * col("n_vectors")).cast("long").as("sum_sq"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("label"), col("n_vectors"),
+        (col("n_vectors").cast(DoubleType) / col("n_total").cast(DoubleType)).as("share"),
+        (lit(1.0) - col("sum_sq").cast(DoubleType)
+          / (col("n_total") * col("n_total")).cast(DoubleType)).as("gini_impurity"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_label_balance" -> (labelBalance _),
     "x42_label_centroids" -> (labelCentroids _),
     "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)),
     "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
@@ -529,6 +551,14 @@ object Similarity {
     * compare equal bitwise. x21 is approximate: rows-only check.
     */
   val oracles: Map[String, String] = Map(
+    "x69_label_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label),
+        |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+        |             CAST(sum(n_vectors * n_vectors) AS BIGINT) AS sum_sq FROM c)
+        |SELECT label, n_vectors,
+        |  CAST(n_vectors AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS gini_impurity
+        |FROM c, t ORDER BY label""".stripMargin,
     "x42_label_centroids" ->
       """WITH e AS (
         |  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x

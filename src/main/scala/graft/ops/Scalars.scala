@@ -215,7 +215,29 @@ object Scalars {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Period-over-period reporting: daily event counts per type with the
+    * previous day's count, absolute delta, and percent change — the
+    * lag-compare every metrics dashboard runs. pct_change divides two
+    * exact BIGINTs once, so the doubles hash-gate; days with no previous
+    * observation report NULL (not 0 — absence isn't zero change). One
+    * aggregate + one per-type window.
+    */
+  def periodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_events", lag(col("n_events"), 1).over(w))
+      .select(col("event_type"), col("day"), col("n_events"), col("prev_events"),
+        (col("n_events") - col("prev_events")).as("delta"),
+        ((col("n_events") - col("prev_events")).cast(DoubleType)
+          / col("prev_events").cast(DoubleType)).as("pct_change"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_period_over_period" -> (periodOverPeriod _),
     "q53_funnel" -> (funnelStages _),
     "q56_corr_moments" -> (corrMoments _),
     "q57_resample_ffill" -> (resampleFfill _),
@@ -229,6 +251,18 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q59_period_over_period" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, n_events,
+        |    lag(n_events) OVER (PARTITION BY event_type ORDER BY day) AS prev_events
+        |  FROM d)
+        |SELECT event_type, day, n_events, prev_events,
+        |  n_events - prev_events AS delta,
+        |  CAST(n_events - prev_events AS DOUBLE) / CAST(prev_events AS DOUBLE) AS pct_change
+        |FROM l ORDER BY event_type, day""".stripMargin,
     "q56_corr_moments" ->
       """WITH e AS (
         |  SELECT event_type,
