@@ -31,7 +31,13 @@ final case class PipelineConfig(
       * reference does via MinIO, instead of handing DataFrames across
       * directly.
       */
-    csvEdge: Boolean = false)
+    csvEdge: Boolean = false,
+    /** O3: per-table load attempts (the reference's `retries: 1` means
+      * 2 attempts total) and the on_failure_callback analog, fired once
+      * when a table exhausts its attempts.
+      */
+    loadAttempts: Int = 2,
+    onFailure: graft.engine.Reliability.Attempt => Unit = _ => ())
 
 object Pipeline {
 
@@ -60,7 +66,12 @@ object Pipeline {
         try {
           val rows = pinned.count()
           if (rows == 0) Incremental.SkippedEmpty
-          else {
+          else graft.engine.Reliability.withRetry(
+            s"load:$table", maxAttempts = cfg.loadAttempts, baseDelayMs = 50,
+            onAlert = cfg.onFailure) {
+            // retry-safe by construction: the idempotent day-partition
+            // overwrite (S6) / truncate-load (S7) make a second attempt
+            // land on clean state, never a double append
             val loaded =
               if (cfg.csvEdge) {
                 // the reference's MinIO hop: extract writes CSV, load
