@@ -74,6 +74,22 @@ object Sources {
       .schema(schema)
       .json(path)
 
+  /** Salvage-mode JSONL read: real corpus drops are never 100% clean, and
+    * a single truncated line must not kill a 100 TB ingest (FAILFAST)
+    * or silently vanish (DROPMALFORMED). PERMISSIVE mode parses what it
+    * can and lands each malformed line's raw text in `_corrupt_record`,
+    * so the caller splits the result into a clean lane and a quarantine
+    * lane — count the quarantine, alert on its rate, reprocess later.
+    * Same declared-schema discipline as `readJsonl`.
+    */
+  def readJsonlSalvage(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .json(path)
+
   /** Schema-aligned read over evolving parquet: every incremental append
     * era wrote whatever columns existed then; the read presents ONE
     * target schema — missing columns become typed NULLs, present ones

@@ -114,6 +114,25 @@ class SinksSpec extends SparkSpec {
       "micro-precision timestamps must re-parse bit-identically")
   }
 
+  test("salvage JSONL read quarantines malformed lines, parses the rest") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "mixed.jsonl"),
+      java.util.Arrays.asList(
+        """{"k": 1, "v": "good"}""",
+        """{"k": 2, "v": "also good"}""",
+        """{"k": 3, "v": "truncat""", // malformed: cut mid-string
+        """not json at all"""))
+    val got = Sources.readJsonlSalvage(spark, schema, s"$dir/mixed.jsonl")
+    val clean = got.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(clean == Map(1 -> "good", 2 -> "also good"))
+    val quarantined = got
+      .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .collect().map(_.getAs[String]("_corrupt_record"))
+    assert(quarantined.length == 2, "both bad lines land in quarantine with raw text")
+    assert(quarantined.exists(_.contains("not json at all")))
+  }
+
   test("ORC round-trip preserves timestamps, doubles and text exactly") {
     val dir = tmpDir()
     val ev = Tables(spark, Sf, "events").limit(500)
