@@ -540,6 +540,27 @@ object Relational {
       .orderBy(col("l_suppkey"), col("island_id"))
   }
 
+  /** Wide-to-long unpivot (the inverse of q36's pivot): one metrics row
+    * per (group, measure) from a wide per-group aggregate — `unpivot` is
+    * a zero-shuffle Expand over the already-aggregated (tiny) frame, so
+    * the cost is the upstream aggregate alone. Measures are cast to
+    * DOUBLE before melting (unpivot requires one value type; the decimal
+    * sums go through the standard exact-then-double discipline).
+    */
+  def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        count(lit(1)).cast(DoubleType).as("n_items"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -577,7 +598,8 @@ object Relational {
     "q47_arg_extremes" -> (argExtremes _),
     "q51_full_outer_join" -> (fullOuterJoin _),
     "q52_windowed_distinct" -> (windowedDistinct _),
-    "q58_interval_islands" -> (intervalIslands _))
+    "q58_interval_islands" -> (intervalIslands _),
+    "q60_unpivot_long" -> (unpivotLong _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -857,5 +879,18 @@ object Relational {
         |  count(*) AS n_intervals,
         |  CAST(date_diff('day', min(d_start), CAST(max(d_end) AS DATE)) + 1 AS BIGINT) AS covered_days
         |FROM lab GROUP BY l_suppkey, island_id
-        |ORDER BY l_suppkey, island_id""".stripMargin)
+        |ORDER BY l_suppkey, island_id""".stripMargin,
+    // the UNION ALL spelling is the engine-portable unpivot twin
+    "q60_unpivot_long" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL SELECT l_returnflag, 'n_items', n_items FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin)
 }

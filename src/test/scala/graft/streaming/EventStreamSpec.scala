@@ -122,6 +122,55 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamObserver records per-batch progress and flags slow batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val slow = scala.collection.mutable.ListBuffer.empty[StreamObserver.BatchProgress]
+    val obs = new StreamObserver(spark, slowBatchMs = -1, onSlowBatch = slow += _).attach()
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = in.toDF().toDF("ts", "event_type", "value")
+      .writeStream.format("memory").queryName("observed").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 10:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:02:00"), "click", 3.0))
+      q.processAllAvailable()
+      // listener delivery is async; wait for the data-carrying batches
+      val deadline = System.currentTimeMillis() + 30000
+      def recorded() = obs.progress()
+        .filter(col("query") === "observed" && col("input_rows") > 0).collect()
+      while (recorded().map(_.getAs[Long]("input_rows")).sum < 3
+        && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val rows = recorded()
+      assert(rows.map(_.getAs[Long]("input_rows")).sum == 3,
+        s"all input rows accounted in progress, got ${rows.mkString(",")}")
+      // every batch exceeds the -1 ms budget -> the alert hook saw them all
+      assert(slow.synchronized(slow.count(r => r.query == "observed" && r.input_rows > 0)) >= 2)
+    } finally { q.stop(); obs.detach() }
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replays inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = df.writeStream.format("memory").queryName("wmdedup").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // replay with a slightly different ts (the at-least-once reality
+      // dropDuplicatesWithinWatermark exists for) plus a fresh event
+      in.addData((1L, ts("2024-01-01 10:05:00"), "click"),
+        (2L, ts("2024-01-01 10:06:00"), "view"))
+      q.processAllAvailable()
+      val ids = spark.table("wmdedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)), s"replayed id must emit once, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates collapses repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
