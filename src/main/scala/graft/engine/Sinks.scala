@@ -43,6 +43,22 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** S6 for one KNOWN day, written directly into that day's partition
+    * directory (`path/p_date=<ds>/`) as a self-contained write job —
+    * the same delete-window+insert contract as `overwriteDayPartitions`,
+    * restricted to `ds`. The point is CONCURRENCY: a dynamic-overwrite
+    * job stages under the table root's shared `_temporary`, so two
+    * concurrent days on one table can clobber each other's in-flight
+    * task output; here each (table, day) job's root IS the partition
+    * directory, staging dirs are disjoint, and distinct days are safe
+    * to write in parallel. Readers see the identical layout (partition
+    * discovery infers `p_date` from the directory name).
+    */
+  def overwriteSingleDayPartition(df: DataFrame, tsCol: String, ds: String,
+      path: String): Unit =
+    df.filter(to_date(col(tsCol)) === lit(ds).cast("date"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/p_date=$ds")
+
   /** S9: keyed upsert (the PK map the reference declares in
     * `start.sh:24-33`): source rows win on key collision, target rows
     * without a colliding key survive. Returns the merged row count.

@@ -77,10 +77,15 @@ object Sources {
   /** Salvage-mode JSONL read: real corpus drops are never 100% clean, and
     * a single truncated line must not kill a 100 TB ingest (FAILFAST)
     * or silently vanish (DROPMALFORMED). PERMISSIVE mode parses what it
-    * can and lands each malformed line's raw text in `_corrupt_record`,
-    * so the caller splits the result into a clean lane and a quarantine
-    * lane — count the quarantine, alert on its rate, reprocess later.
-    * Same declared-schema discipline as `readJsonl`.
+    * can and lands each malformed line's raw text in `_corrupt_record`.
+    *
+    * CAVEAT (Spark ≥ 2.3): a query over this frame whose referenced
+    * columns are ONLY the internal corrupt-record column (e.g.
+    * `df.filter($"_corrupt_record".isNotNull).count()`) raises
+    * AnalysisException unless the frame is cached first — the JSON scan
+    * won't re-parse a file just to report what it could not parse.
+    * Callers wanting the quarantine-rate workflow should use
+    * `readJsonlSplit`, which never hits the restriction.
     */
   def readJsonlSalvage(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read
@@ -89,6 +94,34 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .json(path)
+
+  /** Salvage-mode JSONL read, pre-split into (clean, quarantine) lanes so
+    * callers never issue a corrupt-column-only query (the
+    * `readJsonlSalvage` caveat). The file is scanned as TEXT and parsed
+    * with `from_json` — a per-line expression, exempt from the file
+    * source's corrupt-record restriction — so `quarantine.count()` /
+    * rate alerts work directly, with no cache and no second parse pass.
+    * Blank lines are dropped (the text source sees them; the JSON file
+    * source would skip them). Clean lane carries exactly `schema`;
+    * quarantine carries the raw line as `_corrupt_record`.
+    */
+  def readJsonlSplit(spark: SparkSession, schema: StructType,
+      path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json, length, trim}
+    val opts = Map(
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"), withCorrupt, opts).as("r"))
+    val clean = parsed.filter(col("r._corrupt_record").isNull)
+      .select(schema.fieldNames.toSeq.map(n => col(s"r.`$n`").as(n)): _*)
+    val quarantine = parsed.filter(col("r._corrupt_record").isNotNull)
+      .select(col("value").as("_corrupt_record"))
+    (clean, quarantine)
+  }
 
   /** Schema-aligned read over evolving parquet: every incremental append
     * era wrote whatever columns existed then; the read presents ONE

@@ -171,17 +171,28 @@ object Dedup {
     * (df in [2, maxDf]) shingles; the cap at each doc's own rare-shingle
     * count keeps short docs eligible.
     */
-  private def dfCutCandidates(posts: DataFrame, maxDf: Int, minCommon: Int): DataFrame = {
-    // single shuffle on the shingle hash; the df cut and the pair
-    // expansion happen inside each group, so a hot shingle never
-    // materializes its quadratic pair set
-    val rareIdx = posts.groupBy(col("h"))
+  private[ext] def dfCutCandidates(posts: DataFrame, maxDf: Int, minCommon: Int): DataFrame = {
+    // Two-pass df cut. Pass 1 computes document frequency per shingle with
+    // a COUNT aggregate — one long of state per group no matter how hot the
+    // shingle is. A one-pass collect_list-then-filter spelling would build
+    // the full doc-id list for corpus-wide shingles ("one of the") before
+    // dropping them: an aggregation buffer proportional to corpus size,
+    // i.e. a straggler/OOM at 10^9 docs. Counting first keeps every
+    // aggregation buffer O(1) and every collect_list below bounded by
+    // maxDf ids.
+    val rareHashes = posts.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    // Pass 2: restrict postings to rare shingles (semi-join on h, same key
+    // as pass 1's shuffle so the partitioning is reused), THEN build the
+    // per-shingle doc lists — each list now holds at most maxDf ids.
+    val rarePosts = posts.join(rareHashes, Seq("h"), "left_semi")
+    val rareIdx = rarePosts.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
     // per-doc count of rare (df in [2, maxDf]) shingles — the cap that
     // keeps short docs eligible
-    val rareCounts = rareIdx
-      .select(explode(col("ids")).as("doc_id"))
+    val rareCounts = rarePosts
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
     val pairs = rareIdx
       .select(explode(pairsOfSorted(col("ids"))).as("p"))
@@ -189,6 +200,30 @@ object Dedup {
     // candidate = shares >= least(minCommon, n_rare(a), n_rare(b)) rare
     // shingles. The same groupBy dedups pair rows; the count prunes the
     // long tail of one-shared-phrase pairs before exact verification.
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_rare_common"))
+      .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nr_a")), "doc_a")
+      .join(rareCounts.select(col("doc_id").as("doc_b"), col("n_rare").as("nr_b")), "doc_b")
+      .filter(col("n_rare_common") >= least(lit(minCommon), col("nr_a"), col("nr_b")))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** The round-6 one-pass spelling of `dfCutCandidates` — collect the full
+    * doc list per shingle, then filter by list size. Identical output, but
+    * its aggregation state is unbounded on corpus-wide shingles, so it is
+    * NOT the at-scale plan. Kept as the independent reference DedupSpec
+    * proves the two-pass candidate generation against.
+    */
+  private[ext] def onePassDfCutCandidates(posts: DataFrame, maxDf: Int, minCommon: Int): DataFrame = {
+    val rareIdx = posts.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val rareCounts = rareIdx
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val pairs = rareIdx
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
     pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_rare_common"))
       .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nr_a")), "doc_a")

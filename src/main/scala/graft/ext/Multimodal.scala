@@ -28,7 +28,7 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int)
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      features: Array[Float])
+      features: Array[Float], feature_digest: String)
 
   final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
@@ -48,32 +48,53 @@ object Multimodal {
         (pmod(col("doc_id"), lit(4)) * 90 + lit(180)).cast(IntegerType).as("height"),
         lit(16000).as("sample_rate"))
 
-  /** STUB — stands in for the real image/audio decoder (no codec libs in
-    * this container). Deterministic: folds payload bytes into a
-    * fixed-width float vector, L2-normalized. A real implementation
-    * would decode pixels/samples and run the same signature.
+  /** STUB core — stands in for the real image/audio decoder (no codec
+    * libs in this container). Folds payload bytes into `dim` EXACT
+    * integer slot sums (slot j = Σ of bytes at positions ≡ j mod dim) —
+    * integer accumulation, so the result is bit-reproducible by any
+    * engine that can see the same bytes, which is what lets the x30
+    * driver query hash-gate against a DuckDB twin.
     */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
+  def decodeSums(payload: Array[Byte], dim: Int): Array[Long] = {
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      acc(i % dim) += (payload(i) & 0xff) / 255.0f
+      acc(i % dim) += (payload(i) & 0xff).toLong
       i += 1
     }
-    val norm = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)).toFloat
-    if (norm == 0f) acc else acc.map(_ / norm)
+    acc
+  }
+
+  /** STUB — the float feature vector a real decoder would emit: the slot
+    * sums scaled to [0, ·] and L2-normalized. A real implementation would
+    * decode pixels/samples and run the same signature.
+    */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val sums = decodeSums(payload, dim)
+    val scaled = sums.map(_.toDouble / 255.0)
+    val norm = math.sqrt(scaled.foldLeft(0.0)((s, v) => s + v * v))
+    if (norm == 0.0) new Array[Float](dim)
+    else scaled.map(v => (v / norm).toFloat)
   }
 
   /** decode + featurize as one iterator-to-iterator pass: batch-shaped
     * (no per-row driver calls, no shuffle), payload bytes never leave
-    * the input partition.
+    * the input partition. `feature_digest` is the md5 of the
+    * comma-joined exact slot sums — the quantized-feature checksum that
+    * gives the float lane an engine-independent scalar witness (the x66
+    * trick): a broken decode changes the sums, the digest, and the
+    * driver hash.
     */
   def mediaFeatures(s: SparkSession, dir: String, dim: Int = 16): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
+        val sums = decodeSums(r.payload, dim)
+        val digest = md.digest(sums.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          decodeStub(r.payload, dim))
+          decodeStub(r.payload, dim), digest)
       }
     }
   }
@@ -116,30 +137,33 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** Rows-only driver queries (binary payloads and the stubbed decode
-    * have no DuckDB twin); MultimodalSpec pins determinism and
-    * partitioning invariance.
+  /** Driver queries. The float vectors and raw frame bytes cannot ride
+    * the driver compare (pandas cannot sort list/binary columns), so each
+    * row carries scalar witnesses instead — and those ARE hash-gateable:
+    * x30's feature digest is exact integer math over the payload bytes,
+    * x31's frame geometry is arithmetic over the byte length.
+    * MultimodalSpec pins determinism and partitioning invariance of the
+    * full-width lanes.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x66_media_dedup" -> (mediaDedup _),
     "x30_media_features" -> ((s: SparkSession, dir: String) =>
-      // feature vector rides as a scalar checksum: the driver's pandas
-      // compare cannot sort list columns, and the stub vector itself is
-      // covered by MultimodalSpec's determinism assertions
       mediaFeatures(s, dir).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(expr(
-            "aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"),
-            6).as("feature_checksum"))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("feature_digest"))
         .orderBy(col("media_id"))),
     "x31_frame_sample" -> ((s: SparkSession, dir: String) =>
       frameSample(s, dir).toDF()
         .select(col("media_id"), col("frame_no"), length(col("frame_bytes")).as("frame_len"))
         .orderBy(col("media_id"), col("frame_no"))))
 
-  /** x66's payload is the documents' UTF-8 bytes, so DuckDB's md5 of the
-    * VARCHAR (it hashes the UTF-8 encoding) and strlen (byte length)
-    * reproduce the Spark-side binary digest and length exactly.
+  /** The synthetic payload is the documents' UTF-8 bytes, so DuckDB can
+    * reproduce every scalar witness exactly: md5/strlen of the VARCHAR
+    * hash/measure the same bytes (x66); `hex(encode(text))` exposes the
+    * payload bytes themselves, so the x30 slot sums are the same integer
+    * arithmetic Spark runs in `decodeSums` (slot j = Σ bytes at positions
+    * ≡ j mod 16, digest = md5 of the comma-joined sums); x31's frame
+    * rows are pure arithmetic over the byte length (video docs, frame
+    * numbers 0, 4, 8, … below bytelen/256).
     */
   val oracles: Map[String, String] = Map(
     "x66_media_dedup" ->
@@ -150,5 +174,34 @@ object Multimodal {
         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_media_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "x30_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |slots AS (SELECT doc_id, s.slot FROM b, generate_series(0, 15) AS s(slot)),
+        |bytes AS (
+        |  SELECT doc_id, i % 16 AS slot,
+        |    CAST(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS INTEGER) AS v
+        |  FROM (SELECT doc_id, hx, unnest(generate_series(0, n - 1)) AS i FROM b)),
+        |sums AS (
+        |  SELECT slots.doc_id, slots.slot,
+        |    CAST(coalesce(sum(bytes.v), 0) AS BIGINT) AS v
+        |  FROM slots LEFT JOIN bytes
+        |    ON bytes.doc_id = slots.doc_id AND bytes.slot = slots.slot
+        |  GROUP BY slots.doc_id, slots.slot),
+        |d AS (
+        |  SELECT doc_id,
+        |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY slot)) AS feature_digest
+        |  FROM sums GROUP BY doc_id)
+        |SELECT b.doc_id AS media_id,
+        |  CASE CAST(b.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  b.n AS n_bytes, d.feature_digest
+        |FROM b JOIN d ON d.doc_id = b.doc_id ORDER BY media_id""".stripMargin,
+    "x31_frame_sample" ->
+      """SELECT media_id, CAST(f AS INT) AS frame_no, CAST(256 AS INT) AS frame_len
+        |FROM (SELECT doc_id AS media_id,
+        |        unnest(generate_series(0, CAST(strlen(text) AS BIGINT) // 256 - 1, 4)) AS f
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_no""".stripMargin)
 }

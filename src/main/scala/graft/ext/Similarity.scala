@@ -527,8 +527,14 @@ object Similarity {
     counts.crossJoin(broadcast(totals))
       .select(col("label"), col("n_vectors"),
         (col("n_vectors").cast(DoubleType) / col("n_total").cast(DoubleType)).as("share"),
+        // n_total is squared in DOUBLE: a BIGINT product wraps silently past
+        // ~3.03e9 rows (DuckDB would error, Spark would return a wrong Gini).
+        // sum_sq stays an exact BIGINT sum — deterministic across partition
+        // orders, which a double sum is not — and is safe while no single
+        // label exceeds ~3e9 rows.
         (lit(1.0) - col("sum_sq").cast(DoubleType)
-          / (col("n_total") * col("n_total")).cast(DoubleType)).as("gini_impurity"))
+          / (col("n_total").cast(DoubleType) * col("n_total").cast(DoubleType)))
+          .as("gini_impurity"))
       .orderBy(col("label"))
   }
 
@@ -557,7 +563,7 @@ object Similarity {
         |             CAST(sum(n_vectors * n_vectors) AS BIGINT) AS sum_sq FROM c)
         |SELECT label, n_vectors,
         |  CAST(n_vectors AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
-        |  1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS gini_impurity
+        |  1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS gini_impurity
         |FROM c, t ORDER BY label""".stripMargin,
     "x42_label_centroids" ->
       """WITH e AS (

@@ -360,10 +360,15 @@ object TextAnalysis {
   def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
     val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     val w = Window.partitionBy(col("lang")).orderBy(col("avg_p"), col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
     bigramLmScore(s, dir)
       .join(lang, "doc_id")
       .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("keep", col("pct_rank") >= 0.25)
+      // a singleton language has percent_rank 0.0 (the 1-row partition's
+      // only rank) — without the n=1 guard the quartile cut would delete
+      // the sole document of every rare language, inverting the intent
+      .withColumn("keep",
+        col("pct_rank") >= 0.25 || count(lit(1)).over(wLang) === 1)
       .select(col("doc_id"), col("lang"), col("avg_p"), col("pct_rank"), col("keep"))
       .orderBy(col("doc_id"))
   }
@@ -625,14 +630,16 @@ object TextAnalysis {
         " ORDER BY doc_id")) +
     ("x54_bigram_lm" -> BigramLmSql) +
     // x63 wraps the x54 scoring verbatim in a per-language percent_rank
-    // (rank-1)/(n-1) — exact integer division on both engines
+    // (rank-1)/(n-1) — exact integer division on both engines; the n=1
+    // guard keeps the sole document of a singleton language
     ("x63_lm_quality_filter" ->
       s"""WITH s54 AS ($BigramLmSql),
          |ranked AS (
          |  SELECT s54.doc_id, d.lang, s54.avg_p,
-         |    percent_rank() OVER (PARTITION BY d.lang ORDER BY s54.avg_p, s54.doc_id) AS pct_rank
+         |    percent_rank() OVER (PARTITION BY d.lang ORDER BY s54.avg_p, s54.doc_id) AS pct_rank,
+         |    count(*) OVER (PARTITION BY d.lang) AS n_lang
          |  FROM s54 JOIN documents d ON d.doc_id = s54.doc_id)
-         |SELECT doc_id, lang, avg_p, pct_rank, pct_rank >= 0.25 AS keep
+         |SELECT doc_id, lang, avg_p, pct_rank, (pct_rank >= 0.25 OR n_lang = 1) AS keep
          |FROM ranked ORDER BY doc_id""".stripMargin) +
     ("x65_bigram_novelty" ->
       """WITH d AS (

@@ -55,7 +55,22 @@ object Pipeline {
   def runFor(spark: SparkSession, source: Map[String, DataFrame],
       warehouseDir: String, ds: String,
       cfg: PipelineConfig = PipelineConfig()): Map[String, Incremental.LoadStatus] = {
-    val results = cfg.tables.map { table =>
+    val results = loadFor(spark, source, warehouseDir, ds, cfg, dayScopedWrites = false)
+    transform(spark, warehouseDir)
+    results
+  }
+
+  /** The extract+load half of one logical-date run (no transform).
+    * `dayScopedWrites = true` switches the S6 sink to the
+    * single-day-partition-directory form and day-scopes the CSV edge
+    * paths — the variant whose (table, day) write jobs have disjoint
+    * staging dirs and are therefore safe to run concurrently across
+    * days (see `backfillParallel`).
+    */
+  private def loadFor(spark: SparkSession, source: Map[String, DataFrame],
+      warehouseDir: String, ds: String, cfg: PipelineConfig,
+      dayScopedWrites: Boolean): Map[String, Incremental.LoadStatus] =
+    cfg.tables.map { table =>
       val extracted =
         if (cfg.incremental) Incremental.dayWindow(source(table), cfg.tsCol, ds)
         else source(table)
@@ -76,11 +91,16 @@ object Pipeline {
               if (cfg.csvEdge) {
                 // the reference's MinIO hop: extract writes CSV, load
                 // re-reads it under the declared schema (S3 -> S5)
-                val edge = s"$warehouseDir/edge/$table"
+                val edge =
+                  if (dayScopedWrites) s"$warehouseDir/edge/$ds/$table"
+                  else s"$warehouseDir/edge/$table"
                 Sources.writeCsv(pinned, edge)
                 Sources.readCsv(spark, pinned.schema, edge)
               } else pinned
-            if (cfg.incremental)
+            if (cfg.incremental && dayScopedWrites)
+              Sinks.overwriteSingleDayPartition(loaded, cfg.tsCol, ds,
+                stgPath(warehouseDir, table))
+            else if (cfg.incremental)
               Sinks.overwriteDayPartitions(loaded, cfg.tsCol, stgPath(warehouseDir, table))
             else
               Sinks.truncateLoad(loaded, stgPath(warehouseDir, table))
@@ -89,9 +109,6 @@ object Pipeline {
         } finally pinned.unpersist()
       table -> status
     }.toMap
-    transform(spark, warehouseDir)
-    results
-  }
 
   /** Rebuild the 8 warehouse tables (dims before facts) from whatever the
     * staging layer currently holds. Tables whose staging input has never
@@ -119,4 +136,39 @@ object Pipeline {
       warehouseDir: String, days: Seq[String],
       cfg: PipelineConfig = PipelineConfig()): Map[String, Map[String, Incremental.LoadStatus]] =
     days.map(ds => ds -> runFor(spark, source, warehouseDir, ds, cfg)).toMap
+
+  /** Backfill with the days loaded CONCURRENTLY (bounded by
+    * `parallelism` driver threads — Spark schedules jobs from multiple
+    * threads fine), then ONE star-schema rebuild at the end instead of
+    * one per day. Safe because each (table, day) write job targets its
+    * own partition directory (disjoint data AND disjoint committer
+    * staging — see `Sinks.overwriteSingleDayPartition`); the transform
+    * is kept out of the parallel section because the 8 star tables are
+    * shared across days. At 100 TB this is the backfill you actually
+    * run: a month of history is 30 independent day loads and one
+    * rebuild, not 30 sequential DAG runs (the reference's
+    * `max_active_runs=1` loop). Requires `cfg.incremental` (a
+    * truncate-load backfill is inherently last-writer-wins and gains
+    * nothing from running days concurrently).
+    */
+  def backfillParallel(spark: SparkSession, source: Map[String, DataFrame],
+      warehouseDir: String, days: Seq[String],
+      cfg: PipelineConfig = PipelineConfig(),
+      parallelism: Int = 4): Map[String, Map[String, Incremental.LoadStatus]] = {
+    require(cfg.incremental, "parallel backfill needs day-partitioned (incremental) loads")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = days.map { ds =>
+        ds -> scala.concurrent.Future(
+          loadFor(spark, source, warehouseDir, ds, cfg, dayScopedWrites = true))
+      }
+      val results = futures.map { case (ds, f) =>
+        ds -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }.toMap
+      transform(spark, warehouseDir)
+      results
+    } finally pool.shutdown()
+  }
 }

@@ -23,17 +23,35 @@ import graft.engine.Tables
 object Sketches {
 
   /** Exact vs approximate distinct users and value percentiles per
-    * event_type.
+    * event_type — output shaped so the whole row hash-gates: the exact
+    * legs (count, distinct count) compare against DuckDB outright, and
+    * each sketch contributes a BOUND-CHECK boolean computed genuinely on
+    * the Spark side (HLL++ and KLL are deterministic under Spark's fixed
+    * hash, so the flags are stable) that the oracle pins to TRUE — the
+    * sketch's accuracy contract is part of the hashed result, the x12
+    * verification-grade pattern. A broken sketch flips a flag and fails
+    * the hash; SketchesSpec additionally measures the actual error.
+    *
+    *   - `n_users_approx_ok`: HLL++ estimate within 3×rsd (rsd=0.05);
+    *   - `p50_approx_ok`: the KLL-style median (accuracy 10000, rank
+    *     error ≤ n/10000) lands between the exact 45th and 55th
+    *     percentiles — both sides of the bound are Spark-side only, so
+    *     their interpolation arithmetic never meets the oracle.
     */
   def eventSketches(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
+        count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users_exact"),
         approx_count_distinct(col("user_id")).as("n_users_approx"),
-        expr("percentile(value, 0.5)").as("p50_exact"),
-        expr("percentile(value, 0.9)").as("p90_exact"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"),
         expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"))
+      .select(col("event_type"), col("n_events"), col("n_users_exact"),
+        (abs(col("n_users_approx").cast("double") - col("n_users_exact").cast("double"))
+          <= lit(0.15) * col("n_users_exact").cast("double")).as("n_users_approx_ok"),
+        (col("p50_approx").between(col("p45"), col("p55"))).as("p50_approx_ok"))
       .orderBy(col("event_type"))
 
   /** Heavy hitters via count-min sketch: one fixed-size mergeable sketch
@@ -104,11 +122,25 @@ object Sketches {
         countDistinct(col("user_id")).as("n_users_day_exact"))
     val merged = daily.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_total_est"))
+    // exact global distinct: the VERIFICATION anchor (at 100 TB this leg
+    // is dropped and the union-of-partials estimate IS the product); like
+    // q29, the estimates ride along as bound-check booleans the oracle
+    // pins to TRUE — DataSketches HLL at the default lgK=12 has
+    // rsd ≈ 1.6%, so 10% is a ≥6σ bound — making the whole row hash-gate
+    val exactTotal = Tables(s, dir, "events")
+      .agg(countDistinct(col("user_id")).as("n_users_total_exact"))
+    def withinPct(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - exact.cast("double")) <= lit(0.10) * exact.cast("double")
     daily
-      .select(col("day"),
-        hll_sketch_estimate(col("sk")).as("n_users_day_est"),
-        col("n_users_day_exact"))
-      .crossJoin(merged) // 1-row estimate, lazy — never a driver collect
+      .select(col("day"), col("n_users_day_exact"),
+        withinPct(hll_sketch_estimate(col("sk")), col("n_users_day_exact"))
+          .as("day_est_ok"))
+      .crossJoin(merged)   // 1-row frames, lazy — never a driver collect
+      .crossJoin(exactTotal)
+      .select(col("day"), col("n_users_day_exact"), col("day_est_ok"),
+        col("n_users_total_exact"),
+        withinPct(col("n_users_total_est"), col("n_users_total_exact"))
+          .as("total_est_ok"))
       .orderBy(col("day"))
   }
 
@@ -118,11 +150,31 @@ object Sketches {
     "q49_exact_percentiles" -> (exactPercentiles _),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
-  /** q29/q41/q50 have no oracle — HLL++/KLL/CMS/DataSketches sketches are
-    * engine-specific. SketchesSpec asserts their error bounds against the
-    * exact columns. q49 is exact by construction and fully oracle-gated.
+  /** q41 has no oracle — CMS point estimates are engine-specific and ride
+    * in a value column. q29/q50 hash-gate: exact legs compare outright and
+    * the sketch estimates are reduced to bound-check booleans the twin
+    * pins to TRUE (the estimates are deterministic under Spark's fixed
+    * hashes, so the flags are stable; SketchesSpec still measures the raw
+    * error). q49 is exact by construction and fully oracle-gated.
     */
   val oracles: Map[String, String] = Map(
+    "q29_sketches" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS n_users_approx_ok,
+        |  TRUE AS p50_approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q50_hll_daily_merge" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_day_exact
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_total_exact
+        |      FROM events)
+        |SELECT day, n_users_day_exact, TRUE AS day_est_ok,
+        |  n_users_total_exact, TRUE AS total_est_ok
+        |FROM d CROSS JOIN t ORDER BY day""".stripMargin,
     "q49_exact_percentiles" ->
       """WITH r AS (
         |  SELECT event_type, value, event_id,

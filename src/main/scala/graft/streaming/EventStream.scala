@@ -157,7 +157,16 @@ object EventStream {
             }
             cur.foreach { c =>
               state.update(c)
-              state.setTimeoutTimestamp(c.session_end.getTime + gapMillis)
+              // Spark does NOT watermark-filter input to
+              // flatMapGroupsWithState: an at-least-once replay after
+              // downtime can deliver an event with ts + gap <= the current
+              // watermark, and an unclamped setTimeoutTimestamp throws
+              // IllegalArgumentException — killing the query permanently.
+              // Clamp to watermark + 1 ms: the stale session then times out
+              // at the next trigger, emitted once, just late.
+              state.setTimeoutTimestamp(math.max(
+                c.session_end.getTime + gapMillis,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

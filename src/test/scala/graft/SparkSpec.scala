@@ -10,6 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite {
 
+  // Route every embedded-Derby artifact (derby.log, the metastore_db and
+  // in-memory-DB bookkeeping the JDBC specs touch) into a temp dir —
+  // otherwise Derby drops them in the process CWD, i.e. the repo root.
+  SparkSpec.derbyHome
+
   /** Smallest driver-generated scale factor — specs verify semantics, not
     * throughput.
     */
@@ -25,4 +30,14 @@ trait SparkSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .appName("graft-spec")
     .getOrCreate()
+}
+
+object SparkSpec {
+  /** Set once per JVM, before any suite loads the Derby driver. */
+  lazy val derbyHome: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", dir)
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    dir
+  }
 }

@@ -66,6 +66,25 @@ class IncrementalPropSpec extends SparkSpec {
     assert(running == direct)
   }
 
+  test("loadTableFor reports exactly the rows it wrote; empty days skip") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_loadfor").toString + "/t"
+    val ev = Tables(spark, Sf, "events")
+    Incremental.loadTableFor(ev, "ts", "2024-01-03", dir) match {
+      case Incremental.Loaded(n) =>
+        // the count must describe the WRITTEN output (one persisted
+        // snapshot), not a re-scan of the source
+        val written = spark.read.parquet(dir).count()
+        assert(n > 0 && n == written, s"reported $n, written $written")
+        val direct = Incremental.dayWindow(ev, "ts", "2024-01-03").count()
+        assert(n == direct)
+      case other => fail(s"expected a non-empty day, got $other")
+    }
+    val before = spark.read.parquet(dir).count()
+    assert(Incremental.loadTableFor(ev, "ts", "1999-01-01", dir) == Incremental.SkippedEmpty)
+    assert(spark.read.parquet(dir).count() == before, "a skipped day must not touch the sink")
+  }
+
   test("daily windows partition any dataset exactly") {
     val listGen = Gen.listOfN(60, rowGen)
     (1L to 5L).foreach { seed =>

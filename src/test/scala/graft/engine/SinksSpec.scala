@@ -133,6 +133,25 @@ class SinksSpec extends SparkSpec {
     assert(quarantined.exists(_.contains("not json at all")))
   }
 
+  test("split salvage read supports corrupt-lane counts without caching") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "mixed.jsonl"),
+      java.util.Arrays.asList(
+        """{"k": 1, "v": "good"}""",
+        "",
+        """{"k": 2, "v": "also good"}""",
+        """{"k": 3, "v": "truncat""",
+        """not json at all"""))
+    val (clean, quarantine) = Sources.readJsonlSplit(spark, schema, s"$dir/mixed.jsonl")
+    // the exact query shape that raises AnalysisException on the file-source
+    // corrupt column must work here, uncached
+    assert(quarantine.count() == 2)
+    assert(clean.collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+      == Map(1 -> "good", 2 -> "also good"))
+    assert(quarantine.collect().map(_.getAs[String]("_corrupt_record"))
+      .exists(_.contains("not json at all")))
+  }
+
   test("ORC round-trip preserves timestamps, doubles and text exactly") {
     val dir = tmpDir()
     val ev = Tables(spark, Sf, "events").limit(500)

@@ -55,6 +55,29 @@ class DedupSpec extends SparkSpec {
     assert(exchanges == 1, s"expected only the dedup shuffle, got $exchanges:\n$plan")
   }
 
+  test("two-pass df-cut candidates equal the one-pass spelling exactly") {
+    // The two-pass cut (count df first, semi-join to rare shingles, then
+    // collect bounded lists) must produce the identical candidate set as
+    // the round-6 one-pass collect-then-filter spelling, at both the
+    // default cut and a tighter one.
+    val posts = Dedup.shinglePostings(spark, Sf)
+    for ((maxDf, minCommon) <- Seq((20, 3), (5, 2))) {
+      val twoPass = Dedup.dfCutCandidates(posts, maxDf, minCommon)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val onePass = Dedup.onePassDfCutCandidates(posts, maxDf, minCommon)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(twoPass == onePass, s"candidate sets diverge at ($maxDf, $minCommon)")
+    }
+    // and the at-scale invariant: no collect_list runs before the df cut —
+    // every objectagg in the plan must sit above the rare-shingle semi-join
+    val plan = Dedup.dfCutCandidates(posts, 20, 3)
+      .queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("collect_list")
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      s"collect_list must be downstream of the df semi-join:\n$plan")
+  }
+
   test("connected components of an empty pair set is empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

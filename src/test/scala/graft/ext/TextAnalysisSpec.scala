@@ -29,6 +29,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("lmQualityFilter keeps the sole document of a singleton language") {
+    // A 1-row language partition has percent_rank 0.0; the gate must keep
+    // it (rare-language documents are the ones a curation run least wants
+    // to delete). Built on a synthetic corpus because the shared fixtures
+    // have no singleton language.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-singleton").toString
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then the cat slept", "en", "web", 45L),
+      (2L, "the dog sat on the mat and then the dog slept", "en", "web", 45L),
+      (3L, "a bird flew over the mat and then a bird slept", "en", "web", 46L),
+      (4L, "one two three four five six seven eight nine ten", "en", "web", 48L),
+      (5L, "der hund schlief auf der matte und der hund traeumte", "de", "web", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.lmQualityFilter(spark, dir).collect()
+    val de = rows.filter(_.getString(1) == "de")
+    assert(de.length == 1 && de.head.getBoolean(4), "singleton language must be kept")
+    // the multi-doc language still drops its bottom quartile
+    val en = rows.filter(_.getString(1) == "en")
+    assert(en.count(!_.getBoolean(4)) == (1 to en.length).count(
+      r => (r - 1).toDouble / (en.length - 1) < 0.25))
+  }
+
   test("bigramNovelty sums to the global df=1 bigram count") {
     val got = TextAnalysis.bigramNovelty(spark, Sf).collect()
     assert(got.nonEmpty)

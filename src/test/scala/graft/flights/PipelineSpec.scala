@@ -72,6 +72,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("parallel backfill equals sequential backfill on the 3-day fixture") {
+    val whSeq = tmpDir()
+    val whPar = tmpDir()
+    val src = Fixtures.stg(spark)
+    val seqResults = Pipeline.backfill(spark, src, whSeq, Days)
+    val parResults = Pipeline.backfillParallel(spark, src, whPar, Days, parallelism = 3)
+    assert(parResults == seqResults, "per-(day, table) load statuses must agree")
+    // staging layout (including the p_date partition values) and every
+    // star table must be identical between the two drivers
+    (Pipeline.FkOrder.map(t => s"stg/$t") ++ StarSchema.transforms.map(_._1)).foreach { t =>
+      assert(canon(spark.read.parquet(s"$whPar/$t")) == canon(spark.read.parquet(s"$whSeq/$t")),
+        s"$t differs between parallel and sequential backfill")
+    }
+    // and replaying one day on the parallel layout stays idempotent
+    Pipeline.backfillParallel(spark, src, whPar, Seq(Days(1)), parallelism = 2)
+    Pipeline.FkOrder.foreach { t =>
+      assert(canon(spark.read.parquet(s"$whPar/stg/$t"))
+        == canon(spark.read.parquet(s"$whSeq/stg/$t")),
+        s"stg/$t changed after a parallel replay of one day")
+    }
+  }
+
   test("the CSV edge changes nothing (round-trip under declared schemas)") {
     val whDirect = tmpDir()
     val whCsv = tmpDir()

@@ -1,30 +1,51 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
-/** Error-bound contracts for the sketch aggregates (no SQL oracle —
-  * HLL++/KLL are engine-specific; the exact columns in the same result
-  * are the reference).
+/** Error-bound contracts for the sketch aggregates. The q29/q50 driver
+  * queries hash-gate their exact legs and reduce the estimates to
+  * bound-check booleans; this spec keeps the RAW error measurement (the
+  * flags say "within bound", these tests say how close) plus the
+  * lossless-merge property of the HLL partials.
   */
 class SketchesSpec extends SparkSpec {
 
-  private lazy val rows = Sketches.eventSketches(spark, Sf).collect()
-
-  test("approx distinct within the HLL++ default rsd against exact") {
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val exact = r.getAs[Long]("n_users_exact").toDouble
-      val approx = r.getAs[Long]("n_users_approx").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.15,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+  test("q29/q50 bound-check flags are all true") {
+    val q29 = Sketches.eventSketches(spark, Sf).collect()
+    assert(q29.nonEmpty)
+    q29.foreach { r =>
+      assert(r.getAs[Boolean]("n_users_approx_ok"), s"${r.getString(0)}: HLL++ out of bound")
+      assert(r.getAs[Boolean]("p50_approx_ok"), s"${r.getString(0)}: approx median out of bound")
+    }
+    val q50 = Sketches.hllDailyMerge(spark, Sf).collect()
+    assert(q50.nonEmpty)
+    q50.foreach { r =>
+      assert(r.getAs[Boolean]("day_est_ok"), s"day ${r.get(0)}: daily HLL out of bound")
+      assert(r.getAs[Boolean]("total_est_ok"), "merged HLL total out of bound")
     }
   }
 
-  test("approx median lands between the exact p50 neighborhood") {
-    rows.foreach { r =>
-      val p50 = r.getAs[Double]("p50_exact")
-      val p90 = r.getAs[Double]("p90_exact")
-      val p50a = r.getAs[Double]("p50_approx")
+  test("raw approx distinct and approx median track exact within bounds") {
+    val raw = graft.engine.Tables(spark, Sf, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile_approx(value, 0.5, 10000)").as("p50a"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+      val p50 = r.getAs[Double]("p50")
+      val p90 = r.getAs[Double]("p90")
+      val p50a = r.getAs[Double]("p50a")
       assert(p50 <= p90, "exact percentiles must be ordered")
       // with accuracy 10000 on these group sizes the approx median is exact
       assert(math.abs(p50a - p50) <= math.max(1e-9, (p90 - p50) * 0.1),
@@ -36,11 +57,7 @@ class SketchesSpec extends SparkSpec {
     val hh = Sketches.tokenHeavyHitters(spark, Sf).collect()
     assert(hh.nonEmpty)
     val totalTokens = graft.engine.Tables(spark, Sf, "documents")
-      .select(org.apache.spark.sql.functions.explode(
-        org.apache.spark.sql.functions.split(
-          org.apache.spark.sql.functions.trim(
-            org.apache.spark.sql.functions.lower(
-              org.apache.spark.sql.functions.col("text"))), "\\s+")))
+      .select(explode(split(trim(lower(col("text"))), "\\s+")))
       .count()
     hh.foreach { r =>
       val exact = r.getLong(1)
@@ -52,24 +69,28 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("union of daily HLL partials equals the one-shot sketch and tracks exact") {
-    import org.apache.spark.sql.functions._
     val ev = graft.engine.Tables(spark, Sf, "events")
-    val merged = Sketches.hllDailyMerge(spark, Sf).collect()
-    assert(merged.nonEmpty)
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
     // per-day estimates track the per-day exact counts (daily cardinalities
     // are small enough that the sketch is near-exact there)
-    merged.foreach { r =>
-      val exact = r.getAs[Long]("n_users_day_exact").toDouble
-      val est = r.getAs[Long]("n_users_day_est").toDouble
-      assert(math.abs(est - exact) / exact <= 0.05,
-        s"day ${r.get(0)}: daily HLL estimate $est vs exact $exact")
-    }
+    daily.select(col("day"), hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+      .collect().foreach { r =>
+        val exact = r.getAs[Long]("exact").toDouble
+        val est = r.getAs[Long]("est").toDouble
+        assert(math.abs(est - exact) / exact <= 0.05,
+          s"day ${r.get(0)}: daily HLL estimate $est vs exact $exact")
+      }
     // the merged estimate from partials is EXACTLY the one-shot sketch's —
     // the lossless-merge property incremental maintenance relies on
     val oneShot = ev.agg(
       hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .head().getAs[Long]("est")
-    val fromPartials = merged.head.getAs[Long]("n_users_total_est")
+    val fromPartials = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getAs[Long]("est")
     assert(fromPartials === oneShot,
       s"union-of-partials $fromPartials != one-shot sketch $oneShot")
     // and it tracks the exact overall distinct within HLL error

@@ -122,6 +122,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout sessions survive events arriving entirely behind the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.timeoutSessions(in.toDS())
+      .writeStream.format("memory").queryName("latesessions").outputMode("append").start()
+    try {
+      // advance the watermark to ~14:30 (15:00 - 30 min gap)
+      in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:01:00"), 2.0))
+      q.processAllAvailable()
+      // an at-least-once replay: user 9's event at 10:00 has
+      // ts + gap = 10:30 <= watermark. Spark 4.1's
+      // FlatMapGroupsWithStateExec applies the late-events watermark
+      // filter to INPUT rows, so the replay is dropped before the state
+      // function — the query must keep running (the setTimeoutTimestamp
+      // clamp in timeoutSessions additionally guards the restart edge
+      // where the eviction watermark runs ahead of the late-events one)
+      in.addData(EventStream.UserEvent(9L, ts("2024-01-01 10:00:00"), 3.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died on a late replay: ${q.exception}")
+      in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:02:00"), 4.0))
+      q.processAllAvailable()
+      in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:03:00"), 5.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died after the late replay: ${q.exception}")
+      val late = spark.table("latesessions").as[EventStream.ClosedSession]
+        .collect().filter(_.user_id == 9L)
+      assert(late.isEmpty,
+        "a fully-late replay is watermark-filtered, never a crash or a duplicate")
+    } finally q.stop()
+  }
+
   test("StreamObserver records per-batch progress and flags slow batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
