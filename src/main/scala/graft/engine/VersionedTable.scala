@@ -1,0 +1,120 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned snapshot table with time travel — a minimal Delta-style
+  * commit protocol over plain parquet, giving the warehouse zone what the
+  * reference's truncate-load Postgres tables cannot: every load keeps the
+  * previous snapshots readable, a reader can pin a version for a whole
+  * job (snapshot isolation across re-loads), and a bad load is undone by
+  * reading `asOf` the prior version instead of restoring a backup.
+  *
+  * Layout: `<root>/v=<N>/` one self-contained parquet dir per version.
+  *
+  * Commit protocol (crash-safe, single-writer-atomic):
+  *   1. the snapshot writes to `<root>/.tmp-v<N>-<nonce>` — dot-prefixed,
+  *      so no reader ever lists it;
+  *   2. ONE atomic directory rename publishes it as `<root>/v=<N>`.
+  *
+  * A writer that dies before step 2 leaves only an invisible tmp dir
+  * (cleaned opportunistically by later commits). Two racing writers can
+  * both pick N: rename-if-absent arbitrates — the loser's rename returns
+  * false (dest exists) and it retries at N+1. Readers resolve versions by
+  * LISTING committed `v=*` dirs only, so they never observe a partial
+  * write. This is the same publish-by-rename discipline as
+  * [[Sinks.swapWrite]], with history retained instead of swapped.
+  *
+  * At scale the listing is one directory's metadata (versions, not
+  * files); snapshots are immutable so caches/bucketing survive; `vacuum`
+  * bounds storage by dropping all but the last `keepLast` versions.
+  */
+object VersionedTable {
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val VDir = "^v=(\\d+)$".r
+
+  /** Committed versions at `root`, ascending. Empty if the table does not
+    * exist yet.
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VDir(n) => Some(n.toLong)
+        case _ => None
+      })
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** Publish `df` as the next version; returns the committed version
+    * number. Optimistic under writer races: loses a rename, retries at
+    * the next number.
+    */
+  def commit(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    // opportunistic cleanup of tmp dirs older than 1h (a crashed writer's
+    // leftovers) — never a committed version, so always safe
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.getPath.getName.startsWith(".tmp-v") &&
+        st.getModificationTime < System.currentTimeMillis() - 3600L * 1000L)
+      .foreach(st => fs.delete(st.getPath, true))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = latestVersion(spark, root).map(_ + 1L).getOrElse(0L)
+    val tmp = new Path(s"$root/.tmp-v$attempt-$nonce")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    var published = false
+    while (!published) {
+      val dest = new Path(s"$root/v=$attempt")
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        // lost the race (or stale listing): retry at the next number.
+        // The DATA needs no rewrite — only the rename target changes.
+        if (fs.exists(dest)) attempt += 1L
+        else throw new java.io.IOException(
+          s"VersionedTable: cannot publish $tmp as $dest")
+      } else published = true
+    }
+    attempt
+  }
+
+  /** Read a snapshot: the latest version, or exactly `asOf` (which must
+    * be committed — reading an uncommitted/vacuumed version is an error,
+    * not silent fallback).
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed versions at $root")
+    val v = asOf match {
+      case Some(n) =>
+        require(vs.contains(n),
+          s"VersionedTable: version $n not committed at $root (have ${vs.mkString(",")})")
+        n
+      case None => vs.last
+    }
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Drop all but the newest `keepLast` versions; returns the versions
+    * removed. The latest version is never removed.
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val fs = fsOf(spark, root)
+    val doomed = versions(spark, root).dropRight(keepLast)
+    doomed.foreach { v =>
+      if (!fs.delete(new Path(s"$root/v=$v"), true))
+        throw new java.io.IOException(s"VersionedTable: cannot vacuum v=$v at $root")
+    }
+    doomed
+  }
+}

@@ -561,6 +561,69 @@ object Dedup {
       .orderBy(col("block"), col("key_a"), col("key_b"))
   }
 
+  /** Winnowed fingerprints per document (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm; public
+    * paper): hash every k-word gram, slide a window of `w` consecutive
+    * gram hashes, keep each window's MINIMUM. Guarantee: any match of
+    * w+k-1 or more consecutive tokens shares at least one selected
+    * fingerprint, while only ~2/(w+1) of gram hashes survive — an
+    * order-of-magnitude smaller index than the full shingle set for the
+    * same long-match recall. The gram hash is the md5-prefix integer
+    * both engines compute identically (the x40/x04 trick — xxhash64 has
+    * no DuckDB twin). Per-doc window sort only (bounded by document
+    * length, never a corpus sort).
+    */
+  private[ext] def winnowedFingerprints(s: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1).toLong, 0L)
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(grams))
+      .withColumnRenamed("col", "gram")
+      .select(col("doc_id"), col("pos"), TextAnalysis.tokenHash(col("gram")).as("h"))
+      .withColumn("fp", min(col("h")).over(win))
+      // only FULL windows select a fingerprint (pos is 0-based)
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("fp"))
+      .dropDuplicates("doc_id", "fp")
+  }
+
+  /** Winnowing near-dup top-k: pairs ranked by shared distinct winnowed
+    * fingerprints, with overlap = shared / min(|fp_a|, |fp_b|). The
+    * candidate index applies the same two-pass df cut as x11 (count df
+    * first — O(1) aggregation state on corpus-wide boilerplate grams —
+    * then semi-join to rare fingerprints, df in [2, maxDf], before any
+    * collect_list), so the pair expansion is bounded by maxDf per
+    * fingerprint at any corpus size. Scoring counts RARE shared
+    * fingerprints only (boilerplate matches are exactly what winnowing
+    * users want ignored); the oracle implements the identical cut.
+    */
+  def winnowingTopk(s: SparkSession, dir: String, maxDf: Int = 20): DataFrame = {
+    val fps = winnowedFingerprints(s, dir)
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("fp"))
+    val idx = fps.join(rare, Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    idx.select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), "doc_b")
+      .withColumn("overlap", col("n_shared").cast(DoubleType) /
+        least(col("n_fp_a"), col("n_fp_b")).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"), col("overlap"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -569,6 +632,7 @@ object Dedup {
     * choice; DedupSpec separately bounds the default's recall.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x70_winnowing_topk" -> ((s: SparkSession, dir: String) => winnowingTopk(s, dir)),
     "x10_dedup_exact" -> (dedupExact _),
     "x11_jaccard_topk" -> ((s: SparkSession, dir: String) => jaccardTopk(s, dir)),
     "x12_minhash_pairs" -> ((s: SparkSession, dir: String) =>
@@ -604,6 +668,35 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "x70_winnowing_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15))::BIGINT AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i)
+        |  WHERE len(ws) >= 4),
+        |wins AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM grams),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos >= 5),
+        |cnt AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+        |         WHERE df BETWEEN 2 AND 20),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN rare r ON r.fp = a.fp
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, n_shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE) AS overlap
+        |FROM pairs
+        |JOIN cnt ca ON ca.doc_id = doc_a
+        |JOIN cnt cb ON cb.doc_id = doc_b
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "x10_dedup_exact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,

@@ -469,7 +469,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("split"))
 
+  /** The Gopher repetition-free stopword list (public: Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A.1.1) — a doc must contain
+    * at least two of these to count as running prose.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A.1.1, public
+    * paper; the same heuristics power MassiveWeb/C4-style corpus
+    * filtering): word-count bounds, mean word length in [3,10], symbol
+    * (#/ellipsis)-to-word ratio, bullet-line and ellipsis-line caps, a
+    * floor on words containing an alphabetic character, and a >=2
+    * stopword-hit floor. Every metric is computed in one codegen'd
+    * projection from exact integer counts; each double is a single
+    * division of exact integers so the flags and ratios hash-gate
+    * cross-engine. No shuffle at all — this is a pure map over the
+    * corpus, the shape you want in front of a 100 TB filter.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val lines = split(col("text"), "\n")
+    val nWords = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
+    val meanLen = sumLen.cast(DoubleType) / nWords.cast(DoubleType)
+    val nSymbol = (size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+      size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))).cast(LongType)
+    val symbolRatio = nSymbol.cast(DoubleType) / nWords.cast(DoubleType)
+    val nLines = size(lines).cast(LongType)
+    val bulletRatio = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast(DoubleType) / nLines.cast(DoubleType)
+    val ellipsisRatio = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+      .cast(DoubleType) / nLines.cast(DoubleType)
+    val alphaRatio = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast(DoubleType) / nWords.cast(DoubleType)
+    val stopHits = hits(toks, GopherStops)
+    val rWordCount = nWords.between(50L, 100000L)
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rBullet = bulletRatio <= 0.9
+    val rEllipsis = ellipsisRatio <= 0.3
+    val rAlpha = alphaRatio >= 0.8
+    val rStop = stopHits >= 2L
+    t(s, dir, "documents")
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+        stopHits.as("stop_hits"),
+        rWordCount.as("r_word_count"), rMeanLen.as("r_mean_len"),
+        rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+        rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+        (rWordCount && rMeanLen && rSymbol && rBullet &&
+          rEllipsis && rAlpha && rStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x71_gopher_rules" -> (gopherRules _),
     "x45_corpus_pipeline" -> (corpusPipeline _),
     "x01_token_count" -> (tokenCount _),
     "x02_quality_score" -> (qualityScore _),
@@ -628,6 +683,42 @@ object TextAnalysis {
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
         " ORDER BY doc_id")) +
+    ("x71_gopher_rules" -> {
+      val stops = GopherStops.map(w => s"'$w'").mkString(",")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    string_split(text, chr(10)) AS lines,
+         |    len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbol
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         |    CAST(n_symbol AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+         |      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+         |    CAST(len(list_filter(toks, w -> w IN ($stops))) AS BIGINT) AS stop_hits
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+         |  symbol_ratio <= 0.1 AS r_symbol,
+         |  bullet_ratio <= 0.9 AS r_bullet,
+         |  ellipsis_ratio <= 0.3 AS r_ellipsis,
+         |  alpha_ratio >= 0.8 AS r_alpha,
+         |  stop_hits >= 2 AS r_stop,
+         |  ((n_words BETWEEN 50 AND 100000) AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+         |    AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) +
     ("x54_bigram_lm" -> BigramLmSql) +
     // x63 wraps the x54 scoring verbatim in a per-language percent_rank
     // (rank-1)/(n-1) — exact integer division on both engines; the n=1

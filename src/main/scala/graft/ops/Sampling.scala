@@ -110,13 +110,109 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global shuffle + sharding — the "shuffle the corpus
+    * before training" primitive. Random order must be reproducible and
+    * engine-independent, so the sort key is the md5 hex digest of a
+    * seeded key (uniform, collision-free in practice), never `rand()`.
+    * Rows land in `shards` shards by digest prefix and get a position
+    * WITHIN their shard (row_number per shard partition) — so at 100 TB
+    * this is one hash shuffle plus a per-shard sort; no global order-by
+    * ever materializes, and a dataloader reads shard files independently
+    * in (shard, pos) order.
+    */
+  def globalShuffle(s: SparkSession, dir: String,
+      seed: String = "shuf42", shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("digest"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), digest.as("digest"))
+      .withColumn("shard",
+        pmod(conv(substring(col("digest"), 1, 15), 16, 10).cast(LongType),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * rebalance: weight each language by n^alpha, alpha<1 upsamples the
+    * tail relative to its natural share). Budget = ceil(25% of corpus);
+    * each language's target = min(its size, ceil(budget * its softened
+    * share)). WHICH docs fill a target is the deterministic hash rank
+    * within the language, like every sampler here. Two tiny aggregates
+    * broadcast back, one per-language window — no global sort. Doubles
+    * (sqrt, one division, one multiply) evaluate in the same fixed order
+    * in both engines, so keep/target hash-gate.
+    */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val groups = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    // alpha = 0.5: weight = sqrt(n), QUANTIZED to an exact integer
+    // (floor(sqrt(n) * 1e6)) before the cross-group total — a raw double
+    // sum over groups is addition-order-dependent, so the engines could
+    // disagree in the last bit; integer sums are exact in any order.
+    // sqrt itself is IEEE correctly-rounded, identical in both engines.
+    val weighted = groups.withColumn("wt_q",
+      floor(sqrt(col("n_lang").cast("double")) * 1e6).cast(LongType))
+    val totals = weighted.agg(
+      sum(col("n_lang")).cast(LongType).as("n_total"),
+      sum(col("wt_q")).cast(LongType).as("wtq_total"))
+    val quotas = weighted.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_lang"),
+        least(col("n_lang"),
+          ceil(ceil(col("n_total").cast("double") * 0.25)
+            * (col("wt_q").cast("double") / col("wtq_total").cast("double")))
+            .cast(LongType)).as("target"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hashBucket(col("doc_id"), 1000000), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w).cast(LongType))
+      .join(broadcast(quotas), "lang")
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("target"),
+        (col("rnk") <= col("target")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_global_shuffle" -> ((s: SparkSession, dir: String) => globalShuffle(s, dir)),
+    "x73_temperature_mixture" -> (temperatureMixture _),
     "x40_hash_split" -> (hashSplit _),
     "x41_stratified_sample" -> (stratifiedSample _),
     "x46_sequence_packing" -> ((s: SparkSession, dir: String) => sequencePacking(s, dir)),
     "x64_mixture_rebalance" -> ((s: SparkSession, dir: String) => mixtureRebalance(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x72_global_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS digest
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, digest,
+        |    ('0x' || substr(digest, 1, 15))::BIGINT % 8 AS shard
+        |  FROM d)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY digest, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "x73_temperature_mixture" ->
+      """WITH g AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_lang,
+        |        CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1e6) AS BIGINT) AS wt_q
+        |      FROM g),
+        |t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+        |             CAST(sum(wt_q) AS BIGINT) AS wtq_total FROM w),
+        |q AS (SELECT lang, n_lang,
+        |        least(n_lang,
+        |          CAST(ceil(ceil(CAST(n_total AS DOUBLE) * 0.25)
+        |            * (CAST(wt_q AS DOUBLE) / CAST(wtq_total AS DOUBLE))) AS BIGINT)) AS target
+        |      FROM w, t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+        |                   doc_id) AS rnk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, q.n_lang, q.target, r.rnk <= q.target AS keep
+        |FROM r JOIN q USING (lang) ORDER BY doc_id""".stripMargin,
     "x40_hash_split" ->
       """SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,

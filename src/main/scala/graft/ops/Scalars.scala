@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -13,6 +13,9 @@ import graft.engine.Tables
 object Scalars {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Exact money arithmetic type — same discipline as Relational.M. */
+  private val M = DecimalType(18, 6)
 
   /** F2: JSON field extraction (`model ->> 'en'` analog) + aggregation.
     * `events.props` carries a JSON object just like the reference's
@@ -236,7 +239,98 @@ object Scalars {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Batch sessionization (gaps-and-islands over event time): a session
+    * breaks when a user is idle for more than `gapS` seconds. lag() marks
+    * session starts, a running sum numbers them, one aggregate rolls each
+    * session up — two window passes and one aggregation, all behind a
+    * single hashpartitioning on user_id (the windows and the groupBy
+    * share the key, so the Exchange is reused). Per-user partitions, so
+    * the sort is bounded by one user's history, never a global order-by —
+    * the batch twin of the streaming session windows (s06) and timeout
+    * sessions, with an exact SQL oracle those can't have.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String, gapS: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn("new_session",
+        when(col("epoch_s") - lag(col("epoch_s"), 1).over(byUser) <= gapS, 0L)
+          .otherwise(1L))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Pareto / ABC classification: per-part revenue, cumulative revenue
+    * share in descending-revenue order, and the classic A (top 80% of
+    * revenue) / B (next 15%) / C (tail) class. Revenue aggregates in
+    * exact DECIMAL(18,6) (the q19 money discipline) and converts to
+    * double only for the single share division, so the doubles hash-gate.
+    * The heavy input (lineitem) collapses to part grain FIRST; the
+    * global cumulative window then runs over a dimension-sized frame —
+    * the ranking is inherently total-ordered, but at 100 TB it orders
+    * ~part-count rows, not the fact table.
+    */
+  def paretoAbc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast(M) * (lit(1) - col("l_discount").cast(M)))
+        .cast(M)).as("rev_dec"))
+    val total = rev.agg(sum(col("rev_dec")).as("total_dec"))
+    val w = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .withColumn("cum_share",
+        col("cum_dec").cast(DoubleType) / col("total_dec").cast(DoubleType))
+      .select(col("l_partkey"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        col("cum_share"),
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Per-group z-score outlier detection over `events.value`. Values are
+    * quantized to exact BIGINTs (the q56 moment discipline), per-type
+    * count/sum/sum-of-squares reduce map-side, and the z-score is
+    * z = (n*x - sx) / sqrt(n*sxx - sx^2) — algebraically (x - mean)/sd
+    * with POPULATION sd, but every operand is an exact integer cast to
+    * double in a fixed order, so Spark and DuckDB produce bit-identical
+    * doubles. Factors cast to double BEFORE multiplying: n*sxx as BIGINT
+    * would wrap past ~3e9 rows (the x69 lesson). The group moments are a
+    * tiny broadcast back onto the scan — one aggregation shuffle total.
+    */
+  def zscoreOutliers(s: SparkSession, dir: String, thresh: Double = 2.5): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100.0).cast(LongType).as("x"))
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val d = (c: Column) => c.cast(DoubleType)
+    e.join(broadcast(m), "event_type")
+      .withColumn("z",
+        (d(col("n")) * d(col("x")) - d(col("sx"))) /
+          sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+      .filter(abs(col("z")) > thresh)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_sessionize_batch" -> ((s: SparkSession, dir: String) => sessionizeBatch(s, dir)),
+    "q62_pareto_abc" -> (paretoAbc _),
+    "q63_zscore_outliers" -> ((s: SparkSession, dir: String) => zscoreOutliers(s, dir)),
     "q59_period_over_period" -> (periodOverPeriod _),
     "q53_funnel" -> (funnelStages _),
     "q56_corr_moments" -> (corrMoments _),
@@ -251,6 +345,57 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q61_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER w <= 1800 THEN 0 ELSE 1 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  max(epoch_s) - min(epoch_s) AS duration_s,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q62_pareto_abc" ->
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS rev_dec
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev_dec) AS total_dec FROM r),
+        |c AS (
+        |  SELECT l_partkey, rev_dec,
+        |    CAST(sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey) AS DOUBLE)
+        |      / CAST(total_dec AS DOUBLE) AS cum_share
+        |  FROM r, t)
+        |SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue, cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin,
+    "q63_zscore_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100.0) AS BIGINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1),
+        |z AS (
+        |  SELECT event_id, e.event_type, value,
+        |    (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS z
+        |  FROM e JOIN m USING (event_type))
+        |SELECT event_id, event_type, value, z
+        |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
     "q59_period_over_period" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events

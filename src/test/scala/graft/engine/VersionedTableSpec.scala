@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** VersionedTable contracts: monotonic version publish, time-travel
+  * reads, invisibility of uncommitted writers, and bounded retention.
+  */
+class VersionedTableSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vtable").toString + "/t"
+
+  test("commit numbers versions 0,1,2 and read time-travels exactly") {
+    import spark.implicits._
+    val root = tmpRoot()
+    assert(VersionedTable.versions(spark, root).isEmpty)
+    val v0 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    val v1 = VersionedTable.commit(Seq((1L, "b"), (2L, "b")).toDF("id", "v"), root)
+    val v2 = VersionedTable.commit(Seq((9L, "c")).toDF("id", "v"), root)
+    assert((v0, v1, v2) == ((0L, 1L, 2L)))
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(VersionedTable.latestVersion(spark, root).contains(2L))
+    // latest is v2; asOf pins any committed snapshot
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(VersionedTable.read(spark, root, Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 2L)
+  }
+
+  test("a crashed writer's tmp dir is invisible and never becomes a version") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    // simulate a writer that died before publishing: data present under a
+    // dot-prefixed tmp dir
+    Seq((666L, "dead")).toDF("id", "v")
+      .write.parquet(s"$root/.tmp-v1-deadbeef")
+    assert(VersionedTable.versions(spark, root) == Seq(0L),
+      "uncommitted tmp must not list as a version")
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the next real commit publishes v1 regardless of the corpse
+    val v = VersionedTable.commit(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v == 1L)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("commit skips over a version published by a racing writer") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    // another writer published v=1 between our listing and rename: the
+    // rename target exists, so commit must land at v=2, not clobber v=1
+    Seq((50L, "other")).toDF("id", "v").write.parquet(s"$root/v=1")
+    val v = VersionedTable.commit(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v == 2L)
+    assert(VersionedTable.read(spark, root, Some(1L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(50L), "racing writer's snapshot intact")
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("vacuum drops only the oldest versions and keeps reads working") {
+    import spark.implicits._
+    val root = tmpRoot()
+    (0 until 4).foreach(i => VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"), root))
+    val removed = VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(removed == Seq(0L, 1L))
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(0L))
+    }
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$root/v=0")) && fs.exists(new Path(s"$root/v=2")))
+  }
+}

@@ -157,6 +157,44 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(topk.head.getAs[Double]("containment") - exactContainment.values.max) < 1e-12)
   }
 
+  test("winnowing selects a sparse subset of gram hashes; exact copies share fingerprints") {
+    val fps = Dedup.winnowedFingerprints(spark, Sf) // (doc_id, fp), k=4, w=5
+    // every fingerprint IS one of the doc's 4-gram hashes (window-min
+    // selects, never invents)
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    val gramHashes = graft.engine.Tables(spark, Sf, "documents")
+      .select(col("doc_id"),
+        explode(when(size(toks) >= 4,
+          transform(sequence(lit(1), size(toks) - 3),
+            i => concat_ws(" ", slice(toks, i, lit(4)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), TextAnalysis.tokenHash(col("gram")).as("fp"))
+      .distinct()
+    assert(fps.join(gramHashes, Seq("doc_id", "fp"), "left_anti").count() == 0L)
+    // density ~2/(w+1): far sparser than the full gram set
+    val nFp = fps.count().toDouble
+    val nGrams = gramHashes.count().toDouble
+    assert(nFp > 0 && nFp < 0.6 * nGrams, s"winnowing kept $nFp of $nGrams grams")
+    // the winnowing GUARANTEE (SIGMOD'03 Thm: any match of >= w+k-1
+    // consecutive tokens shares a selected fingerprint), exercised on a
+    // synthetic corpus: two docs share exactly an 8-token run (w+k-1 =
+    // 5+4-1 = 8) inside otherwise-disjoint text
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    import spark.implicits._
+    Seq(
+      (1L, "a1 a2 c d e f g h i j b1 b2"),
+      (2L, "x1 x2 c d e f g h i j y1 y2"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val fpSets = Dedup.winnowedFingerprints(spark, tmp).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fpSets(1L).intersect(fpSets(2L)).nonEmpty,
+      "docs sharing a (w+k-1)-token run must share a winnowed fingerprint")
+    assert(fpSets(1L).intersect(fpSets(3L)).isEmpty,
+      "disjoint docs share no fingerprint")
+  }
+
   test("relational simhashSketch equals the expression-form simhash64") {
     val rel = Dedup.simhashSketch(spark, Sf)
     val expr = graft.engine.Tables(spark, Sf, "documents")

@@ -60,6 +60,41 @@ class SamplingSpec extends SparkSpec {
     assert(again == rows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet)
   }
 
+  test("global shuffle is a permutation with contiguous per-shard positions") {
+    val out = Sampling.globalShuffle(spark, Sf).collect()
+    val docs = graft.engine.Tables(spark, Sf, "documents").count()
+    assert(out.length.toLong == docs, "every doc appears")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "exactly once")
+    val byShard = out.groupBy(_.getLong(1))
+    assert(byShard.size > 1, "docs spread over multiple shards")
+    byShard.foreach { case (sh, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ps == (1L to ps.length.toLong), s"shard $sh positions not contiguous: $ps")
+    }
+    // pure function of the key: stable across runs and repartitionings
+    val again = Sampling.globalShuffle(spark, Sf).repartition(7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("temperature mixture flattens shares and fills quotas exactly") {
+    val out = Sampling.temperatureMixture(spark, Sf).collect()
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.head.getLong(2)
+      val target = rows.head.getLong(3)
+      val kept = rows.count(_.getBoolean(4)).toLong
+      assert(kept == math.min(target, n), s"$lang keeps min(target, n)")
+      assert(target >= 1L, s"$lang never starves entirely")
+    }
+    // alpha = 0.5 flattens the mixture: the smallest language keeps at
+    // least as large a FRACTION of itself as the largest language does
+    val fracs = byLang.values.map { rows =>
+      (rows.head.getLong(2), rows.count(_.getBoolean(4)).toDouble / rows.head.getLong(2))
+    }.toSeq
+    assert(fracs.minBy(_._1)._2 >= fracs.maxBy(_._1)._2 - 1e-9)
+  }
+
   test("salted enrich join equals the plain join row-for-row") {
     val salted = Skew.saltedEnrichJoin(spark, Sf).collect().toSeq
     val ev = graft.engine.Tables(spark, Sf, "events")

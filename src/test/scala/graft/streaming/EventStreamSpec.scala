@@ -261,6 +261,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLoad restarts from its checkpoint: no re-load, replays deduped") {
+    // The kill-and-resume contract (a file source is recoverable across
+    // restarts, unlike MemoryStream): run, stop, land a new file that
+    // REPLAYS an already-loaded id while the query is down, restart on
+    // the same checkpoint. The checkpoint must (a) remember file A so it
+    // is never re-loaded, and (b) carry the dedup state so the replayed
+    // id stays exactly-once; loadBatch's _batch_id partition overwrite
+    // keeps any redelivered batch idempotent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckptrec").toString
+    val src = s"$dir/in"
+    new java.io.File(src).mkdirs()
+    val schema = "event_id LONG, ts TIMESTAMP, event_type STRING"
+    def start() = EventStream.streamingLoad(
+      spark.readStream.schema(schema).json(src), s"$dir/events", s"$dir/ckpt")
+    def land(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(src, name))
+    }
+    land("a.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","event_type":"click"}""",
+      """{"event_id":2,"ts":"2024-01-01T10:01:00.000Z","event_type":"view"}"""))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // down. A replay of id 2 plus a genuinely new id 3 arrives.
+    land("b.json", Seq(
+      """{"event_id":2,"ts":"2024-01-01T10:01:30.000Z","event_type":"view"}""",
+      """{"event_id":3,"ts":"2024-01-01T10:02:00.000Z","event_type":"click"}"""))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val loaded = spark.read.parquet(s"$dir/events")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(loaded == Seq(1L, 2L, 3L),
+      s"restart must neither re-load file A nor double-load the replayed id: $loaded")
+  }
+
   test("loadBatch replay overwrites its own partition instead of appending") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_batchload").toString
