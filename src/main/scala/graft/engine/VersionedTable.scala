@@ -104,6 +104,19 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$v")
   }
 
+  /** Targeted delete (the GDPR forget-me workflow) over immutable
+    * snapshots: publishes a NEW version equal to the latest minus rows
+    * matching `pred` — readers pinned to old versions are undisturbed,
+    * and the physical forget completes when `vacuum` retires the
+    * pre-delete snapshots. Returns the new version number. At scale this
+    * is one filtered rewrite of the latest snapshot — the anti-join/
+    * rewrite every snapshot store pays for row-level deletes without
+    * tombstone support.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.Column): Long =
+    commit(read(spark, root).filter(!pred), root)
+
   /** Drop all but the newest `keepLast` versions; returns the versions
     * removed. The latest version is never removed.
     */

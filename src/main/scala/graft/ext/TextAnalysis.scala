@@ -523,8 +523,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation manifest — the full training-data recipe
+    * composed from individually-verified legs: Gopher quality rules
+    * (x71) ∧ exact-dedup canonical survivors (x10) ∧ temperature-scaled
+    * language mixture membership (x73), then the surviving docs packed
+    * into per-language 4096-token bins (the x46 contiguous-fill
+    * discipline) — the manifest a dataloader provisions shards from.
+    * Every leg keeps its own oracle; this composition gets its own twin
+    * built from the same three SQL bodies, so a drift in any leg fails
+    * BOTH the leg's gate and this one.
+    */
+  def curationManifest(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepQ = gopherRules(s, dir).select(col("doc_id"), col("keep").as("keep_q"))
+    val canon = Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_canonical"))
+    val mix = graft.ops.Sampling.temperatureMixture(s, dir)
+      .select(col("doc_id"), col("lang"), col("keep").as("keep_m"))
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      size(wsTokens(col("text"))).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mix.join(keepQ, "doc_id").join(canon, "doc_id").join(toks, "doc_id")
+      .filter(col("keep_m") && col("keep_q") && col("is_canonical"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / budget))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x71_gopher_rules" -> (gopherRules _),
+    "x74_curation_manifest" -> ((s: SparkSession, dir: String) => curationManifest(s, dir)),
     "x45_corpus_pipeline" -> (corpusPipeline _),
     "x01_token_count" -> (tokenCount _),
     "x02_quality_score" -> (qualityScore _),
@@ -565,6 +598,46 @@ object TextAnalysis {
       |  list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
       |    / CAST(count(*) AS DOUBLE) AS avg_p
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The x71 Gopher-rules output as standalone DuckDB SQL — shared by
+    * the x71 oracle and the x74 curation-manifest oracle that wraps it.
+    */
+  private val GopherSql: String = {
+      val stops = GopherStops.map(w => s"'$w'").mkString(",")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    string_split(text, chr(10)) AS lines,
+         |    len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbol
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         |    CAST(n_symbol AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+         |      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+         |    CAST(len(list_filter(toks, w -> w IN ($stops))) AS BIGINT) AS stop_hits
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+         |  symbol_ratio <= 0.1 AS r_symbol,
+         |  bullet_ratio <= 0.9 AS r_bullet,
+         |  ellipsis_ratio <= 0.3 AS r_ellipsis,
+         |  alpha_ratio >= 0.8 AS r_alpha,
+         |  stop_hits >= 2 AS r_stop,
+         |  ((n_words BETWEEN 50 AND 100000) AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+         |    AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
 
   private val baseOracles: Map[String, String] = Map(
     "x01_token_count" ->
@@ -683,42 +756,28 @@ object TextAnalysis {
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
         " ORDER BY doc_id")) +
-    ("x71_gopher_rules" -> {
-      val stops = GopherStops.map(w => s"'$w'").mkString(",")
-      s"""WITH d AS (
+    ("x71_gopher_rules" -> GopherSql) +
+    ("x74_curation_manifest" ->
+      s"""WITH g AS ($GopherSql),
+         |c AS (${Dedup.oracles("x10_dedup_exact")}),
+         |m AS (${graft.ops.Sampling.oracles("x73_temperature_mixture")}),
+         |docs AS (
          |  SELECT doc_id,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
-         |    string_split(text, chr(10)) AS lines,
-         |    len(regexp_extract_all(text, '#'))
-         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbol
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
          |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-         |    CAST(n_symbol AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
-         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
-         |      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
-         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
-         |      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
-         |    CAST(len(list_filter(toks, w -> w IN ($stops))) AS BIGINT) AS stop_hits
-         |  FROM d)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
-         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
-         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
-         |  symbol_ratio <= 0.1 AS r_symbol,
-         |  bullet_ratio <= 0.9 AS r_bullet,
-         |  ellipsis_ratio <= 0.3 AS r_ellipsis,
-         |  alpha_ratio >= 0.8 AS r_alpha,
-         |  stop_hits >= 2 AS r_stop,
-         |  ((n_words BETWEEN 50 AND 100000) AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
-         |    AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    }) +
+         |kept AS (
+         |  SELECT m.doc_id, m.lang, docs.n_tokens
+         |  FROM m JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN docs USING (doc_id)
+         |  WHERE m.keep AND g.keep AND c.is_canonical),
+         |pk AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         |  FROM kept)
+         |SELECT lang, CAST(FLOOR(tokens_before / 4096) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pk GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) +
     ("x54_bigram_lm" -> BigramLmSql) +
     // x63 wraps the x54 scoring verbatim in a per-language percent_rank
     // (rank-1)/(n-1) — exact integer division on both engines; the n=1

@@ -327,7 +327,123 @@ object Scalars {
       .orderBy(col("event_id"))
   }
 
+  /** Robust (median/MAD) outlier detection — the q63 z-score's heavy-tail
+    * companion: an outlier is dev = |value - median| > 3 * MAD, immune to
+    * the outliers' own pull on mean and variance. Both quantiles use the
+    * exact LOWER-rank order statistic (value at row_number ceil(n/2) of
+    * the (value, event_id) per-group sort — the q49 discipline; an
+    * interpolating quantile's float arithmetic differs across engines).
+    * Two per-group window sorts + two tiny broadcasts back onto the
+    * scan; dev and the 3*MAD threshold are single double ops on
+    * identically-derived operands, so the output hash-gates.
+    */
+  def madOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame =
+      in.withColumn("rn", row_number().over(byType.orderBy(col(c), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")), col(c))).as(out))
+    val e = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+    val med = lowerMedian(e, "value", "med")
+    val withDev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("dev"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exponentially-weighted moving average of daily event counts, 8-day
+    * truncated window with halving weights. The weights 2^-j are EXACT
+    * binary doubles, every product n * 2^-j is an exact scaling, and the
+    * 8-term sums stay exact (all terms are multiples of 2^-7 far below
+    * the 53-bit mantissa) — so addition order is irrelevant and the one
+    * final division hash-gates cross-engine, which a classic recursive
+    * EWMA (compounding rounded doubles) never could. Head-of-series
+    * normalization: the denominator only counts days that EXIST, so day
+    * 1's EWMA is its own count, not a zero-padded underestimate. One
+    * aggregate + 8 lags behind a single per-type window sort.
+    */
+  def ewmaDaily(s: SparkSession, dir: String, horizon: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val terms = (0 until horizon).map { j =>
+      val lagged = lag(col("n_events"), j).over(w)
+      (coalesce(lagged.cast(DoubleType) * lit(math.pow(0.5, j)), lit(0.0)),
+        when(lagged.isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)))
+    }
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("ewma", terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+      .select(col("event_type"), col("day"), col("n_events"), col("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Chi-square independence cells for event_type x weekday: observed
+    * counts, expected under independence e = row_tot * col_tot / n, and
+    * each cell's (o-e)^2/e contribution — reported PER CELL (the analyst
+    * wants to see WHICH cells drive dependence; a single chi2 total would
+    * also be an order-dependent float sum that can't hash-gate, while
+    * per-cell doubles are identical single-expression derivations from
+    * exact integers). Totals cast to double BEFORE multiplying — the
+    * BIGINT product row_tot * col_tot wraps at 100 TB counts (x69
+    * lesson). Three tiny aggregates broadcast onto a cell-grain frame.
+    */
+  def chisqCells(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "EEEE").as("day_name"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rowTot = obs.groupBy(col("event_type")).agg(sum(col("n_obs")).as("row_tot"))
+    val colTot = obs.groupBy(col("day_name")).agg(sum(col("n_obs")).as("col_tot"))
+    val total = obs.agg(sum(col("n_obs")).as("n_total"))
+    val d = (c: Column) => c.cast(DoubleType)
+    obs.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "day_name")
+      .crossJoin(broadcast(total))
+      .withColumn("expected", d(col("row_tot")) * d(col("col_tot")) / d(col("n_total")))
+      .withColumn("contrib",
+        (d(col("n_obs")) - col("expected")) * (d(col("n_obs")) - col("expected"))
+          / col("expected"))
+      .select(col("event_type"), col("day_name"), col("n_obs"),
+        col("expected"), col("contrib"))
+      .orderBy(col("event_type"), col("day_name"))
+  }
+
+  /** Retention cohort matrix: users cohorted by first-seen day, activity
+    * counted at each day offset — n_active distinct users from cohort c
+    * active exactly offset d days later, retention = n_active/n_cohort.
+    * The product-analytics staple. Two aggregates (first-seen is a
+    * per-user min that reduces map-side; the matrix is
+    * (cohort, offset)-grain) and one broadcast of cohort sizes; the only
+    * fact-table shuffle keys on user_id. retention is one division of
+    * exact BIGINTs.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = e.distinct().join(cohort, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")).cast(LongType))
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    active.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("offset"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast(DoubleType) / col("n_cohort").cast(DoubleType))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_chisq_cells" -> (chisqCells _),
+    "q67_retention_cohorts" -> (retentionCohorts _),
+    "q64_mad_outliers" -> ((s: SparkSession, dir: String) => madOutliers(s, dir)),
+    "q65_ewma_daily" -> ((s: SparkSession, dir: String) => ewmaDaily(s, dir)),
     "q61_sessionize_batch" -> ((s: SparkSession, dir: String) => sessionizeBatch(s, dir)),
     "q62_pareto_abc" -> (paretoAbc _),
     "q63_zscore_outliers" -> ((s: SparkSession, dir: String) => zscoreOutliers(s, dir)),
@@ -345,6 +461,80 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q66_chisq_cells" ->
+      """WITH obs AS (
+        |  SELECT event_type, dayname(ts) AS day_name, count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS row_tot FROM obs GROUP BY 1),
+        |c AS (SELECT day_name, CAST(sum(n_obs) AS BIGINT) AS col_tot FROM obs GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+        |e AS (
+        |  SELECT obs.event_type, obs.day_name, obs.n_obs,
+        |    CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE) AS expected
+        |  FROM obs JOIN r USING (event_type) JOIN c USING (day_name), t)
+        |SELECT event_type, day_name, n_obs, expected,
+        |  (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+        |    / expected AS contrib
+        |FROM e ORDER BY event_type, day_name""".stripMargin,
+    "q67_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |active AS (
+        |  SELECT cohort_day, date_diff('day', cohort_day, day) AS "offset",
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM e JOIN cohort USING (user_id) GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_day, count(*) AS n_cohort FROM cohort GROUP BY 1)
+        |SELECT a.cohort_day, "offset", n_active, n_cohort,
+        |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+        |FROM active a JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, "offset"""".stripMargin,
+    "q64_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS med
+        |  FROM r1 GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.med,
+        |    abs(e.value - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT event_id, d.event_type, value, med, mad.mad, dev
+        |FROM d JOIN mad USING (event_type)
+        |WHERE dev > 3.0 * mad.mad
+        |ORDER BY event_id""".stripMargin,
+    "q65_ewma_daily" -> {
+      val h = 8
+      val lags = (0 until h)
+        .map(j => s"lag(n_events, $j) OVER w AS l$j").mkString(", ")
+      val num = (0 until h)
+        .map(j => s"COALESCE(CAST(l$j AS DOUBLE) * ${math.pow(0.5, j)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until h)
+        .map(j => s"CASE WHEN l$j IS NULL THEN 0.0 ELSE ${math.pow(0.5, j)} END")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, day, n_events, $lags
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, n_events, ($num) / ($den) AS ewma
+         |FROM l ORDER BY event_type, day""".stripMargin
+    },
     "q61_sessionize_batch" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, event_type,

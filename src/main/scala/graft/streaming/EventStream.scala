@@ -203,6 +203,29 @@ object EventStream {
         col("view_id"), col("view_ts"))
   }
 
+  /** Left-outer stream-stream attribution: every click emits, matched to
+    * its same-user views inside the lookback when they exist, with a
+    * NULL view side otherwise — the "unattributed conversion" lane a
+    * marketing pipeline needs, which the inner join (s03) silently
+    * drops. Spark holds an unmatched click in state until BOTH
+    * watermarks pass its join window, then emits the null-extended row
+    * exactly once — so the outer result is late-data-correct, not a
+    * guess made at arrival time. Same bounded state as the inner join.
+    */
+  def clickViewLeftJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "1 hour", lookback: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    c.join(v,
+      expr(s"""click_ts >= view_ts AND click_ts - INTERVAL $lookback <= view_ts""")
+        && c("user_id") === v("user_id"),
+      "left_outer")
+      .select(col("click_id"), c("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Idempotent per-batch load: each micro-batch lands in its own
     * `_batch_id=<id>` partition via dynamic partition overwrite, so a
     * replayed batch (foreachBatch is at-least-once on failure/restart)
@@ -252,6 +275,13 @@ object EventStream {
     "s03_stream_interval_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
       clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id"), col("view_id"))
+    }),
+    "s07_stream_left_outer_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      clickViewLeftJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "view"))
         .orderBy(col("click_id"), col("view_id"))
@@ -323,6 +353,14 @@ object EventStream {
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |ORDER BY click_id, view_id""".stripMargin,
+    "s07_stream_left_outer_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
         |ORDER BY click_id, view_id""".stripMargin,
     "s05_stream_static_enrich" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,

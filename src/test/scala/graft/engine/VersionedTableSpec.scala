@@ -60,6 +60,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("deleteWhere publishes a new version; the forget completes at vacuum") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.commit(
+      Seq((1L, "keep"), (2L, "forget"), (3L, "keep")).toDF("id", "v"), root)
+    val v = VersionedTable.deleteWhere(spark, root, col("id") === 2L)
+    assert(v == 1L)
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L), "latest no longer has the row")
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 3L,
+      "pinned readers still see the pre-delete snapshot")
+    val removed = VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(removed == Seq(0L), "vacuum retires the snapshot that held the data")
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+  }
+
   test("vacuum drops only the oldest versions and keeps reads working") {
     import spark.implicits._
     val root = tmpRoot()

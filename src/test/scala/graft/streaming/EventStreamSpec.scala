@@ -261,6 +261,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join emits unmatched clicks with a null view after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val viewsIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.clickViewLeftJoin(
+      clicksIn.toDF().toDF("event_id", "user_id", "ts"),
+      viewsIn.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("leftattrib").outputMode("append").start()
+    try {
+      // user 7 clicks with a matching view; user 9 clicks with NO view
+      viewsIn.addData((100L, 7L, ts("2024-01-01 10:00:00")))
+      clicksIn.addData(
+        (1L, 7L, ts("2024-01-01 10:10:00")),
+        (2L, 9L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // push BOTH watermarks far past click 2's join window (watermark
+      // advances at batch end, applies next batch), then one more batch
+      // so state eviction emits the null-extended row
+      viewsIn.addData((101L, 8L, ts("2024-01-01 14:00:00")))
+      clicksIn.addData((3L, 8L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      viewsIn.addData((102L, 8L, ts("2024-01-01 15:00:00")))
+      clicksIn.addData((4L, 8L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("leftattrib")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      val byClick = rows.groupBy(_._1)
+      assert(byClick(1L).toSeq == Seq((1L, Some(100L))), "matched click joins its view")
+      assert(byClick(2L).toSeq == Seq((2L, None)),
+        s"unmatched click emits EXACTLY once with a null view: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingLoad restarts from its checkpoint: no re-load, replays deduped") {
     // The kill-and-resume contract (a file source is recoverable across
     // restarts, unlike MemoryStream): run, stop, land a new file that
