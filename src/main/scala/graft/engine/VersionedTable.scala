@@ -104,6 +104,28 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$v")
   }
 
+  /** Publish `df` at EXACTLY `version` if that version does not already
+    * exist; returns true if this call published it. The rename-if-absent
+    * arbitration makes a retried publish of the same version a no-op —
+    * the exactly-once hook a streaming `foreachBatch` needs: keying the
+    * version by batchId turns an at-least-once replay into a skipped
+    * commit (the replayed batch finds its version already on disk).
+    */
+  def commitIfAbsent(df: DataFrame, root: String, version: Long): Boolean = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val dest = new Path(s"$root/v=$version")
+    if (fs.exists(dest)) return false
+    fs.mkdirs(new Path(root))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$root/.tmp-v$version-$nonce")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, true) // lost to a racing replay: its commit stands
+      false
+    } else true
+  }
+
   /** Targeted delete (the GDPR forget-me workflow) over immutable
     * snapshots: publishes a NEW version equal to the latest minus rows
     * matching `pred` — readers pinned to old versions are undisturbed,

@@ -259,6 +259,45 @@ object EventStream {
       }
       .start()
 
+  /** Streaming load into a [[graft.engine.VersionedTable]]: every
+    * micro-batch publishes one SNAPSHOT VERSION keyed by its batchId —
+    * `commitIfAbsent` makes an at-least-once batch replay a skipped
+    * commit (the replay finds v=batchId already on disk), so the table
+    * is exactly-once per batch AND time-travelable: a reader can pin
+    * "the warehouse as of batch N" while the stream keeps appending
+    * versions. The deduped-load counterpart with history instead of
+    * partition overwrite.
+    */
+  def streamingSnapshotLoad(events: DataFrame, root: String, checkpoint: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupEvents(events, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.engine.VersionedTable.commitIfAbsent(batch.toDF(), root, batchId): Unit
+      }
+      .start()
+
+  /** Bounded catch-up: process EVERYTHING currently in the source in
+    * rate-limited micro-batches (the source's own maxFilesPerTrigger /
+    * maxOffsetsPerTrigger caps apply under AvailableNow, unlike the
+    * legacy Trigger.Once), then STOP — the "drain the backlog without
+    * OOMing on one giant batch, then hand back the cluster" mode a daily
+    * catch-up or backfill-to-streaming migration runs. Same sink and
+    * checkpoint as [[streamingLoad]], so catch-up runs and continuous
+    * runs interleave safely on one table.
+    */
+  def streamingLoadCatchup(events: DataFrame, path: String, checkpoint: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupEvents(events, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        loadBatch(batch.toDF(), batchId, path)
+      }
+      .start()
+
   /** Batch registration of the windowed aggregation over the `events`
     * table (same code path the stream runs).
     */

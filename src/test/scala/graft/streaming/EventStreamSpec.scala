@@ -332,6 +332,55 @@ class EventStreamSpec extends SparkSpec {
       s"restart must neither re-load file A nor double-load the replayed id: $loaded")
   }
 
+  test("streamingSnapshotLoad publishes one version per batch; replays skip") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.engine.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapload").toString
+    val root = s"$dir/table"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.streamingSnapshotLoad(df, root, s"$dir/ckpt")
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      val vs = VersionedTable.versions(spark, root)
+      assert(vs.size >= 2, s"each micro-batch publishes a snapshot: $vs")
+      // a foreachBatch REPLAY of an already-committed batch is skipped
+      val replay = Seq((1L, "replay")).toDF("event_id", "v")
+      assert(!VersionedTable.commitIfAbsent(replay, root, vs.head),
+        "replayed batchId must not re-commit")
+      assert(VersionedTable.versions(spark, root) == vs, "history unchanged")
+      // time travel: the first batch's snapshot still reads as written
+      val v0 = VersionedTable.read(spark, root, Some(vs.head))
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(v0 == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("AvailableNow catch-up drains a backlog in bounded batches, then stops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_catchup").toString
+    val src = s"$dir/in"
+    new java.io.File(src).mkdirs()
+    val schema = "event_id LONG, ts TIMESTAMP, event_type STRING"
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, s"f$i.json"),
+        s"""{"event_id":$i,"ts":"2024-01-01T10:0$i:00.000Z","event_type":"click"}""".getBytes)
+    }
+    val q = EventStream.streamingLoadCatchup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src),
+      s"$dir/events", s"$dir/ckpt")
+    assert(q.awaitTermination(120000), "AvailableNow must terminate on its own")
+    val out = spark.read.parquet(s"$dir/events")
+    val ids = out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), "backlog fully drained exactly once")
+    // rate cap respected: the 3-file backlog processed as multiple batches
+    val nBatches = out.select("_batch_id").distinct().count()
+    assert(nBatches >= 3, s"maxFilesPerTrigger=1 must bound each batch: $nBatches")
+  }
+
   test("loadBatch replay overwrites its own partition instead of appending") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_batchload").toString
