@@ -624,6 +624,27 @@ object Dedup {
       .limit(20)
   }
 
+  /** Canonical-copy selection POLICY over the resolved duplicate
+    * clusters (x47): deduplication keeps the LONGEST member of each
+    * cluster (most content preserved — the curation default), ties to
+    * the smallest doc_id, instead of x47's bare min-id convention. One
+    * per-cluster window over the cluster frame (already tiny relative to
+    * the corpus: only docs WITH near-dups are rows); the length join
+    * broadcasts cluster ids into the documents scan under AQE.
+    */
+  def canonicalSelection(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(s, dir)
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters.join(toks, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), (col("rnk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -633,6 +654,7 @@ object Dedup {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x70_winnowing_topk" -> ((s: SparkSession, dir: String) => winnowingTopk(s, dir)),
+    "x75_canonical_selection" -> (canonicalSelection _),
     "x10_dedup_exact" -> (dedupExact _),
     "x11_jaccard_topk" -> ((s: SparkSession, dir: String) => jaccardTopk(s, dir)),
     "x12_minhash_pairs" -> ((s: SparkSession, dir: String) =>
@@ -667,7 +689,22 @@ object Dedup {
        |sk AS (SELECT doc_id, CAST($orBits AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
+    "x75_canonical_selection" ->
+      s"""WITH base AS (${oraclesBase("x47_dup_clusters")}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT base.doc_id, base.cluster_id, base.cluster_size, toks.n_tokens,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM base JOIN toks USING (doc_id))
+         |SELECT doc_id, cluster_id, cluster_size, n_tokens, rnk = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin) ++ oraclesBase
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "x70_winnowing_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

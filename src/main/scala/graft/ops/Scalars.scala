@@ -249,7 +249,12 @@ object Scalars {
     * the batch twin of the streaming session windows (s06) and timeout
     * sessions, with an exact SQL oracle those can't have.
     */
-  def sessionizeBatch(s: SparkSession, dir: String, gapS: Long = 1800L): DataFrame = {
+  /** Event-level session assignment (the q61/q69 shared core): each
+    * event tagged with its user's session_idx under a `gapS`-second idle
+    * break. Both windows key on user_id — one Exchange.
+    */
+  private[ops] def sessionAssigned(s: SparkSession, dir: String,
+      gapS: Long = 1800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
@@ -259,6 +264,10 @@ object Scalars {
         when(col("epoch_s") - lag(col("epoch_s"), 1).over(byUser) <= gapS, 0L)
           .otherwise(1L))
       .withColumn("session_idx", sum(col("new_session")).over(byUser))
+  }
+
+  def sessionizeBatch(s: SparkSession, dir: String, gapS: Long = 1800L): DataFrame = {
+    sessionAssigned(s, dir, gapS)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -439,7 +448,34 @@ object Scalars {
       .orderBy(col("cohort_day"), col("offset"))
   }
 
+  /** Within-session funnel: did the user click AFTER their first view
+    * INSIDE the same session? — the q53 funnel made session-scoped (a
+    * click in tomorrow's session no longer counts as conversion). Built
+    * on the q61 session assignment; first_view is a filtered MIN, the
+    * conversion flag an EXISTS over the same session keyed by strict
+    * ts > first_view. Both aggregates key on (user_id, session_idx), so
+    * the whole query stays behind the session assignment's single
+    * user_id Exchange plus one session-grain aggregate.
+    */
+  def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionAssigned(s, dir)
+    val fv = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"))
+    sess.join(fv, Seq("user_id", "session_idx"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("first_view")).as("first_view"),
+        max(when(col("event_type") === "click" && col("ts") > col("first_view"),
+          1L).otherwise(0L)).as("conv_flag"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("first_view").isNotNull.as("has_view"),
+        (col("conv_flag") === 1L).as("converted"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_session_funnel" -> (sessionFunnel _),
     "q66_chisq_cells" -> (chisqCells _),
     "q67_retention_cohorts" -> (retentionCohorts _),
     "q64_mad_outliers" -> ((s: SparkSession, dir: String) => madOutliers(s, dir)),
@@ -461,6 +497,29 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q69_session_funnel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER w <= 1800 THEN 0 ELSE 1 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM g),
+        |fv AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        |  FROM s GROUP BY 1, 2)
+        |SELECT fv.user_id, fv.session_idx, fv.n_events,
+        |  fv.first_view IS NOT NULL AS has_view,
+        |  max(CASE WHEN s.event_type = 'click' AND s.ts > fv.first_view
+        |           THEN 1 ELSE 0 END) = 1 AS converted
+        |FROM s JOIN fv USING (user_id, session_idx)
+        |GROUP BY fv.user_id, fv.session_idx, fv.n_events, fv.first_view
+        |ORDER BY fv.user_id, fv.session_idx""".stripMargin,
     "q66_chisq_cells" ->
       """WITH obs AS (
         |  SELECT event_type, dayname(ts) AS day_name, count(*) AS n_obs

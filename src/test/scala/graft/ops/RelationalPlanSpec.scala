@@ -33,4 +33,33 @@ class RelationalPlanSpec extends SparkSpec {
     val hash = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hash == 1, s"expected one hash exchange, got $hash in:\n$p")
   }
+
+  test("batch sessionization shares ONE user_id exchange across windows and rollup") {
+    // the lag window, the running-sum window, and the session aggregate
+    // all key on user_id — more than one hash exchange means a window
+    // stopped reusing the partitioning
+    val p = plan(Scalars.sessionizeBatch(spark, Sf))
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected one hash exchange, got $hash in:\n$p")
+  }
+
+  test("gopher rules plan is a pure map: no exchange before the presentation sort") {
+    val p = plan(graft.ext.TextAnalysis.gopherRules(spark, Sf))
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 0, s"a corpus filter must not shuffle, got $hash in:\n$p")
+  }
+
+  test("bloom pre-filter evaluates inside the events scan stage, before any exchange") {
+    val dim = graft.engine.Tables(spark, Sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("user_id"))
+    val sketch = BloomJoin.buildBloom(dim, "user_id", 100000L)
+    val pruned = graft.engine.Tables(spark, Sf, "events")
+      .filter(BloomJoin.mightContain(sketch, org.apache.spark.sql.functions.col("user_id")))
+    val p = plan(pruned)
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the pre-filter alone must not introduce an exchange:\n$p")
+  }
 }
