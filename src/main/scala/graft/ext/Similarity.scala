@@ -538,7 +538,81 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** SRP sketch width: 4 bands x 8 bits. 32 bits on 64-dim embeddings
+    * keeps the sketch selective while the 4-band pigeonhole covers
+    * Hamming <= 3 exactly.
+    */
+  val SrpBits = 32
+
+  /** The per-dimension ±1 hyperplane signs, derived from md5 so BOTH
+    * engines materialize the identical "random" matrix: sign(d, b) =
+    * (md5("d:b") low bit) * 2 - 1. A 64-row broadcast table with one
+    * column per bit — each embedding dimension joins its 32 signs once;
+    * the votes then reduce in a single hash-aggregate.
+    */
+  private def srpSigns(s: SparkSession): DataFrame = {
+    val cols = (0 until SrpBits).map { b =>
+      (pmod(TextAnalysis.tokenHash(
+        concat(col("d").cast("string"), lit(s":$b"))), lit(2L)) * 2L - 1L).as(s"s$b")
+    }
+    s.range(64).toDF("d").select((col("d") +: cols): _*)
+  }
+
+  /** Signed-random-projection (SRP / hyperplane LSH — Charikar, STOC'02)
+    * sketch of each embedding: bit b is set iff the dot product with
+    * pseudo-random hyperplane b is positive. Dimension values QUANTIZE
+    * to exact integers (floor(v * 2^20) — float→double is exact, the
+    * scaling is exact, and integer sums are order-independent), so the
+    * sketch is bit-identical across engines and partitionings — the
+    * embedding-space analog of the x13 token SimHash.
+    */
+  def srpSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("d"),
+        floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
+    val votes = (0 until SrpBits).map(b => sum(col("q") * col(s"s$b")).as(s"v$b"))
+    dims.join(broadcast(srpSigns(s)), "d")
+      .groupBy(col("vec_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("vec_id"),
+        (0 until SrpBits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("srp"))
+  }
+
+  /** SRP near-duplicate pairs: sketch Hamming distance <= 3, found via
+    * 4x8-bit band buckets — a pair within Hamming 3 differs in at most 3
+    * bands, so by pigeonhole it SHARES at least one band: the banded
+    * candidate set provably covers every qualifying pair, the exact
+    * Hamming filter trims false candidates, and the emitted set EQUALS
+    * the brute-force all-pairs answer (which is what the oracle runs).
+    * At 100 TB only (vec_id, band, key) rides the LSH shuffle; buckets
+    * hold near-identical vectors only, so pair expansion is bounded by
+    * duplicate-cluster size, never corpus size.
+    */
+  def srpNearDup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sk = srpSketch(s, dir)
+    val bands = (0 until 4).map(bd => sk.select(col("vec_id"), col("srp"),
+        lit(bd).as("band"),
+        shiftright(col("srp"), bd * 8).bitwiseAND(lit(255L)).as("key")))
+      .reduce(_ unionByName _)
+    val a = bands.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("srp").as("srp_a"))
+    val b = bands.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("srp").as("srp_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        bit_count(col("srp_a").bitwiseXOR(col("srp_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x77_srp_neardup" -> ((s: SparkSession, dir: String) => srpNearDup(s, dir)),
     "x69_label_balance" -> (labelBalance _),
     "x42_label_centroids" -> (labelCentroids _),
     "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)),
@@ -556,7 +630,43 @@ object Similarity {
     * sequences are identical (0.0 + p1 == p1 exactly), so the doubles
     * compare equal bitwise. x21 is approximate: rows-only check.
     */
+  /** x77's DuckDB twin: the identical md5-derived sign matrix and
+    * quantized votes, but pairs via brute force — the banded Spark plan
+    * must emit exactly this set (pigeonhole coverage + exact filter).
+    */
+  private def srpOracle: String = {
+    val signCols = (0 until SrpBits).map(b =>
+      s"((('0x' || substr(md5(CAST(d AS VARCHAR) || ':$b'), 1, 15))::BIGINT % 2) * 2 - 1) AS s$b")
+      .mkString(",\n        |    ")
+    val voteCols = (0 until SrpBits).map(b => s"sum(q * s$b) AS v$b")
+      .mkString(",\n        |    ")
+    val orBits = (0 until SrpBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" | ")
+    s"""WITH dims AS (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |signs AS (
+       |  SELECT d,
+       |    $signCols
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS d)),
+       |votes AS (
+       |  SELECT vec_id,
+       |    $voteCols
+       |  FROM dims JOIN signs USING (d) GROUP BY vec_id),
+       |sk AS (SELECT vec_id, CAST($orBits AS BIGINT) AS srp FROM votes)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(bit_count(xor(a.srp, b.srp)) AS BIGINT) AS hamming
+       |FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(a.srp, b.srp)) <= 3
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x77_srp_neardup" -> srpOracle,
     "x69_label_balance" ->
       """WITH c AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label),
         |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,

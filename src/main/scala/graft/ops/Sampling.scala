@@ -174,7 +174,39 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing WITH document splitting — the real dataloader
+    * contract x46 approximates: a document whose tokens overflow its bin
+    * CONTINUES into the next bin (x46 lets bins overflow instead). From
+    * each split's running prefix sum B and doc length n, the spanned
+    * bins are floor(B/W)..floor((B+n-1)/W); each (doc, bin) row takes
+    * min(B+n, (b+1)W) - max(B, bW) tokens at offset max(B, bW) - bW.
+    * Pure integer arithmetic off ONE per-split window pass + a bounded
+    * explode (a doc spans ceil(n/W)+1 bins at most) — every bin except
+    * each split's last is EXACTLY full, which is the property a fixed-
+    * shape training batch needs and the spec asserts.
+    */
+  def packedSequences(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val W = lit(budget)
+    hashSplit(s, dir).select(col("doc_id"), col("split"))
+      .join(Tables(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens")), "doc_id")
+      .withColumn("b0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin",
+        explode(sequence(floor(col("b0") / W), floor((col("b0") + col("n_tokens") - 1) / W))))
+      .withColumn("start_tok", greatest(col("b0"), col("bin") * W))
+      .withColumn("end_tok", least(col("b0") + col("n_tokens"), (col("bin") + 1) * W))
+      .select(col("split"), col("bin"), col("doc_id"),
+        (col("start_tok") - col("bin") * W).as("offset_in_bin"),
+        (col("end_tok") - col("start_tok")).as("tokens_taken"),
+        (col("start_tok") === col("b0")).as("is_head"))
+      .orderBy(col("split"), col("bin"), col("offset_in_bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x76_packed_sequences" -> ((s: SparkSession, dir: String) => packedSequences(s, dir)),
     "x72_global_shuffle" -> ((s: SparkSession, dir: String) => globalShuffle(s, dir)),
     "x73_temperature_mixture" -> (temperatureMixture _),
     "x40_hash_split" -> (hashSplit _),
@@ -183,6 +215,34 @@ object Sampling {
     "x64_mixture_rebalance" -> ((s: SparkSession, dir: String) => mixtureRebalance(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x76_packed_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, split, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0
+        |  FROM t),
+        |x AS (
+        |  SELECT split, doc_id, n_tokens, b0,
+        |    unnest(generate_series(CAST(FLOOR(b0 / 4096) AS BIGINT),
+        |                           CAST(FLOOR((b0 + n_tokens - 1) / 4096) AS BIGINT))) AS bin
+        |  FROM m),
+        |y AS (
+        |  SELECT split, bin, doc_id, b0,
+        |    greatest(b0, bin * 4096) AS start_tok,
+        |    least(b0 + n_tokens, (bin + 1) * 4096) AS end_tok
+        |  FROM x)
+        |SELECT split, bin, doc_id,
+        |  start_tok - bin * 4096 AS offset_in_bin,
+        |  end_tok - start_tok AS tokens_taken,
+        |  start_tok = b0 AS is_head
+        |FROM y ORDER BY split, bin, offset_in_bin""".stripMargin,
     "x72_global_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS digest

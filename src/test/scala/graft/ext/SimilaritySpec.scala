@@ -95,4 +95,14 @@ class SimilaritySpec extends SparkSpec {
       exact.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-15))
     }
   }
+
+  test("SRP sketch is partitioning-invariant and uses only 32 bits") {
+    val a = Similarity.srpSketch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.srpSketch(spark, Sf).repartition(7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "quantized integer votes must not depend on partitioning")
+    assert(a.values.forall(s => (s & ~((1L << Similarity.SrpBits) - 1)) == 0L))
+    assert(a.values.toSet.size > 1, "sketches separate the fixture's vectors")
+  }
 }

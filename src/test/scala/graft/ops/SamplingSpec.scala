@@ -95,6 +95,32 @@ class SamplingSpec extends SparkSpec {
     assert(fracs.minBy(_._1)._2 >= fracs.maxBy(_._1)._2 - 1e-9)
   }
 
+  test("packed sequences conserve tokens, tile bins contiguously, fill non-final bins exactly") {
+    val out = Sampling.packedSequences(spark, Sf).collect()
+    val docs = graft.engine.Tables(spark, Sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // conservation: a split doc's takes sum back to its token count
+    out.groupBy(_.getLong(2)).foreach { case (d, rows) =>
+      assert(rows.map(_.getLong(4)).sum == docs(d), s"doc $d loses tokens across bins")
+    }
+    val bySplitBin = out.groupBy(r => (r.getString(0), r.getLong(1)))
+    bySplitBin.foreach { case ((sp, b), rows) =>
+      // contiguous tiling: offsets chain with no gap or overlap
+      var pos = 0L
+      rows.sortBy(_.getLong(3)).foreach { r =>
+        assert(r.getLong(3) == pos, s"gap at offset ${r.getLong(3)} in bin ($sp,$b)")
+        pos += r.getLong(4)
+      }
+      // every non-final bin is EXACTLY full — the fixed-shape batch property
+      val lastBin = bySplitBin.keys.collect { case (`sp`, bb) => bb }.max
+      if (b < lastBin) assert(pos == 4096L, s"bin ($sp,$b) not exactly full: $pos")
+      else assert(pos <= 4096L)
+    }
+    // splitting really happens on this fixture (some doc spans 2+ bins)
+    assert(out.groupBy(_.getLong(2)).exists(_._2.length > 1), "no doc was ever split")
+  }
+
   test("salted enrich join equals the plain join row-for-row") {
     val salted = Skew.saltedEnrichJoin(spark, Sf).collect().toSeq
     val ev = graft.engine.Tables(spark, Sf, "events")
