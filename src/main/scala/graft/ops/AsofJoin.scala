@@ -96,8 +96,81 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): each
+    * left row picks the EARLIEST right row with `right.ts >= left.ts` in
+    * its key group — "what happened next". Same union-one-shuffle shape
+    * as the backward join with the window sort REVERSED (ts desc, right
+    * first at equal ts keeps >= inclusive); the running ignore-nulls
+    * `last` then carries the nearest LATER right row backward onto each
+    * left row. One Exchange, no pair blowup — identical scale story.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTs: String, rightTs: String,
+      rightVals: Map[String, String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightVals.values.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select((by.map(col) ++ Seq(col("_ts"), col("_side")) ++
+        leftCols.filterNot(by.contains).map(col) ++
+        Seq(lit(null).cast(right.schema(rightTs).dataType).as("_rts")) ++
+        carried.map(c => lit(null).cast(right.schema(rightVals.find(_._2 == c).get._1)
+          .dataType).as(c))): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select((by.map(col) ++ Seq(col("_ts"), col("_side")) ++
+        leftCols.filterNot(by.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTs).as("_rts")) ++
+        rightVals.map { case (src, dst) => col(src).as(dst) }.toSeq): _*)
+    // DESCENDING ts; right row first at the same timestamp -> inclusive >=
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("_ts").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedTs = last(col("_rts"), ignoreNulls = true).over(w)
+    val withMatch = l.unionByName(r)
+      .withColumn("_mts", matchedTs)
+      .withColumns(carried.map(c =>
+        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+    val inWindow = tolerance match {
+      case Some(tol) => col("_mts").isNotNull && col("_mts") - col("_ts") <= tol
+      case None => col("_mts").isNotNull
+    }
+    withMatch
+      .filter(col("_side") === 1)
+      .select((by.map(col) ++ leftCols.filterNot(by.contains).map(col) ++
+        Seq(when(inWindow, col("_mts")).as("matched_ts")) ++
+        carried.map(c => when(inWindow, col(c)).as(c))): _*)
+  }
+
+  /** Graded query: each view's NEXT click by the same user within one
+    * hour (forward direction + tolerance — "did the impression convert,
+    * and when"). Matches beyond the hour report NULL: the nearest later
+    * click being too far means no closer one exists, so a post-filter of
+    * the unbounded forward match IS the tolerance semantics (and is
+    * exactly how the oracle wraps DuckDB's native ASOF).
+    */
+  def viewNextClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    asofJoinForward(views, clicks, Seq("user_id"), "ts", "ts",
+      Map("click_value" -> "click_value"),
+      tolerance = Some(expr("INTERVAL '1' HOUR")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("matched_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q38_asof_join" -> (clickAsofView _))
+    "q38_asof_join" -> (clickAsofView _),
+    "q70_asof_forward" -> (viewNextClick _))
 
   /** DuckDB's native ASOF LEFT JOIN is the oracle — an independent
     * implementation of the same semantics.
@@ -113,5 +186,20 @@ object AsofJoin {
         |  v.ts AS matched_ts, v.view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY c.event_id""".stripMargin)
+        |ORDER BY c.event_id""".stripMargin,
+    "q70_asof_forward" ->
+      """WITH views AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |m AS (
+        |  SELECT v.event_id, v.user_id, v.ts, v.value,
+        |    c.ts AS matched_ts, c.click_value
+        |  FROM views v ASOF LEFT JOIN clicks c
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts)
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN matched_ts - ts <= INTERVAL '1' HOUR THEN matched_ts END AS matched_ts,
+        |  CASE WHEN matched_ts - ts <= INTERVAL '1' HOUR THEN click_value END AS click_value
+        |FROM m ORDER BY event_id""".stripMargin)
 }

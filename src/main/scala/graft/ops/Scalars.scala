@@ -474,7 +474,65 @@ object Scalars {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** First-order Markov transition matrix over each user's event stream:
+    * counts of consecutive (prev_type -> type) steps and the
+    * row-normalized transition probability — the behavioral-model
+    * estimate a recommender or anomaly detector starts from. One lag
+    * window keyed on user_id + one transition-grain aggregate; p is a
+    * single division of exact counts.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val rowTot = trans.groupBy(col("prev_type")).agg(sum(col("n_trans")).as("row_tot"))
+    trans.join(broadcast(rowTot), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n_trans"),
+        (col("n_trans").cast(DoubleType) / col("row_tot").cast(DoubleType)).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** Distribution-drift report (the PSI workflow without its logarithm,
+    * which cannot hash-gate): events split into period A (first half of
+    * the month) and B (rest), values binned into fixed-width buckets per
+    * event type, and each bucket reports both periods' counts, shares,
+    * and the absolute share difference plus a drift flag at 2%. Shares
+    * are single divisions of exact counts; a full-outer bucket join
+    * keeps buckets that exist in only one period (drift's most
+    * interesting case — share 0.0 on the empty side). Two cell-grain
+    * aggregates + one broadcast of period totals.
+    */
+  def driftReport(s: SparkSession, dir: String, binWidth: Double = 25.0,
+      threshold: Double = 0.02): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("in_a"),
+        floor(col("value") / binWidth).cast(LongType).as("bucket"))
+    val cells = e.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = e.groupBy(col("event_type"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("tot_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("tot_b"))
+    val d = (c: Column) => c.cast(DoubleType)
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("share_a", d(col("n_a")) / d(col("tot_a")))
+      .withColumn("share_b", d(col("n_b")) / d(col("tot_b")))
+      .withColumn("share_diff", abs(col("share_a") - col("share_b")))
+      .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"),
+        col("share_a"), col("share_b"), col("share_diff"),
+        (col("share_diff") > threshold).as("drifted"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_event_transitions" -> (eventTransitions _),
+    "x78_drift_report" -> ((s: SparkSession, dir: String) => driftReport(s, dir)),
     "q69_session_funnel" -> (sessionFunnel _),
     "q66_chisq_cells" -> (chisqCells _),
     "q67_retention_cohorts" -> (retentionCohorts _),
@@ -497,6 +555,44 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q71_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type, count(*) AS n_trans
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS row_tot FROM t GROUP BY 1)
+        |SELECT t.prev_type, t.event_type, t.n_trans,
+        |  CAST(n_trans AS DOUBLE) / CAST(row_tot AS DOUBLE) AS p
+        |FROM t JOIN r USING (prev_type)
+        |ORDER BY prev_type, event_type""".stripMargin,
+    "x78_drift_report" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(ts AS DATE) <= DATE '2024-01-15' AS in_a,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS bucket
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bucket,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+        |  FROM e GROUP BY 1)
+        |SELECT cells.event_type, bucket, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+        |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b,
+        |  abs(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |      - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) AS share_diff,
+        |  abs(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |      - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) > 0.02 AS drifted
+        |FROM cells JOIN tot USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
     "q69_session_funnel" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, event_type,

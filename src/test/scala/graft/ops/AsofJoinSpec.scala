@@ -65,6 +65,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected the single key shuffle, got $exchanges:\n$plan")
   }
 
+  test("forward as-of matches earliest right at or after left; one Exchange; tolerance") {
+    def runFwd(tol: Option[org.apache.spark.sql.Column]) =
+      AsofJoin.asofJoinForward(leftDf, rightDf, Seq("k"), "ts", "rts",
+        Map("price" -> "price"), tol)
+        .collect().map(r => r.getLong(1) ->
+          (Option(r.getTimestamp(3)).map(_.toString),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toMap
+    val got = runFwd(None)
+    // id 1 (10:00): right at exactly 10:00 matches (inclusive >=)
+    assert(got(1L) == (Some("2024-01-01 10:00:00.0"), Some(100.0)))
+    // id 2 (10:05): nothing later -> no match
+    assert(got(2L) == (None, None))
+    // id 3 (09:00): earliest later right is 09:30
+    assert(got(3L) == (Some("2024-01-01 09:30:00.0"), Some(93.0)))
+    // id 4: key 20 has no right rows
+    assert(got(4L) == (None, None))
+    // tolerance: 09:00 -> 09:30 is 30 min away, nulled at a 10-min cap
+    val tight = runFwd(Some(expr("INTERVAL 10 MINUTES")))
+    assert(tight(3L) == (None, None))
+    assert(tight(1L) == (Some("2024-01-01 10:00:00.0"), Some(100.0)))
+    val plan = AsofJoin.asofJoinForward(leftDf, rightDf, Seq("k"), "ts", "rts",
+      Map("price" -> "price")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"forward variant keeps the single key shuffle:\n$plan")
+  }
+
   test("composite-key as-of joins group on all key columns") {
     import spark.implicits._
     val l = Seq(
