@@ -80,6 +80,24 @@ object Sketches {
       .toDF("token", "n_exact", "n_est")
   }
 
+  /** q41's driver-gated form (the q29 discipline): the exact top-k
+    * compares against DuckDB outright, and the CMS point estimate rides
+    * as its bound-check boolean — est in [exact, exact + ceil(eps*N)] —
+    * which is DETERMINISTIC under the fixed sketch seed, so the twin
+    * pins it TRUE. SketchesSpec keeps measuring the raw estimates.
+    */
+  def heavyHittersGated(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val n = Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")))
+      .count()
+    val slack = math.ceil(0.001 * n).toLong
+    tokenHeavyHitters(s, dir, k)
+      .select(col("token"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          col("n_est") <= col("n_exact") + lit(slack)).as("est_ok"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** Exact percentiles by the order-statistic definition (the value at
     * rank ceil(p*n) under a TOTAL order — percentile_disc semantics,
     * no interpolation): deterministic and engine-portable, so unlike the
@@ -146,18 +164,24 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sketches" -> (eventSketches _),
-    "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => tokenHeavyHitters(s, dir)),
+    "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHittersGated(s, dir)),
     "q49_exact_percentiles" -> (exactPercentiles _),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
-  /** q41 has no oracle — CMS point estimates are engine-specific and ride
-    * in a value column. q29/q50 hash-gate: exact legs compare outright and
-    * the sketch estimates are reduced to bound-check booleans the twin
-    * pins to TRUE (the estimates are deterministic under Spark's fixed
-    * hashes, so the flags are stable; SketchesSpec still measures the raw
-    * error). q49 is exact by construction and fully oracle-gated.
+  /** Every sketch query hash-gates: exact legs compare outright and each
+    * estimate is reduced to a bound-check boolean the twin pins to TRUE
+    * (estimates are deterministic under Spark's fixed hashes/seeds, so
+    * the flags are stable; SketchesSpec still measures the raw error).
+    * q49 is exact by construction and fully oracle-gated.
     */
   val oracles: Map[String, String] = Map(
+    "q41_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_exact, TRUE AS est_ok
+        |FROM toks GROUP BY token
+        |ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
     "q29_sketches" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
