@@ -555,7 +555,26 @@ object TextAnalysis {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Language-ID confusion matrix: counts per (labeled, detected) pair
+    * plus each labeled language's recall — the evaluation report that
+    * turns x03's per-doc output into a quality number per language. One
+    * cell-grain aggregate over the verified x03 leg + a broadcast of
+    * row totals; recall is a single division of exact counts.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = langId(s, dir)
+      .groupBy(col("lang_labeled"), col("lang_detected"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = cells.groupBy(col("lang_labeled")).agg(sum(col("n_docs")).as("row_tot"))
+    cells.join(broadcast(rowTot), "lang_labeled")
+      .select(col("lang_labeled"), col("lang_detected"), col("n_docs"),
+        (col("lang_labeled") === col("lang_detected")).as("is_correct"),
+        (col("n_docs").cast(DoubleType) / col("row_tot").cast(DoubleType)).as("share"))
+      .orderBy(col("lang_labeled"), col("lang_detected"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_lang_confusion" -> (langConfusion _),
     "x71_gopher_rules" -> (gopherRules _),
     "x74_curation_manifest" -> ((s: SparkSession, dir: String) => curationManifest(s, dir)),
     "x45_corpus_pipeline" -> (corpusPipeline _),
@@ -756,6 +775,19 @@ object TextAnalysis {
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
         " ORDER BY doc_id")) +
+    ("x79_lang_confusion" -> {
+      s"""WITH l AS (${baseOracles("x03_lang_id")}),
+         |cells AS (
+         |  SELECT lang_labeled, lang_detected, count(*) AS n_docs
+         |  FROM l GROUP BY 1, 2),
+         |r AS (SELECT lang_labeled, CAST(sum(n_docs) AS BIGINT) AS row_tot
+         |      FROM cells GROUP BY 1)
+         |SELECT cells.lang_labeled, lang_detected, n_docs,
+         |  lang_labeled = lang_detected AS is_correct,
+         |  CAST(n_docs AS DOUBLE) / CAST(row_tot AS DOUBLE) AS share
+         |FROM cells JOIN r USING (lang_labeled)
+         |ORDER BY lang_labeled, lang_detected""".stripMargin
+    }) +
     ("x71_gopher_rules" -> GopherSql) +
     ("x74_curation_manifest" ->
       s"""WITH g AS ($GopherSql),
