@@ -530,7 +530,40 @@ object Scalars {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Market-basket affinity (pairwise association rules): parts
+    * co-ordered in the same order, with support counts and
+    * lift = P(a,b) / (P(a)P(b)) = n_pair * n_orders / (n_a * n_b) —
+    * top-k surprising pairs at a minimum support. The pair expansion is
+    * a self-join WITHIN the order key (bounded by basket size, never
+    * corpus size); part marginals are dimension-grain and AQE-broadcast
+    * back; lift multiplies doubles cast from exact integers in a pinned
+    * order, so the ranking hash-gates. Ties broken by the pair key.
+    */
+  def basketAffinity(s: SparkSession, dir: String,
+      minSupport: Long = 5L, k: Int = 30): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val totals = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val d = (c: Column) => c.cast(DoubleType)
+    a.join(b, "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+      .join(marg.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(marg.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"), col("n_b"),
+        (d(col("n_pair")) * d(col("n_orders")) / (d(col("n_a")) * d(col("n_b"))))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_basket_affinity" -> ((s: SparkSession, dir: String) => basketAffinity(s, dir)),
     "q71_event_transitions" -> (eventTransitions _),
     "x78_drift_report" -> ((s: SparkSession, dir: String) => driftReport(s, dir)),
     "q69_session_funnel" -> (sessionFunnel _),
@@ -555,6 +588,24 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q72_basket_affinity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |marg AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT part_a, part_b, n_pair,
+        |  ma.n_part AS n_a, mb.n_part AS n_b,
+        |  CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(ma.n_part AS DOUBLE) * CAST(mb.n_part AS DOUBLE)) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.l_partkey = part_a
+        |JOIN marg mb ON mb.l_partkey = part_b, t
+        |ORDER BY lift DESC, part_a, part_b LIMIT 30""".stripMargin,
     "q71_event_transitions" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, event_type,

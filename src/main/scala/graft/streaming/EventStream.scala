@@ -226,6 +226,30 @@ object EventStream {
         col("view_id"), col("view_ts"))
   }
 
+  /** Full-outer stream-stream attribution: clicks AND views both emit,
+    * null-extended when the other side never arrives inside the
+    * lookback — the complete reconciliation view (unattributed clicks
+    * plus orphan impressions in one stream). Both sides' unmatched rows
+    * are held until both watermarks pass their window, then emitted
+    * exactly once, same bounded state as the inner/left variants.
+    */
+  def clickViewFullJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "1 hour", lookback: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      expr(s"""click_ts >= view_ts AND click_ts - INTERVAL $lookback <= view_ts""")
+        && col("click_user") === col("view_user"),
+      "full_outer")
+      .select(col("click_id"), col("click_ts"),
+        coalesce(col("click_user"), col("view_user")).as("user_id"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Idempotent per-batch load: each micro-batch lands in its own
     * `_batch_id=<id>` partition via dynamic partition overwrite, so a
     * replayed batch (foreachBatch is at-least-once on failure/restart)
@@ -325,6 +349,13 @@ object EventStream {
         ev.filter(col("event_type") === "view"))
         .orderBy(col("click_id"), col("view_id"))
     }),
+    "s08_stream_full_outer_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      clickViewFullJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id"), col("view_id"))
+    }),
     // stream-static enrichment graded in batch: the same enrichWithDim
     // the stream runs, keyed on user (events outside the dim keep the
     // left-join NULL segment), rolled up per segment x event_type
@@ -398,6 +429,15 @@ object EventStream {
         |  v.event_id AS view_id, v.ts AS view_ts
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
+        |ORDER BY click_id, view_id""".stripMargin,
+    "s08_stream_full_outer_join" ->
+      """SELECT c.event_id AS click_id, c.ts AS click_ts,
+        |  COALESCE(c.user_id, v.user_id) AS user_id,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts - INTERVAL '30 minutes' <= v.ts
         |ORDER BY click_id, view_id""".stripMargin,

@@ -296,6 +296,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream join emits orphan views with a null click after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val viewsIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.clickViewFullJoin(
+      clicksIn.toDF().toDF("event_id", "user_id", "ts"),
+      viewsIn.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("fullattrib").outputMode("append").start()
+    try {
+      // user 7: matched pair; user 9: orphan VIEW (no click ever)
+      viewsIn.addData(
+        (100L, 7L, ts("2024-01-01 10:00:00")),
+        (101L, 9L, ts("2024-01-01 10:00:00")))
+      clicksIn.addData((1L, 7L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      Seq(14, 15).foreach { h =>
+        viewsIn.addData((200L + h, 8L, ts(f"2024-01-01 $h%02d:00:00")))
+        clicksIn.addData((10L + h, 8L, ts(f"2024-01-01 $h%02d:00:00")))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("fullattrib")
+        .select("click_id", "user_id", "view_id").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      assert(rows.contains((Some(1L), 7L, Some(100L))), s"matched pair emits: ${rows.toSeq}")
+      assert(rows.count(_ == ((None, 9L, Some(101L)))) == 1,
+        s"orphan view emits EXACTLY once with a null click: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingLoad restarts from its checkpoint: no re-load, replays deduped") {
     // The kill-and-resume contract (a file source is recoverable across
     // restarts, unlike MemoryStream): run, stop, land a new file that
