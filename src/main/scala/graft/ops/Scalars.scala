@@ -254,12 +254,19 @@ object Scalars {
     * break. Both windows key on user_id — one Exchange.
     */
   private[ops] def sessionAssigned(s: SparkSession, dir: String,
-      gapS: Long = 1800L): DataFrame = {
+      gapS: Long = 1800L): DataFrame =
+    sessionAssignedDf(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type")), gapS)
+
+  /** The assignment over any (event_id, user_id, ts, ...) frame — the
+    * form property tests drive with synthetic streams.
+    */
+  private[ops] def sessionAssignedDf(events: DataFrame, gapS: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        unix_timestamp(col("ts")).as("epoch_s"))
+    events
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
       .withColumn("new_session",
         when(col("epoch_s") - lag(col("epoch_s"), 1).over(byUser) <= gapS, 0L)
           .otherwise(1L))
