@@ -573,7 +573,38 @@ object TextAnalysis {
       .orderBy(col("lang_labeled"), col("lang_detected"))
   }
 
+  /** Intra-document repeated-window removal (the within-doc half of the
+    * Gopher/MassiveText repetition filters): the token stream chunks
+    * into fixed 10-token windows, a window whose exact text appeared
+    * EARLIER in the same document is marked removed, and the report
+    * carries window/removal counts plus the cleaned token count. All
+    * windows of one doc stay in one group — the dedup is a per-doc
+    * min-window-id aggregate, never a corpus-wide shuffle of text (only
+    * (doc_id, window) rows move, and only within the doc key).
+    */
+  def repeatedWindowRemoval(s: SparkSession, dir: String, winTokens: Int = 10): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("win_id", (col("pos") / winTokens).cast(LongType))
+    val wins = toks.groupBy(col("doc_id"), col("win_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          e => e.getField("w"))).as("win_text"))
+    val firstSeen = wins.groupBy(col("doc_id"), col("win_text"))
+      .agg(min(col("win_id")).as("first_win"))
+    wins.join(firstSeen, Seq("doc_id", "win_text"))
+      .withColumn("removed", col("win_id") > col("first_win"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("removed"), col("n_toks")).otherwise(0L)).as("n_tokens_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x80_repeated_windows" -> ((s: SparkSession, dir: String) => repeatedWindowRemoval(s, dir)),
     "x79_lang_confusion" -> (langConfusion _),
     "x71_gopher_rules" -> (gopherRules _),
     "x74_curation_manifest" -> ((s: SparkSession, dir: String) => curationManifest(s, dir)),
@@ -775,6 +806,25 @@ object TextAnalysis {
         s" JOIN (${Dedup.oracles("x10_dedup_exact")}) d USING (doc_id)" +
         " WHERE q.quality_ok AND d.is_canonical AND l.lang_detected = 'en'" +
         " ORDER BY doc_id")) +
+    ("x80_repeated_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i - 1 AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |wins AS (
+        |  SELECT doc_id, CAST(FLOOR(pos / 10) AS BIGINT) AS win_id,
+        |    count(*) AS n_toks,
+        |    string_agg(w, ' ' ORDER BY pos) AS win_text
+        |  FROM toks GROUP BY 1, 2),
+        |fs AS (
+        |  SELECT doc_id, win_text, min(win_id) AS first_win
+        |  FROM wins GROUP BY 1, 2)
+        |SELECT wins.doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN win_id > first_win THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN win_id > first_win THEN 0 ELSE n_toks END) AS BIGINT) AS n_tokens_clean
+        |FROM wins JOIN fs USING (doc_id, win_text)
+        |GROUP BY wins.doc_id ORDER BY doc_id""".stripMargin) +
     ("x79_lang_confusion" -> {
       s"""WITH l AS (${baseOracles("x03_lang_id")}),
          |cells AS (

@@ -569,7 +569,41 @@ object Scalars {
       .limit(k)
   }
 
+  /** Percent-of-parent hierarchical rollup: order revenue per nation
+    * with each nation's share of its region — the drill-down report
+    * every BI layer renders. Revenue aggregates in exact DECIMAL at
+    * nation grain FIRST (facts never join the hierarchy twice); region
+    * totals are a window over the nation-grain frame (dimension-sized),
+    * and the share is one double division of exact decimals. Dims
+    * broadcast; the only fact shuffle is the custkey aggregation.
+    */
+  def percentOfParent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(M)).as("rev_dec"))
+    val nations = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region").select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val natRev = byCust.join(nations, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev_dec")).as("nat_dec"))
+    val byRegion = Window.partitionBy(col("r_name"))
+    natRev
+      .withColumn("reg_dec", sum(col("nat_dec")).over(byRegion))
+      .select(col("r_name"), col("n_name"),
+        col("nat_dec").cast(DoubleType).as("revenue"),
+        col("reg_dec").cast(DoubleType).as("region_revenue"),
+        (col("nat_dec").cast(DoubleType) / col("reg_dec").cast(DoubleType)).as("share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_percent_of_parent" -> (percentOfParent _),
     "q72_basket_affinity" -> ((s: SparkSession, dir: String) => basketAffinity(s, dir)),
     "q71_event_transitions" -> (eventTransitions _),
     "x78_drift_report" -> ((s: SparkSession, dir: String) => driftReport(s, dir)),
@@ -595,6 +629,23 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q73_percent_of_parent" ->
+      """WITH bycust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+        |  FROM orders GROUP BY 1),
+        |nat AS (
+        |  SELECT r.r_name, n.n_name, sum(b.rev_dec) AS nat_dec
+        |  FROM bycust b
+        |  JOIN customer c ON b.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name,
+        |  CAST(nat_dec AS DOUBLE) AS revenue,
+        |  CAST(sum(nat_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS region_revenue,
+        |  CAST(nat_dec AS DOUBLE)
+        |    / CAST(sum(nat_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+        |FROM nat ORDER BY r_name, n_name""".stripMargin,
     "q72_basket_affinity" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
