@@ -602,7 +602,44 @@ object Scalars {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Rolling activity / churn flags: for every user and every calendar
+    * day of the observed range, was the user active that day, active in
+    * the trailing 7 days, and how many days since their last activity —
+    * the DAU/WAU/churn machinery. The spine explodes per user (never a
+    * cross join against the fact table), activity joins at (user, day)
+    * grain, and both rolling columns are windows over the SAME per-user
+    * day sort: a RANGE frame for the 7-day flag and a running max for
+    * days-since-last (valid because day numbers increase — no
+    * cross-engine last()-semantics risk). One user_id shuffle total.
+    */
+  def rollingActivity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = acts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = acts.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .withColumn("day_num", datediff(col("day"), lit("2024-01-01").cast("date")).cast(LongType))
+    val marked = spine
+      .join(acts.withColumn("was_active", lit(true)), Seq("user_id", "day"), "left")
+      .withColumn("was_active", coalesce(col("was_active"), lit(false)))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    val range7 = byUser.rangeBetween(-6L, 0L)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, 0L)
+    marked
+      .withColumn("active_7d",
+        sum(when(col("was_active"), 1L).otherwise(0L)).over(range7) > 0L)
+      .withColumn("last_active_num",
+        max(when(col("was_active"), col("day_num"))).over(running))
+      .select(col("user_id"), col("day"), col("was_active"), col("active_7d"),
+        (col("day_num") - col("last_active_num")).as("days_since_last"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_rolling_activity" -> (rollingActivity _),
     "q73_percent_of_parent" -> (percentOfParent _),
     "q72_basket_affinity" -> ((s: SparkSession, dir: String) => basketAffinity(s, dir)),
     "q71_event_transitions" -> (eventTransitions _),
@@ -629,6 +666,26 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q74_rolling_activity" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM acts),
+        |spine AS (
+        |  SELECT u.user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM acts) u, b),
+        |m AS (
+        |  SELECT s.user_id, s.day,
+        |    CAST(date_diff('day', DATE '2024-01-01', s.day) AS BIGINT) AS day_num,
+        |    a.day IS NOT NULL AS was_active
+        |  FROM spine s LEFT JOIN acts a ON s.user_id = a.user_id AND s.day = a.day)
+        |SELECT user_id, day, was_active,
+        |  sum(CASE WHEN was_active THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) > 0 AS active_7d,
+        |  day_num - max(CASE WHEN was_active THEN day_num END) OVER (PARTITION BY user_id
+        |    ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS days_since_last
+        |FROM m ORDER BY user_id, day""".stripMargin,
     "q73_percent_of_parent" ->
       """WITH bycust AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec

@@ -43,6 +43,31 @@ object EventStream {
   def hourlyStatsStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     hourlyStats(events.withWatermark("ts", watermark))
 
+  /** Chained time-window aggregation — hourly counts rolled up again
+    * into daily totals INSIDE one query (two stateful aggregations
+    * back-to-back, the Spark 3.4+ multiple-stateful-operator feature):
+    * the inner window pre-reduces the stream to hour grain, so the
+    * daily state holds one row per (day, type) instead of re-scanning
+    * raw events — the cascade every metrics rollup wants. `window_time`
+    * re-derives event time from the finalized hourly window so the
+    * outer watermark keeps propagating.
+    */
+  def chainedWindowStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(sum(col("n_events")).cast("long").as("n_events_day"),
+        count(lit(1)).as("n_hours"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events_day"), col("n_hours"))
+
+  /** Streaming variant: watermark on the raw stream; the finalized
+    * hourly windows feed the daily aggregate as they close.
+    */
+  def chainedWindowStatsStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    chainedWindowStats(events.withWatermark("ts", watermark))
+
   /** Exactly-once-per-id event dedup within the watermark horizon —
     * streaming `dropDuplicates`, the at-scale guard against at-least-once
     * sources.
@@ -356,6 +381,9 @@ object EventStream {
         ev.filter(col("event_type") === "view"))
         .orderBy(col("click_id"), col("view_id"))
     }),
+    "s09_chained_windows" -> ((s: SparkSession, dir: String) =>
+      chainedWindowStats(Tables(s, dir, "events"))
+        .orderBy(col("day_start"), col("event_type"))),
     // stream-static enrichment graded in batch: the same enrichWithDim
     // the stream runs, keyed on user (events outside the dim keep the
     // left-join NULL segment), rolled up per segment x event_type
@@ -446,6 +474,13 @@ object EventStream {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
+    "s09_chained_windows" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(date_trunc('day', hr) AS TIMESTAMP) AS day_start, event_type,
+        |  CAST(sum(n) AS BIGINT) AS n_events_day, count(*) AS n_hours
+        |FROM h GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
     "s04_stream_dedup" ->
       """WITH replayed AS (
         |  SELECT * FROM events

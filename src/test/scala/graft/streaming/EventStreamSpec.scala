@@ -296,6 +296,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained window aggregation finalizes daily rollups from hourly state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.chainedWindowStatsStream(df)
+      .writeStream.format("memory").queryName("chained").outputMode("append").start()
+    try {
+      // three events across two hours of day 1
+      in.addData(
+        (1L, ts("2024-01-01 10:10:00"), "click", 1.0),
+        (2L, ts("2024-01-01 10:40:00"), "click", 1.0),
+        (3L, ts("2024-01-01 11:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      // push the watermark past day 1 end so hourly AND daily finalize
+      in.addData((9L, ts("2024-01-02 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((10L, ts("2024-01-03 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("chained")
+        .select("day_start", "event_type", "n_events_day", "n_hours").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 3L, 2L)),
+        s"day 1 must finalize as 3 events over 2 hourly windows: ${rows.toSeq}")
+      assert(rows.count(_._1 == "2024-01-01 00:00:00.0") == 1, "finalized exactly once")
+    } finally q.stop()
+  }
+
   test("full-outer stream join emits orphan views with a null click after the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
