@@ -638,7 +638,61 @@ object Scalars {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Time-weighted average value (TWAP) per user: each observation
+    * weighs by how long it was current (until the user's next event),
+    * the financial/metrics standard a plain mean misstates under
+    * irregular sampling. Values quantize to exact integers (q56
+    * discipline) so every x_q * dt product and both sums are exact
+    * BIGINTs — addition order cannot matter — and the single final
+    * division hash-gates. The last observation (no successor) carries
+    * zero weight by construction; users whose events are all
+    * simultaneous have no weighted support and drop out (NULL would be
+    * a lie, not a value). One user_id shuffle shared by the lead window
+    * and the aggregate.
+    */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100.0).cast(LongType).as("xq"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn("next_epoch", lead(col("epoch_s"), 1).over(byUser))
+      .filter(col("next_epoch").isNotNull)
+      .withColumn("dt", col("next_epoch") - col("epoch_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("xq") * col("dt")).as("wsum"),
+        sum(col("dt")).as("tsum"))
+      .filter(col("tsum") > 0L)
+      .select(col("user_id"), col("n_intervals"), col("tsum").as("observed_s"),
+        (col("wsum").cast(DoubleType) / col("tsum").cast(DoubleType) / 100.0).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  /** k-anonymity audit over the quasi-identifier combination
+    * (event_type, day, value band): every QI group's size, whether it
+    * meets k=5, and its share of all rows — the re-identification risk
+    * report a privacy review runs before releasing a dataset. Groups
+    * below k are exactly the rows a release would have to suppress or
+    * generalize. One cell-grain aggregate + a broadcast total.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Long = 5L): DataFrame = {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / 50.0).cast(LongType).as("value_band"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = cells.agg(sum(col("n_rows")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("event_type"), col("day"), col("value_band"), col("n_rows"),
+        (col("n_rows") >= k).as("meets_k"),
+        (col("n_rows").cast(DoubleType) / col("n_total").cast(DoubleType)).as("row_share"))
+      .orderBy(col("event_type"), col("day"), col("value_band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_twap" -> (twap _),
+    "x81_k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "q74_rolling_activity" -> (rollingActivity _),
     "q73_percent_of_parent" -> (percentOfParent _),
     "q72_basket_affinity" -> ((s: SparkSession, dir: String) => basketAffinity(s, dir)),
@@ -666,6 +720,36 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q75_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100.0) AS BIGINT) AS xq,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        |  FROM events),
+        |w AS (
+        |  SELECT *, lead(epoch_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_epoch
+        |  FROM e),
+        |i AS (
+        |  SELECT user_id, xq, next_epoch - epoch_s AS dt
+        |  FROM w WHERE next_epoch IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(xq * dt) AS BIGINT) AS wsum, CAST(sum(dt) AS BIGINT) AS tsum
+        |  FROM i GROUP BY 1)
+        |SELECT user_id, n_intervals, tsum AS observed_s,
+        |  CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) / 100.0 AS twap
+        |FROM a WHERE tsum > 0 ORDER BY user_id""".stripMargin,
+    "x81_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM cells)
+        |SELECT event_type, day, value_band, n_rows,
+        |  n_rows >= 5 AS meets_k,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share
+        |FROM cells, t ORDER BY event_type, day, value_band""".stripMargin,
     "q74_rolling_activity" ->
       """WITH acts AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
