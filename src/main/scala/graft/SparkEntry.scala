@@ -23,6 +23,7 @@ object SparkEntry {
       ops.Sketches.queries ++ ops.Profile.queries ++ ops.BucketedStar.queries ++
       ops.AsofJoin.queries ++ ops.RangeJoin.queries ++ ops.Sampling.queries ++
       ops.DataQuality.queries ++ ops.ZOrder.queries ++ ops.BloomJoin.queries ++
+      ops.Graph.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries
@@ -35,6 +36,7 @@ object SparkEntry {
       ops.Sketches.oracles ++ ops.Profile.oracles ++ ops.BucketedStar.oracles ++
       ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
       ops.DataQuality.oracles ++ ops.ZOrder.oracles ++ ops.BloomJoin.oracles ++
+      ops.Graph.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles
