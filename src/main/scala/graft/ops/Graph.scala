@@ -30,9 +30,10 @@ object Graph {
 
   private val Scale = 1000000000L
 
-  /** Part co-order PageRank: `iters` fixed iterations at damping 0.85. */
-  def partPagerank(s: SparkSession, dir: String,
-      iters: Int = 5, minSupport: Long = 2L): DataFrame = {
+  /** Undirected co-order edge list (both directions) at `minSupport` —
+    * shared by PageRank and BFS.
+    */
+  private def coOrderEdges(s: SparkSession, dir: String, minSupport: Long): DataFrame = {
     val items = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -42,9 +43,14 @@ object Graph {
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+    pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-      .persist()
+  }
+
+  /** Part co-order PageRank: `iters` fixed iterations at damping 0.85. */
+  def partPagerank(s: SparkSession, dir: String,
+      iters: Int = 5, minSupport: Long = 2L): DataFrame = {
+    val edges = coOrderEdges(s, dir, minSupport).persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).persist()
     var pr = deg.select(col("src").as("part"), lit(Scale).as("rank_q"))
     (1 to iters).foreach { _ =>
@@ -67,8 +73,46 @@ object Graph {
     out
   }
 
+  /** Multi-hop BFS distance from the graph's hub (the highest-degree
+    * part, ties to the smallest id — a deterministic seed): how many
+    * co-purchase hops separate every product from the assortment's
+    * center. Pure integer min-plus iteration (dist' = min(dist,
+    * 1 + min over neighbors)) unrolled `iters` times — exact in any
+    * evaluation order, so both engines agree bit-for-bit; nodes beyond
+    * the horizon report the 999 sentinel rather than a NULL that would
+    * read as "distance unknown for a different reason". Each hop is one
+    * edge join + one dst-keyed MIN — the same shuffle shape as a
+    * PageRank step.
+    */
+  def bfsHops(s: SparkSession, dir: String,
+      iters: Int = 4, minSupport: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val Far = 999L
+    val edges = coOrderEdges(s, dir, minSupport).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    // deterministic hub: max degree, tie-break min part id (1-row collect)
+    val hub = deg.orderBy(col("degree").desc, col("src"))
+      .limit(1).collect()(0).getLong(0)
+    var dist = deg.select(col("src").as("part"),
+      when(col("src") === hub, 0L).otherwise(Far).as("dist"))
+    (1 to iters).foreach { _ =>
+      val relaxed = dist
+        .join(edges, dist("part") === edges("src"))
+        .select(col("dst").as("part"), (col("dist") + 1L).as("cand"))
+        .groupBy(col("part")).agg(min(col("cand")).as("nd"))
+      dist = dist.join(relaxed, Seq("part"), "left")
+        .select(col("part"),
+          least(col("dist"), coalesce(col("nd"), lit(Far))).as("dist"))
+    }
+    dist.join(deg.select(col("src").as("part"), col("degree")), "part")
+      .select(col("part").as("l_partkey"), col("degree"),
+        least(col("dist"), lit(Far)).cast(LongType).as("hops"))
+      .orderBy(col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x82_part_pagerank" -> ((s: SparkSession, dir: String) => partPagerank(s, dir)))
+    "x82_part_pagerank" -> ((s: SparkSession, dir: String) => partPagerank(s, dir)),
+    "x83_bfs_hops" -> ((s: SparkSession, dir: String) => bfsHops(s, dir)))
 
   /** The identical 5 fixed-point iterations unrolled as chained CTEs —
     * aggregation inside a recursive CTE member is not portable SQL, and
@@ -104,6 +148,42 @@ object Graph {
        |ORDER BY l_partkey""".stripMargin
   }
 
+  /** The identical min-plus hops unrolled; the hub picked by the same
+    * (degree desc, part asc) rule via a window.
+    */
+  private def bfsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (
+         |  SELECT d.part, least(d.dist, COALESCE(m.nd, 999)) AS dist
+         |  FROM $prev d LEFT JOIN (
+         |    SELECT e.dst AS part, CAST(min(p.dist + 1) AS BIGINT) AS nd
+         |    FROM $prev p JOIN edges e ON e.src = p.part
+         |    GROUP BY e.dst) m ON m.part = d.part)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+       |          UNION ALL SELECT pb, pa FROM pairs),
+       |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1),
+       |hub AS (
+       |  SELECT src FROM (
+       |    SELECT src, row_number() OVER (ORDER BY degree DESC, src) AS rn FROM deg)
+       |  WHERE rn = 1),
+       |d0 AS (SELECT deg.src AS part,
+       |         CAST(CASE WHEN deg.src = hub.src THEN 0 ELSE 999 END AS BIGINT) AS dist
+       |       FROM deg, hub),
+       |$steps
+       |SELECT d.part AS l_partkey, g.degree, least(d.dist, 999) AS hops
+       |FROM d$iters d JOIN deg g ON g.src = d.part
+       |ORDER BY l_partkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "x82_part_pagerank" -> pagerankOracle(5))
+    "x82_part_pagerank" -> pagerankOracle(5),
+    "x83_bfs_hops" -> bfsOracle(4))
 }

@@ -21,4 +21,31 @@ class GraphSpec extends SparkSpec {
     // the co-order graph is not regular: ranks must differentiate
     assert(out.map(_._2).distinct.length > 1, "rank vector is constant")
   }
+
+  test("bfs hops: exactly one source at 0, neighbor consistency, horizon sentinel") {
+    import org.apache.spark.sql.functions.col
+    val hops = Graph.bfsHops(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hops.values.count(_ == 0L) == 1, "exactly one hub at distance 0")
+    assert(hops.values.forall(d => d <= 4L || d == 999L),
+      "within the 4-hop horizon or the sentinel")
+    // triangle property along every edge: distances differ by at most 1
+    // (sentinel pairs excluded — both beyond the horizon is consistent)
+    val lineitem = graft.engine.Tables(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lineitem.as("a").join(lineitem.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey"), col("b.l_partkey"))
+      .count().filter(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (u, v) =>
+      val (du, dv) = (hops(u), hops(v))
+      if (du != 999L && dv != 999L)
+        assert(math.abs(du - dv) <= 1L, s"edge ($u,$v): |$du - $dv| > 1")
+      else if (du == 999L ^ dv == 999L)
+        assert(math.min(du, dv) >= 4L,
+          s"edge ($u,$v): a node adjacent to a reached node under the horizon cannot be unreached")
+    }
+  }
 }
