@@ -110,9 +110,49 @@ object Graph {
       .orderBy(col("l_partkey"))
   }
 
+  /** Community detection by synchronous label propagation: every node
+    * starts as its own community and repeatedly adopts the most common
+    * label among its neighbors, ties to the SMALLEST label — that
+    * tie-break makes the usually-randomized algorithm fully
+    * deterministic, so a fixed 3 iterations hash-gate cross-engine
+    * (float-free throughout). Each iteration is one edge join + one
+    * (node, label) count + one per-node argmax window — per-node state,
+    * no global structure, the LPA shape that scales linearly. The
+    * coarse-grained complement to the exact connected components
+    * (x47/x57): CC answers "touching at all", LPA answers "densely
+    * together".
+    */
+  def labelPropagation(s: SparkSession, dir: String,
+      iters: Int = 3, minSupport: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = coOrderEdges(s, dir, minSupport).persist()
+    val nodes = edges.select(col("src")).distinct()
+    var lbl = nodes.select(col("src").as("part"), col("src").as("label"))
+    (1 to iters).foreach { _ =>
+      val byNode = Window.partitionBy(col("part"))
+        .orderBy(col("c").desc, col("label"))
+      val pick = lbl
+        .join(edges, lbl("part") === edges("src"))
+        .select(col("dst").as("part"), col("label"))
+        .groupBy(col("part"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("part"), col("label").as("new_label"))
+      lbl = lbl.join(pick, Seq("part"), "left")
+        .select(col("part"), coalesce(col("new_label"), col("label")).as("label"))
+    }
+    val bySize = Window.partitionBy(col("label"))
+    lbl
+      .withColumn("community_size", count(lit(1)).over(bySize))
+      .select(col("part").as("l_partkey"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x82_part_pagerank" -> ((s: SparkSession, dir: String) => partPagerank(s, dir)),
-    "x83_bfs_hops" -> ((s: SparkSession, dir: String) => bfsHops(s, dir)))
+    "x83_bfs_hops" -> ((s: SparkSession, dir: String) => bfsHops(s, dir)),
+    "x84_label_propagation" -> ((s: SparkSession, dir: String) => labelPropagation(s, dir)))
 
   /** The identical 5 fixed-point iterations unrolled as chained CTEs —
     * aggregation inside a recursive CTE member is not portable SQL, and
@@ -183,7 +223,41 @@ object Graph {
        |ORDER BY l_partkey""".stripMargin
   }
 
+  /** The identical deterministic LPA unrolled: per step, the argmax
+    * (count desc, label asc) neighbor label via a window.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT n.part, COALESCE(k.label, n.label) AS label
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT part, label FROM (
+         |      SELECT c.part, c.label,
+         |        row_number() OVER (PARTITION BY c.part
+         |          ORDER BY c.c DESC, c.label) AS rn
+         |      FROM (SELECT e.dst AS part, p.label, count(*) AS c
+         |            FROM $prev p JOIN edges e ON e.src = p.part
+         |            GROUP BY 1, 2) c)
+         |    WHERE rn = 1) k ON k.part = n.part)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+       |          UNION ALL SELECT pb, pa FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS part, src AS label FROM edges),
+       |$steps
+       |SELECT part AS l_partkey, label AS community,
+       |  count(*) OVER (PARTITION BY label) AS community_size
+       |FROM l$iters ORDER BY l_partkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x82_part_pagerank" -> pagerankOracle(5),
-    "x83_bfs_hops" -> bfsOracle(4))
+    "x83_bfs_hops" -> bfsOracle(4),
+    "x84_label_propagation" -> lpaOracle(3))
 }

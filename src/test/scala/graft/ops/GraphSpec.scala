@@ -48,4 +48,19 @@ class GraphSpec extends SparkSpec {
           s"edge ($u,$v): a node adjacent to a reached node under the horizon cannot be unreached")
     }
   }
+
+  test("label propagation: labels are node ids, sizes consistent, partition-invariant") {
+    val out = Graph.labelPropagation(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val nodes = out.map(_._1).toSet
+    assert(out.map(_._2).forall(nodes.contains), "every community label IS a member node id")
+    out.groupBy(_._2).foreach { case (lbl, rows) =>
+      assert(rows.forall(_._3 == rows.length.toLong),
+        s"community $lbl: reported size must equal the actual member count")
+    }
+    val again = Graph.labelPropagation(spark, Sf).repartition(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.toSet, "min-tie-break LPA must not depend on partitioning")
+  }
 }
