@@ -690,7 +690,37 @@ object Scalars {
       .orderBy(col("event_type"), col("day"), col("value_band"))
   }
 
+  /** Capped running balance (inventory / credit semantics): per user,
+    * fold signed quantized deltas in event order with the balance
+    * FLOORED at zero after every step — bal' = max(0, bal + dx). The
+    * floor makes this a genuine RECURSION no window frame can express
+    * (each step depends on the clamped previous state, not a prefix
+    * aggregate), so both engines fold an explicitly ORDERED list:
+    * Spark's `aggregate` over sort_array, DuckDB's `list_reduce` over
+    * `list(... ORDER BY ...)` — identical integer steps, identical
+    * result. Deltas center value at its band midpoint so both signs
+    * occur. State is one long per user; the collected list is bounded
+    * by one user's history (the session-window bound, not the corpus).
+    */
+  def cappedBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (round(col("value") * 100.0).cast(LongType) - 16000L).as("dx"))
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dx")).as("net_dx"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("dx")))),
+            r => r.getField("dx")),
+          lit(0L),
+          (acc, x) => greatest(lit(0L), acc + x)).as("final_balance"))
+      .select(col("user_id"), col("n_events"), col("net_dx"), col("final_balance"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_capped_balance" -> (cappedBalance _),
     "q75_twap" -> (twap _),
     "x81_k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "q74_rolling_activity" -> (rollingActivity _),
@@ -720,6 +750,17 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q76_capped_balance" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100.0) AS BIGINT) - 16000 AS dx
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(dx) AS BIGINT) AS net_dx,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list(dx ORDER BY ts, event_id)),
+        |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS final_balance
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q75_twap" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
