@@ -573,19 +573,33 @@ object Dedup {
     * no DuckDB twin). Per-doc window sort only (bounded by document
     * length, never a corpus sort).
     */
+  /** Array of k-gram hashes of a token array — md5 of the
+    * space-joined gram, reduced to the cross-engine 60-bit integer.
+    * Shared by the winnowing pipeline and DedupSpec's subset check.
+    *
+    * Deliberately ONE md5 per gram: the tempting "hash each token once,
+    * fold grams as integer polynomials" spelling nests one higher-order
+    * expression inside another, and Catalyst inlines the inner
+    * `transform` into every `element_at` reference — re-hashing the
+    * whole token array per gram element, a quadratic blowup measured at
+    * 13x slower at sf0.1. Gram-text hashing keeps the expression tree
+    * flat and codegen-friendly.
+    */
+  private[ext] def gramHashes(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => TextAnalysis.tokenHash(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+
   private[ext] def winnowedFingerprints(s: SparkSession, dir: String,
       k: Int = 4, w: Int = 5): DataFrame = {
     val toks = TextAnalysis.wsTokens(lower(col("text")))
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = gramHashes(toks, k)
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1).toLong, 0L)
     t(s, dir, "documents")
       .select(col("doc_id"), posexplode(grams))
-      .withColumnRenamed("col", "gram")
-      .select(col("doc_id"), col("pos"), TextAnalysis.tokenHash(col("gram")).as("h"))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
       .withColumn("fp", min(col("h")).over(win))
       // only FULL windows select a fingerprint (pos is 0-based)
       .filter(col("pos") >= w - 1)

@@ -163,12 +163,7 @@ class DedupSpec extends SparkSpec {
     // selects, never invents)
     val toks = TextAnalysis.wsTokens(lower(col("text")))
     val gramHashes = graft.engine.Tables(spark, Sf, "documents")
-      .select(col("doc_id"),
-        explode(when(size(toks) >= 4,
-          transform(sequence(lit(1), size(toks) - 3),
-            i => concat_ws(" ", slice(toks, i, lit(4)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .select(col("doc_id"), TextAnalysis.tokenHash(col("gram")).as("fp"))
+      .select(col("doc_id"), explode(Dedup.gramHashes(toks, 4)).as("fp"))
       .distinct()
     assert(fps.join(gramHashes, Seq("doc_id", "fp"), "left_anti").count() == 0L)
     // density ~2/(w+1): far sparser than the full gram set
