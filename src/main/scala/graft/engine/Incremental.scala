@@ -75,6 +75,29 @@ object Incremental {
     * source could change between actions and make the returned row count
     * disagree with what was written).
     */
+  /** Incremental JOIN maintenance (delta-join IVM): with an append-only
+    * fact and a stable dimension, the enriched result for a new day is
+    * old result ∪ (Δfact ⋈ dim) — the day's increment joins the
+    * dimension and APPENDS; the historical result is never recomputed
+    * or rescanned. This is the join counterpart of the incremental
+    * aggregates above: at 100 TB a daily refresh touches one day of
+    * fact rows and the (broadcastable) dimension, nothing else.
+    * Idempotent per day: the increment lands in its own day partition
+    * (the S6 discipline), so a replay overwrites itself.
+    */
+  def maintainJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      tsCol: String, ds: String, path: String): LoadStatus = {
+    val delta = dayWindow(fact, tsCol, ds)
+    val enriched = delta.join(dim, keys).persist()
+    try {
+      if (enriched.isEmpty) SkippedEmpty
+      else {
+        Sinks.overwriteSingleDayPartition(enriched, tsCol, ds, path)
+        Loaded(enriched.count())
+      }
+    } finally { enriched.unpersist(); () }
+  }
+
   def loadTableFor(source: DataFrame, tsCol: String, ds: String, path: String): LoadStatus = {
     val increment = dayWindow(source, tsCol, ds).persist()
     try {

@@ -139,6 +139,35 @@ object VersionedTable {
       pred: org.apache.spark.sql.Column): Long =
     commit(read(spark, root).filter(!pred), root)
 
+  /** Change-data-capture diff between two committed snapshots: one row
+    * per key that was INSERTED, DELETED, or UPDATED going from `vOld`
+    * to `vNew` (unchanged keys are absent — a CDC feed carries changes,
+    * not the table). Change detection hashes ALL non-key columns
+    * (xxhash64), so any attribute edit surfaces as an update without
+    * naming columns. A full-outer join of two snapshots keyed on the
+    * primary key — at scale, two snapshot scans and one key shuffle,
+    * which is what turns the snapshot store into an incremental-export
+    * source.
+    */
+  def diff(spark: SparkSession, root: String, vOld: Long, vNew: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def sided(v: Long, tag: String) = {
+      val df = read(spark, root, Some(v))
+      val valueCols = df.columns.filterNot(keys.contains).toSeq
+      df.select(keys.map(col) :+
+        xxhash64((keys ++ valueCols).map(col): _*).as(s"_h_$tag"): _*)
+    }
+    sided(vOld, "old").join(sided(vNew, "new"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_h_old").isNull, "insert")
+          .when(col("_h_new").isNull, "delete")
+          .when(col("_h_old") =!= col("_h_new"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Drop all but the newest `keepLast` versions; returns the versions
     * removed. The latest version is never removed.
     */

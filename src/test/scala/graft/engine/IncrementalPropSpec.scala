@@ -85,6 +85,29 @@ class IncrementalPropSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == before, "a skipped day must not touch the sink")
   }
 
+  test("maintainJoin: day-by-day delta joins equal the full recompute, replay-safe") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/enriched"
+    val ev = Tables(spark, Sf, "events")
+    val dim = Tables(spark, Sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val days = Seq("2024-01-03", "2024-01-04", "2024-01-05")
+    days.foreach { ds =>
+      val st = Incremental.maintainJoin(ev, dim, Seq("user_id"), "ts", ds, dir)
+      assert(st.isInstanceOf[Incremental.Loaded], s"$ds must load rows")
+    }
+    // a replayed day must overwrite itself, not double-append
+    Incremental.maintainJoin(ev, dim, Seq("user_id"), "ts", days(1), dir)
+    val incremental = spark.read.parquet(dir)
+      .select(col("event_id"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val full = days.map(ds => Incremental.dayWindow(ev, "ts", ds)).reduce(_ unionByName _)
+      .join(dim, "user_id")
+      .select(col("event_id"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(incremental == full, "delta-join maintenance must equal the recompute")
+  }
+
   test("daily windows partition any dataset exactly") {
     val listGen = Gen.listOfN(60, rowGen)
     (1L to 5L).foreach { seed =>

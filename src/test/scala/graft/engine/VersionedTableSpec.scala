@@ -77,6 +77,19 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(1L))
   }
 
+  test("diff emits exactly the inserted, deleted, and updated keys") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    VersionedTable.commit(
+      Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("id", "v"), root)
+    val changes = VersionedTable.diff(spark, root, 0L, 1L, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes == Map(1L -> "delete", 3L -> "update", 4L -> "insert"),
+      s"unchanged key 2 must be absent: $changes")
+  }
+
   test("vacuum drops only the oldest versions and keeps reads working") {
     import spark.implicits._
     val root = tmpRoot()
