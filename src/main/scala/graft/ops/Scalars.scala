@@ -719,7 +719,46 @@ object Scalars {
       .orderBy(col("user_id"))
   }
 
+  /** Ship-latency SLA report per order priority: days from order date
+    * to each line's ship date, rolled up as exact lower-rank median
+    * (q49 discipline), min/max, and the share of lines shipping within
+    * 30/60/90 days — the fulfillment dashboard. Latencies are exact
+    * integer day diffs; shares are single divisions of exact counts.
+    * One fact join (orders broadcast at dimension scale or shuffled on
+    * the key at 100 TB) + one per-priority window for the median.
+    */
+  def shipLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lat = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast(LongType).as("days"),
+        col("l_orderkey"), col("l_linenumber"))
+    val byPrio = Window.partitionBy(col("priority"))
+    val w = byPrio.orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+    lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n_lines"),
+        min(col("days")).as("min_days"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("days"))).as("median_days"),
+        max(col("days")).as("max_days"),
+        (sum(when(col("days") <= 30L, 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("within_30d"),
+        (sum(when(col("days") <= 60L, 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("within_60d"),
+        (sum(when(col("days") <= 90L, 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("within_90d"))
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_ship_latency" -> (shipLatency _),
     "q76_capped_balance" -> (cappedBalance _),
     "q75_twap" -> (twap _),
     "x81_k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
@@ -750,6 +789,30 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q77_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                   CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days,
+        |    l.l_orderkey, l.l_linenumber
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY priority
+        |      ORDER BY days, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY priority) AS n
+        |  FROM lat)
+        |SELECT priority, max(n) AS n_lines,
+        |  min(days) AS min_days,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN days END) AS median_days,
+        |  max(days) AS max_days,
+        |  CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS within_30d,
+        |  CAST(sum(CASE WHEN days <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS within_60d,
+        |  CAST(sum(CASE WHEN days <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS within_90d
+        |FROM r GROUP BY priority ORDER BY priority""".stripMargin,
     "q76_capped_balance" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
