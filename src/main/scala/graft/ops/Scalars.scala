@@ -757,7 +757,36 @@ object Scalars {
       .orderBy(col("priority"))
   }
 
+  /** Audience overlap matrix: for every pair of event types, how many
+    * distinct users did each, how many did BOTH, and the Jaccard of the
+    * audiences — the segmentation overlap report. Computed from the
+    * (user, type)-distinct frame self-joined within the user key (pair
+    * expansion bounded by types-per-user, never corpus size), plus a
+    * broadcast of per-type audience sizes; overlap and Jaccard are
+    * single divisions of exact distinct counts.
+    */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    val d = (c: Column) => c.cast(DoubleType)
+    a.join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (d(col("n_both")) / (d(col("n_a")) + d(col("n_b")) - d(col("n_both"))))
+          .as("audience_jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_audience_overlap" -> (audienceOverlap _),
     "q77_ship_latency" -> (shipLatency _),
     "q76_capped_balance" -> (cappedBalance _),
     "q75_twap" -> (twap _),
@@ -789,6 +818,22 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q78_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+        |  CAST(n_both AS DOUBLE)
+        |    / (CAST(sa.n_users AS DOUBLE) + CAST(sb.n_users AS DOUBLE)
+        |       - CAST(n_both AS DOUBLE)) AS audience_jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q77_ship_latency" ->
       """WITH lat AS (
         |  SELECT o.o_orderpriority AS priority,
