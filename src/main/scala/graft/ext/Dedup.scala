@@ -659,6 +659,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlap-span localization for the top winnowing pairs: not just
+    * THAT two documents overlap but WHERE — per pair, doc_a's gram
+    * positions whose hash also occurs in doc_b, coalesced into maximal
+    * consecutive runs (the gaps-and-islands pattern over match
+    * positions). The longest run + k-1 is the longest shared token span
+    * — what a dedup audit or a license/provenance review actually reads.
+    * Gram postings join only the top pairs' docs (a semi-join-pruned
+    * sliver of the corpus); islands are per-pair windows.
+    */
+  def overlapSpans(s: SparkSession, dir: String,
+      topPairs: Int = 5, k: Int = 4): DataFrame = {
+    val pairs = winnowingTopk(s, dir).limit(topPairs)
+      .select(col("doc_a"), col("doc_b"))
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val aSide = pairs
+      .join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("pos"), col("h"))
+    val bHashes = pairs
+      .join(grams.select(col("doc_id").as("doc_b"), col("h")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("h")).distinct()
+    val w = Window.partitionBy(col("doc_a"), col("doc_b")).orderBy(col("pos"))
+    aSide.join(bHashes, Seq("doc_a", "doc_b", "h"), "left_semi")
+      .dropDuplicates("doc_a", "doc_b", "pos")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run")).as("n_matched_grams"),
+        max(col("run")).as("longest_run_grams"))
+      .withColumn("longest_span_tokens", col("longest_run_grams") + (k - 1))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -669,6 +705,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x70_winnowing_topk" -> ((s: SparkSession, dir: String) => winnowingTopk(s, dir)),
     "x75_canonical_selection" -> (canonicalSelection _),
+    "x85_overlap_spans" -> ((s: SparkSession, dir: String) => overlapSpans(s, dir)),
     "x10_dedup_exact" -> (dedupExact _),
     "x11_jaccard_topk" -> ((s: SparkSession, dir: String) => jaccardTopk(s, dir)),
     "x12_minhash_pairs" -> ((s: SparkSession, dir: String) =>
@@ -704,6 +741,33 @@ object Dedup {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    "x85_overlap_spans" ->
+      s"""WITH topk AS (${oraclesBase("x70_winnowing_topk")}),
+         |top5 AS (SELECT doc_a, doc_b FROM topk
+         |         ORDER BY n_shared DESC, doc_a, doc_b LIMIT 5),
+         |toks2 AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15))::BIGINT AS h
+         |  FROM toks2, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i)
+         |  WHERE len(ws) >= 4),
+         |aside AS (
+         |  SELECT DISTINCT p.doc_a, p.doc_b, ga.pos
+         |  FROM top5 p JOIN g ga ON ga.doc_id = p.doc_a
+         |  WHERE EXISTS (SELECT 1 FROM g gb
+         |                WHERE gb.doc_id = p.doc_b AND gb.h = ga.h)),
+         |r AS (
+         |  SELECT doc_a, doc_b, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY pos) AS grp
+         |  FROM aside),
+         |runs AS (SELECT doc_a, doc_b, grp, count(*) AS run FROM r GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b,
+         |  CAST(sum(run) AS BIGINT) AS n_matched_grams,
+         |  max(run) AS longest_run_grams,
+         |  max(run) + 3 AS longest_span_tokens
+         |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "x75_canonical_selection" ->
       s"""WITH base AS (${oraclesBase("x47_dup_clusters")}),
          |toks AS (
