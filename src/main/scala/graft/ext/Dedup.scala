@@ -439,6 +439,24 @@ object Dedup {
     labels
   }
 
+  /** The verified near-dup CC labels (x47's core), computed ONCE per
+    * (session, dataset) and consumed by every downstream policy operator
+    * — x47's cluster resolution, x75's canonical selection, x61's
+    * leakage-safe split. The labels are the already-localCheckpointed
+    * output of `connectedComponents`, so cached consumers never replay
+    * the MinHash pair pipeline or the CC rounds; this is the in-session
+    * analogue of materializing the cluster table once (through
+    * `VersionedTable` in a real pipeline) and having policies read it,
+    * instead of each policy re-deriving the clustering from raw text.
+    */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ext] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.computeIfAbsent((s, dir), _ =>
+      connectedComponents(minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
+        .select(col("doc_a"), col("doc_b"))))
+
   /** Duplicate-cluster resolution: the verified near-dup pair set
     * (exact Jaccard >= 0.5, same pairs x12 grades) resolved into
     * clusters — per doc: the cluster's canonical (minimum) id and its
@@ -447,9 +465,7 @@ object Dedup {
     * definition.
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs)
+    val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -522,9 +538,7 @@ object Dedup {
     * this operator is their composition, shuffled only on id-sized rows.
     */
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs)
+    val labels = clusterLabels(s, dir)
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -665,17 +679,38 @@ object Dedup {
     * consecutive runs (the gaps-and-islands pattern over match
     * positions). The longest run + k-1 is the longest shared token span
     * — what a dedup audit or a license/provenance review actually reads.
-    * Gram postings join only the top pairs' docs (a semi-join-pruned
-    * sliver of the corpus); islands are per-pair windows.
+    *
+    * The pair list (≤ `topPairs` rows) is checkpointed so the winnowing
+    * index is computed exactly once, and its ≤ 2·topPairs doc ids are
+    * collected (a bounded audit-sized driver list, like the x48 probe
+    * keys) and pushed as an IN filter into the documents scan BEFORE the
+    * gram explode — only the audited documents are ever tokenized, and
+    * the pruned gram table (a few hundred rows) is checkpointed once and
+    * shared by the position side and the hash side. At 100 TB this is a
+    * partition-pruned point lookup of ~10 documents, not a corpus scan.
     */
-  def overlapSpans(s: SparkSession, dir: String,
-      topPairs: Int = 5, k: Int = 4): DataFrame = {
-    val pairs = winnowingTopk(s, dir).limit(topPairs)
-      .select(col("doc_a"), col("doc_b"))
-    val grams = t(s, dir, "documents")
+  /** Gram postings for exactly `ids` — the audit-pruned scan x85 runs:
+    * the IN filter reaches the parquet scan as a pushed filter, so only
+    * the audited documents are read and tokenized (DedupSpec gates the
+    * pushed-filter plan shape so the full-corpus regression cannot
+    * silently return).
+    */
+  private[ext] def prunedGrams(s: SparkSession, dir: String,
+      ids: Seq[Long], k: Int): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id").isin(ids: _*))
       .select(col("doc_id"),
         posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
+
+  def overlapSpans(s: SparkSession, dir: String,
+      topPairs: Int = 5, k: Int = 4): DataFrame = {
+    val pairs = winnowingTopk(s, dir).limit(topPairs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val pairIds: Array[Long] = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0))
+    val grams = prunedGrams(s, dir, pairIds, k).localCheckpoint(true)
     val aSide = pairs
       .join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .select(col("doc_a"), col("doc_b"), col("pos"), col("h"))

@@ -202,7 +202,7 @@ object Sampling {
         (col("start_tok") - col("bin") * W).as("offset_in_bin"),
         (col("end_tok") - col("start_tok")).as("tokens_taken"),
         (col("start_tok") === col("b0")).as("is_head"))
-      .orderBy(col("split"), col("bin"), col("offset_in_bin"))
+      .orderBy(col("split"), col("bin"), col("offset_in_bin"), col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,8 +225,8 @@ object Sampling {
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, split, n_tokens,
-        |    COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b0
         |  FROM t),
         |x AS (
         |  SELECT split, doc_id, n_tokens, b0,
@@ -242,7 +242,7 @@ object Sampling {
         |  start_tok - bin * 4096 AS offset_in_bin,
         |  end_tok - start_tok AS tokens_taken,
         |  start_tok = b0 AS is_head
-        |FROM y ORDER BY split, bin, offset_in_bin""".stripMargin,
+        |FROM y ORDER BY split, bin, offset_in_bin, doc_id""".stripMargin,
     "x72_global_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS digest

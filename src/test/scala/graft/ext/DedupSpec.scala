@@ -233,4 +233,38 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute,
       "pigeonhole banding (4 x 15 bits) must be exact for Hamming <= 3")
   }
+
+  test("overlap-span gram scan is pruned to the audited doc ids (pushed IN filter)") {
+    val g = Dedup.prunedGrams(spark, Sf, Seq(1L, 2L, 3L), 4)
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(doc_id"),
+      s"x85's documents scan must carry the pair-id IN filter pushed to parquet:\n$p")
+    val ids = g.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(Set(1L, 2L, 3L)), "scan must only read the audited docs")
+  }
+
+  test("policy operators share one CC resolution and agree with it") {
+    // x75 keep-longest and x61 split both consume the cached labels:
+    // every doc x47 clusters appears with the same cluster resolution
+    val clusters = Dedup.dupClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val canon = Dedup.canonicalSelection(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon == clusters, "x75 must carry x47's exact cluster ids")
+    val split = Dedup.leakageSafeSplit(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    clusters.foreach { case (doc, lbl) =>
+      assert(split(doc) == lbl, s"x61 cluster for doc $doc must match x47")
+    }
+    // exactly one keeper per cluster, and it is a longest member
+    val kept = Dedup.canonicalSelection(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    kept.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $cl must keep exactly one doc")
+      val keeper = rows.find(_._4).get
+      assert(keeper._3 == rows.map(_._3).max,
+        s"cluster $cl keeper must have the max token count")
+    }
+  }
 }

@@ -63,4 +63,29 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == out.toSet, "min-tie-break LPA must not depend on partitioning")
   }
+
+  test("basket cap bounds a synthetic mega-order and the drop audit names it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_megaorder").toString
+    // one pathological 200-part order + two normal baskets sharing parts 1/2
+    val rows = (1L to 200L).map(p => (9999L, p)) ++
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val capped = Graph.cappedItems(spark, tmp, 50)
+    val mega = capped.filter(col("l_orderkey") === 9999L)
+      .select(col("l_partkey")).collect().map(_.getLong(0)).toSet
+    assert(mega.size == 50, s"mega order must be capped at 50, got ${mega.size}")
+    // the cap keeps the globally most frequent parts: 1 and 2 occur in
+    // three orders each, every other part only in the mega order
+    assert(mega.contains(1L) && mega.contains(2L),
+      "frequency-ranked cap must keep the corpus-hot parts")
+    assert(capped.filter(col("l_orderkey") === 1L).count() == 2L,
+      "small baskets must pass through untruncated")
+    val drops = Graph.basketDrops(spark, tmp, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(drops == Seq((9999L, 200L, 150L)),
+      s"drop audit must report exactly the truncated order, got $drops")
+  }
 }
