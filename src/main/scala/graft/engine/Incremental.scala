@@ -87,16 +87,34 @@ object Incremental {
     */
   def maintainJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       tsCol: String, ds: String, path: String): LoadStatus = {
-    val delta = dayWindow(fact, tsCol, ds)
-    val enriched = delta.join(dim, keys).persist()
+    val delta = dayWindow(fact, tsCol, ds).persist()
     try {
-      if (enriched.isEmpty) SkippedEmpty
+      // The skip decision is the DELTA's emptiness (the loadTableFor
+      // discipline), not the join result's: a day whose fact rows all
+      // miss the dimension must still OVERWRITE its partition — on a
+      // replay after the dimension changed, skipping would leave the
+      // previously-written partition silently stale. Unmatched delta
+      // rows are dropped by the inner join on purpose (enrichment
+      // semantics); `unmatchedDelta` is the queryable audit of exactly
+      // which rows that was.
+      if (delta.isEmpty) SkippedEmpty
       else {
-        Sinks.overwriteSingleDayPartition(enriched, tsCol, ds, path)
-        Loaded(enriched.count())
+        val enriched = delta.join(dim, keys).persist()
+        try {
+          Sinks.overwriteSingleDayPartition(enriched, tsCol, ds, path)
+          Loaded(enriched.count())
+        } finally { enriched.unpersist(); () }
       }
-    } finally { enriched.unpersist(); () }
+    } finally { delta.unpersist(); () }
   }
+
+  /** The rows `maintainJoin` drops for `ds`: delta fact rows with no
+    * dimension match (anti-join on the same keys) — the no-silent-drops
+    * audit a pipeline alert can count or quarantine.
+    */
+  def unmatchedDelta(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      tsCol: String, ds: String): DataFrame =
+    dayWindow(fact, tsCol, ds).join(dim, keys, "left_anti")
 
   def loadTableFor(source: DataFrame, tsCol: String, ds: String, path: String): LoadStatus = {
     val increment = dayWindow(source, tsCol, ds).persist()

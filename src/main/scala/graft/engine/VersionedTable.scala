@@ -19,11 +19,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * A writer that dies before step 2 leaves only an invisible tmp dir
   * (cleaned opportunistically by later commits). Two racing writers can
-  * both pick N: rename-if-absent arbitrates — the loser's rename returns
-  * false (dest exists) and it retries at N+1. Readers resolve versions by
-  * LISTING committed `v=*` dirs only, so they never observe a partial
-  * write. This is the same publish-by-rename discipline as
-  * [[Sinks.swapWrite]], with history retained instead of swapped.
+  * both pick N; rename alone CANNOT arbitrate, because Hadoop
+  * `FileSystem.rename(src, dst)` with an existing directory `dst` moves
+  * src INTO dst and returns true (HDFS and RawLocalFileSystem alike) —
+  * a loser that trusted the rename's boolean would bury its snapshot as
+  * a hidden child of the winner's version and believe it won. So every
+  * commit carries a `_nonce-<id>` marker file, and a rename only counts
+  * as winning if the published dir contains THIS writer's marker; a
+  * buried loser pulls its snapshot back out of the winner's dir (dot-
+  * prefixed, so readers never saw it) and retries at N+1. Readers
+  * resolve versions by LISTING committed `v=*` dirs only, so they never
+  * observe a partial write. This is the same publish-by-rename
+  * discipline as [[Sinks.swapWrite]], with nonce-verified arbitration
+  * and history retained instead of swapped.
   *
   * At scale the listing is one directory's metadata (versions, not
   * files); snapshots are immutable so caches/bucketing survive; `vacuum`
@@ -66,23 +74,35 @@ object VersionedTable {
     // opportunistic cleanup of tmp dirs older than 1h (a crashed writer's
     // leftovers) — never a committed version, so always safe
     fs.listStatus(new Path(root)).toSeq
-      .filter(st => st.getPath.getName.startsWith(".tmp-v") &&
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         st.getModificationTime < System.currentTimeMillis() - 3600L * 1000L)
       .foreach(st => fs.delete(st.getPath, true))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    var attempt = latestVersion(spark, root).map(_ + 1L).getOrElse(0L)
-    val tmp = new Path(s"$root/.tmp-v$attempt-$nonce")
+    val tmpName = s".tmp-$nonce"
+    val tmp = new Path(s"$root/$tmpName")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val marker = s"_nonce-$nonce"
+    fs.create(new Path(tmp, marker), true).close()
+    var attempt = latestVersion(spark, root).map(_ + 1L).getOrElse(0L)
     var published = false
     while (!published) {
       val dest = new Path(s"$root/v=$attempt")
-      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-        // lost the race (or stale listing): retry at the next number.
-        // The DATA needs no rewrite — only the rename target changes.
-        if (fs.exists(dest)) attempt += 1L
-        else throw new java.io.IOException(
-          s"VersionedTable: cannot publish $tmp as $dest")
-      } else published = true
+      if (!fs.exists(dest) && fs.rename(tmp, dest) &&
+          fs.exists(new Path(dest, marker))) {
+        published = true
+      } else {
+        // Lost the race. If the rename "succeeded" into the winner's
+        // dir, our whole snapshot now sits at dest/<tmpName> — pull it
+        // back out (a metadata move, no data rewrite) and retry at the
+        // next number.
+        val buried = new Path(dest, tmpName)
+        if (fs.exists(buried) && !fs.rename(buried, tmp))
+          throw new java.io.IOException(
+            s"VersionedTable: cannot recover buried snapshot $buried")
+        if (!fs.exists(tmp)) throw new java.io.IOException(
+          s"VersionedTable: snapshot $tmp lost publishing as $dest")
+        attempt += 1L
+      }
     }
     attempt
   }
@@ -118,12 +138,23 @@ object VersionedTable {
     if (fs.exists(dest)) return false
     fs.mkdirs(new Path(root))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(s"$root/.tmp-v$version-$nonce")
+    val tmpName = s".tmp-$nonce"
+    val tmp = new Path(s"$root/$tmpName")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, true) // lost to a racing replay: its commit stands
+    val marker = s"_nonce-$nonce"
+    fs.create(new Path(tmp, marker), true).close()
+    if (!fs.exists(dest) && fs.rename(tmp, dest) &&
+        fs.exists(new Path(dest, marker))) true
+    else {
+      // Lost to a racing replay — its commit stands. The rename may
+      // have buried our snapshot INSIDE the winner's dir (Hadoop
+      // rename-into-existing-dir returns true); delete whichever copy
+      // of ours survives, never the winner's data.
+      val buried = new Path(dest, tmpName)
+      if (fs.exists(buried)) fs.delete(buried, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       false
-    } else true
+    }
   }
 
   /** Targeted delete (the GDPR forget-me workflow) over immutable

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Tables
 
@@ -244,6 +244,58 @@ object Similarity {
         (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
     topkPerQuery(scored, k)
   }
+
+  /** The driver-gated form of an approximate top-k (the q29/q41
+    * bound-flag discipline applied to ANN): the accuracy contract —
+    * recall against the exact x20 top-k — is computed INSIDE the query
+    * as a per-query boolean. Everything on both sides is deterministic
+    * (fixed hyperplane seed, md5-derived hashes, total-order
+    * tie-breaks), so the booleans are reproducible and the DuckDB twin
+    * pins them TRUE: a recall regression flips a row to FALSE and the
+    * driver's hash gate catches it. The raw neighbor lists stay
+    * available through the underlying functions; SimilaritySpec keeps
+    * measuring the raw recall values.
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+      minRecallQuery: Double, minRecallPooled: Double): DataFrame = {
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val hits = e.join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val perQ = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    val tot = perQ.agg(sum(col("n_hits")).cast(LongType).as("hits_total"),
+      sum(col("n_exact")).cast(LongType).as("exact_total"))
+    perQ.crossJoin(broadcast(tot))
+      .select(col("query_id"), col("n_exact"),
+        (col("n_hits").cast(DoubleType)
+          >= lit(minRecallQuery) * col("n_exact").cast(DoubleType)).as("recall_ok"),
+        (col("hits_total").cast(DoubleType)
+          >= lit(minRecallPooled) * col("exact_total").cast(DoubleType)).as("pooled_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Two-tier floors: per-query 0.8 (a single query may legitimately
+    * sit at 8/10 on a weakly-clustered corpus) and pooled 0.9 (the
+    * SimilaritySpec bound). Measured at sf0.01 and sf0.1: per-query
+    * minima 8/10, pooled 45-49/50 — both floors hold with margin.
+    */
+  def annTopkGated(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame =
+    recallGate(cosineTopk(s, dir, numQueries, k),
+      annTopk(s, dir, numQueries, k), 0.8, 0.9)
+
+  def ivfTopkGated(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame =
+    recallGate(cosineTopk(s, dir, numQueries, k),
+      ivfTopk(s, dir, numQueries, k), 0.8, 0.9)
+
+  def annTopkIndexedGated(s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame =
+    recallGate(cosineTopk(s, dir, numQueries, k),
+      annTopkIndexed(s, dir, numQueries, k), 0.8, 0.9)
 
   /** Per-label top-3 vectors by norm via the typed TopKAgg aggregator —
     * the UDAF surface (§2.8) with an oracle twin (map-side partial
@@ -615,11 +667,11 @@ object Similarity {
     "x77_srp_neardup" -> ((s: SparkSession, dir: String) => srpNearDup(s, dir)),
     "x69_label_balance" -> (labelBalance _),
     "x42_label_centroids" -> (labelCentroids _),
-    "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)),
+    "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopkGated(s, dir)),
     "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
-    "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopk(s, dir)),
-    "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexed(s, dir)),
+    "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopkGated(s, dir)),
+    "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexedGated(s, dir)),
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
     "x23_quantize_int8" -> (quantizeInt8 _),
     "x57_embedding_dup_clusters" -> (embeddingDupClusters _),
@@ -665,7 +717,39 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Shared DuckDB twin for the three gated ANN queries (x21/x25/x48):
+    * the exact per-query top-k (x20's identical CTE chain) reduced to
+    * its per-query count, with the deterministic recall contract pinned
+    * TRUE — if Spark's approximate path ever dips below the recall
+    * floor, its boolean flips and the driver's hash gate goes red.
+    */
+  private def annGatedOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, count(*) AS n_exact,
+      |  TRUE AS recall_ok, TRUE AS pooled_ok
+      |FROM ranked WHERE rank <= 10
+      |GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x21_ann_topk" -> annGatedOracle,
+    "x25_ivf_topk" -> annGatedOracle,
+    "x48_ann_topk_indexed" -> annGatedOracle,
     "x77_srp_neardup" -> srpOracle,
     "x69_label_balance" ->
       """WITH c AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label),

@@ -108,6 +108,32 @@ class IncrementalPropSpec extends SparkSpec {
     assert(incremental == full, "delta-join maintenance must equal the recompute")
   }
 
+  test("maintainJoin replaces a stale partition when the dim stops matching") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm2").toString + "/enriched"
+    val fact = Seq((1L, 10L, "2024-01-03 08:00:00"), (2L, 20L, "2024-01-03 09:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dim = Seq((10L, "A"), (20L, "B")).toDF("user_id", "segment")
+    assert(Incremental.maintainJoin(fact, dim, Seq("user_id"), "ts", "2024-01-03", dir)
+      == Incremental.Loaded(2))
+    assert(spark.read.parquet(dir).count() == 2)
+    // replay after the dimension lost every matching key: the partition
+    // must be overwritten to the new (empty) truth, not skipped stale
+    val dimGone = Seq((99L, "Z")).toDF("user_id", "segment")
+    assert(Incremental.maintainJoin(fact, dimGone, Seq("user_id"), "ts", "2024-01-03", dir)
+      == Incremental.Loaded(0), "non-empty delta with no matches is a load, not a skip")
+    assert(spark.read.parquet(dir).count() == 0, "stale rows must be gone")
+    // the dropped-row audit names exactly the unmatched delta rows
+    val dropped = Incremental.unmatchedDelta(fact, dimGone, Seq("user_id"), "ts", "2024-01-03")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(1L, 2L))
+    // a day with NO delta rows still skips
+    assert(Incremental.maintainJoin(fact, dim, Seq("user_id"), "ts", "2024-01-09", dir)
+      == Incremental.SkippedEmpty)
+  }
+
   test("daily windows partition any dataset exactly") {
     val listGen = Gen.listOfN(60, rowGen)
     (1L to 5L).foreach { seed =>

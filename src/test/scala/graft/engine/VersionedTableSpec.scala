@@ -60,6 +60,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("concurrent commits win distinct versions, nothing buried (nonce arbitration)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            VersionedTable.commit(Seq((i.toLong, s"w$i")).toDF("id", "w"), root)
+        })
+      }
+      val won = futures.map(_.get())
+      assert(won.toSet == (0L until n.toLong).toSet,
+        s"each writer must win a distinct consecutive version, got $won")
+      // every version holds exactly its winner's single row — a buried
+      // rename (Hadoop rename-into-existing-dir) would corrupt this
+      (0 until n).foreach { i =>
+        val rows = VersionedTable.read(spark, root, Some(won(i))).collect()
+        assert(rows.length == 1 && rows(0).getString(1) == s"w$i",
+          s"version ${won(i)} must hold writer $i's snapshot only")
+      }
+      // no version dir may contain a buried loser's tmp child
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      VersionedTable.versions(spark, root).foreach { v =>
+        val children = fs.listStatus(new Path(s"$root/v=$v"))
+          .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+        assert(children.isEmpty, s"v=$v contains buried snapshots: ${children.toSeq}")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("racing commitIfAbsent replays: exactly one wins, no buried copies") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            VersionedTable.commitIfAbsent(
+              Seq((i.toLong, s"r$i")).toDF("id", "w"), root, 7L)
+        })
+      }
+      val wins = futures.map(_.get())
+      assert(wins.count(identity) == 1,
+        s"exactly one replay must publish version 7, got $wins")
+      val rows = VersionedTable.read(spark, root, Some(7L)).collect()
+      assert(rows.length == 1, "the committed snapshot is one writer's data")
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leftovers = fs.listStatus(new Path(s"$root/v=7"))
+        .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+      assert(leftovers.isEmpty, s"buried loser snapshots present: ${leftovers.toSeq}")
+    } finally pool.shutdown()
+  }
+
   test("deleteWhere publishes a new version; the forget completes at vacuum") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -55,6 +55,21 @@ class SimilaritySpec extends SparkSpec {
       s"probe must read a strict subset of buckets: ${m.get.matched}")
   }
 
+  test("driver-gated ANN forms pin both recall contracts true") {
+    for ((nm, df) <- Seq(
+        ("ann", Similarity.annTopkGated(spark, Dir)),
+        ("ivf", Similarity.ivfTopkGated(spark, Dir)),
+        ("idx", Similarity.annTopkIndexedGated(spark, Dir)))) {
+      val rows = df.collect()
+      assert(rows.length == 5, s"$nm: one gate row per query")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_exact") == 10L, s"$nm: exact side must be full k")
+        assert(r.getAs[Boolean]("recall_ok"), s"$nm: per-query 0.8 floor violated: $r")
+        assert(r.getAs[Boolean]("pooled_ok"), s"$nm: pooled 0.9 floor violated: $r")
+      }
+    }
+  }
+
   test("blocked near-dup pair set is block-size invariant (incl. multi-block)") {
     def pairs(blockSize: Int) =
       Similarity.embeddingNearDup(spark, Dir, blockSize = blockSize)
