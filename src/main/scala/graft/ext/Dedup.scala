@@ -472,6 +472,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The cross-RUN form of `clusterLabels`' in-session cache: publish
+    * the verified cluster table as a `VersionedTable` snapshot so later
+    * jobs (canonical selection, leakage-safe splits, dedup audits) read
+    * the committed clustering instead of re-deriving it — and can PIN a
+    * version for a whole multi-job training-data build (every consumer
+    * sees the same clustering even if the corpus re-clusters mid-build).
+    * Returns the committed version number.
+    */
+  def materializeClusters(s: SparkSession, dir: String, root: String): Long =
+    graft.engine.VersionedTable.commit(dupClusters(s, dir), root)
+
+  /** Read a committed cluster snapshot (latest, or pinned `asOf`). */
+  def clustersFromTable(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame =
+    graft.engine.VersionedTable.read(s, root, asOf)
+
   /** Benchmark-contamination screening: for every corpus document, the
     * fraction of its distinct word-trigrams that also occur in a
     * held-out benchmark set (here: docs with id < `benchMax` stand in
@@ -526,6 +542,57 @@ object Dedup {
         (coalesce(col("in_history"), lit(false)) === false
           && col("doc_id") === col("incr_canonical_id")).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental NEAR-dup detection — the operational form of x12
+    * inside a daily append pipeline, and the near-dup counterpart of
+    * x59's exact incremental dedup. Only the increment (doc_id >=
+    * `histMax`, standing in for today's partition) needs fresh
+    * minhashing; the history participates as its (band, bucket, id)
+    * index — at 100 TB that index is `bucketBy`-persisted on (band,
+    * bucket) like x48's ANN index, so the increment's probe is a
+    * co-located join and historical TEXT is only re-read for the few
+    * verified candidate pairs. Two candidate legs: increment-vs-history
+    * (the probe join) and increment-internal (in-bucket expansion, so a
+    * doc submitted twice on the same day is caught the day it lands);
+    * history-vs-history pairs are deliberately absent — they were
+    * yesterday's output. Verification-grade 32x2 banding (x12's
+    * coverage argument: miss probability (1-J^2)^32 <= 1e-4 at J=0.5)
+    * makes the emitted set EQUAL the exact Jaccard >= `threshold` pair
+    * set with an increment-side member, so the DuckDB twin checks it
+    * outright.
+    */
+  def incrementalNearDup(s: SparkSession, dir: String, histMax: Int = 400,
+      bands: Int = 32, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val posts = shinglePostings(s, dir)
+    val banded = minhashSignatures(posts, bands * rowsPerBand)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val hist = banded.filter(col("doc_id") < histMax)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val incr = banded.filter(col("doc_id") >= histMax)
+    // probe leg: every history id < histMax <= increment id, so the
+    // (hist, incr) orientation IS the canonical doc_a < doc_b order
+    val candHist = incr.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+      .join(hist, Seq("band", "bucket"))
+      .select(col("doc_a"), col("doc_b"))
+    // increment-internal leg: in-bucket expansion on the (small) delta
+    val candIncr = incr
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val cand = candHist.unionByName(candIncr).dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, posts)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"),
+        (col("doc_a") >= histMax).as("incr_internal"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   /** Leakage-safe train/val split: assignment is a pure hash of the
@@ -763,6 +830,7 @@ object Dedup {
     "x56_fuzzy_match" -> ((s: SparkSession, dir: String) => fuzzyNameMatch(s, dir)),
     "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)),
     "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)),
+    "x86_incremental_neardup" -> ((s: SparkSession, dir: String) => incrementalNearDup(s, dir)),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -943,6 +1011,30 @@ object Dedup {
         |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
         |SELECT doc_a, doc_b, n_common, jaccard FROM scored
         |WHERE jaccard >= 0.5
+        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
+    // the exact pair set restricted to pairs with an increment-side
+    // member (doc_b >= 400 suffices: doc_a < doc_b, so doc_b is the
+    // increment member of every mixed pair)
+    "x86_incremental_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM inv a JOIN inv b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |         WHERE b.doc_id >= 400),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |      / CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+        |SELECT doc_a, doc_b, n_common, jaccard, doc_a >= 400 AS incr_internal
+        |FROM scored WHERE jaccard >= 0.5
         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
     // transitive closure by recursive CTE — an independent execution
     // strategy for the same component semantics the iterative

@@ -234,6 +234,37 @@ class DedupSpec extends SparkSpec {
       "pigeonhole banding (4 x 15 bits) must be exact for Hamming <= 3")
   }
 
+  test("incremental near-dup equals the exact pair set restricted to the increment") {
+    // ground truth: exact shingle-Jaccard pairs with an increment member
+    val histMax = 25L // sf0.001 has ~50 docs; split mid-corpus
+    val exact = exactPairs.filter { case ((a, b), j) => j >= 0.5 && b >= histMax }.keySet
+    val got = Dedup.incrementalNearDup(spark, Sf, histMax = histMax.toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(4))).toMap
+    assert(got.keySet == exact,
+      s"32x2 banding must emit exactly the exact increment pairs; got ${got.keySet} want $exact")
+    got.foreach { case ((a, _), internal) =>
+      assert(internal == (a >= histMax), "incr_internal must flag within-increment pairs")
+    }
+    // no history-history pair may appear
+    assert(got.keySet.forall(_._2 >= histMax))
+  }
+
+  test("materialized cluster table round-trips and pins versions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_clusters").toString + "/t"
+    val v0 = Dedup.materializeClusters(spark, Sf, root)
+    assert(v0 == 0L)
+    val direct = Dedup.dupClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromTable = Dedup.clustersFromTable(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromTable == direct, "committed snapshot must equal the live clustering")
+    // a re-publish creates v1; a reader pinned to v0 is undisturbed
+    val v1 = Dedup.materializeClusters(spark, Sf, root)
+    assert(v1 == 1L)
+    assert(Dedup.clustersFromTable(spark, root, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == direct)
+  }
+
   test("overlap-span gram scan is pruned to the audited doc ids (pushed IN filter)") {
     val g = Dedup.prunedGrams(spark, Sf, Seq(1L, 2L, 3L), 4)
     val p = g.queryExecution.executedPlan.toString
