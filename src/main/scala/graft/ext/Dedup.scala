@@ -809,6 +809,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-document boilerplate-passage mining — the corpus-level
+    * complement of x85's pair-level span audit: positions whose k-gram
+    * occurs in >= `minDf` DISTINCT documents are boilerplate evidence
+    * (shared disclaimers, footers, license headers — text a curation
+    * run strips before training), coalesced per document into maximal
+    * consecutive runs (gaps-and-islands) and reported when the run
+    * reaches `minRun` grams. The document-frequency aggregate carries
+    * O(1) state per gram (the x11 df-cut discipline — never a doc-id
+    * list), the semi-join prunes postings BEFORE the per-doc window,
+    * and island state is per-document — nothing global at any corpus
+    * size.
+    */
+  def boilerplateSpans(s: SparkSession, dir: String,
+      k: Int = 4, minDf: Int = 2, minRun: Int = 3): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val common = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(common, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        count(lit(1)).as("span_grams"))
+      .filter(col("span_grams") >= minRun)
+      .select(col("doc_id"), col("span_start"), col("span_grams"),
+        (col("span_grams") + (k - 1)).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -831,6 +865,7 @@ object Dedup {
     "x58_simhash_neardup" -> ((s: SparkSession, dir: String) => simhashNearDup(s, dir)),
     "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)),
     "x86_incremental_neardup" -> ((s: SparkSession, dir: String) => incrementalNearDup(s, dir)),
+    "x87_boilerplate_spans" -> ((s: SparkSession, dir: String) => boilerplateSpans(s, dir)),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -1012,6 +1047,29 @@ object Dedup {
         |SELECT doc_a, doc_b, n_common, jaccard FROM scored
         |WHERE jaccard >= 0.5
         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
+    // identical gram hashing to x85's twin but 0-based positions (i-1)
+    // so span_start compares against Spark's posexplode directly
+    "x87_boilerplate_spans" ->
+      """WITH toks2 AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15))::BIGINT AS h
+        |  FROM toks2, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i)
+        |  WHERE len(ws) >= 4),
+        |common AS (
+        |  SELECT h FROM (
+        |    SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY h)
+        |  WHERE df >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM g WHERE h IN (SELECT h FROM common))
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  count(*) AS span_grams, count(*) + 3 AS span_tokens
+        |FROM isl GROUP BY doc_id, grp HAVING count(*) >= 3
+        |ORDER BY doc_id, span_start""".stripMargin,
     // the exact pair set restricted to pairs with an increment-side
     // member (doc_b >= 400 suffices: doc_a < doc_b, so doc_b is the
     // increment member of every mixed pair)

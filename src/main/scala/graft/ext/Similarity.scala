@@ -56,8 +56,21 @@ object Similarity {
     * the k nearest corpus vectors by cosine, self excluded.
     * Ties broken by vec_id, so the ranking is a total order.
     */
+  /** The exact ranking is consumed four times per session (x20 itself +
+    * the three ANN recall gates), so the ~numQueries·k-row result is
+    * computed once per (session, dataset, params) and checkpointed —
+    * the same materialize-once discipline as Dedup.clusterLabels.
+    */
+  private val exactTopkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
   def cosineTopk(s: SparkSession, dir: String,
-      numQueries: Int = 5, k: Int = 10): DataFrame = {
+      numQueries: Int = 5, k: Int = 10): DataFrame =
+    exactTopkCache.computeIfAbsent((s, dir, numQueries, k), _ =>
+      cosineTopkPlan(s, dir, numQueries, k).localCheckpoint(true))
+
+  private def cosineTopkPlan(s: SparkSession, dir: String,
+      numQueries: Int, k: Int): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))

@@ -249,6 +249,24 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet.forall(_._2 >= histMax))
   }
 
+  test("boilerplate spans localize a passage shared across documents") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val passage = "all rights reserved contact support for legal help"
+    Seq(
+      (1L, s"alpha beta gamma delta $passage"),
+      (2L, s"$passage epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = Dedup.boilerplateSpans(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the 8-token passage = 5 k=4 grams entirely inside it, shared by
+    // docs 1 and 2; boundary grams mixing unique context are df=1
+    assert(spans.toSet == Set((1L, 4L, 5L, 8L), (2L, 0L, 5L, 8L)),
+      s"expected the shared passage localized in both carriers, got ${spans.toSeq}")
+  }
+
   test("materialized cluster table round-trips and pins versions") {
     val root = java.nio.file.Files.createTempDirectory("graft_clusters").toString + "/t"
     val v0 = Dedup.materializeClusters(spark, Sf, root)
