@@ -823,10 +823,14 @@ object Dedup {
     */
   def boilerplateSpans(s: SparkSession, dir: String,
       k: Int = 4, minDf: Int = 2, minRun: Int = 3): DataFrame = {
+    // the postings feed BOTH the df aggregate and the semi-join probe:
+    // checkpoint so tokenize+hash+explode runs once, not twice (the
+    // at-scale form writes the postings pass to a bucketed table)
     val grams = t(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
+      .localCheckpoint(true)
     val common = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
