@@ -239,6 +239,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source curation datasheet — the "datasheet for datasets"
+    * summary a training-data build publishes alongside the corpus: for
+    * every source, document/token counts, exact-duplicate and
+    * quality-failure counts (the same verified x10 canonical-fingerprint
+    * and x02 quality formulas), tokens surviving both gates, and the
+    * keep ratio. Canonicality is CORPUS-global (a source holding the
+    * later copy of a cross-source duplicate is the one charged for it);
+    * everything reduces in one hash-aggregate per source after the
+    * fingerprint window, and every ratio is one double division of
+    * exact integer sums so the frame hash-gates.
+    */
+  def curationDatasheet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = wsTokens(col("text"))
+    val nChars = length(col("text")).cast(LongType)
+    val nToks = size(toks).cast(LongType)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    val qualityOk = nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
+      (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), nToks.as("n_tokens"),
+        qualityOk.as("quality_ok"), fingerprintCol(col("text")).as("fp"))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).cast(LongType).as("n_exact_dups"),
+        sum(when(!col("quality_ok"), 1L).otherwise(0L)).cast(LongType).as("n_quality_fail"),
+        sum(when(col("is_canonical") && col("quality_ok"), col("n_tokens"))
+          .otherwise(0L)).cast(LongType).as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_exact_dups"), col("n_quality_fail"), col("n_tokens_kept"),
+        (col("n_tokens_kept").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("keep_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** Suffix-stripping token normalizer (stemming-lite): the first
     * matching rule of ies->y, sses->ss, trailing-s (not ss), -ing, -ed,
     * each guarded so the stem keeps >= 3 characters. Pure string CASE —
@@ -622,7 +661,8 @@ object TextAnalysis {
     "x63_lm_quality_filter" -> (lmQualityFilter _),
     "x65_bigram_novelty" -> (bigramNovelty _),
     "x67_length_histogram" -> (lengthHistogram _),
-    "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)))
+    "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)),
+    "x89_curation_datasheet" -> (curationDatasheet _))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -736,6 +776,30 @@ object TextAnalysis {
     * subqueries — one definition per leg, no duplication to drift.
     */
   val oracles: Map[String, String] = baseOracles +
+    // composes the x02 quality formula + the x10 canonical fingerprint
+    // per source — the same verified leg SQL, aggregated
+    ("x89_curation_datasheet" ->
+      """WITH f AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (length(text) >= 100 AND length(text) <= 5000
+        |     AND len(string_split_regex(trim(text), '\s+')) >= 20
+        |     AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) < 0.1) AS quality_ok,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        |  FROM f)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+        |  CAST(sum(CASE WHEN is_canonical AND quality_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  CAST(sum(CASE WHEN is_canonical AND quality_ok THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE) AS keep_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) +
     ("x06_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

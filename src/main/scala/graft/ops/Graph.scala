@@ -221,10 +221,47 @@ object Graph {
       .orderBy(col("l_partkey"))
   }
 
+  /** Per-node triangle participation and local clustering coefficient
+    * over the co-order graph — "is this product's neighborhood a clique
+    * or a hub-and-spoke": triangles are closed wedges a<b<c enumerated
+    * on the canonical (src < dst) half of the edge list, so each
+    * triangle is built exactly once; the node-ordering trick bounds the
+    * wedge expansion by the FORWARD degree. The coefficient
+    * 2T/(deg·(deg−1)) is one double division of exact integers (the x24
+    * discipline), so the whole frame hash-gates. Each leg is an
+    * equi-join on node ids — three shuffles total on id-sized rows,
+    * independent of corpus bytes.
+    */
+  def triangleCounts(s: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame = {
+    val fwd = coOrderEdges(s, dir, minSupport)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = coOrderEdges(s, dir, minSupport)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val wedges = fwd
+      .join(fwd.select(col("a").as("b"), col("b").as("c")), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(fwd.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("src").as("part"), col("degree"))
+      .join(perNode, Seq("part"), "left")
+      .select(col("part").as("l_partkey"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast(DoubleType)
+            / (col("degree").cast(DoubleType) * (col("degree") - 1).cast(DoubleType)))
+          .as("clustering"))
+      .orderBy(col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x82_part_pagerank" -> ((s: SparkSession, dir: String) => partPagerank(s, dir)),
     "x83_bfs_hops" -> ((s: SparkSession, dir: String) => bfsHops(s, dir)),
-    "x84_label_propagation" -> ((s: SparkSession, dir: String) => labelPropagation(s, dir)))
+    "x84_label_propagation" -> ((s: SparkSession, dir: String) => labelPropagation(s, dir)),
+    "x88_triangle_counts" -> ((s: SparkSession, dir: String) => triangleCounts(s, dir)))
 
   /** The identical 5 fixed-point iterations unrolled as chained CTEs —
     * aggregation inside a recursive CTE member is not portable SQL, and
@@ -352,8 +389,50 @@ object Graph {
        |FROM l$iters ORDER BY l_partkey""".stripMargin
   }
 
+  /** Triangles once each via the canonical a<b<c orientation (`pairs`
+    * IS the forward edge list), per-node counts via a 3-way unnest.
+    */
+  private def triangleOracle: String =
+    s"""WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |freq AS (SELECT l_partkey, count(*) AS pf FROM items0 GROUP BY 1),
+       |items AS (
+       |  SELECT l_orderkey, l_partkey FROM (
+       |    SELECT i.l_orderkey, i.l_partkey,
+       |      row_number() OVER (PARTITION BY i.l_orderkey
+       |        ORDER BY f.pf DESC, i.l_partkey) AS rn
+       |    FROM items0 i JOIN freq f USING (l_partkey))
+       |  WHERE rn <= $MaxBasket),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+       |          UNION ALL SELECT pb, pa FROM pairs),
+       |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1),
+       |tri AS (
+       |  SELECT p1.pa AS a, p1.pb AS b, p2.pb AS c
+       |  FROM pairs p1
+       |  JOIN pairs p2 ON p2.pa = p1.pb
+       |  JOIN pairs p3 ON p3.pa = p1.pa AND p3.pb = p2.pb),
+       |pn AS (
+       |  SELECT node, count(*) AS n_triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node)
+       |SELECT d.src AS l_partkey, d.degree,
+       |  COALESCE(pn.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN d.degree < 2 THEN 0.0
+       |       ELSE 2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+       |            / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE)) END
+       |    AS clustering
+       |FROM deg d LEFT JOIN pn ON pn.node = d.src
+       |ORDER BY l_partkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x82_part_pagerank" -> pagerankOracle(5),
     "x83_bfs_hops" -> bfsOracle(4),
-    "x84_label_propagation" -> lpaOracle(3))
+    "x84_label_propagation" -> lpaOracle(3),
+    "x88_triangle_counts" -> triangleOracle)
 }

@@ -64,6 +64,27 @@ class GraphSpec extends SparkSpec {
     assert(again == out.toSet, "min-tie-break LPA must not depend on partitioning")
   }
 
+  test("triangle counts and clustering match a hand-built graph") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    // two {1,2,3} orders (triangle, every pair support 2) + two {1,4}
+    // orders (pendant edge): node 1 bridges a clique and a spoke
+    val rows = Seq(
+      (101L, 1L), (101L, 2L), (101L, 3L),
+      (102L, 1L), (102L, 2L), (102L, 3L),
+      (103L, 1L), (103L, 4L),
+      (104L, 1L), (104L, 4L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Graph.triangleCounts(spark, tmp)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 2.0 / 6.0)), s"hub node: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1.0)) && got(3L) == ((2L, 1L, 1.0)),
+      "clique-only nodes have coefficient 1")
+    assert(got(4L) == ((1L, 0L, 0.0)), "pendant node: no triangle, degree 1")
+  }
+
   test("basket cap bounds a synthetic mega-order and the drop audit names it") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
