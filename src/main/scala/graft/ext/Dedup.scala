@@ -847,6 +847,29 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Cross-source near-duplication matrix — which sources copy from
+    * each other: the verified x12 pair set (exact Jaccard >= 0.5)
+    * aggregated by unordered source pair, with pair count and the
+    * strongest overlap. The provenance diagnostic a curation run reads
+    * before deciding which feed to drop; per-pair source lookup is two
+    * broadcastable id→source joins on the (tiny) pair set, and
+    * max(jaccard) is order-invariant so the frame hash-gates (a MEAN of
+    * doubles would sum in partition order and could not).
+    */
+  def sourceNearDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -870,6 +893,7 @@ object Dedup {
     "x59_incremental_dedup" -> ((s: SparkSession, dir: String) => incrementalDedup(s, dir)),
     "x86_incremental_neardup" -> ((s: SparkSession, dir: String) => incrementalNearDup(s, dir)),
     "x87_boilerplate_spans" -> ((s: SparkSession, dir: String) => boilerplateSpans(s, dir)),
+    "x90_source_neardup_matrix" -> (sourceNearDupMatrix _),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -895,6 +919,16 @@ object Dedup {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    "x90_source_neardup_matrix" ->
+      s"""WITH p AS (${oraclesBase("x12_minhash_pairs")})
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs, max(p.jaccard) AS max_jaccard
+         |FROM p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
     "x85_overlap_spans" ->
       s"""WITH topk AS (${oraclesBase("x70_winnowing_topk")}),
          |top5 AS (SELECT doc_a, doc_b FROM topk

@@ -249,6 +249,17 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet.forall(_._2 >= histMax))
   }
 
+  test("source near-dup matrix attributes every verified pair exactly once") {
+    val nPairs = Dedup.minhashPairs(spark, Sf, bands = 32, rowsPerBand = 2).count()
+    val m = Dedup.sourceNearDupMatrix(spark, Sf).collect()
+    assert(m.map(_.getLong(2)).sum == nPairs,
+      "cell counts must partition the verified pair set")
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered pair normalization")
+      assert(r.getDouble(3) >= 0.5, "cells only aggregate verified >= 0.5 pairs")
+    }
+  }
+
   test("boilerplate spans localize a passage shared across documents") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
