@@ -395,8 +395,21 @@ object Similarity {
     * kernel only on candidate buckets; the per-pair arithmetic is
     * identical either way.
     */
+  private val nearDupCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, Int), DataFrame]()
+
+  /** The O(n²/2) kernel result is consumed by x24 directly and by x57's
+    * cluster resolution — computed once per (session, dataset, params)
+    * and checkpointed (the clusterLabels discipline: the expensive
+    * pair-finding leg never reruns for a policy layer).
+    */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      blockSize: Int = 1024): DataFrame = {
+      blockSize: Int = 1024): DataFrame =
+    nearDupCache.computeIfAbsent((s, dir, threshold, blockSize), _ =>
+      embeddingNearDupPlan(s, dir, threshold, blockSize).localCheckpoint(true))
+
+  private def embeddingNearDupPlan(s: SparkSession, dir: String, threshold: Double,
+      blockSize: Int): DataFrame = {
     import s.implicits._
     val packed = t(s, dir, "embeddings")
       .select((col("vec_id").cast("long") / blockSize).cast("long").as("blk"),

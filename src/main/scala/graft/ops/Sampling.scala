@@ -205,7 +205,44 @@ object Sampling {
       .orderBy(col("split"), col("bin"), col("offset_in_bin"), col("doc_id"))
   }
 
+  /** Power-of-two length-bucket boundaries for the batching report —
+    * shared between the Spark CASE chain and the DuckDB twin.
+    */
+  private val LengthBounds: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+  private val LengthCap = 16384L
+
+  /** Length-bucketed batching report — the dataloader alternative to
+    * x46/x76's sequence packing: documents grouped into power-of-two
+    * length buckets (each batch padded to its bucket's upper bound), per
+    * bucket the doc/token counts, padded slots, padding waste, and
+    * padding efficiency. This is the report that decides between
+    * bucketed batching and packing for a training run; the bucket
+    * assignment is a pure integer CASE chain (identical in both
+    * engines), every count an exact integer, efficiency one double
+    * division — zero shuffles beyond the one bucket-grain aggregate.
+    */
+  def lengthBatching(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val bucket = LengthBounds.foldRight(lit(LengthCap): Column) {
+      (b, acc) => when(col("n_tokens") <= b, lit(b)).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), nToks.as("n_tokens"))
+      .withColumn("bucket_len", bucket)
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") * col("bucket_len")).as("n_padded_slots"),
+        (col("n_docs") * col("bucket_len") - col("n_tokens")).as("n_pad_waste"),
+        (col("n_tokens").cast("double")
+          / (col("n_docs") * col("bucket_len")).cast("double")).as("pad_efficiency"))
+      .orderBy(col("bucket_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x91_length_batching" -> (lengthBatching _),
     "x76_packed_sequences" -> ((s: SparkSession, dir: String) => packedSequences(s, dir)),
     "x72_global_shuffle" -> ((s: SparkSession, dir: String) => globalShuffle(s, dir)),
     "x73_temperature_mixture" -> (temperatureMixture _),
@@ -214,7 +251,26 @@ object Sampling {
     "x46_sequence_packing" -> ((s: SparkSession, dir: String) => sequencePacking(s, dir)),
     "x64_mixture_rebalance" -> ((s: SparkSession, dir: String) => mixtureRebalance(s, dir)))
 
+  private def lengthBatchingOracle: String = {
+    val cases = LengthBounds.map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE $cases ELSE $LengthCap END AS BIGINT) AS bucket_len
+       |  FROM t)
+       |SELECT bucket_len, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) * bucket_len AS BIGINT) AS n_padded_slots,
+       |  CAST(count(*) * bucket_len - sum(n_tokens) AS BIGINT) AS n_pad_waste,
+       |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) * bucket_len AS DOUBLE) AS pad_efficiency
+       |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x91_length_batching" -> lengthBatchingOracle,
     "x76_packed_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
