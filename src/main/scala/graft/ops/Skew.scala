@@ -72,14 +72,49 @@ object Skew {
       .orderBy(col("event_id"))
   }
 
+  /** Key-distribution skew diagnosis — the report that decides WHETHER
+    * the salted plans above are needed: the k hottest join/agg keys with
+    * their row share and hot ratio (key rows ÷ mean rows per key; the
+    * AQE skew-join trigger is exactly this statistic at partition
+    * grain). One hash-aggregate to key grain, a TakeOrdered top-k (never
+    * a full sort), and a 1-row broadcast of the totals; deterministic
+    * under ties via the key tiebreaker in both the selection and the
+    * presentation order.
+    */
+  def skewReport(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val counts = Tables(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).cast("long").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("n_rows").desc, col("user_id")).limit(k)
+      .crossJoin(broadcast(totals))
+      .select(col("user_id"), col("n_rows"),
+        (col("n_rows").cast("double") / col("total_rows").cast("double"))
+          .as("row_share"),
+        (col("n_rows").cast("double") * col("n_keys").cast("double")
+          / col("total_rows").cast("double")).as("hot_ratio"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_salted_agg" -> ((s: SparkSession, dir: String) => saltedEventStats(s, dir)),
-    "q40_salted_join" -> ((s: SparkSession, dir: String) => saltedEnrichJoin(s, dir)))
+    "q40_salted_join" -> ((s: SparkSession, dir: String) => saltedEnrichJoin(s, dir)),
+    "q79_skew_report" -> ((s: SparkSession, dir: String) => skewReport(s, dir)))
 
   /** The oracles are the PLAIN aggregate / join — proving the salted
     * plans compute the same answers.
     */
   val oracles: Map[String, String] = Map(
+    "q79_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |             count(*) AS n_keys FROM c),
+        |top AS (SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 20)
+        |SELECT user_id, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS row_share,
+        |  CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(total_rows AS DOUBLE) AS hot_ratio
+        |FROM top, t ORDER BY n_rows DESC, user_id""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n_events, min(value) AS min_value,
         |  max(value) AS max_value, count(DISTINCT user_id) AS n_users

@@ -20,6 +20,12 @@ class RelationalPlanSpec extends SparkSpec {
     assert(hits >= 2, s"expected partial+final WindowGroupLimit, got $hits in:\n$p")
   }
 
+  test("skew report's hot-key selection is a top-k, not a full sort") {
+    val p = plan(Skew.skewReport(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hot-key selection must plan as top-k:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not sort-all") {
     val p = plan(Relational.topkRevenue(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"),
