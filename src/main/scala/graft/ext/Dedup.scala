@@ -672,15 +672,30 @@ object Dedup {
         i => TextAnalysis.tokenHash(concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** The (doc_id, pos, h) gram-hash postings, computed once per
+    * (session, dataset, k) and checkpointed: the tokenize + per-gram md5
+    * pass is the dominant cost of the winnowing (x70) and boilerplate
+    * (x87) pipelines, and both consume the identical table. (x85's span
+    * audit deliberately does NOT read this cache — its contract is a
+    * pruned scan of ~10 documents, plan-gated, which beats even a cached
+    * full-corpus lookup.)
+    */
+  private val gramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private[ext] def gramPostings(s: SparkSession, dir: String, k: Int): DataFrame =
+    gramCache.computeIfAbsent((s, dir, k), _ =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
+        .localCheckpoint(true))
+
   private[ext] def winnowedFingerprints(s: SparkSession, dir: String,
       k: Int = 4, w: Int = 5): DataFrame = {
-    val toks = TextAnalysis.wsTokens(lower(col("text")))
-    val grams = gramHashes(toks, k)
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1).toLong, 0L)
-    t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(grams))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    gramPostings(s, dir, k)
       .withColumn("fp", min(col("h")).over(win))
       // only FULL windows select a fingerprint (pos is 0-based)
       .filter(col("pos") >= w - 1)
@@ -823,14 +838,10 @@ object Dedup {
     */
   def boilerplateSpans(s: SparkSession, dir: String,
       k: Int = 4, minDf: Int = 2, minRun: Int = 3): DataFrame = {
-    // the postings feed BOTH the df aggregate and the semi-join probe:
-    // checkpoint so tokenize+hash+explode runs once, not twice (the
-    // at-scale form writes the postings pass to a bucketed table)
-    val grams = t(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-      .localCheckpoint(true)
+    // the postings feed BOTH the df aggregate and the semi-join probe,
+    // and are shared with the winnowing pipeline via the session cache
+    // (the at-scale form writes the postings pass to a bucketed table)
+    val grams = gramPostings(s, dir, k)
     val common = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
