@@ -59,7 +59,19 @@ object Dedup {
     * had; `windowShinglePostings` keeps that form as the spec's
     * independent reference.
     */
-  private[ext] def shinglePostings(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+  /** Five pipelines consume the identical distinct shingle postings
+    * (x11 Jaccard, x12 MinHash, x44 contamination, x62 containment,
+    * x86 incremental near-dup) — computed once per (session, dataset,
+    * n) and checkpointed, like the gram postings below.
+    */
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private[ext] def shinglePostings(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    shingleCache.computeIfAbsent((s, dir, n), _ =>
+      shinglePostingsPlan(s, dir, n).localCheckpoint(true))
+
+  private[ext] def shinglePostingsPlan(s: SparkSession, dir: String, n: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val ngrams = ColumnBridge.column(
       graft.functions.WordNGrams(

@@ -50,7 +50,8 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaGen.nonEmpty && viaGen == viaWindow)
     // and the generator subtree must not shuffle before the dedup
-    val plan = Dedup.shinglePostings(spark, Sf).queryExecution.executedPlan.toString
+    // (asserted on the plan spelling — the cached form is a checkpoint scan)
+    val plan = Dedup.shinglePostingsPlan(spark, Sf, 3).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected only the dedup shuffle, got $exchanges:\n$plan")
   }
