@@ -84,8 +84,12 @@ object VersionedTable {
     val marker = s"_nonce-$nonce"
     fs.create(new Path(tmp, marker), true).close()
     var attempt = latestVersion(spark, root).map(_ + 1L).getOrElse(0L)
+    val lastAttempt = attempt + 10000L // liveness guard: a broken FS
+    // (rename false with no dest) must surface as an error, not a spin
     var published = false
     while (!published) {
+      if (attempt > lastAttempt) throw new java.io.IOException(
+        s"VersionedTable: gave up publishing $tmp after 10000 contested versions")
       val dest = new Path(s"$root/v=$attempt")
       if (!fs.exists(dest) && fs.rename(tmp, dest) &&
           fs.exists(new Path(dest, marker))) {
