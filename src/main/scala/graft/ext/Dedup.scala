@@ -870,6 +870,36 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Effective-dataset-size report — what the near-dup policy actually
+    * buys: one row with total docs/tokens, clustered docs, docs and
+    * tokens surviving the keep-longest canonical policy (x75's keepers
+    * plus every unclustered singleton), and the token retention ratio.
+    * The headline number a curation review reads before and after a
+    * dedup change; consumes the session-materialized cluster labels and
+    * the keep flags, reduces in one global aggregate of exact integers.
+    */
+  def effectiveDatasetSize(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast(LongType).as("n_tokens"))
+    val kept = canonicalSelection(s, dir)
+      .select(col("doc_id"), col("keep").as("cluster_keep"))
+    toks.join(kept, Seq("doc_id"), "left")
+      .select(col("n_tokens"),
+        col("cluster_keep").isNotNull.as("clustered"),
+        coalesce(col("cluster_keep"), lit(true)).as("keep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum(when(col("clustered"), 1L).otherwise(0L)).cast(LongType).as("n_clustered_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast(LongType).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast(LongType)
+          .as("n_tokens_kept"))
+      .select(col("n_docs"), col("n_tokens"), col("n_clustered_docs"),
+        col("n_docs_kept"), col("n_tokens_kept"),
+        (col("n_tokens_kept").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("token_retention"))
+  }
+
   /** Cross-source near-duplication matrix — which sources copy from
     * each other: the verified x12 pair set (exact Jaccard >= 0.5)
     * aggregated by unordered source pair, with pair count and the
@@ -917,6 +947,7 @@ object Dedup {
     "x86_incremental_neardup" -> ((s: SparkSession, dir: String) => incrementalNearDup(s, dir)),
     "x87_boilerplate_spans" -> ((s: SparkSession, dir: String) => boilerplateSpans(s, dir)),
     "x90_source_neardup_matrix" -> (sourceNearDupMatrix _),
+    "x92_effective_dataset_size" -> (effectiveDatasetSize _),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -991,7 +1022,32 @@ object Dedup {
          |      ORDER BY n_tokens DESC, doc_id) AS rnk
          |  FROM base JOIN toks USING (doc_id))
          |SELECT doc_id, cluster_id, cluster_size, n_tokens, rnk = 1 AS keep
-         |FROM r ORDER BY doc_id""".stripMargin) ++ oraclesBase
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "x92_effective_dataset_size" ->
+      s"""WITH base AS (${oraclesBase("x47_dup_clusters")}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, rnk = 1 AS cluster_keep FROM (
+         |    SELECT base.doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_tokens DESC, base.doc_id) AS rnk
+         |    FROM base JOIN toks USING (doc_id))),
+         |f AS (
+         |  SELECT t.n_tokens,
+         |    k.cluster_keep IS NOT NULL AS clustered,
+         |    COALESCE(k.cluster_keep, TRUE) AS keep
+         |  FROM toks t LEFT JOIN kept k USING (doc_id))
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n_tokens) AS DOUBLE) AS token_retention
+         |FROM f""".stripMargin) ++ oraclesBase
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "x70_winnowing_topk" ->
