@@ -278,6 +278,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary growth curve (the Heaps'-law table): distinct-token
+    * vocabulary size after each tenth of the corpus in doc_id order —
+    * the dataset-diversity measure scaling-law estimates read (a
+    * flattening curve says more of the same data buys little). Pure
+    * integer derivation: each token's FIRST document (min doc_id — one
+    * hash-aggregate over the postings), ranked against the doc spine,
+    * bucketed by prefix decile with integer ceiling arithmetic, then a
+    * 10-row cumulative window. The only global sort is over the id-only
+    * doc spine (at extreme scale: metadata or an approx-quantile cut,
+    * same downstream arithmetic).
+    */
+  def vocabGrowth(s: SparkSession, dir: String, steps: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val ranked = docs.withColumn("rnk",
+      row_number().over(Window.orderBy(col("doc_id"))).cast(LongType))
+    val totals = ranked.agg(max(col("rnk")).as("n_docs"))
+    val firstSeen = t(s, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_id"))
+      .join(ranked.select(col("doc_id").as("first_id"), col("rnk")), "first_id")
+    val perBucket = firstSeen.crossJoin(broadcast(totals))
+      // bucket = ceil(rnk * steps / n) in exact integer arithmetic
+      .select(expr(s"(rnk * $steps + n_docs - 1) DIV n_docs").as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("new_tokens"))
+    val spine = s.range(1, steps + 1).toDF("step")
+      .crossJoin(broadcast(totals))
+      .select(col("step"), expr(s"(step * n_docs) DIV $steps").as("n_docs_prefix"))
+    val w = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perBucket, Seq("step"), "left")
+      .select(col("step"), col("n_docs_prefix"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(w).cast(LongType))
+      .orderBy(col("step"))
+  }
+
   /** Suffix-stripping token normalizer (stemming-lite): the first
     * matching rule of ies->y, sses->ss, trailing-s (not ss), -ing, -ed,
     * each guarded so the stem keeps >= 3 characters. Pure string CASE —
@@ -662,7 +699,8 @@ object TextAnalysis {
     "x65_bigram_novelty" -> (bigramNovelty _),
     "x67_length_histogram" -> (lengthHistogram _),
     "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)),
-    "x89_curation_datasheet" -> (curationDatasheet _))
+    "x89_curation_datasheet" -> (curationDatasheet _),
+    "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -776,6 +814,30 @@ object TextAnalysis {
     * subqueries — one definition per leg, no duplication to drift.
     */
   val oracles: Map[String, String] = baseOracles +
+    ("x93_vocab_growth" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+        |  FROM documents),
+        |t AS (SELECT max(rnk) AS n_docs FROM ranked),
+        |fs AS (
+        |  SELECT w, min(doc_id) AS first_id FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |pb AS (
+        |  SELECT (r.rnk * 10 + t.n_docs - 1) // t.n_docs AS step,
+        |    count(*) AS new_tokens
+        |  FROM fs JOIN ranked r ON r.doc_id = fs.first_id, t
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT s AS step, (s * t.n_docs) // 10 AS n_docs_prefix
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS s), t)
+        |SELECT sp.step, sp.n_docs_prefix,
+        |  CAST(COALESCE(pb.new_tokens, 0) AS BIGINT) AS new_tokens,
+        |  CAST(sum(COALESCE(pb.new_tokens, 0)) OVER (ORDER BY sp.step
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+        |FROM spine sp LEFT JOIN pb ON pb.step = sp.step
+        |ORDER BY sp.step""".stripMargin) +
     // composes the x02 quality formula + the x10 canonical fingerprint
     // per source — the same verified leg SQL, aggregated
     ("x89_curation_datasheet" ->
