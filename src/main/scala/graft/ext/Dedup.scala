@@ -870,6 +870,38 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Sorted-neighborhood record linkage — the classic alternative to
+    * x56's equality blocking (Hernández/Stolfo SIGMOD'95): records sort
+    * by a key that clusters likely matches (here the name itself) and
+    * only pairs within a sliding window of `windowSize` ranks are
+    * compared, so candidate count is linear in records instead of
+    * quadratic in block size. The window join is spelled as an
+    * explode-to-offsets equi-join (each record joins ranks r+1..r+w−1)
+    * — a plain shuffle join, no band/range join needed. The global name
+    * sort is the method's inherent cost; at scale it is a
+    * range-partitioned sort, and everything after it is rank
+    * arithmetic. Pairs at Levenshtein <= `maxDist` link.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String, windowSize: Int = 5,
+      maxKey: Int = 300, maxDist: Int = 2): DataFrame = {
+    val ranked = t(s, dir, "customer")
+      .filter(col("c_custkey") < maxKey)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("c_name"), col("c_custkey"))).cast(LongType))
+    val a = ranked
+      .withColumn("o", explode(sequence(lit(1), lit(windowSize - 1))))
+      .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+        (col("rnk") + col("o")).as("rnk_b"))
+    a.join(ranked.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+        col("rnk").as("rnk_b")), "rnk_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("key_a"), col("key_b")).as("key_a"),
+        greatest(col("key_a"), col("key_b")).as("key_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   /** Effective-dataset-size report — what the near-dup policy actually
     * buys: one row with total docs/tokens, clustered docs, docs and
     * tokens surviving the keep-longest canonical policy (x75's keepers
@@ -948,6 +980,7 @@ object Dedup {
     "x87_boilerplate_spans" -> ((s: SparkSession, dir: String) => boilerplateSpans(s, dir)),
     "x90_source_neardup_matrix" -> (sourceNearDupMatrix _),
     "x92_effective_dataset_size" -> (effectiveDatasetSize _),
+    "x94_sorted_neighborhood" -> ((s: SparkSession, dir: String) => sortedNeighborhood(s, dir)),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -973,6 +1006,20 @@ object Dedup {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    "x94_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer WHERE c_custkey < 300),
+        |cand AS (
+        |  SELECT a.c_custkey AS ka, a.c_name AS na,
+        |         b.c_custkey AS kb, b.c_name AS nb
+        |  FROM ranked a JOIN ranked b
+        |    ON b.rnk - a.rnk BETWEEN 1 AND 4)
+        |SELECT least(ka, kb) AS key_a, greatest(ka, kb) AS key_b,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     "x90_source_neardup_matrix" ->
       s"""WITH p AS (${oraclesBase("x12_minhash_pairs")})
          |SELECT least(da.source, db.source) AS source_a,
