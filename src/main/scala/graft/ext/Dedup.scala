@@ -870,6 +870,31 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Split-contamination detection — the eval-integrity companion to
+    * x61's leakage-safe split: how many verified near-dup pairs
+    * STRADDLE the naive per-document split (x40), i.e. a train document
+    * whose near-duplicate sits in val/test. One row: total near-dup
+    * pairs, cross-split pairs, and the leak rate — the number that
+    * justifies cluster-hashed splitting, measured rather than asserted.
+    * Plan: the (tiny) verified pair set takes two broadcastable
+    * id→split joins and one global aggregate.
+    */
+  def splitContamination(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val splits = graft.ops.Sampling.hashSplit(s, dir)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .cast(LongType).as("n_cross_split"))
+      .select(col("n_neardup_pairs"), col("n_cross_split"),
+        (col("n_cross_split").cast(DoubleType)
+          / col("n_neardup_pairs").cast(DoubleType)).as("leak_rate"))
+  }
+
   /** Sorted-neighborhood record linkage — the classic alternative to
     * x56's equality blocking (Hernández/Stolfo SIGMOD'95): records sort
     * by a key that clusters likely matches (here the name itself) and
@@ -981,6 +1006,7 @@ object Dedup {
     "x90_source_neardup_matrix" -> (sourceNearDupMatrix _),
     "x92_effective_dataset_size" -> (effectiveDatasetSize _),
     "x94_sorted_neighborhood" -> ((s: SparkSession, dir: String) => sortedNeighborhood(s, dir)),
+    "x96_split_contamination" -> (splitContamination _),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -1006,6 +1032,21 @@ object Dedup {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    // composes the x12 pair SQL with x40's split CASE (same md5 bucket)
+    "x96_split_contamination" ->
+      s"""WITH p AS (${oraclesBase("x12_minhash_pairs")}),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT count(*) AS n_neardup_pairs,
+         |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+         |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS leak_rate
+         |FROM p JOIN sp a ON a.doc_id = p.doc_a
+         |       JOIN sp b ON b.doc_id = p.doc_b""".stripMargin,
     "x94_sorted_neighborhood" ->
       """WITH ranked AS (
         |  SELECT c_custkey, c_name,
