@@ -400,6 +400,41 @@ object Scalars {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Seasonal-naive forecast backtest — the forecast-evaluation pass a
+    * metrics pipeline runs before anyone models anything: per event
+    * type, the mean absolute error of predicting each day's event count
+    * with (a) the count 7 days earlier (weekly-seasonal naive) and (b)
+    * the count 1 day earlier (naive). If MAE(seasonal) does not beat
+    * MAE(naive), there is no weekly signal worth modeling. Forecasts
+    * join on calendar DATE (gap-proof, unlike a row lag); errors are
+    * exact BIGINT |count - count|, the MAE a single double division —
+    * so a forecast-quality report hash-gates. One daily aggregate +
+    * two self-joins at day grain (dimension-sized).
+    */
+  def seasonalBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def leg(k: Int) = daily.as("d")
+      .join(daily.as("f"),
+        col("d.event_type") === col("f.event_type") &&
+          col("f.day") === date_sub(col("d.day"), k))
+      .groupBy(col("d.event_type").as("event_type"))
+      .agg(count(lit(1)).as(s"n_eval_$k"),
+        sum(abs(col("d.n") - col("f.n"))).cast(LongType).as(s"abs_err_$k"))
+    leg(7).join(leg(1), "event_type")
+      .select(col("event_type"),
+        col("n_eval_7").as("n_eval_seasonal"),
+        col("abs_err_7").as("abs_err_seasonal"),
+        (col("abs_err_7").cast(DoubleType) / col("n_eval_7").cast(DoubleType))
+          .as("mae_seasonal"),
+        col("n_eval_1").as("n_eval_naive"),
+        col("abs_err_1").as("abs_err_naive"),
+        (col("abs_err_1").cast(DoubleType) / col("n_eval_1").cast(DoubleType))
+          .as("mae_naive"))
+      .orderBy(col("event_type"))
+  }
+
   /** Chi-square independence cells for event_type x weekday: observed
     * counts, expected under independence e = row_tot * col_tot / n, and
     * each cell's (o-e)^2/e contribution — reported PER CELL (the analyst
@@ -801,6 +836,7 @@ object Scalars {
     "q67_retention_cohorts" -> (retentionCohorts _),
     "q64_mad_outliers" -> ((s: SparkSession, dir: String) => madOutliers(s, dir)),
     "q65_ewma_daily" -> ((s: SparkSession, dir: String) => ewmaDaily(s, dir)),
+    "q80_seasonal_backtest" -> (seasonalBacktest _),
     "q61_sessionize_batch" -> ((s: SparkSession, dir: String) => sessionizeBatch(s, dir)),
     "q62_pareto_abc" -> (paretoAbc _),
     "q63_zscore_outliers" -> ((s: SparkSession, dir: String) => zscoreOutliers(s, dir)),
@@ -1070,6 +1106,28 @@ object Scalars {
         |FROM d JOIN mad USING (event_type)
         |WHERE dev > 3.0 * mad.mad
         |ORDER BY event_id""".stripMargin,
+    "q80_seasonal_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l7 AS (
+        |  SELECT d.event_type, count(*) AS n_eval_seasonal,
+        |    CAST(sum(abs(d.n - f.n)) AS BIGINT) AS abs_err_seasonal
+        |  FROM daily d JOIN daily f
+        |    ON f.event_type = d.event_type AND f.day = d.day - 7
+        |  GROUP BY 1),
+        |l1 AS (
+        |  SELECT d.event_type, count(*) AS n_eval_naive,
+        |    CAST(sum(abs(d.n - f.n)) AS BIGINT) AS abs_err_naive
+        |  FROM daily d JOIN daily f
+        |    ON f.event_type = d.event_type AND f.day = d.day - 1
+        |  GROUP BY 1)
+        |SELECT event_type, n_eval_seasonal, abs_err_seasonal,
+        |  CAST(abs_err_seasonal AS DOUBLE) / CAST(n_eval_seasonal AS DOUBLE) AS mae_seasonal,
+        |  n_eval_naive, abs_err_naive,
+        |  CAST(abs_err_naive AS DOUBLE) / CAST(n_eval_naive AS DOUBLE) AS mae_naive
+        |FROM l7 JOIN l1 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q65_ewma_daily" -> {
       val h = 8
       val lags = (0 until h)
