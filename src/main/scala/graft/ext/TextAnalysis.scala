@@ -278,6 +278,33 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** BPE first-merge candidates — the statistic a byte-pair-encoding
+    * tokenizer trainer computes each round: adjacent CHARACTER-pair
+    * frequencies inside words, weighted by word frequency (Sennrich
+    * ACL'16). The top pair IS the first merge; the ranked table is the
+    * training signal, reported for the top `k` (count desc, pair asc —
+    * a total order, so it hash-gates). Plan: one word-histogram
+    * aggregate (vocab-sized), then pairs explode from the DISTINCT
+    * vocabulary — corpus token volume never re-enters; the weighted
+    * count is an exact integer sum.
+    */
+  def bpeFirstMerges(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("left_sym"),
+        col("w").substr(col("i") + 1, lit(1)).as("right_sym"),
+        col("freq"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).cast(LongType).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(k)
+  }
+
   /** Vocabulary growth curve (the Heaps'-law table): distinct-token
     * vocabulary size after each tenth of the corpus in doc_id order —
     * the dataset-diversity measure scaling-law estimates read (a
@@ -700,7 +727,8 @@ object TextAnalysis {
     "x67_length_histogram" -> (lengthHistogram _),
     "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)),
     "x89_curation_datasheet" -> (curationDatasheet _),
-    "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)))
+    "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
+    "x97_bpe_first_merges" -> ((s: SparkSession, dir: String) => bpeFirstMerges(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -814,6 +842,19 @@ object TextAnalysis {
     * subqueries — one definition per leg, no duplication to drift.
     */
   val oracles: Map[String, String] = baseOracles +
+    ("x97_bpe_first_merges" ->
+      """WITH v AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, freq
+        |  FROM v, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
+        |  WHERE length(w) >= 2)
+        |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin) +
     ("x93_vocab_growth" ->
       """WITH ranked AS (
         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
