@@ -577,13 +577,7 @@ object Dedup {
   def incrementalNearDup(s: SparkSession, dir: String, histMax: Int = 400,
       bands: Int = 32, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
     val posts = shinglePostings(s, dir)
-    val banded = minhashSignatures(posts, bands * rowsPerBand)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
-          .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedBuckets(posts, bands, rowsPerBand)
     val hist = banded.filter(col("doc_id") < histMax)
       .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val incr = banded.filter(col("doc_id") >= histMax)
@@ -593,6 +587,71 @@ object Dedup {
       .join(hist, Seq("band", "bucket"))
       .select(col("doc_a"), col("doc_b"))
     // increment-internal leg: in-bucket expansion on the (small) delta
+    val candIncr = incr
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val cand = candHist.unionByName(candIncr).dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, posts)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"),
+        (col("doc_a") >= histMax).as("incr_internal"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** Session-catalog name for the persisted history band index. */
+  def bandIndexTable(dir: String, histMax: Int): String =
+    "graft_band_idx_" + ((dir, histMax).hashCode & 0x7fffffff)
+
+  /** Materialize the HISTORY's (bucket, band, doc_id) band index ONCE,
+    * `bucketBy(bucket)` — the persisted form x86's scaladoc promises.
+    */
+  def buildBandIndex(s: SparkSession, dir: String, histMax: Int = 400,
+      bands: Int = 32, rowsPerBand: Int = 2, numBuckets: Int = 8): String = {
+    val tbl = bandIndexTable(dir, histMax)
+    if (!s.catalog.tableExists(tbl)) {
+      val posts = shinglePostings(s, dir)
+      val idx = bandedBuckets(posts.filter(col("doc_id") < histMax), bands, rowsPerBand)
+      graft.engine.Bucketing.writeBucketed(idx, tbl, "bucket", numBuckets)
+    }
+    tbl
+  }
+
+  /** (doc_id, band, bucket) LSH band keys for a postings frame — shared
+    * by the inline and indexed incremental paths and by x12.
+    */
+  private[ext] def bandedBuckets(posts: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(posts, bands * rowsPerBand)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** x86 against the PERSISTED history index: the increment's band keys
+    * probe the bucketed table on the 64-bit bucket hash alone — the
+    * bucket column IS the table's bucketing key, so the big (history)
+    * side scans WITHOUT an Exchange and only the small delta shuffles
+    * to meet it (DedupSpec asserts the plan). Dropping `band` from the
+    * join key admits only ~zero-probability 64-bit cross-band hash
+    * collisions, and those candidates die in the exact-Jaccard
+    * verification — the emitted set still equals x86's, so it shares
+    * x86's oracle.
+    */
+  def incrementalNearDupIndexed(s: SparkSession, dir: String, histMax: Int = 400,
+      bands: Int = 32, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val tbl = buildBandIndex(s, dir, histMax, bands, rowsPerBand)
+    val posts = shinglePostings(s, dir)
+    val incr = bandedBuckets(posts.filter(col("doc_id") >= histMax), bands, rowsPerBand)
+    val hist = s.table(tbl)
+      .select(col("bucket"), col("doc_id").as("doc_a"))
+    val candHist = incr
+      .select(col("bucket"), col("doc_id").as("doc_b"))
+      .join(hist, Seq("bucket"))
+      .select(col("doc_a"), col("doc_b"))
     val candIncr = incr
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1007,6 +1066,8 @@ object Dedup {
     "x92_effective_dataset_size" -> (effectiveDatasetSize _),
     "x94_sorted_neighborhood" -> ((s: SparkSession, dir: String) => sortedNeighborhood(s, dir)),
     "x96_split_contamination" -> (splitContamination _),
+    "x98_incremental_neardup_indexed" ->
+      ((s: SparkSession, dir: String) => incrementalNearDupIndexed(s, dir)),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
     "x62_containment_topk" -> ((s: SparkSession, dir: String) => containmentTopk(s, dir)))
 
@@ -1032,6 +1093,9 @@ object Dedup {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    // the indexed path emits the identical pair set as x86 (cross-band
+    // 64-bit bucket collisions die in exact verification) — same twin
+    "x98_incremental_neardup_indexed" -> oraclesBase("x86_incremental_neardup"),
     // composes the x12 pair SQL with x40's split CASE (same md5 bucket)
     "x96_split_contamination" ->
       s"""WITH p AS (${oraclesBase("x12_minhash_pairs")}),

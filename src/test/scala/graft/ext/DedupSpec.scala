@@ -261,6 +261,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("indexed incremental near-dup equals the inline path, history scan unshuffled") {
+    val inline = Dedup.incrementalNearDup(spark, Sf, histMax = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = Dedup.incrementalNearDupIndexed(spark, Sf, histMax = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == inline,
+      "bucket-only probe + exact verification must emit x86's exact pair set")
+    // the probe join's bucketed (history) side must carry no Exchange:
+    // isolate the join subplan — exactly ONE shuffle (the small probe
+    // side meeting the index's bucket partitioning)
+    val tbl = Dedup.buildBandIndex(spark, Sf, histMax = 25)
+    val hist = spark.table(tbl)
+      .select(col("bucket"), col("doc_id").as("doc_a"))
+    val probe = Dedup.bandedBuckets(
+        Dedup.shinglePostings(spark, Sf).filter(col("doc_id") >= 25), 32, 2)
+      .select(col("bucket"), col("doc_id").as("doc_b"))
+    val plan = probe.join(hist, Seq("bucket")).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_band_idx_"), s"expected the persisted index scan:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected one probe-side shuffle only, got $nEx:\n$plan")
+  }
+
   test("boilerplate spans localize a passage shared across documents") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
