@@ -50,6 +50,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # optional third arg mirrors graft.Verify's targeted mode: check only
+    # these names (oracle_sql.json always holds the FULL map)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracles = {k: v for k, v in oracles.items() if k in only}
 
     n_fail = 0
     for name in sorted(oracles):

@@ -43,8 +43,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even in targeted mode: a targeted
+    // re-verify into a dir later consumed by a full run must not leave
+    // a filtered map behind (every untargeted query would silently lose
+    // its oracle). Targeted checking is the VERIFIER's job —
+    // scripts/local_verify.py takes the same names argument.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

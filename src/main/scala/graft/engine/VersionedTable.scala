@@ -157,6 +157,12 @@ object VersionedTable {
       val buried = new Path(dest, tmpName)
       if (fs.exists(buried)) fs.delete(buried, true)
       if (fs.exists(tmp)) fs.delete(tmp, true)
+      // "Lost the race" is only true if SOMEONE published the version.
+      // A rename that failed with dest still absent (transient/broken
+      // FS) must surface as an error — returning false here would tell
+      // the caller the version exists when nothing was ever committed.
+      if (!fs.exists(dest)) throw new java.io.IOException(
+        s"VersionedTable: rename to $dest failed but no version was published")
       false
     }
   }

@@ -79,6 +79,19 @@ object Graph {
     * is derived once per (session, dataset, params) and checkpointed —
     * the in-session analogue of materializing the edge table a graph
     * workload would persist before running its algorithm suite.
+    *
+    * Lifetime, stated honestly (this applies to every session-keyed
+    * cache in the repo — the shingle/gram/cc/winnow/topk/nearDup/banded
+    * caches in Dedup and Similarity): entries are held for the JVM
+    * lifetime — the map itself keeps each checkpointed DataFrame
+    * reachable, so the context cleaner never reclaims its blocks — and
+    * a dataset dir whose CONTENTS change within a session serves the
+    * stale snapshot (dirs are treated as immutable for a session, which
+    * the driver's run-per-round lifecycle guarantees). The bounded key
+    * space (a handful of (dataset, params) combos per run) is why
+    * deliberate JVM-lifetime retention is the right trade here; only
+    * the PER-ITERATION rank/frontier checkpoints below go out of scope
+    * and get reclaimed mid-session.
     */
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long, Int), DataFrame]()
@@ -103,9 +116,11 @@ object Graph {
     * The edge list, degrees, and each iteration's ranks are eagerly
     * `localCheckpoint`ed — the edges so no iteration replays the pair
     * pipeline, the per-iteration ranks so iteration N's plan does not
-    * embed iterations 1..N-1 (checkpoint blocks are reclaimed by the
-    * context cleaner when the DataFrames go out of scope, unlike a
-    * persist() nobody unpersists).
+    * embed iterations 1..N-1 (the per-iteration rank checkpoints DO go
+    * out of scope after the next iteration derives from them, so the
+    * context cleaner reclaims those blocks — the cached edge list, by
+    * contrast, stays pinned by `edgeCache` for the JVM lifetime, see
+    * its doc).
     */
   def partPagerank(s: SparkSession, dir: String,
       iters: Int = 5, minSupport: Long = 2L): DataFrame = {
