@@ -305,6 +305,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterative BPE merge TRAINING (extends x97's single round into the
+    * real trainer loop — Sennrich ACL'16 §3.2): `rounds` merge rounds,
+    * each counting adjacent-symbol pair frequencies over the word
+    * histogram, choosing the top pair (count desc, pair asc — a total
+    * order, so the emitted merge table hash-gates), and rewriting every
+    * word's symbol sequence with a left-to-right non-overlapping merge
+    * fold. Output: the ordered merge table (merge_rank, left_sym,
+    * right_sym, pair_count) — the artifact a tokenizer trainer ships.
+    *
+    * Scale shape: corpus-sized work happens ONCE (the word histogram);
+    * every round after that is VOCAB-sized (the Sennrich trick — real
+    * BPE trainers operate on the histogram, never re-touch the corpus).
+    * The chosen pair stays distributed: a 1-row broadcast cross join,
+    * not a driver collect. Each round's rewritten vocab is eagerly
+    * localCheckpoint'ed — two consumers per round (next round's pair
+    * count + the merge apply) would otherwise re-execute the whole
+    * prefix chain, doubling work per round. The merge application is a
+    * codegen-free fold but runs over vocab rows only; its semantics
+    * (greedy left-to-right, merged symbols immediately eligible for the
+    * NEXT position's compare) are byte-identical to the DuckDB twin's
+    * list_reduce.
+    */
+  def bpeTrainMerges(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    var words = t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr("sequence(1, size(syms) - 1)")).as("i"),
+          col("syms"))
+        .select(element_at(col("syms"), col("i")).as("left_sym"),
+          element_at(col("syms"), col("i") + 1).as("right_sym"), col("freq"))
+        .groupBy(col("left_sym"), col("right_sym"))
+        .agg(sum(col("freq")).cast(LongType).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+        .localCheckpoint(true) // 1 row, consumed twice (output + apply)
+      merges += top.select(lit(r.toLong).as("merge_rank"),
+        col("left_sym"), col("right_sym"), col("pair_count"))
+      if (r < rounds)
+        words = words
+          .crossJoin(broadcast(top.select(col("left_sym"), col("right_sym"))))
+          .select(col("freq"), expr(
+            """aggregate(syms, cast(array() as array<string>),
+              |  (acc, x) -> CASE
+              |    WHEN size(acc) > 0 AND element_at(acc, -1) = left_sym AND x = right_sym
+              |    THEN concat(slice(acc, 1, size(acc) - 1),
+              |                array(concat(left_sym, right_sym)))
+              |    ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"))
+          .localCheckpoint(true)
+    }
+    merges.reduce(_ unionByName _).orderBy(col("merge_rank"))
+  }
+
   /** Vocabulary growth curve (the Heaps'-law table): distinct-token
     * vocabulary size after each tenth of the corpus in doc_id order —
     * the dataset-diversity measure scaling-law estimates read (a
@@ -728,7 +787,8 @@ object TextAnalysis {
     "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)),
     "x89_curation_datasheet" -> (curationDatasheet _),
     "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
-    "x97_bpe_first_merges" -> ((s: SparkSession, dir: String) => bpeFirstMerges(s, dir)))
+    "x97_bpe_first_merges" -> ((s: SparkSession, dir: String) => bpeFirstMerges(s, dir)),
+    "x101_bpe_train_merges" -> ((s: SparkSession, dir: String) => bpeTrainMerges(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -841,7 +901,46 @@ object TextAnalysis {
   /** x05 composes the already-verified x02/x03/x10 oracle SQL as
     * subqueries — one definition per leg, no duplication to drift.
     */
+  /** x101's twin: the trainer loop UNROLLED into CTEs — one
+    * (pair-count, top-1, rewrite) triple per merge round, with the
+    * rewrite as a list_reduce whose CASE is byte-identical to the Spark
+    * fold. NOTE the pair extraction unnests positions in a SUBQUERY and
+    * indexes in the outer select — the LATERAL-over-list-index spelling
+    * hits a DuckDB 1.0.0 internal error (Vector::Reference type
+    * assertion).
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """w0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS syms
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+        |  GROUP BY w)""".stripMargin)
+    for (r <- 1 to rounds) {
+      parts += s"""p$r AS (
+        |  SELECT syms[i] AS left_sym, syms[i + 1] AS right_sym,
+        |    CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM w${r - 1})
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""m$r AS (
+        |  SELECT CAST($r AS BIGINT) AS merge_rank, left_sym, right_sym, pair_count
+        |  FROM p$r ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""".stripMargin
+      if (r < rounds)
+        parts += s"""w$r AS (
+          |  SELECT freq,
+          |    list_reduce(list_transform(syms, s -> [s]),
+          |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$r.left_sym AND x[1] = m$r.right_sym
+          |        THEN list_append(acc[1:len(acc)-1], m$r.left_sym || m$r.right_sym)
+          |        ELSE list_concat(acc, x) END) AS syms
+          |  FROM w${r - 1}, m$r)""".stripMargin
+    }
+    val sel = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
   val oracles: Map[String, String] = baseOracles +
+    ("x101_bpe_train_merges" -> bpeTrainOracle(8)) +
     ("x97_bpe_first_merges" ->
       """WITH v AS (
         |  SELECT w, count(*) AS freq FROM (

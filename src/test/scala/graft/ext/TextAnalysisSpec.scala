@@ -75,4 +75,37 @@ class TextAnalysisSpec extends SparkSpec {
     val dfOne = docs.groupBy("bg").count().filter(col("count") === 1).count()
     assert(got.map(_.getAs[Long]("n_novel")).sum == dfOne)
   }
+
+  test("bpeTrainMerges matches an independent in-memory trainer") {
+    val rounds = 6
+    val got = TextAnalysis.bpeTrainMerges(spark, Sf, rounds)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1L to rounds).toSeq, "dense merge ranks")
+    // chosen pair counts are non-increasing: a merge can only create new
+    // pairs at most as frequent as the pair it merged
+    got.map(_._4).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+
+    // independent reference: collect the word histogram (bounded vocab)
+    // and run the Sennrich loop in plain Scala
+    var vocab: Map[Vector[String], Long] = graft.engine.Tables(spark, Sf, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1)).toMap
+    val expect = (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val (pair, cnt) = counts.toSeq.minBy { case ((l, rt), c) => (-c, l, rt) }
+      def merge(syms: Vector[String]): Vector[String] =
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == pair._1 && x == pair._2)
+            acc.init :+ (pair._1 + pair._2)
+          else acc :+ x
+        }
+      vocab = vocab.groupBy { case (syms, _) => merge(syms) }
+        .map { case (k, vs) => k -> vs.values.sum }
+      (r.toLong, pair._1, pair._2, cnt)
+    }
+    assert(got.toSeq == expect, s"got=${got.toSeq}\nexpect=$expect")
+  }
 }
