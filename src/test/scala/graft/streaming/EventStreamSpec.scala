@@ -16,6 +16,27 @@ class EventStreamSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** Per-operator state-size report for the backend-parameterized
+    * stateful tests, plus proof the requested backend actually engaged:
+    * under RocksDB every stateful operator exposes rocksdb* custom
+    * metrics — their absence would mean the conf silently didn't bind.
+    */
+  private def reportState(q: org.apache.spark.sql.streaming.StreamingQuery,
+      backend: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ops = Option(q.lastProgress).map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    assert(ops.nonEmpty, "stateful query must report state operators")
+    ops.foreach { op =>
+      info(s"[$backend] ${op.operatorName}: rows=${op.numRowsTotal} " +
+        s"mem=${op.memoryUsedBytes}B")
+    }
+    if (backend == "rocksdb")
+      ops.foreach { op =>
+        assert(op.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"${op.operatorName} must run on the RocksDB state store")
+      }
+  }
+
   test("watermarked tumbling windows finalize and match batch; late data dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -89,12 +110,19 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("timeout sessions close on watermark and split in-batch gaps") {
+  // the stateful family runs under BOTH state-store backends: the
+  // default heap-backed provider and RocksDB (the at-scale choice when
+  // state outgrows executor memory) — same inputs, same outputs, plus a
+  // per-operator state-size report
+  for (backend <- Seq("hdfs", "rocksdb"))
+  test(s"timeout sessions close on watermark and split in-batch gaps [$backend]") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    StateBackend.withBackend(spark, backend) {
     val in = MemoryStream[EventStream.UserEvent]
     val q = EventStream.timeoutSessions(in.toDS())
-      .writeStream.format("memory").queryName("tsessions").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"tsessions_$backend")
+      .outputMode("append").start()
     try {
       // one batch containing TWO sessions for user 1 (gap > 30 min):
       // the first must close immediately from the in-batch fold
@@ -104,7 +132,8 @@ class EventStreamSpec extends SparkSpec {
         EventStream.UserEvent(1L, ts("2024-01-01 12:00:00"), 3.0),
         EventStream.UserEvent(2L, ts("2024-01-01 12:05:00"), 4.0))
       q.processAllAvailable()
-      val afterBatch = spark.table("tsessions").as[EventStream.ClosedSession].collect().toSet
+      val afterBatch = spark.table(s"tsessions_$backend")
+        .as[EventStream.ClosedSession].collect().toSet
       assert(afterBatch == Set(
         EventStream.ClosedSession(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
       // advancing the watermark past 12:00/12:05 + gap times out the
@@ -113,13 +142,16 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(EventStream.UserEvent(3L, ts("2024-01-01 15:01:00"), 6.0))
       q.processAllAvailable()
-      val closed = spark.table("tsessions").as[EventStream.ClosedSession].collect().toSet
+      val closed = spark.table(s"tsessions_$backend")
+        .as[EventStream.ClosedSession].collect().toSet
       assert(closed.contains(
         EventStream.ClosedSession(1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
       assert(closed.contains(
         EventStream.ClosedSession(2L, ts("2024-01-01 12:05:00"), ts("2024-01-01 12:05:00"), 1L)))
       assert(closed.count(_.user_id == 1L) == 2, "each session closes exactly once")
+      reportState(q, backend)
     } finally q.stop()
+    }
   }
 
   test("timeout sessions survive events arriving entirely behind the watermark") {
@@ -261,15 +293,18 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("left-outer stream join emits unmatched clicks with a null view after the watermark") {
+  for (backend <- Seq("hdfs", "rocksdb"))
+  test(s"left-outer stream join emits unmatched clicks with a null view after the watermark [$backend]") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    StateBackend.withBackend(spark, backend) {
     val clicksIn = MemoryStream[(Long, Long, Timestamp)]
     val viewsIn = MemoryStream[(Long, Long, Timestamp)]
     val q = EventStream.clickViewLeftJoin(
       clicksIn.toDF().toDF("event_id", "user_id", "ts"),
       viewsIn.toDF().toDF("event_id", "user_id", "ts"))
-      .writeStream.format("memory").queryName("leftattrib").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"leftattrib_$backend")
+      .outputMode("append").start()
     try {
       // user 7 clicks with a matching view; user 9 clicks with NO view
       viewsIn.addData((100L, 7L, ts("2024-01-01 10:00:00")))
@@ -286,23 +321,28 @@ class EventStreamSpec extends SparkSpec {
       viewsIn.addData((102L, 8L, ts("2024-01-01 15:00:00")))
       clicksIn.addData((4L, 8L, ts("2024-01-01 15:00:00")))
       q.processAllAvailable()
-      val rows = spark.table("leftattrib")
+      val rows = spark.table(s"leftattrib_$backend")
         .select("click_id", "view_id").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
       val byClick = rows.groupBy(_._1)
       assert(byClick(1L).toSeq == Seq((1L, Some(100L))), "matched click joins its view")
       assert(byClick(2L).toSeq == Seq((2L, None)),
         s"unmatched click emits EXACTLY once with a null view: ${rows.toSeq}")
+      reportState(q, backend)
     } finally q.stop()
+    }
   }
 
-  test("chained window aggregation finalizes daily rollups from hourly state") {
+  for (backend <- Seq("hdfs", "rocksdb"))
+  test(s"chained window aggregation finalizes daily rollups from hourly state [$backend]") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    StateBackend.withBackend(spark, backend) {
     val in = MemoryStream[(Long, Timestamp, String, Double)]
     val df = in.toDF().toDF("event_id", "ts", "event_type", "value")
     val q = EventStream.chainedWindowStatsStream(df)
-      .writeStream.format("memory").queryName("chained").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"chained_$backend")
+      .outputMode("append").start()
     try {
       // three events across two hours of day 1
       in.addData(
@@ -315,13 +355,15 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((10L, ts("2024-01-03 12:00:00"), "click", 1.0))
       q.processAllAvailable()
-      val rows = spark.table("chained")
+      val rows = spark.table(s"chained_$backend")
         .select("day_start", "event_type", "n_events_day", "n_hours").collect()
         .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
       assert(rows.contains(("2024-01-01 00:00:00.0", "click", 3L, 2L)),
         s"day 1 must finalize as 3 events over 2 hourly windows: ${rows.toSeq}")
       assert(rows.count(_._1 == "2024-01-01 00:00:00.0") == 1, "finalized exactly once")
+      reportState(q, backend)
     } finally q.stop()
+    }
   }
 
   test("full-outer stream join emits orphan views with a null click after the watermark") {
