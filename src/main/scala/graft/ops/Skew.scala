@@ -96,6 +96,51 @@ object Skew {
       .orderBy(col("n_rows").desc, col("user_id"))
   }
 
+  /** Deterministic skewed corpus for join experiments: `nRows` fact rows
+    * over `nKeys` keys with `hotShare` of ALL rows on key 0 — the
+    * one-customer-dominates shape that turns a shuffle join's key-0
+    * partition into the straggler. Pure `spark.range` arithmetic: no
+    * RNG, no driver rows, any size.
+    */
+  def skewedFact(s: SparkSession, nRows: Long, nKeys: Long,
+      hotShare: Double = 0.5): DataFrame = {
+    val hotEvery = math.max(2L, math.round(1.0 / hotShare))
+    s.range(nRows)
+      .select(col("id"),
+        when(col("id") % hotEvery === 0, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("key"),
+        (col("id") % 1000).cast("double").as("v"))
+  }
+
+  def skewedDim(s: SparkSession, nKeys: Long): DataFrame =
+    s.range(nKeys).select(col("id").as("key"),
+      (col("id") % 97).cast("double").as("dim_v"))
+
+  /** The three competing spellings of the same skewed enrich join —
+    * SkewSpec races them and asserts equal results; BASELINE.md records
+    * the walls:
+    *   - `plainJoin`: the straggler baseline (and what AQE rewrites);
+    *   - `saltedJoin`: explicit fan-out — plan-stable, works even where
+    *     AQE cannot split (e.g. when the join output's partitioning is
+    *     REQUIRED by a downstream stateful op);
+    *   - AQE skew-join: run `plainJoin` under
+    *     `spark.sql.adaptive.skewJoin.enabled` with the skew thresholds
+    *     sized to the data — Spark splits the oversized partition into
+    *     per-split tasks and replicates the matching build side, no code
+    *     change. The at-scale default; salting remains the escape hatch.
+    */
+  def plainJoin(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim, "key")
+      .select(col("id"), col("key"), col("v"), col("dim_v"))
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, nSalts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("salt", pmod(xxhash64(col("id")), lit(nSalts)))
+    val dimReplicated = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    saltedFact.join(dimReplicated, Seq("key", "salt"))
+      .select(col("id"), col("key"), col("v"), col("dim_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_salted_agg" -> ((s: SparkSession, dir: String) => saltedEventStats(s, dir)),
     "q40_salted_join" -> ((s: SparkSession, dir: String) => saltedEnrichJoin(s, dir)),
