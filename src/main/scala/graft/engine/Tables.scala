@@ -37,7 +37,15 @@ object Tables {
       // mid-flight (the set is visible session-wide, not per-read).
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(path(dir, name))
+      // TIMESTAMP(NANOS) arrives as a long under nanosAsLong and needs
+      // the DIV-1000 truncation; a rewritten corpus (e.g. the 10x
+      // scaling clone, written by DuckDB as micros) arrives as a native
+      // timestamp already at oracle precision — accept both spellings
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => raw
+      }
     } else spark.read.parquet(path(dir, name))
 }
