@@ -327,32 +327,42 @@ object TextAnalysis {
     * NEXT position's compare) are byte-identical to the DuckDB twin's
     * list_reduce.
     */
-  def bpeTrainMerges(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
-    var words = t(s, dir, "documents")
-      .select(explode(wsTokens(lower(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-      .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to rounds) {
-      val top = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr("sequence(1, size(syms) - 1)")).as("i"),
-          col("syms"))
-        .select(element_at(col("syms"), col("i")).as("left_sym"),
-          element_at(col("syms"), col("i") + 1).as("right_sym"), col("freq"))
-        .groupBy(col("left_sym"), col("right_sym"))
-        .agg(sum(col("freq")).cast(LongType).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-        .limit(1)
-        .localCheckpoint(true) // 1 row, consumed twice (output + apply)
-      merges += top.select(lit(r.toLong).as("merge_rank"),
-        col("left_sym"), col("right_sym"), col("pair_count"))
-      if (r < rounds)
+  def bpeTrainMerges(s: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    bpeTrain(s, dir, rounds)._1
+
+  /** x101/x102 share one training run per (session, dataset, rounds):
+    * (ordered merge table, vocab with every merge applied).
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame)]()
+
+  private def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) =
+    bpeCache.computeIfAbsent((s, dir, rounds), _ => {
+      var words = t(s, dir, "documents")
+        .select(explode(wsTokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("w"), col("freq"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+        .localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (r <- 1 to rounds) {
+        val top = words
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr("sequence(1, size(syms) - 1)")).as("i"),
+            col("syms"))
+          .select(element_at(col("syms"), col("i")).as("left_sym"),
+            element_at(col("syms"), col("i") + 1).as("right_sym"), col("freq"))
+          .groupBy(col("left_sym"), col("right_sym"))
+          .agg(sum(col("freq")).cast(LongType).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+          .limit(1)
+          .localCheckpoint(true) // 1 row, consumed twice (output + apply)
+        merges += top.select(lit(r.toLong).as("merge_rank"),
+          col("left_sym"), col("right_sym"), col("pair_count"))
         words = words
           .crossJoin(broadcast(top.select(col("left_sym"), col("right_sym"))))
-          .select(col("freq"), expr(
+          .select(col("w"), col("freq"), expr(
             """aggregate(syms, cast(array() as array<string>),
               |  (acc, x) -> CASE
               |    WHEN size(acc) > 0 AND element_at(acc, -1) = left_sym AND x = right_sym
@@ -360,8 +370,34 @@ object TextAnalysis {
               |                array(concat(left_sym, right_sym)))
               |    ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"))
           .localCheckpoint(true)
-    }
-    merges.reduce(_ unionByName _).orderBy(col("merge_rank"))
+      }
+      (merges.reduce(_ unionByName _).orderBy(col("merge_rank")), words)
+    })
+
+  /** BPE ENCODING report — what applying the trained merge table buys:
+    * the corpus re-tokenized under the x101 merges (every word's symbol
+    * sequence after all `rounds` rewrites, weighted by word frequency)
+    * reduced to the tokenizer-evaluation headline: vocabulary size,
+    * whitespace-token/character/BPE-token totals, characters per BPE
+    * token (the compression statistic tokenizer cards report) and BPE
+    * tokens per word. Encoding at scale is the same fold the trainer
+    * uses — vocab-sized work, corpus totals via exact integer sums, the
+    * two ratios single double divisions so the row hash-gates.
+    */
+  def bpeEncodeReport(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val words = bpeTrain(s, dir, rounds)._2
+    words
+      .agg(
+        count(lit(1)).as("n_vocab_words"),
+        sum(col("freq")).cast(LongType).as("n_ws_tokens"),
+        sum(col("freq") * length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("freq") * size(col("syms"))).cast(LongType).as("n_bpe_tokens"))
+      .select(col("n_vocab_words"), col("n_ws_tokens"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast(DoubleType) / col("n_bpe_tokens").cast(DoubleType))
+          .as("chars_per_bpe_token"),
+        (col("n_bpe_tokens").cast(DoubleType) / col("n_ws_tokens").cast(DoubleType))
+          .as("bpe_tokens_per_word"))
   }
 
   /** Vocabulary growth curve (the Heaps'-law table): distinct-token
@@ -788,7 +824,8 @@ object TextAnalysis {
     "x89_curation_datasheet" -> (curationDatasheet _),
     "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
     "x97_bpe_first_merges" -> ((s: SparkSession, dir: String) => bpeFirstMerges(s, dir)),
-    "x101_bpe_train_merges" -> ((s: SparkSession, dir: String) => bpeTrainMerges(s, dir)))
+    "x101_bpe_train_merges" -> ((s: SparkSession, dir: String) => bpeTrainMerges(s, dir)),
+    "x102_bpe_encode_report" -> ((s: SparkSession, dir: String) => bpeEncodeReport(s, dir)))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -909,10 +946,10 @@ object TextAnalysis {
     * hits a DuckDB 1.0.0 internal error (Vector::Reference type
     * assertion).
     */
-  private def bpeTrainOracle(rounds: Int): String = {
+  private def bpeOracleCtes(rounds: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer(
       """w0 AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
         |    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS syms
         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
         |  GROUP BY w)""".stripMargin)
@@ -925,22 +962,38 @@ object TextAnalysis {
       parts += s"""m$r AS (
         |  SELECT CAST($r AS BIGINT) AS merge_rank, left_sym, right_sym, pair_count
         |  FROM p$r ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""".stripMargin
-      if (r < rounds)
-        parts += s"""w$r AS (
-          |  SELECT freq,
-          |    list_reduce(list_transform(syms, s -> [s]),
-          |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$r.left_sym AND x[1] = m$r.right_sym
-          |        THEN list_append(acc[1:len(acc)-1], m$r.left_sym || m$r.right_sym)
-          |        ELSE list_concat(acc, x) END) AS syms
-          |  FROM w${r - 1}, m$r)""".stripMargin
+      parts += s"""w$r AS (
+        |  SELECT w, freq,
+        |    list_reduce(list_transform(syms, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$r.left_sym AND x[1] = m$r.right_sym
+        |        THEN list_append(acc[1:len(acc)-1], m$r.left_sym || m$r.right_sym)
+        |        ELSE list_concat(acc, x) END) AS syms
+        |  FROM w${r - 1}, m$r)""".stripMargin
     }
-    val sel = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-    "WITH " + parts.mkString(",\n") +
-      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+    "WITH " + parts.mkString(",\n")
   }
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    bpeOracleCtes(rounds) + s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+      s"""
+         |SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+         |  CAST(sum(freq) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(freq * len(syms)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(freq * len(w)) AS DOUBLE) / CAST(sum(freq * len(syms)) AS DOUBLE)
+         |    AS chars_per_bpe_token,
+         |  CAST(sum(freq * len(syms)) AS DOUBLE) / CAST(sum(freq) AS DOUBLE)
+         |    AS bpe_tokens_per_word
+         |FROM w$rounds""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
     ("x101_bpe_train_merges" -> bpeTrainOracle(8)) +
+    ("x102_bpe_encode_report" -> bpeEncodeOracle(8)) +
     ("x97_bpe_first_merges" ->
       """WITH v AS (
         |  SELECT w, count(*) AS freq FROM (

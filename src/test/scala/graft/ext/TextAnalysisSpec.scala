@@ -107,5 +107,18 @@ class TextAnalysisSpec extends SparkSpec {
       (r.toLong, pair._1, pair._2, cnt)
     }
     assert(got.toSeq == expect, s"got=${got.toSeq}\nexpect=$expect")
+
+    // the encode report must equal the reference vocab's totals after all
+    // merges (vocab ends in the post-merge state after the loop above)
+    val rep = TextAnalysis.bpeEncodeReport(spark, Sf, rounds).collect()(0)
+    val nWords = vocab.size.toLong
+    val nWs = vocab.values.sum
+    val nChars = vocab.map { case (syms, f) => f * syms.map(_.length).sum }.sum
+    val nBpe = vocab.map { case (syms, f) => f * syms.length }.sum
+    assert(rep.getLong(0) == nWords && rep.getLong(1) == nWs &&
+      rep.getLong(2) == nChars && rep.getLong(3) == nBpe,
+      s"encode report ${rep.toSeq} vs ($nWords, $nWs, $nChars, $nBpe)")
+    assert(rep.getDouble(4) == nChars.toDouble / nBpe)
+    assert(nBpe < nChars, "merges must compress below character count")
   }
 }
