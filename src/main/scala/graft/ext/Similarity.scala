@@ -782,15 +782,13 @@ object Similarity {
     bandedCache.computeIfAbsent((s, dir, threshold, sketchBits, bandBits), _ =>
       bandedNearDupPlan(s, dir, threshold, sketchBits, bandBits).localCheckpoint(true))
 
-  private def bandedNearDupPlan(s: SparkSession, dir: String, threshold: Double,
-      sketchBits: Int, bandBits: Int): DataFrame = {
-    val keys = srpBandKeys(s, dir, sketchBits, bandBits)
-    val cand = keys.select(col("band"), col("key"), col("vec_id").as("vec_a"))
-      .join(keys.select(col("band"), col("key"), col("vec_id").as("vec_b")),
-        Seq("band", "key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct() // a pair sharing m bands verifies once, not m times
+  /** Exact-cosine verification of a candidate pair frame (vec_a, vec_b)
+    * against the corpus — the shared tail of every banded path: two
+    * vec_id joins fetch embeddings+norms for candidates ONLY, one
+    * codegen'd cosine, threshold filter.
+    */
+  private def exactVerify(s: SparkSession, dir: String, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val c = corpus(s, dir)
     cand
       .join(c.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -800,7 +798,106 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  private def bandedNearDupPlan(s: SparkSession, dir: String, threshold: Double,
+      sketchBits: Int, bandBits: Int): DataFrame = {
+    val keys = srpBandKeys(s, dir, sketchBits, bandBits)
+    val cand = keys.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(keys.select(col("band"), col("key"), col("vec_id").as("vec_b")),
+        Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // a pair sharing m bands verifies once, not m times
+    exactVerify(s, dir, cand, threshold)
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** Incremental banded near-dup — the x86 discipline completed on the
+    * embedding lane: today's new vectors (vec_id >= histMax) probe the
+    * HISTORY's band keys plus each other; history-history pairs are
+    * deliberately absent (yesterday's output). Every history id <
+    * histMax <= increment id, so the (hist, incr) orientation IS the
+    * canonical vec_a < vec_b order. Band and key join as one packed
+    * `bk = band * 2^bandBits + key` column (8-bit keys collide across
+    * bands constantly — unlike the text lane's 64-bit bucket hashes,
+    * the band MUST stay in the join key, and packing it keeps the
+    * persisted-index variant bucketable on a single column).
+    * `incr_internal` flags pairs wholly inside the increment. At 100 TB
+    * the daily cost is |increment| sketching + an id-sized probe — the
+    * history's text/embeddings are only touched for verified candidates.
+    */
+  def incrementalBandedNearDup(s: SparkSession, dir: String, histMax: Int = 400,
+      threshold: Double = 0.4, sketchBits: Int = WideSrpBits,
+      bandBits: Int = WideBandBits): DataFrame = {
+    val keys = srpBandKeys(s, dir, sketchBits, bandBits)
+      .select(col("vec_id"),
+        (col("band") * (1L << bandBits) + col("key")).as("bk"))
+    val hist = keys.filter(col("vec_id") < histMax)
+      .select(col("bk"), col("vec_id").as("vec_a"))
+    val incr = keys.filter(col("vec_id") >= histMax)
+    finishIncremental(s, dir, hist, incr, histMax, threshold)
+  }
+
+  private def finishIncremental(s: SparkSession, dir: String, hist: DataFrame,
+      incr: DataFrame, histMax: Int, threshold: Double): DataFrame = {
+    val candHist = incr.select(col("bk"), col("vec_id").as("vec_b"))
+      .join(hist, Seq("bk"))
+      .select(col("vec_a"), col("vec_b"))
+    val candIncr = incr.select(col("bk"), col("vec_id").as("vec_a"))
+      .join(incr.select(col("bk"), col("vec_id").as("vec_b")), Seq("bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val cand = candHist.unionByName(candIncr).distinct()
+    exactVerify(s, dir, cand, threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        (col("vec_a") >= histMax).as("incr_internal"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** Session-catalog name for the persisted embedding band index —
+    * hashes EVERY content-determining parameter (the round-9 band-index
+    * discipline: stale reuse under different banding must be
+    * impossible).
+    */
+  def embBandIndexTable(dir: String, histMax: Int, sketchBits: Int = WideSrpBits,
+      bandBits: Int = WideBandBits, numBuckets: Int = 8): String =
+    "graft_emb_band_idx_" +
+      ((dir, histMax, sketchBits, bandBits, numBuckets).hashCode & 0x7fffffff)
+
+  /** Materialize the history's (bk, vec_id) band keys ONCE,
+    * `bucketBy(bk)` — the embedding analog of `Dedup.buildBandIndex`.
+    */
+  def buildEmbBandIndex(s: SparkSession, dir: String, histMax: Int = 400,
+      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits,
+      numBuckets: Int = 8): String = {
+    val tbl = embBandIndexTable(dir, histMax, sketchBits, bandBits, numBuckets)
+    if (!s.catalog.tableExists(tbl)) {
+      val idx = srpBandKeys(s, dir, sketchBits, bandBits)
+        .filter(col("vec_id") < histMax)
+        .select((col("band") * (1L << bandBits) + col("key")).as("bk"), col("vec_id"))
+      graft.engine.Bucketing.writeBucketed(idx, tbl, "bk", numBuckets)
+    }
+    tbl
+  }
+
+  /** x103 against the PERSISTED history index: identical output (shares
+    * x103's oracle), but the big (history) side scans the bucketed
+    * table with NO Exchange — only the increment's skinny band keys
+    * shuffle to meet it (plan-gated in SimilaritySpec). The daily-probe
+    * deployment shape: sketch the delta, probe the standing index,
+    * exact-verify candidates.
+    */
+  def incrementalBandedNearDupIndexed(s: SparkSession, dir: String,
+      histMax: Int = 400, threshold: Double = 0.4, sketchBits: Int = WideSrpBits,
+      bandBits: Int = WideBandBits): DataFrame = {
+    val tbl = buildEmbBandIndex(s, dir, histMax, sketchBits, bandBits)
+    val hist = s.table(tbl).select(col("bk"), col("vec_id").as("vec_a"))
+    val incr = srpBandKeys(s, dir, sketchBits, bandBits)
+      .filter(col("vec_id") >= histMax)
+      .select(col("vec_id"),
+        (col("band") * (1L << bandBits) + col("key")).as("bk"))
+    finishIncremental(s, dir, hist, incr, histMax, threshold)
   }
 
   /** Recall audit of the banded lane against the exact kernel: per
@@ -828,6 +925,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x99_banded_neardup" -> ((s: SparkSession, dir: String) => bandedNearDup(s, dir)),
     "x100_banded_recall" -> (bandedRecallAudit _),
+    "x103_incr_banded_neardup" ->
+      ((s: SparkSession, dir: String) => incrementalBandedNearDup(s, dir)),
+    "x104_incr_banded_neardup_indexed" ->
+      ((s: SparkSession, dir: String) => incrementalBandedNearDupIndexed(s, dir)),
     "x77_srp_neardup" -> ((s: SparkSession, dir: String) => srpNearDup(s, dir)),
     "x69_label_balance" -> (labelBalance _),
     "x42_label_centroids" -> (labelCentroids _),
@@ -917,7 +1018,11 @@ object Similarity {
     * DuckDB recomputes the same deterministic candidates, so the hash
     * gate holds by construction with no probabilistic-recall rider.
     */
-  private def bandedCtes: String =
+  /** Sketch + norms CTEs shared by every banded twin (x99/x100/x57 and
+    * the incremental x103/x104): quantized votes, per-band keys, corpus
+    * norms.
+    */
+  private def bandedSketchCtes: String =
     s"""wdims AS (
        |  SELECT vec_id, i - 1 AS d,
        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
@@ -936,16 +1041,19 @@ object Similarity {
        |  SELECT vec_id, b // $WideBandBits AS band,
        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (b % $WideBandBits) ELSE 0 END) AS BIGINT) AS key
        |  FROM wvotes GROUP BY vec_id, b // $WideBandBits),
-       |wcand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-       |  FROM wkeys a JOIN wkeys b2
-       |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
        |we AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
        |      (x, y) -> x + y)) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings)""".stripMargin
+
+  private def bandedCtes: String =
+    s"""$bandedSketchCtes,
+       |wcand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM wkeys a JOIN wkeys b2
+       |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
        |wpairs AS (
        |  SELECT c.vec_a, c.vec_b,
        |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
@@ -956,7 +1064,36 @@ object Similarity {
        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
        |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
 
+  /** x103/x104 shared twin (identical outputs — the indexed path only
+    * changes WHERE the history keys are read from): packed band keys,
+    * history-probe + increment-internal candidates, exact verification,
+    * the incr_internal flag.
+    */
+  private def incrementalBandedOracle(histMax: Int): String =
+    s"""WITH $bandedSketchCtes,
+       |wbk AS (SELECT vec_id, band * ${1L << WideBandBits} + key AS bk FROM wkeys),
+       |whist AS (SELECT bk, vec_id AS vec_a FROM wbk WHERE vec_id < $histMax),
+       |wincr AS (SELECT bk, vec_id FROM wbk WHERE vec_id >= $histMax),
+       |wcand2 AS (
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT h.vec_a, i.vec_id AS vec_b FROM wincr i JOIN whist h USING (bk)
+       |    UNION ALL
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM wincr a JOIN wincr b ON a.bk = b.bk AND a.vec_id < b.vec_id))
+       |SELECT c.vec_a, c.vec_b,
+       |  list_reduce(list_transform(generate_series(1, len(a.embedding)),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine,
+       |  c.vec_a >= $histMax AS incr_internal
+       |FROM wcand2 c JOIN we a ON a.vec_id = c.vec_a JOIN we b ON b.vec_id = c.vec_b
+       |WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x103_incr_banded_neardup" -> incrementalBandedOracle(400),
+    "x104_incr_banded_neardup_indexed" -> incrementalBandedOracle(400),
     "x99_banded_neardup" ->
       s"""WITH $bandedCtes
          |SELECT vec_a, vec_b, cosine FROM wpairs

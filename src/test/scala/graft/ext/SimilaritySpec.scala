@@ -117,6 +117,40 @@ class SimilaritySpec extends SparkSpec {
       "x57 must consume the banded lane, not the all-pairs kernel")
   }
 
+  test("indexed incremental banded near-dup equals inline and probes co-located") {
+    val inline = Similarity.incrementalBandedNearDup(spark, Dir, histMax = 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val indexed = Similarity.incrementalBandedNearDupIndexed(spark, Dir, histMax = 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(inline.nonEmpty, "the 250/250 split must produce cross-side pairs")
+    assert(indexed.toSeq == inline.toSeq,
+      "the persisted index must change the plan, never the answer")
+    assert(inline.forall { case (a, b, _, internal) =>
+      a < b && (internal == (a >= 250)) }, "orientation and flag contract")
+    // the probe join's bucketed (history) side must carry no Exchange:
+    // exactly ONE shuffle — the increment's skinny keys meeting the
+    // index's bucket partitioning (the DedupSpec x98 gate, embedding side)
+    val tbl = Similarity.buildEmbBandIndex(spark, Dir, histMax = 250)
+    val hist = spark.table(tbl)
+    // materialize the probe keys so the sketch pipeline's own aggregation
+    // shuffles don't appear in the JOIN plan, and pin a shuffle join so
+    // the gate is deterministic (a broadcast would trivially pass)
+    val probe = Similarity.srpBandKeys(spark, Dir)
+      .filter(col("vec_id") >= 250)
+      .select(col("vec_id").as("pv"),
+        (col("band") * 256 + col("key")).as("bk"))
+      .localCheckpoint(true)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = probe.join(hist, Seq("bk")).queryExecution.executedPlan.toString
+      assert(plan.contains("graft_emb_band_idx_"),
+        s"expected the persisted index scan:\n$plan")
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nEx == 1, s"expected one probe-side shuffle only, got $nEx:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("embedding dup clusters are consistent with the banded pair set") {
     val pairs = Similarity.bandedNearDup(spark, Dir)
       .select("vec_a", "vec_b").collect()
