@@ -765,30 +765,44 @@ object Scalars {
   def shipLatency(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lat = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .select(col("l_orderkey"), col("l_shipdate"))
       .join(t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority").as("priority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
-          .cast(LongType).as("days"),
-        col("l_orderkey"), col("l_linenumber"))
-    val byPrio = Window.partitionBy(col("priority"))
-    val w = byPrio.orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
-    lat
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byPrio))
-      .groupBy(col("priority"))
-      .agg(max(col("n")).as("n_lines"),
+          .cast(LongType).as("days"))
+    // Exact median WITHOUT the per-priority global sort: 5 priorities
+    // would force the whole fact table through 5 window partitions (the
+    // classic low-cardinality-window straggler — bench-visible at 10x,
+    // fatal at 100 TB). Instead the corpus flows ONCE through a fully
+    // parallel (priority, days) histogram aggregate; the median is the
+    // smallest day whose cumulative count reaches ceil(n/2), read from a
+    // window over the ~|priorities| x |distinct days| histogram rows.
+    val hist = lat.groupBy(col("priority"), col("days"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("priority"))
+      .agg(sum(col("c")).cast(LongType).as("n_lines"),
         min(col("days")).as("min_days"),
-        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("days"))).as("median_days"),
         max(col("days")).as("max_days"),
-        (sum(when(col("days") <= 30L, 1L).otherwise(0L)).cast(DoubleType)
-          / count(lit(1)).cast(DoubleType)).as("within_30d"),
-        (sum(when(col("days") <= 60L, 1L).otherwise(0L)).cast(DoubleType)
-          / count(lit(1)).cast(DoubleType)).as("within_60d"),
-        (sum(when(col("days") <= 90L, 1L).otherwise(0L)).cast(DoubleType)
-          / count(lit(1)).cast(DoubleType)).as("within_90d"))
+        (sum(when(col("days") <= 30L, col("c")).otherwise(0L)).cast(DoubleType)
+          / sum(col("c")).cast(DoubleType)).as("within_30d"),
+        (sum(when(col("days") <= 60L, col("c")).otherwise(0L)).cast(DoubleType)
+          / sum(col("c")).cast(DoubleType)).as("within_60d"),
+        (sum(when(col("days") <= 90L, col("c")).otherwise(0L)).cast(DoubleType)
+          / sum(col("c")).cast(DoubleType)).as("within_90d"))
+    val cum = Window.partitionBy(col("priority")).orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medians = hist
+      .withColumn("cumc", sum(col("c")).over(cum))
+      .join(totals.select(col("priority"), col("n_lines").as("n")), "priority")
+      .filter(col("cumc") >= ceil(lit(0.5) * col("n")))
+      .groupBy(col("priority"))
+      .agg(min(col("days")).as("median_days"))
+    totals.join(medians, "priority")
+      .select(col("priority"), col("n_lines"), col("min_days"),
+        col("median_days"), col("max_days"),
+        col("within_30d"), col("within_60d"), col("within_90d"))
       .orderBy(col("priority"))
   }
 
