@@ -800,7 +800,7 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  private def bandedNearDupPlan(s: SparkSession, dir: String, threshold: Double,
+  private[ext] def bandedNearDupPlan(s: SparkSession, dir: String, threshold: Double,
       sketchBits: Int, bandBits: Int): DataFrame = {
     val keys = srpBandKeys(s, dir, sketchBits, bandBits)
     val cand = keys.select(col("band"), col("key"), col("vec_id").as("vec_a"))

@@ -106,11 +106,16 @@ class SimilaritySpec extends SparkSpec {
 
   test("banded lane stays relational: no object-kernel node in the plan") {
     // x24's block-pair kernel deserializes to objects (flatMap); the banded
-    // path must never — this is the no-all-pairs plan gate for the x57 lane
-    val bandedPlan = Similarity.bandedNearDup(spark, Dir)
+    // path must never — this is the no-all-pairs plan gate for the x57
+    // lane. Gate the UNCHECKPOINTED plan: the cached form's plan is just a
+    // checkpoint scan and would pass vacuously.
+    val bandedPlan = Similarity
+      .bandedNearDupPlan(spark, Dir, 0.4, Similarity.WideSrpBits, Similarity.WideBandBits)
       .queryExecution.executedPlan.toString
     assert(!bandedPlan.contains("DeserializeToObject"),
       s"banded near-dup must be pure relational:\n$bandedPlan")
+    assert(bandedPlan.contains("HashAggregate"),
+      "sanity: the gated plan is the real sketch pipeline, not a cache scan")
     val clustersPlan = Similarity.embeddingDupClusters(spark, Dir)
       .queryExecution.executedPlan.toString
     assert(!clustersPlan.contains("DeserializeToObject"),
