@@ -900,6 +900,50 @@ object Similarity {
     finishIncremental(s, dir, hist, incr, histMax, threshold)
   }
 
+  /** kNN label-consistency evaluation — the standard embedding-quality
+    * audit (does neighborhood structure agree with labels?): for each
+    * query vector, the majority label among its k exact-cosine nearest
+    * neighbors (ties broken toward the smaller label, rank ties toward
+    * the smaller vec_id — total orders, so the frame hash-gates),
+    * scored against the query's own label and reduced per label to
+    * (n_queries, n_correct, accuracy). The per-query leg is the x20
+    * broadcast shape: queries broadcast, the corpus is never shuffled
+    * to score, partition-local row_number pre-prunes to k per
+    * (query, partition) before the per-query rank.
+    */
+  def knnLabelEval(s: SparkSession, dir: String,
+      numQueries: Int = 50, k: Int = 10): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val votes = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("query_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val maj = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("mr", row_number().over(maj))
+      .filter(col("mr") === 1)
+      .groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("label") === col("query_label"), 1L).otherwise(0L))
+          .cast(LongType).as("n_correct"))
+      .select(col("query_label"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast(DoubleType) / col("n_queries").cast(DoubleType))
+          .as("accuracy"))
+      .orderBy(col("query_label"))
+  }
+
   /** Recall audit of the banded lane against the exact kernel: per
     * cosine vigintile (floor(cosine*20)), how many exact pairs exist
     * and how many the banded path recovered. Test-scale only — the
@@ -925,6 +969,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x99_banded_neardup" -> ((s: SparkSession, dir: String) => bandedNearDup(s, dir)),
     "x100_banded_recall" -> (bandedRecallAudit _),
+    "x105_knn_label_eval" -> ((s: SparkSession, dir: String) => knnLabelEval(s, dir)),
     "x103_incr_banded_neardup" ->
       ((s: SparkSession, dir: String) => incrementalBandedNearDup(s, dir)),
     "x104_incr_banded_neardup_indexed" ->
@@ -1092,6 +1137,38 @@ object Similarity {
        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x105_knn_label_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv, nrm AS qn
+        |      FROM e WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, query_label, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, query_label, label, count(*) AS n_votes
+        |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2, 3),
+        |maj AS (
+        |  SELECT query_id, query_label, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS mr
+        |  FROM votes)
+        |SELECT query_label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM maj WHERE mr = 1
+        |GROUP BY query_label ORDER BY query_label""".stripMargin,
     "x103_incr_banded_neardup" -> incrementalBandedOracle(400),
     "x104_incr_banded_neardup_indexed" -> incrementalBandedOracle(400),
     "x99_banded_neardup" ->
