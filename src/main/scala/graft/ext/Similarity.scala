@@ -738,8 +738,15 @@ object Similarity {
     * thing that ever rides the dedup shuffle.
     */
   def srpBandKeys(s: SparkSession, dir: String,
+      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame =
+    srpBandKeysFor(s, t(s, dir, "embeddings"), sketchBits, bandBits)
+
+  /** Band keys for an arbitrary (vec_id, embedding) frame — the form a
+    * streaming micro-batch probes with (`streamingBandProbe`).
+    */
+  def srpBandKeysFor(s: SparkSession, emb: DataFrame,
       sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame = {
-    val dims = t(s, dir, "embeddings")
+    val dims = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast(LongType).as("d"),
         floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
@@ -899,6 +906,70 @@ object Similarity {
         (col("band") * (1L << bandBits) + col("key")).as("bk"))
     finishIncremental(s, dir, hist, incr, histMax, threshold)
   }
+
+  /** One micro-batch of the STREAMING near-dup probe: the batch's
+    * vectors are sketched, probe the persisted history band index, and
+    * pair among themselves; candidates exact-verify against history
+    * embeddings ∪ the batch (history text/embeddings are touched for
+    * candidate ids only). Pairs BETWEEN different micro-batches are
+    * deliberately absent — the history index is a standing artifact, so
+    * cross-batch pairs surface at the next index refresh, exactly the
+    * text lane's daily-append contract (x86) run continuously.
+    */
+  def probeBatch(s: SparkSession, batch: DataFrame, dir: String,
+      histMax: Int = 400, threshold: Double = 0.4,
+      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame = {
+    val tbl = buildEmbBandIndex(s, dir, histMax, sketchBits, bandBits)
+    val hist = s.table(tbl).select(col("bk"), col("vec_id").as("vec_a"))
+    val bKeys = srpBandKeysFor(s, batch, sketchBits, bandBits)
+      .select(col("vec_id"),
+        (col("band") * (1L << bandBits) + col("key")).as("bk"))
+    val candHist = bKeys.select(col("bk"), col("vec_id").as("vec_b"))
+      .join(hist, Seq("bk"))
+      .select(col("vec_a"), col("vec_b"))
+    val candIncr = bKeys.select(col("bk"), col("vec_id").as("vec_a"))
+      .join(bKeys.select(col("bk"), col("vec_id").as("vec_b")), Seq("bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val cand = candHist.unionByName(candIncr).distinct()
+    val pool = t(s, dir, "embeddings")
+      .filter(col("vec_id") < histMax)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(batch.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    cand
+      .join(pool.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(pool.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        (col("vec_a") >= histMax).as("incr_internal"))
+  }
+
+  /** Continuous vector-dedup ingestion: a stream of (vec_id, embedding)
+    * rows, each micro-batch probed against the standing band index and
+    * its verified pairs published as one [[graft.engine.VersionedTable]]
+    * snapshot keyed by batchId — `commitIfAbsent` turns an
+    * at-least-once replay into a skipped commit (the
+    * streamingSnapshotLoad discipline), so the pair log is exactly-once
+    * per batch and time-travelable. This is the x103/x104 daily shape
+    * run as a stream: sketch the delta, probe the index, verify
+    * candidates, commit.
+    */
+  def streamingBandProbe(s: SparkSession, vectors: DataFrame, dir: String,
+      root: String, checkpoint: String, histMax: Int = 400,
+      threshold: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.engine.VersionedTable.commitIfAbsent(
+          probeBatch(s, batch.toDF(), dir, histMax, threshold), root, batchId): Unit
+      }
+      .start()
 
   /** kNN label-consistency evaluation — the standard embedding-quality
     * audit (does neighborhood structure agree with labels?): for each

@@ -156,6 +156,46 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("streaming band probe equals the batch incremental minus cross-batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val HistMax = 250
+    val Split = 375 // increment rows arrive as [250,375) then [375,500)
+    val incRows = graft.engine.Tables(spark, Dir, "embeddings")
+      .filter(col("vec_id") >= HistMax)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dirs = java.nio.file.Files.createTempDirectory("graft_streamprobe").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = Similarity.streamingBandProbe(spark,
+      in.toDF().toDF("vec_id", "embedding"), Dir,
+      s"$dirs/pairs", s"$dirs/ckpt", histMax = HistMax)
+    try {
+      in.addData(incRows.filter(_._1 < Split).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(incRows.filter(_._1 >= Split).toSeq: _*)
+      q.processAllAvailable()
+      val vs = graft.engine.VersionedTable.versions(spark, s"$dirs/pairs")
+      assert(vs == Seq(0L, 1L), s"one snapshot per micro-batch: $vs")
+      val streamed = vs.flatMap { v =>
+        graft.engine.VersionedTable.read(spark, s"$dirs/pairs", Some(v))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      }.toMap
+      val inline = Similarity.incrementalBandedNearDup(spark, Dir, histMax = HistMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // the standing index can't see across micro-batches: increment-
+      // internal pairs straddling the two batches surface only at the
+      // next index refresh — everything else must match exactly
+      val crossBatch = inline.keySet.filter { case (a, b) =>
+        a >= HistMax && a < Split && b >= Split }
+      assert(streamed.keySet == inline.keySet -- crossBatch,
+        s"streamed=${streamed.size} inline=${inline.size} cross=${crossBatch.size}")
+      streamed.foreach { case (k, c) =>
+        assert(c == inline(k), s"cosine must match the batch path for $k") }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("embedding dup clusters are consistent with the banded pair set") {
     val pairs = Similarity.bandedNearDup(spark, Dir)
       .select("vec_a", "vec_b").collect()
