@@ -137,6 +137,41 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Content-addressed frame-overlap near-dup across videos: every
+    * sampled frame is reduced to a digest of its bytes, and video pairs
+    * sharing at least one distinct frame digest are reported with their
+    * shared-frame count — the clip-level dedup a video corpus runs
+    * after asset-level md5 (x66) and before any expensive decode
+    * (re-encoded or trimmed copies share frames even when whole-file
+    * hashes differ). Spelled relationally on the payload string (this
+    * corpus is ASCII, so character frames ARE `frameSample`'s byte
+    * frames): substring -> md5 -> DISTINCT per video -> digest
+    * self-join -> pair count. Only (media_id, digest) rides the shuffle
+    * — frame bytes never leave the scan, which is what makes the shape
+    * hold when frames are real and the digest is a perceptual hash
+    * (swap md5 for pHash; the plan is unchanged).
+    */
+  def frameOverlap(s: SparkSession, dir: String,
+      frameSize: Int = 256, stride: Int = 4): DataFrame = {
+    val frames = Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // the video slice
+      .filter(length(col("text")) >= frameSize)  // guard: sequence(0,-1) descends
+      .select(col("doc_id").as("media_id"),
+        explode(expr(s"sequence(0, cast(length(text) div $frameSize as int) - 1)")).as("f"),
+        col("text"))
+      .filter(pmod(col("f"), lit(stride)) === 0)
+      .select(col("media_id"),
+        md5(encode(expr(s"substring(text, f * $frameSize + 1, $frameSize)"), "UTF-8"))
+          .as("fmd5"))
+      .distinct()
+    frames.select(col("media_id").as("media_a"), col("fmd5"))
+      .join(frames.select(col("media_id").as("media_b"), col("fmd5")), "fmd5")
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Driver queries. The float vectors and raw frame bytes cannot ride
     * the driver compare (pandas cannot sort list/binary columns), so each
     * row carries scalar witnesses instead — and those ARE hash-gateable:
@@ -146,6 +181,7 @@ object Multimodal {
     * full-width lanes.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x106_frame_overlap" -> ((s: SparkSession, dir: String) => frameOverlap(s, dir)),
     "x66_media_dedup" -> (mediaDedup _),
     "x30_media_features" -> ((s: SparkSession, dir: String) =>
       mediaFeatures(s, dir).toDF()
@@ -166,6 +202,18 @@ object Multimodal {
     * numbers 0, 4, 8, … below bytelen/256).
     */
   val oracles: Map[String, String] = Map(
+    "x106_frame_overlap" ->
+      """WITH frames AS (
+        |  SELECT DISTINCT media_id,
+        |    md5(substring(text, CAST(f * 256 + 1 AS BIGINT), 256)) AS fmd5
+        |  FROM (SELECT doc_id AS media_id, text,
+        |          unnest(generate_series(0, CAST(length(text) // 256 - 1 AS BIGINT))) AS f
+        |        FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 256)
+        |  WHERE f % 4 = 0)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM frames a JOIN frames b ON a.fmd5 = b.fmd5 AND a.media_id < b.media_id
+        |GROUP BY 1, 2 ORDER BY media_a, media_b""".stripMargin,
     "x66_media_dedup" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
