@@ -48,10 +48,77 @@ object DataQuality {
         lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50))))
   }
 
+  /** Distribution-drift monitor — the check a data pipeline runs when a
+    * feed's COMPOSITION (not its schema) shifts: the source mix of the
+    * first half of the corpus vs the second (deterministic arithmetic
+    * midpoint of the doc_id range), per-source counts and shares, and
+    * the total-variation distance over all sources. TVD is computed
+    * from EXACT cross-multiplied integers — Σ|n_a·N_b − n_b·N_a| in
+    * DECIMAL(38,0), one double division at the end — because a sum of
+    * per-source double terms would be partition-order-dependent and
+    * could not hash-gate (the x95 exact-sums discipline; PSI's log
+    * terms are unhashable cross-engine for the same reason, and TVD is
+    * the standard bounded [0,1] alternative).
+    */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val bounds = docs.agg(((min(col("doc_id")) + max(col("doc_id")) + 1L) / 2L)
+      .cast("long").as("mid"))
+    val halved = docs.crossJoin(broadcast(bounds))
+      .select(col("source"), (col("doc_id") < col("mid")).as("first_half"))
+    val counts = halved.groupBy(col("source"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).cast("long").as("n_first"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).cast("long").as("n_second"))
+    val totals = counts.agg(sum(col("n_first")).cast("long").as("tot_first"),
+      sum(col("n_second")).cast("long").as("tot_second"))
+    val joined = counts.crossJoin(broadcast(totals))
+      .withColumn("drift_num",
+        abs(col("n_first").cast("decimal(38,0)") * col("tot_second").cast("decimal(38,0)")
+          - col("n_second").cast("decimal(38,0)") * col("tot_first").cast("decimal(38,0)")))
+    val tvd = joined
+      .groupBy(col("tot_first"), col("tot_second")) // constants: one group
+      .agg(sum(col("drift_num")).as("dn"))
+      .select((col("dn").cast("double")
+        / (lit(2.0) * col("tot_first").cast("double") * col("tot_second").cast("double")))
+        .as("tvd_total"))
+    joined.crossJoin(broadcast(tvd))
+      .select(col("source"), col("n_first"), col("n_second"),
+        (col("n_first").cast("double") / col("tot_first").cast("double")).as("share_first"),
+        (col("n_second").cast("double") / col("tot_second").cast("double")).as("share_second"),
+        col("tvd_total"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_data_quality" -> (standardChecks _))
+    "q42_data_quality" -> (standardChecks _),
+    "x107_source_drift" -> (sourceDrift _))
 
   val oracles: Map[String, String] = Map(
+    "x107_source_drift" ->
+      """WITH b AS (
+        |  SELECT CAST((min(doc_id) + max(doc_id) + 1) // 2 AS BIGINT) AS mid
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN doc_id < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |    CAST(sum(CASE WHEN doc_id >= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        |  FROM documents, b GROUP BY source),
+        |t AS (SELECT CAST(sum(n_first) AS BIGINT) AS tot_first,
+        |             CAST(sum(n_second) AS BIGINT) AS tot_second FROM c),
+        |j AS (
+        |  SELECT c.*, t.tot_first, t.tot_second,
+        |    abs(CAST(c.n_first AS DECIMAL(38,0)) * CAST(t.tot_second AS DECIMAL(38,0))
+        |      - CAST(c.n_second AS DECIMAL(38,0)) * CAST(t.tot_first AS DECIMAL(38,0))) AS drift_num
+        |  FROM c, t),
+        |tv AS (
+        |  SELECT CAST(sum(drift_num) AS DOUBLE)
+        |    / (2.0 * CAST(tot_first AS DOUBLE) * CAST(tot_second AS DOUBLE)) AS tvd_total
+        |  FROM j GROUP BY tot_first, tot_second)
+        |SELECT j.source, j.n_first, j.n_second,
+        |  CAST(j.n_first AS DOUBLE) / CAST(j.tot_first AS DOUBLE) AS share_first,
+        |  CAST(j.n_second AS DOUBLE) / CAST(j.tot_second AS DOUBLE) AS share_second,
+        |  tv.tvd_total
+        |FROM j, tv ORDER BY source""".stripMargin,
     "q42_data_quality" ->
       """SELECT * FROM (
         |  SELECT 'pk_unique_orders' AS "check", 'orders' AS table_name,
