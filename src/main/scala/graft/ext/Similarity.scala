@@ -600,6 +600,49 @@ object Similarity {
         (col("sx") / col("n").cast(DoubleType)).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Representation-drift monitor — x107's composition drift, on the
+    * embedding side: per label, the cosine between the label's centroid
+    * in the FIRST half of the corpus (arithmetic vec_id midpoint) and
+    * in the SECOND — "did what this label MEANS move?", the check a
+    * vector pipeline runs when the upstream encoder or corpus shifts.
+    * Exactness discipline: dimension values quantize to integers
+    * (floor(v·2^20), the SRP trick), per-(label,half,pos) sums are
+    * exact BIGINTs, and the dot/norm reductions run in DECIMAL(38,0)
+    * (a BIGINT product overflows at ~3e8-scale sums; a double sum would
+    * be partition-order-dependent) — counts cancel in the cosine, so
+    * sum vectors stand in for centroids with one double division at the
+    * end. Labels missing from a half yield NULL, not Infinity.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    val bounds = base.agg(
+      ((min(col("vec_id")) + max(col("vec_id")) + 1L) / 2L).cast(LongType).as("mid"))
+    val dims = base.crossJoin(broadcast(bounds))
+      .select(col("label"), (col("vec_id") < col("mid")).as("first_half"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("first_half"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
+    val sums = dims.groupBy(col("label"), col("pos"))
+      .agg(sum(when(col("first_half"), col("q")).otherwise(0L)).cast(LongType).as("sa"),
+        sum(when(!col("first_half"), col("q")).otherwise(0L)).cast(LongType).as("sb"))
+    val geo = sums.groupBy(col("label")).agg(
+      sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)")).as("dot"),
+      sum(col("sa").cast("decimal(38,0)") * col("sa").cast("decimal(38,0)")).as("na2"),
+      sum(col("sb").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)")).as("nb2"))
+    val counts = base.crossJoin(broadcast(bounds)).groupBy(col("label"))
+      .agg(sum(when(col("vec_id") < col("mid"), 1L).otherwise(0L))
+          .cast(LongType).as("n_first"),
+        sum(when(col("vec_id") >= col("mid"), 1L).otherwise(0L))
+          .cast(LongType).as("n_second"))
+    counts.join(geo, "label")
+      .select(col("label"), col("n_first"), col("n_second"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("dot").cast(DoubleType)
+            / (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))))
+          .as("centroid_cosine"))
+      .orderBy(col("label"))
+  }
+
   /** Class-balance report over the labeled embeddings: per-label counts
     * and shares plus the corpus Gini impurity 1 - Σ pᵢ² — the imbalance
     * screen a training run checks before weighting/resampling decides
@@ -1041,6 +1084,7 @@ object Similarity {
     "x99_banded_neardup" -> ((s: SparkSession, dir: String) => bandedNearDup(s, dir)),
     "x100_banded_recall" -> (bandedRecallAudit _),
     "x105_knn_label_eval" -> ((s: SparkSession, dir: String) => knnLabelEval(s, dir)),
+    "x108_embedding_drift" -> (embeddingDrift _),
     "x103_incr_banded_neardup" ->
       ((s: SparkSession, dir: String) => incrementalBandedNearDup(s, dir)),
     "x104_incr_banded_neardup_indexed" ->
@@ -1208,6 +1252,38 @@ object Similarity {
        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x108_embedding_drift" ->
+      """WITH b AS (
+        |  SELECT CAST((min(vec_id) + max(vec_id) + 1) // 2 AS BIGINT) AS mid
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, vec_id < b.mid AS first_half, i - 1 AS pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, b,
+        |       LATERAL (SELECT unnest(embedding) AS v,
+        |                       unnest(generate_series(1, len(embedding))) AS i)),
+        |sums AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CASE WHEN first_half THEN q ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN first_half THEN 0 ELSE q END) AS BIGINT) AS sb
+        |  FROM dims GROUP BY label, pos),
+        |geo AS (
+        |  SELECT label,
+        |    sum(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS dot,
+        |    sum(CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)) AS na2,
+        |    sum(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)) AS nb2
+        |  FROM sums GROUP BY label),
+        |c AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN vec_id < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |    CAST(sum(CASE WHEN vec_id >= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        |  FROM embeddings, b GROUP BY label)
+        |SELECT c.label, c.n_first, c.n_second,
+        |  CASE WHEN geo.na2 = 0 OR geo.nb2 = 0 THEN NULL
+        |       ELSE CAST(geo.dot AS DOUBLE)
+        |         / (sqrt(CAST(geo.na2 AS DOUBLE)) * sqrt(CAST(geo.nb2 AS DOUBLE))) END
+        |    AS centroid_cosine
+        |FROM c JOIN geo ON geo.label = c.label ORDER BY c.label""".stripMargin,
     "x105_knn_label_eval" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,
