@@ -780,9 +780,22 @@ object Similarity {
     * the corpus emitting |bands| skinny rows per vector — the only
     * thing that ever rides the dedup shuffle.
     */
+  /** The corpus band keys are the shared artifact of the whole banded
+    * family (x99's candidates, x103's history+increment split, x104's
+    * index build) — computed once per (session, dataset, geometry) and
+    * checkpointed, the session-materialized-intermediate discipline.
+    * The sketch pipeline's PLAN is still gated relational via
+    * `srpBandKeysFor` (the uncached form), which streaming batches use
+    * directly.
+    */
+  private val keysCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
   def srpBandKeys(s: SparkSession, dir: String,
       sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame =
-    srpBandKeysFor(s, t(s, dir, "embeddings"), sketchBits, bandBits)
+    keysCache.computeIfAbsent((s, dir, sketchBits, bandBits), _ =>
+      srpBandKeysFor(s, t(s, dir, "embeddings"), sketchBits, bandBits)
+        .localCheckpoint(true))
 
   /** Band keys for an arbitrary (vec_id, embedding) frame — the form a
     * streaming micro-batch probes with (`streamingBandProbe`).

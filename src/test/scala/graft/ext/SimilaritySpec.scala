@@ -109,13 +109,20 @@ class SimilaritySpec extends SparkSpec {
     // path must never — this is the no-all-pairs plan gate for the x57
     // lane. Gate the UNCHECKPOINTED plan: the cached form's plan is just a
     // checkpoint scan and would pass vacuously.
+    // gate the UNCACHED sketch pipeline (srpBandKeys is session-
+    // checkpointed, so the composed plan would show a cache scan)
+    val sketchPlan = Similarity
+      .srpBandKeysFor(spark, graft.engine.Tables(spark, Dir, "embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(!sketchPlan.contains("DeserializeToObject"),
+      s"sketch pipeline must be pure relational:\n$sketchPlan")
+    assert(sketchPlan.contains("HashAggregate"),
+      "sanity: the gated plan is the real sketch pipeline, not a cache scan")
     val bandedPlan = Similarity
       .bandedNearDupPlan(spark, Dir, 0.4, Similarity.WideSrpBits, Similarity.WideBandBits)
       .queryExecution.executedPlan.toString
     assert(!bandedPlan.contains("DeserializeToObject"),
       s"banded near-dup must be pure relational:\n$bandedPlan")
-    assert(bandedPlan.contains("HashAggregate"),
-      "sanity: the gated plan is the real sketch pipeline, not a cache scan")
     val clustersPlan = Similarity.embeddingDupClusters(spark, Dir)
       .queryExecution.executedPlan.toString
     assert(!clustersPlan.contains("DeserializeToObject"),
