@@ -250,7 +250,16 @@ object TextAnalysis {
     * fingerprint window, and every ratio is one double division of
     * exact integer sums so the frame hash-gates.
     */
-  def curationDatasheet(s: SparkSession, dir: String): DataFrame = {
+  def curationDatasheet(s: SparkSession, dir: String): DataFrame =
+    datasheetAgg(datasheetRows(s, dir).groupBy(col("source")))
+      .orderBy(col("source"))
+
+  /** The per-document curation facts shared by x89 and x109: token
+    * count, quality verdict (x02's formula), and CORPUS-global
+    * canonicality (x10's fingerprint — a source or split holding the
+    * later copy of a duplicate is the one charged for it).
+    */
+  private def datasheetRows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = wsTokens(col("text"))
     val nChars = length(col("text")).cast(LongType)
@@ -263,19 +272,38 @@ object TextAnalysis {
         qualityOk.as("quality_ok"), fingerprintCol(col("text")).as("fp"))
       .withColumn("is_canonical",
         col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .groupBy(col("source"))
-      .agg(
+  }
+
+  private def datasheetAgg(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped.agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast(LongType).as("n_tokens"),
         sum(when(!col("is_canonical"), 1L).otherwise(0L)).cast(LongType).as("n_exact_dups"),
         sum(when(!col("quality_ok"), 1L).otherwise(0L)).cast(LongType).as("n_quality_fail"),
         sum(when(col("is_canonical") && col("quality_ok"), col("n_tokens"))
           .otherwise(0L)).cast(LongType).as("n_tokens_kept"))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("n_exact_dups"), col("n_quality_fail"), col("n_tokens_kept"),
-        (col("n_tokens_kept").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-          .as("keep_ratio"))
-      .orderBy(col("source"))
+      .withColumn("keep_ratio",
+        col("n_tokens_kept").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+
+  /** Split-aware curation datasheet — the datasheet a run publishes
+    * AFTER split assignment (x89 × x40): per (split, source), the same
+    * verified doc/token/dup/quality accounting, answering the question
+    * an eval owner actually asks ("what survives curation in MY
+    * split?"). Split is the deterministic per-doc hash bucket; swapping
+    * in the cluster-hashed leakage-safe assignment (x61) is a one-line
+    * change since both are pure projections. Canonicality stays
+    * corpus-global, so a duplicate straddling splits is charged to the
+    * split holding the later copy.
+    */
+  def splitDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val split = when(graft.ops.Sampling.hashBucket(col("doc_id"), 100) < 80, "train")
+      .when(graft.ops.Sampling.hashBucket(col("doc_id"), 100) < 90, "val")
+      .otherwise("test")
+    datasheetAgg(datasheetRows(s, dir)
+      .withColumn("split", split)
+      .groupBy(col("split"), col("source")))
+      .orderBy(col("split"), col("source"))
   }
 
   /** BPE first-merge candidates — the statistic a byte-pair-encoding
@@ -825,7 +853,8 @@ object TextAnalysis {
     "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
     "x97_bpe_first_merges" -> ((s: SparkSession, dir: String) => bpeFirstMerges(s, dir)),
     "x101_bpe_train_merges" -> ((s: SparkSession, dir: String) => bpeTrainMerges(s, dir)),
-    "x102_bpe_encode_report" -> ((s: SparkSession, dir: String) => bpeEncodeReport(s, dir)))
+    "x102_bpe_encode_report" -> ((s: SparkSession, dir: String) => bpeEncodeReport(s, dir)),
+    "x109_split_datasheet" -> (splitDatasheet _))
 
   private val StopListSql = "'the','a','and','of','to','in','is'"
 
@@ -1033,6 +1062,31 @@ object TextAnalysis {
         |ORDER BY sp.step""".stripMargin) +
     // composes the x02 quality formula + the x10 canonical fingerprint
     // per source — the same verified leg SQL, aggregated
+    ("x109_split_datasheet" ->
+      """WITH f AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (length(text) >= 100 AND length(text) <= 5000
+        |     AND len(string_split_regex(trim(text), '\s+')) >= 20
+        |     AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) < 0.1) AS quality_ok,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        |  FROM f)
+        |SELECT split, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+        |  CAST(sum(CASE WHEN is_canonical AND quality_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  CAST(sum(CASE WHEN is_canonical AND quality_ok THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE) AS keep_ratio
+        |FROM c GROUP BY split, source ORDER BY split, source""".stripMargin) +
     ("x89_curation_datasheet" ->
       """WITH f AS (
         |  SELECT source, doc_id,
