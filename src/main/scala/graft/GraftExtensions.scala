@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeCountRewrite, BpeTokenCount, ParsePoint}
+import graft.functions.{BpeCountRewrite, BpeTokenCount, DotD, ParsePoint}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions first-class SQL functions in any session built with
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (children: Seq[Expression]) => BpeTokenCount(children.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotD].getName, "dot_d"),
+      (children: Seq[Expression]) => DotD(children.head, children(1))))
     extensions.injectOptimizerRule(_ => BpeCountRewrite)
   }
 }

@@ -37,8 +37,20 @@ object Similarity {
   /** Left-fold double dot product of two float-array columns — the exact
     * shape the DuckDB oracle mirrors (`list_reduce(list_transform(...))`)
     * so float->double casts and the summation order agree bitwise.
+    * Backed by the native codegen'd [[graft.functions.DotD]] expression
+    * since round 9 (bit-identical fold, ~6x less per-pair cost than the
+    * interpreted `aggregate(zip_with(...))` HOF chain it replaces —
+    * FunctionsSpec pins the bitwise equality against that spelling).
     */
   def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.DotD(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** The interpreted HOF spelling dotD replaced — kept as the
+    * independent reference FunctionsSpec compares bitwise.
+    */
+  def dotDHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -1049,9 +1061,19 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
         (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    // two-phase top-k (the x20 discipline): partition-local row_number
+    // prunes to k per (query, partition) BEFORE the per-query shuffle —
+    // the global window sees |queries| x partitions x k rows, never the
+    // scored corpus (a 50-partition window over the full corpus is the
+    // q77 straggler shape)
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("cosine").desc, col("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     val votes = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .groupBy(col("query_id"), col("query_label"), col("label"))

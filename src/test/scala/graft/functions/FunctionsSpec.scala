@@ -91,6 +91,38 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("hllowrld42", "", "", null, "abc"))
   }
 
+  test("DotD is bitwise-identical to the interpreted HOF fold, incl. edges") {
+    import graft.ext.Similarity
+    // every corpus pair shape: self-dot over the real embeddings
+    val both = graft.engine.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"),
+        Similarity.dotD(col("embedding"), col("embedding")).as("native"),
+        Similarity.dotDHof(col("embedding"), col("embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1))
+        == java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"fold mismatch for vec ${r.getLong(0)}")
+    }
+    // edge semantics match the zip_with+aggregate spelling: unequal
+    // lengths and null elements poison to NULL; empty arrays fold to 0.0
+    import spark.implicits._
+    val edges = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f), Array(1.0f, 2.0f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+      .select(Similarity.dotD(col("a"), col("b")).as("native"),
+        Similarity.dotDHof(col("a"), col("b")).as("hof"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(edges(0) == (Some(11.0), Some(11.0)), s"plain dot: ${edges(0)}")
+    assert(edges(1) == ((None, None)), s"unequal lengths poison to NULL: ${edges(1)}")
+    assert(edges(2) == (Some(0.0), Some(0.0)), s"empty arrays fold to 0.0: ${edges(2)}")
+  }
+
   test("TopKAgg equals the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.engine.Tables(spark, Sf, "embeddings")
