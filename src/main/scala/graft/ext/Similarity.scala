@@ -148,37 +148,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic Gaussian hyperplanes as a tiny (pos, tbl, bit, w)
-    * table: numTables x bitsPerTable hyperplanes of dimension `dim`.
+  /** Deterministic Gaussian hyperplanes as a (tbl)(bit)(pos) tensor —
+    * the same seed-42 draw order (tbl -> bit -> pos) the original
+    * relational plane table used, so parameters mean the same thing.
     */
-  private def hyperplanes(s: SparkSession, dim: Int,
-      numTables: Int, bitsPerTable: Int): DataFrame = {
+  private def hyperplaneTensor(dim: Int,
+      numTables: Int, bitsPerTable: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    val rows = for {
-      tbl <- 0 until numTables
-      bit <- 0 until bitsPerTable
-      pos <- 0 until dim
-    } yield (pos, tbl, bit, rnd.nextGaussian())
-    import s.implicits._
-    rows.toDF("pos", "tbl", "bit", "w")
+    Array.fill(numTables)(Array.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
   /** (vec_id, tbl, bucket) LSH bucket ids per vector: bucket = the
-    * `bitsPerTable` sign bits of the hyperplane projections. Relational
-    * on purpose: posexplode + broadcast join + two hash-aggregates are
-    * whole-stage-codegen'd, where per-row array lambdas would be
-    * interpreted 64x per vector.
+    * `bitsPerTable` sign bits of the hyperplane projections. Since
+    * round 9 this is the native [[graft.functions.LshBuckets]]
+    * expression — one generated pass per vector — replacing the
+    * posexplode + broadcast-join + two-hash-aggregate pipeline whose
+    * |corpus| x dims x planes exploded intermediate dominated the ANN
+    * queries at the 10x corpus (and whose double sums were
+    * partition-order-dependent; the fold is now strict).
     */
-  def lshBuckets(vecs: DataFrame, planes: DataFrame): DataFrame = {
-    val exploded = vecs
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos"), col("col").cast(DoubleType).as("x"))
-    exploded.join(broadcast(planes), "pos")
-      .groupBy(col("vec_id"), col("tbl"), col("bit"))
-      .agg(sum(col("x") * col("w")).as("proj"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("bucket"))
-  }
+  def lshBuckets(vecs: DataFrame, planes: Array[Array[Array[Double]]]): DataFrame =
+    vecs
+      .select(col("vec_id"), posexplode(
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.LshBuckets(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")), planes))))
+      .select(col("vec_id"), col("pos").cast("int").as("tbl"), col("col").as("bucket"))
 
   /** ANN cosine top-k via random-hyperplane LSH: candidates = corpus
     * vectors sharing any (table, bucket) with the query, then exact
@@ -191,7 +185,7 @@ object Similarity {
       numQueries: Int = 5, k: Int = 10,
       numTables: Int = 18, bitsPerTable: Int = 4): DataFrame = {
     val c = corpus(s, dir)
-    val planes = hyperplanes(s, 64, numTables, bitsPerTable)
+    val planes = hyperplaneTensor(64, numTables, bitsPerTable)
     val buckets = lshBuckets(c, planes)
     val qb = buckets.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
@@ -228,7 +222,7 @@ object Similarity {
     val tbl = annIndexTable(dir)
     if (!s.catalog.tableExists(tbl)) {
       val c = corpus(s, dir)
-      val planes = hyperplanes(s, 64, numTables, bitsPerTable)
+      val planes = hyperplaneTensor(64, numTables, bitsPerTable)
       val idx = lshBuckets(c, planes)
         .withColumn("tb", col("tbl") * (1 << bitsPerTable) + col("bucket"))
         .join(c, "vec_id")
@@ -251,7 +245,7 @@ object Similarity {
       numTables: Int = 18, bitsPerTable: Int = 4): DataFrame = {
     val tbl = buildAnnIndex(s, dir, numTables, bitsPerTable)
     val c = corpus(s, dir)
-    val planes = hyperplanes(s, 64, numTables, bitsPerTable)
+    val planes = hyperplaneTensor(64, numTables, bitsPerTable)
     val q = c.filter(col("vec_id") < numQueries)
     val qb = lshBuckets(q, planes)
       .withColumn("tb", col("tbl") * (1 << bitsPerTable) + col("bucket"))
