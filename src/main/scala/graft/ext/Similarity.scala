@@ -1044,8 +1044,16 @@ object Similarity {
     * to score, partition-local row_number pre-prunes to k per
     * (query, partition) before the per-query rank.
     */
-  def knnLabelEval(s: SparkSession, dir: String,
-      numQueries: Int = 50, k: Int = 10): DataFrame = {
+  /** The k-nearest labeled neighbors of every query, ranked — shared by
+    * x105's majority vote and x110's MRR. Two-phase top-k (the x20
+    * discipline): partition-local row_number prunes to k per (query,
+    * partition) BEFORE the per-query shuffle — the global window sees
+    * |queries| x partitions x k rows, never the scored corpus (a
+    * 50-partition window over the full corpus is the q77 straggler
+    * shape).
+    */
+  private def knnRanked(s: SparkSession, dir: String,
+      numQueries: Int, k: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
@@ -1055,21 +1063,21 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
         (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
-    // two-phase top-k (the x20 discipline): partition-local row_number
-    // prunes to k per (query, partition) BEFORE the per-query shuffle —
-    // the global window sees |queries| x partitions x k rows, never the
-    // scored corpus (a 50-partition window over the full corpus is the
-    // q77 straggler shape)
     val local = Window.partitionBy(col("query_id"), col("part"))
       .orderBy(col("cosine").desc, col("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    val votes = scored
+    scored
       .withColumn("part", spark_partition_id())
       .withColumn("lrn", row_number().over(local))
       .filter(col("lrn") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def knnLabelEval(s: SparkSession, dir: String,
+      numQueries: Int = 50, k: Int = 10): DataFrame = {
+    val votes = knnRanked(s, dir, numQueries, k)
       .groupBy(col("query_id"), col("query_label"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
     val maj = Window.partitionBy(col("query_id"))
@@ -1084,6 +1092,33 @@ object Similarity {
       .select(col("query_label"), col("n_queries"), col("n_correct"),
         (col("n_correct").cast(DoubleType) / col("n_queries").cast(DoubleType))
           .as("accuracy"))
+      .orderBy(col("query_label"))
+  }
+
+  /** Mean reciprocal rank of the first same-label neighbor — the
+    * retrieval-quality companion to x105's classification view: per
+    * label, how high the first relevant (same-label) result ranks.
+    * EXACT-RATIONAL MRR: 1/r summed as the integer 2520/r (2520 =
+    * lcm(1..10), so every reciprocal is a whole number), reduced as a
+    * BIGINT sum with ONE double division at the end — a sum of 1/3-like
+    * doubles would be partition-order-dependent and could not
+    * hash-gate. Queries with no same-label neighbor in the top k
+    * contribute 0 (counted separately as n_hit vs n_queries).
+    */
+  def knnMrr(s: SparkSession, dir: String,
+      numQueries: Int = 50, k: Int = 10): DataFrame = {
+    require(k <= 10, s"exact-rational MRR scales by lcm(1..10); got k=$k")
+    knnRanked(s, dir, numQueries, k)
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(min(when(col("label") === col("query_label"), col("rank")))
+        .as("first_rank"))
+      .groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("first_rank")).as("n_hit"),
+        sum(expr("2520 DIV first_rank")).cast(LongType).as("rr_num"))
+      .select(col("query_label"), col("n_queries"), col("n_hit"),
+        (coalesce(col("rr_num"), lit(0L)).cast(DoubleType)
+          / (lit(2520.0) * col("n_queries").cast(DoubleType))).as("mrr"))
       .orderBy(col("query_label"))
   }
 
@@ -1114,6 +1149,7 @@ object Similarity {
     "x100_banded_recall" -> (bandedRecallAudit _),
     "x105_knn_label_eval" -> ((s: SparkSession, dir: String) => knnLabelEval(s, dir)),
     "x108_embedding_drift" -> (embeddingDrift _),
+    "x110_knn_mrr" -> ((s: SparkSession, dir: String) => knnMrr(s, dir)),
     "x103_incr_banded_neardup" ->
       ((s: SparkSession, dir: String) => incrementalBandedNearDup(s, dir)),
     "x104_incr_banded_neardup_indexed" ->
@@ -1313,6 +1349,34 @@ object Similarity {
         |         / (sqrt(CAST(geo.na2 AS DOUBLE)) * sqrt(CAST(geo.nb2 AS DOUBLE))) END
         |    AS centroid_cosine
         |FROM c JOIN geo ON geo.label = c.label ORDER BY c.label""".stripMargin,
+    "x110_knn_mrr" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv, nrm AS qn
+        |      FROM e WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, query_label, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored),
+        |fh AS (
+        |  SELECT query_id, query_label,
+        |    min(CASE WHEN label = query_label THEN rank END) AS first_rank
+        |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2)
+        |SELECT query_label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(first_rank) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(sum(2520 // first_rank), 0) AS DOUBLE)
+        |    / (2520.0 * CAST(count(*) AS DOUBLE)) AS mrr
+        |FROM fh GROUP BY query_label ORDER BY query_label""".stripMargin,
     "x105_knn_label_eval" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -205,8 +205,16 @@ object ScaleBench {
         spark.read.parquet(s"$wh/$name").count()
       }
     }.sum
+    // the reference's MinIO hop (S3/S5: extract writes CSV, load re-reads
+    // under the declared schema) priced at the largest table
+    val csvSecs = timed("csv edge ticket_flights") {
+      val df = stg("ticket_flights")
+      graft.engine.Sources.writeCsv(df, s"$wh/edge/ticket_flights")
+      graft.engine.Sources.readCsv(spark, df.schema, s"$wh/edge/ticket_flights").count()
+    }
     println(f"[scale] TOTAL load=$loadSecs%.2f s transforms=$tfSecs%.2f s " +
-      f"all=${loadSecs + tfSecs}%.2f s (reference Gantt: <= ~22 s/task)")
+      f"all=${loadSecs + tfSecs}%.2f s (+ csv edge $csvSecs%.2f s) " +
+      "(reference Gantt: <= ~22 s/task)")
     spark.stop()
   }
 }
