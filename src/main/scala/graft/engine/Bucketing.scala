@@ -15,6 +15,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
+  /** Stable 8-hex-digit md5 digest of a dataset path — the dataset
+    * component of literal index-table names (every other parameter is
+    * encoded as its literal value; the path alone is digested because
+    * it may contain characters invalid in an identifier).
+    */
+  def pathDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
   /** Write `df` as a bucketed + sorted table in the session catalog. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int = 8): Unit =

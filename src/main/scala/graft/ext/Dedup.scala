@@ -601,17 +601,18 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** Session-catalog name for the persisted history band index. The name
-    * hashes EVERY parameter the index content depends on — dir, histMax,
-    * AND the banding geometry + bucket count — so a probe under
-    * non-default banding can never silently reuse an index whose bucket
-    * hashes were computed under different bands/rowsPerBand (stale-index
-    * reuse would drop verified pairs without any error surfacing).
+  /** Session-catalog name for the persisted history band index. EVERY
+    * parameter the index content depends on — histMax, the banding
+    * geometry, the bucket count — is encoded as its literal value, plus
+    * an md5 digest of the dataset path (round-10 discipline: the former
+    * tuple-hashCode name could collide between two parameter sets and
+    * silently reuse a wrong index; literal encoding makes stale reuse
+    * structurally impossible).
     */
   def bandIndexTable(dir: String, histMax: Int, bands: Int = 32,
       rowsPerBand: Int = 2, numBuckets: Int = 8): String =
-    "graft_band_idx_" +
-      ((dir, histMax, bands, rowsPerBand, numBuckets).hashCode & 0x7fffffff)
+    s"graft_band_idx_h${histMax}_b${bands}_r${rowsPerBand}_nb${numBuckets}" +
+      s"_d${graft.engine.Bucketing.pathDigest(dir)}"
 
   /** Materialize the HISTORY's (bucket, band, doc_id) band index ONCE,
     * `bucketBy(bucket)` — the persisted form x86's scaladoc promises.

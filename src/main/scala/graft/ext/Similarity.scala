@@ -764,6 +764,99 @@ object Similarity {
   val WideSrpBits = 256
   val WideBandBits = 8
 
+  /** Sentinel default for `sketchBits`/`bandBits`: derive the geometry
+    * from the corpus size (`adaptiveGeometry`). Every production entry
+    * point of the banded family defaults to this; explicit widths remain
+    * available for specs and the recall audit.
+    */
+  val AdaptiveBits = 0
+
+  /** Per-bit sign-agreement probability of two vectors at the cosine-0.9
+    * dedup operating point: p = 1 - acos(0.9)/pi. All band counts in
+    * `BandCountForBits` derive from it.
+    */
+  val OperatingAgreement = 0.8564337068712937
+
+  /** Pair-miss budget at the operating point: (1 - p^bandBits)^numBands
+    * <= 2e-5 — effectively total recall where dedup must not miss.
+    */
+  val BandMissTarget = 2e-5
+
+  /** bandBits -> numBands lookup, precomputed once from the closed form
+    * numBands = ceil(ln(BandMissTarget) / ln(1 - p^bandBits)) with
+    * p = OperatingAgreement, and EMBEDDED AS INTEGER LITERALS here and
+    * (via the same map) in the DuckDB twins — no runtime float log/pow
+    * whose last-ulp could differ across engines and flip a ceil. Row
+    * 8 -> 32 is exactly the fixed 256-bit geometry of rounds <= 9, so
+    * the clamp floor reproduces the historical sketch bit-for-bit.
+    */
+  val BandCountForBits: Map[Int, Int] = Map(
+    8 -> 32, 9 -> 38, 10 -> 46, 11 -> 54, 12 -> 64, 13 -> 76, 14 -> 90,
+    15 -> 106, 16 -> 124, 17 -> 146, 18 -> 171, 19 -> 201, 20 -> 235,
+    21 -> 275, 22 -> 322, 23 -> 377, 24 -> 441, 25 -> 516, 26 -> 603,
+    27 -> 705, 28 -> 825, 29 -> 964, 30 -> 1126, 31 -> 1316, 32 -> 1537,
+    33 -> 1795, 34 -> 2097, 35 -> 2449, 36 -> 2861, 37 -> 3341,
+    38 -> 3902, 39 -> 4557, 40 -> 5322)
+
+  /** Integer-exact ceil(log2(m)) — the Scala side of the cross-engine
+    * contract (DuckDB: `length(printf('%b', m - 1))`). No doubles.
+    */
+  def ceilLog2(m: Long): Int =
+    if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+
+  /** Scale-adaptive band width: the smallest bandBits keeping expected
+    * bucket occupancy <= 4 vectors per band bucket on a non-duplicated
+    * corpus (2^bandBits >= n/4, i.e. bandBits = ceil(log2(ceil(n/4))),
+    * floored at the historical 8). Fixed-width bands are the quadratic
+    * scale-killer the round-9 verdict named: with 8-bit keys each band
+    * hashes the corpus into <= 256 buckets, so candidate pairs grow
+    * ~numBands * n^2 / 2^(bandBits+1) — at 100x that is ~1e13 verify dot
+    * products. Growing bandBits with log2(n) keeps per-band candidates
+    * O(n), and `BandCountForBits` grows numBands to hold the recall
+    * contract (miss <= 2e-5 at cosine 0.9) at the wider bands. The
+    * sketch cost per vector is numBands*bandBits bits — n=1e9 needs
+    * 28-bit bands x 825 bands ~ 2.9 KB/vector, the standard LSH
+    * n^rho repetition cost (rho ~ 0.22 at the operating point), linear
+    * in corpus size and tiny next to the embeddings themselves.
+    */
+  def adaptiveBandBits(n: Long): Int =
+    math.max(WideBandBits, ceilLog2((n + 3L) / 4L))
+
+  /** (sketchBits, bandBits) for a corpus of n vectors. All bands are
+    * full-width: sketchBits = numBands * bandBits.
+    */
+  def adaptiveGeometry(n: Long): (Int, Int) = {
+    val bb = adaptiveBandBits(n)
+    val nb = BandCountForBits.getOrElse(bb,
+      throw new IllegalArgumentException(
+        s"corpus of $n vectors needs $bb-bit bands, beyond the " +
+          s"precomputed table (max ${BandCountForBits.keys.max}) — " +
+          "extend BandCountForBits (and the DuckDB twin CASE) from the " +
+          "closed form in its scaladoc"))
+    (nb * bb, bb)
+  }
+
+  /** Corpus sizes, counted once per (session, dataset) — one
+    * metadata-cheap count action feeding the geometry choice.
+    */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  def embCount(s: SparkSession, dir: String): Long =
+    countCache.computeIfAbsent((s, dir),
+      _ => t(s, dir, "embeddings").count()): Long
+
+  /** Resolve `AdaptiveBits` sentinels against the corpus size; explicit
+    * widths pass through untouched (specs, the x100 audit at pinned
+    * geometry). Either sentinel switches BOTH values to the adaptive
+    * pair — sketch width and band width are one joint choice.
+    */
+  private def resolveGeometry(s: SparkSession, dir: String,
+      sketchBits: Int, bandBits: Int): (Int, Int) =
+    if (sketchBits == AdaptiveBits || bandBits == AdaptiveBits)
+      adaptiveGeometry(embCount(s, dir))
+    else (sketchBits, bandBits)
+
   /** Long-form (dimension, bit, sign) hyperplane matrix — the same
     * md5-derived +-1 signs as `srpSigns` ("d:b" keys, so the 32-bit
     * sketch is a prefix of this one) but RELATIONAL in the bit axis:
@@ -798,10 +891,12 @@ object Similarity {
     (SparkSession, String, Int, Int), DataFrame]()
 
   def srpBandKeys(s: SparkSession, dir: String,
-      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame =
-    keysCache.computeIfAbsent((s, dir, sketchBits, bandBits), _ =>
-      srpBandKeysFor(s, t(s, dir, "embeddings"), sketchBits, bandBits)
+      sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    keysCache.computeIfAbsent((s, dir, sb, bb), _ =>
+      srpBandKeysFor(s, t(s, dir, "embeddings"), sb, bb)
         .localCheckpoint(true))
+  }
 
   /** Band keys for an arbitrary (vec_id, embedding) frame — the form a
     * streaming micro-batch probes with (`streamingBandProbe`).
@@ -847,9 +942,11 @@ object Similarity {
     * that is information-theoretically forced, not a tuning miss.
     */
   def bandedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame =
-    bandedCache.computeIfAbsent((s, dir, threshold, sketchBits, bandBits), _ =>
-      bandedNearDupPlan(s, dir, threshold, sketchBits, bandBits).localCheckpoint(true))
+      sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    bandedCache.computeIfAbsent((s, dir, threshold, sb, bb), _ =>
+      bandedNearDupPlan(s, dir, threshold, sb, bb).localCheckpoint(true))
+  }
 
   /** Exact-cosine verification of a candidate pair frame (vec_a, vec_b)
     * against the corpus — the shared tail of every banded path: two
@@ -897,11 +994,12 @@ object Similarity {
     * history's text/embeddings are only touched for verified candidates.
     */
   def incrementalBandedNearDup(s: SparkSession, dir: String, histMax: Int = 400,
-      threshold: Double = 0.4, sketchBits: Int = WideSrpBits,
-      bandBits: Int = WideBandBits): DataFrame = {
-    val keys = srpBandKeys(s, dir, sketchBits, bandBits)
+      threshold: Double = 0.4, sketchBits: Int = AdaptiveBits,
+      bandBits: Int = AdaptiveBits): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    val keys = srpBandKeys(s, dir, sb, bb)
       .select(col("vec_id"),
-        (col("band") * (1L << bandBits) + col("key")).as("bk"))
+        (col("band") * (1L << bb) + col("key")).as("bk"))
     val hist = keys.filter(col("vec_id") < histMax)
       .select(col("bk"), col("vec_id").as("vec_a"))
     val incr = keys.filter(col("vec_id") >= histMax)
@@ -925,26 +1023,30 @@ object Similarity {
   }
 
   /** Session-catalog name for the persisted embedding band index —
-    * hashes EVERY content-determining parameter (the round-9 band-index
-    * discipline: stale reuse under different banding must be
-    * impossible).
+    * every content-determining parameter is encoded LITERALLY (the
+    * round-10 discipline: a tuple hashCode could collide between two
+    * parameter sets and silently reuse a wrong index; literal encoding
+    * makes stale reuse structurally impossible), plus an md5 digest of
+    * the dataset path. Geometry must be pre-resolved — an index name
+    * cannot be adaptive without knowing the corpus.
     */
   def embBandIndexTable(dir: String, histMax: Int, sketchBits: Int = WideSrpBits,
       bandBits: Int = WideBandBits, numBuckets: Int = 8): String =
-    "graft_emb_band_idx_" +
-      ((dir, histMax, sketchBits, bandBits, numBuckets).hashCode & 0x7fffffff)
+    s"graft_emb_band_idx_h${histMax}_sb${sketchBits}_bb${bandBits}" +
+      s"_nb${numBuckets}_d${graft.engine.Bucketing.pathDigest(dir)}"
 
   /** Materialize the history's (bk, vec_id) band keys ONCE,
     * `bucketBy(bk)` — the embedding analog of `Dedup.buildBandIndex`.
     */
   def buildEmbBandIndex(s: SparkSession, dir: String, histMax: Int = 400,
-      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits,
+      sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits,
       numBuckets: Int = 8): String = {
-    val tbl = embBandIndexTable(dir, histMax, sketchBits, bandBits, numBuckets)
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    val tbl = embBandIndexTable(dir, histMax, sb, bb, numBuckets)
     if (!s.catalog.tableExists(tbl)) {
-      val idx = srpBandKeys(s, dir, sketchBits, bandBits)
+      val idx = srpBandKeys(s, dir, sb, bb)
         .filter(col("vec_id") < histMax)
-        .select((col("band") * (1L << bandBits) + col("key")).as("bk"), col("vec_id"))
+        .select((col("band") * (1L << bb) + col("key")).as("bk"), col("vec_id"))
       graft.engine.Bucketing.writeBucketed(idx, tbl, "bk", numBuckets)
     }
     tbl
@@ -958,14 +1060,15 @@ object Similarity {
     * exact-verify candidates.
     */
   def incrementalBandedNearDupIndexed(s: SparkSession, dir: String,
-      histMax: Int = 400, threshold: Double = 0.4, sketchBits: Int = WideSrpBits,
-      bandBits: Int = WideBandBits): DataFrame = {
-    val tbl = buildEmbBandIndex(s, dir, histMax, sketchBits, bandBits)
+      histMax: Int = 400, threshold: Double = 0.4, sketchBits: Int = AdaptiveBits,
+      bandBits: Int = AdaptiveBits): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    val tbl = buildEmbBandIndex(s, dir, histMax, sb, bb)
     val hist = s.table(tbl).select(col("bk"), col("vec_id").as("vec_a"))
-    val incr = srpBandKeys(s, dir, sketchBits, bandBits)
+    val incr = srpBandKeys(s, dir, sb, bb)
       .filter(col("vec_id") >= histMax)
       .select(col("vec_id"),
-        (col("band") * (1L << bandBits) + col("key")).as("bk"))
+        (col("band") * (1L << bb) + col("key")).as("bk"))
     finishIncremental(s, dir, hist, incr, histMax, threshold)
   }
 
@@ -980,12 +1083,13 @@ object Similarity {
     */
   def probeBatch(s: SparkSession, batch: DataFrame, dir: String,
       histMax: Int = 400, threshold: Double = 0.4,
-      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame = {
-    val tbl = buildEmbBandIndex(s, dir, histMax, sketchBits, bandBits)
+      sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    val tbl = buildEmbBandIndex(s, dir, histMax, sb, bb)
     val hist = s.table(tbl).select(col("bk"), col("vec_id").as("vec_a"))
-    val bKeys = srpBandKeysFor(s, batch, sketchBits, bandBits)
+    val bKeys = srpBandKeysFor(s, batch, sb, bb)
       .select(col("vec_id"),
-        (col("band") * (1L << bandBits) + col("key")).as("bk"))
+        (col("band") * (1L << bb) + col("key")).as("bk"))
     val candHist = bKeys.select(col("bk"), col("vec_id").as("vec_b"))
       .join(hist, Seq("bk"))
       .select(col("vec_a"), col("vec_b"))
@@ -1023,15 +1127,29 @@ object Similarity {
     */
   def streamingBandProbe(s: SparkSession, vectors: DataFrame, dir: String,
       root: String, checkpoint: String, histMax: Int = 400,
-      threshold: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Pin the adaptive geometry at stream start: the standing index was
+    // built under it, and every batch must probe with the SAME band
+    // width or silently read the wrong buckets. Each batch re-derives
+    // the corpus geometry from a fresh count and FAILS FAST on drift —
+    // a grown corpus means a wider-band index (a different literal
+    // table name) must be rebuilt before probing resumes.
+    val (sb, bb) = adaptiveGeometry(embCount(s, dir))
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
+        val now = adaptiveGeometry(t(s, dir, "embeddings").count())
+        require(now == ((sb, bb)),
+          s"corpus geometry drifted: index built at (sketchBits=$sb, " +
+            s"bandBits=$bb) but the corpus now needs $now — rebuild " +
+            s"${embBandIndexTable(dir, histMax, now._1, now._2)} and restart")
         graft.engine.VersionedTable.commitIfAbsent(
-          probeBatch(s, batch.toDF(), dir, histMax, threshold), root, batchId): Unit
+          probeBatch(s, batch.toDF(), dir, histMax, threshold, sb, bb),
+          root, batchId): Unit
       }
       .start()
+  }
 
   /** kNN label-consistency evaluation — the standard embedding-quality
     * audit (does neighborhood structure agree with labels?): for each
@@ -1247,8 +1365,28 @@ object Similarity {
     * the incremental x103/x104): quantized votes, per-band keys, corpus
     * norms.
     */
+  /** The adaptive-geometry CTE every banded twin starts with: corpus
+    * count -> integer-exact ceil-log2 band width (clamped at the
+    * historical 8) -> the literal band-count lookup — the SAME
+    * `BandCountForBits` map rendered as a CASE, so the two engines
+    * cannot disagree. `length(printf('%b', m-1))` is DuckDB's
+    * integer-exact ceil(log2(m)) (the Scala side uses
+    * numberOfLeadingZeros) — no float log/pow whose last ulp could flip
+    * a ceil between engines.
+    */
+  private def geometryCte: String = {
+    val cases = BandCountForBits.toSeq.sorted
+      .map { case (b, l) => s"WHEN $b THEN $l" }.mkString(" ")
+    s"""ggeo AS (
+       |  SELECT bb, CASE bb $cases END AS nb FROM (
+       |    SELECT CASE WHEN (n + 3) // 4 <= 256 THEN 8
+       |           ELSE length(printf('%b', (n + 3) // 4 - 1)) END AS bb
+       |    FROM (SELECT count(*) AS n FROM embeddings)))""".stripMargin
+  }
+
   private def bandedSketchCtes: String =
-    s"""wdims AS (
+    s"""$geometryCte,
+       |wdims AS (
        |  SELECT vec_id, i - 1 AS d,
        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
        |  FROM embeddings,
@@ -1258,14 +1396,14 @@ object Similarity {
        |  SELECT d, b,
        |    ((('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1) AS sgn
        |  FROM (SELECT unnest(generate_series(0, 63)) AS d),
-       |       (SELECT unnest(generate_series(0, ${WideSrpBits - 1})) AS b)),
+       |       (SELECT unnest(generate_series(0, (SELECT bb * nb - 1 FROM ggeo))) AS b)),
        |wvotes AS (
        |  SELECT vec_id, b, sum(q * sgn) AS v
        |  FROM wdims JOIN wsigns USING (d) GROUP BY vec_id, b),
        |wkeys AS (
-       |  SELECT vec_id, b // $WideBandBits AS band,
-       |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (b % $WideBandBits) ELSE 0 END) AS BIGINT) AS key
-       |  FROM wvotes GROUP BY vec_id, b // $WideBandBits),
+       |  SELECT vec_id, b // bb AS band,
+       |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b % bb AS INT) ELSE 0 END) AS BIGINT) AS key
+       |  FROM wvotes, ggeo GROUP BY vec_id, b // bb),
        |we AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
@@ -1296,7 +1434,9 @@ object Similarity {
     */
   private def incrementalBandedOracle(histMax: Int): String =
     s"""WITH $bandedSketchCtes,
-       |wbk AS (SELECT vec_id, band * ${1L << WideBandBits} + key AS bk FROM wkeys),
+       |wbk AS (SELECT vec_id,
+       |  band * (CAST(1 AS BIGINT) << CAST(bb AS INT)) + key AS bk
+       |  FROM wkeys, ggeo),
        |whist AS (SELECT bk, vec_id AS vec_a FROM wbk WHERE vec_id < $histMax),
        |wincr AS (SELECT bk, vec_id FROM wbk WHERE vec_id >= $histMax),
        |wcand2 AS (
