@@ -899,9 +899,29 @@ object Similarity {
   }
 
   /** Band keys for an arbitrary (vec_id, embedding) frame — the form a
-    * streaming micro-batch probes with (`streamingBandProbe`).
+    * streaming micro-batch probes with (`streamingBandProbe`). Since
+    * round 10 this is ONE map-side pass: the native codegen'd
+    * [[graft.functions.SrpBandKeys]] kernel emits every band key per
+    * vector and a posexplode of that numBands-element array replaces
+    * the corpus x dims x sketchBits exploded intermediate (broadcast
+    * sign join + two hash aggregates) that used to dominate the sketch
+    * cost — no shuffle anywhere, at any corpus size. Bit-identical to
+    * `srpBandKeysRelational` (SimilaritySpec pins it).
     */
   def srpBandKeysFor(s: SparkSession, emb: DataFrame,
+      sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame =
+    emb.select(col("vec_id"), posexplode(
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.SrpBandKeys(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          sketchBits, bandBits))))
+      .select(col("vec_id"), col("pos").cast(LongType).as("band"),
+        col("col").as("key"))
+
+  /** The relational spelling the native kernel replaced — kept as the
+    * independent reference SimilaritySpec compares bitwise (and the
+    * shape the DuckDB twins still spell in SQL).
+    */
+  private[ext] def srpBandKeysRelational(s: SparkSession, emb: DataFrame,
       sketchBits: Int = WideSrpBits, bandBits: Int = WideBandBits): DataFrame = {
     val dims = emb
       .select(col("vec_id"), posexplode(col("embedding")))

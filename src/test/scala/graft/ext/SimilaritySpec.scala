@@ -116,8 +116,12 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!sketchPlan.contains("DeserializeToObject"),
       s"sketch pipeline must be pure relational:\n$sketchPlan")
-    assert(sketchPlan.contains("HashAggregate"),
-      "sanity: the gated plan is the real sketch pipeline, not a cache scan")
+    // since r10 the sketch is ONE map-side pass over the native kernel:
+    // no shuffle and no aggregate may appear at any corpus size
+    assert(sketchPlan.contains("srp_band_keys"),
+      s"sanity: the gated plan is the real native sketch pipeline:\n$sketchPlan")
+    assert(!sketchPlan.contains("Exchange") && !sketchPlan.contains("HashAggregate"),
+      s"native sketch must be shuffle- and aggregate-free:\n$sketchPlan")
     val bandedPlan = Similarity
       .bandedNearDupPlan(spark, Dir, 0.4, Similarity.WideSrpBits, Similarity.WideBandBits)
       .queryExecution.executedPlan.toString
@@ -127,6 +131,20 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!clustersPlan.contains("DeserializeToObject"),
       "x57 must consume the banded lane, not the all-pairs kernel")
+  }
+
+  test("native band-key kernel is bit-identical to the relational spelling") {
+    val emb = graft.engine.Tables(spark, Dir, "embeddings")
+    // the adaptive default at this corpus (8-bit clamp) AND a
+    // non-default geometry exercising a partial last band (100 % 9 != 0)
+    for ((sb, bb) <- Seq((Similarity.WideSrpBits, Similarity.WideBandBits), (100, 9))) {
+      val native = Similarity.srpBandKeysFor(spark, emb, sb, bb)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val relational = Similarity.srpBandKeysRelational(spark, emb, sb, bb)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(native.nonEmpty && native == relational,
+        s"band keys must agree bitwise at geometry ($sb, $bb)")
+    }
   }
 
   test("indexed incremental banded near-dup equals inline and probes co-located") {
