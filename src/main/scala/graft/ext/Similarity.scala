@@ -232,17 +232,32 @@ object Similarity {
     tbl
   }
 
+  /** Probe budget for `annTopkIndexed`'s two plan tiers. At or below
+    * it, the distinct probe bucket keys are collected into an
+    * `IN (...)` literal — the only form that lets the bucketed scan
+    * prune files (bucket pruning engages on driver-side literals only),
+    * and the same bounded driver-scalar tier as IVF's training sample.
+    * Past it the key list would ride the plan as an ever-growing
+    * literal, so the probe becomes a BROADCAST SEMI-JOIN on `tb`
+    * instead: no collect, no literal, the scan streams each bucket once
+    * — which is also the right plan there, because a probe set that
+    * large touches nearly every bucket and pruning is moot.
+    */
+  val MaxProbeLiterals = 2048
+
   /** ANN top-k against the PERSISTED index: the query batch's bucket
-    * keys (numQueries x numTables values — bounded by construction, the
-    * same driver-scalar tier as IVF's training sample) prune the
-    * bucketed index scan, candidates join the broadcast probe list, and
-    * only candidates are scored exactly. Identical parameters and
+    * keys prune the bucketed index scan (literal `IN` below
+    * `maxProbeLiterals`, broadcast semi-join above — see
+    * [[MaxProbeLiterals]]), candidates join the broadcast probe list,
+    * and only candidates are scored exactly. Identical parameters and
     * hyperplanes to `annTopk`, so the results agree exactly —
-    * SimilaritySpec asserts it, plus the bucket-pruned scan property.
+    * SimilaritySpec asserts it (on BOTH tiers), plus the bucket-pruned
+    * scan property on the literal tier.
     */
   def annTopkIndexed(s: SparkSession, dir: String,
       numQueries: Int = 5, k: Int = 10,
-      numTables: Int = 18, bitsPerTable: Int = 4): DataFrame = {
+      numTables: Int = 18, bitsPerTable: Int = 4,
+      maxProbeLiterals: Int = MaxProbeLiterals): DataFrame = {
     val tbl = buildAnnIndex(s, dir, numTables, bitsPerTable)
     val c = corpus(s, dir)
     val planes = hyperplaneTensor(64, numTables, bitsPerTable)
@@ -250,11 +265,16 @@ object Similarity {
     val qb = lshBuckets(q, planes)
       .withColumn("tb", col("tbl") * (1 << bitsPerTable) + col("bucket"))
       .select(col("vec_id").as("query_id"), col("tb"))
-    val probeKeys = qb.select(col("tb")).distinct().collect().map(_.getLong(0)).toSeq
+    val pruned =
+      if (numQueries.toLong * numTables <= maxProbeLiterals) {
+        val probeKeys = qb.select(col("tb")).distinct().collect()
+          .map(_.getLong(0)).toSeq
+        s.table(tbl).filter(col("tb").isin(probeKeys: _*))
+      } else s.table(tbl)
+        .join(broadcast(qb.select(col("tb")).distinct()), Seq("tb"), "left_semi")
     val qv = q.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), col("nrm").as("qn"))
-    val scored = s.table(tbl)
-      .filter(col("tb").isin(probeKeys: _*))
+    val scored = pruned
       .join(broadcast(qb), "tb")
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")

@@ -53,6 +53,17 @@ class SimilaritySpec extends SparkSpec {
     assert(m.isDefined, s"expected a bucket-pruned scan:\n$plan")
     assert(m.get.group(1).toInt < m.get.group(2).toInt,
       s"probe must read a strict subset of buckets: ${m.get.matched}")
+    // the large-probe tier (maxProbeLiterals = 0 forces it): identical
+    // answer, no collected literal, the probe is a broadcast semi-join
+    // — the shape that scales past a handful of queries
+    val semi = Similarity.annTopkIndexed(spark, Dir, maxProbeLiterals = 0)
+    assert(semi.collect().toSeq == inline,
+      "the semi-join tier must change the plan, never the answer")
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(!semiPlan.contains(" IN ("),
+      s"no probe-key literal may ride the semi-join tier plan:\n$semiPlan")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(semiPlan).isDefined,
+      s"the probe must be a BROADCAST semi-join (index side never shuffles):\n$semiPlan")
   }
 
   test("driver-gated ANN forms pin both recall contracts true") {
