@@ -10,12 +10,19 @@ import graft.engine.Tables
   * typed metadata, plus the per-batch decode -> feature-extract -> sample
   * plumbing a training-data pipeline needs.
   *
-  * The container has no media codecs, so `decodeStub` is a DETERMINISTIC
-  * FAKE standing in for the real decoder (it derives "samples" from the
-  * payload bytes themselves); everything around it — the schema, the
-  * typed Dataset shape, iterator-to-iterator `mapPartitions` batching,
-  * partition-count invariance — is the real Spark plumbing and is
-  * tested. Swapping the stub for an actual codec changes one function.
+  * Since round 10 the IMAGE kind decodes FOR REAL: `decodeImage` uses
+  * the JDK's own javax.imageio readers (PNG/BMP/GIF/JPEG — part of
+  * java.desktop, headless-safe, no external codec), and x111 runs a
+  * genuine PNG encode+decode round-trip in the hot path, hash-gated
+  * against a codec-less DuckDB twin via PNG's losslessness. The
+  * remaining stub scope is AUDIO/VIDEO (the container has no codecs for
+  * those) and undecodable payloads: there `decodeStub` is a
+  * DETERMINISTIC FAKE deriving "samples" from the payload bytes; the
+  * plumbing around it — schema, typed Dataset shape,
+  * iterator-to-iterator `mapPartitions` batching, partition-count
+  * invariance — is the real Spark shape either way and is tested.
+  * Swapping the audio/video stub for an actual codec changes one arm of
+  * `featurize`.
   *
   * Scale shape: the heavy lane (payload bytes) flows map-side only —
   * decode/featurize is `mapPartitions` with no shuffle; only the small
@@ -66,8 +73,10 @@ object Multimodal {
   }
 
   /** STUB — the float feature vector a real decoder would emit: the slot
-    * sums scaled to [0, ·] and L2-normalized. A real implementation would
-    * decode pixels/samples and run the same signature.
+    * sums scaled to [0, ·] and L2-normalized. Since round 10 this stands
+    * in for AUDIO/VIDEO only — the image kind goes through the REAL
+    * JDK decoder first (`decodeImage`) and only falls back here when
+    * the payload is not a decodable image.
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val sums = decodeSums(payload, dim)
@@ -75,6 +84,97 @@ object Multimodal {
     val norm = math.sqrt(scaled.foldLeft(0.0)((s, v) => s + v * v))
     if (norm == 0.0) new Array[Float](dim)
     else scaled.map(v => (v / norm).toFloat)
+  }
+
+  /** Exact integer statistics of a REAL decoded image. */
+  final case class ImageStats(width: Int, height: Int, nPixels: Long,
+      pixelSum: Long, pixelMax: Int, grayHist: Array[Long])
+
+  /** REAL image decode — `javax.imageio` ships in the JDK (java.desktop:
+    * PNG/BMP/GIF/JPEG readers, headless-safe), so no external codec is
+    * needed for the image kind. Pixel values are read straight off the
+    * first raster band (no color-model conversion — for gray images the
+    * samples ARE the stored bytes, which is what makes the PNG
+    * round-trip bit-exact), reduced to exact integer stats plus a
+    * `dim`-bin sample histogram. None when the bytes are not a
+    * decodable image — callers fall back to `decodeStub`, whose scope
+    * since round 10 is audio/video (still no codecs for those) and
+    * non-image payloads only.
+    */
+  def decodeImage(payload: Array[Byte], dim: Int = 16): Option[ImageStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val r = im.getRaster
+      val maxSample = (1 << im.getColorModel.getComponentSize(0)) - 1
+      val hist = new Array[Long](dim)
+      var sum = 0L
+      var mx = 0
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val v = r.getSample(x, y, 0)
+          sum += v
+          if (v > mx) mx = v
+          hist(math.min(dim - 1, v * dim / (maxSample + 1))) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(im.getWidth, im.getHeight,
+        im.getWidth.toLong * im.getHeight, sum, mx, hist)
+    }
+  }
+
+  /** Deterministic grayscale PNG encode: `bytes` become the pixels of a
+    * `width`-wide TYPE_BYTE_GRAY image (row-major, zero-padded tail).
+    * PNG is lossless, so decode(encode(b)) recovers the bytes exactly —
+    * the property x111 rides to oracle-gate a REAL codec path: the
+    * decoded pixel sum equals the byte sum DuckDB computes without any
+    * codec.
+    */
+  def encodeGrayPng(bytes: Array[Byte], width: Int): Array[Byte] = {
+    val h = math.max(1L, (bytes.length.toLong + width - 1) / width).toInt
+    val img = new java.awt.image.BufferedImage(width, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % width, i / width, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Per-row decode dispatch (shared by `mediaFeatures` and the spec):
+    * image payloads go through the REAL decoder when decodable —
+    * features are the L2-normalized `dim`-bin gray histogram, digest the
+    * md5 of the exact integer bin counts; everything else (audio/video,
+    * undecodable bytes) uses the documented stub. Returns (features,
+    * digest, realDecoded).
+    */
+  def featurize(kind: String, payload: Array[Byte], dim: Int):
+      (Array[Float], String, Boolean) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val real = if (kind == "image") decodeImage(payload, dim) else None
+    real match {
+      case Some(st) =>
+        val digest = hex(md.digest(st.grayHist.mkString(",").getBytes("UTF-8")))
+        val norm = math.sqrt(st.grayHist.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+        val feats =
+          if (norm == 0.0) new Array[Float](dim)
+          else st.grayHist.map(v => (v / norm).toFloat)
+        (feats, digest, true)
+      case None =>
+        val sums = decodeSums(payload, dim)
+        val digest = hex(md.digest(sums.mkString(",").getBytes("UTF-8")))
+        (decodeStub(payload, dim), digest, false)
+    }
   }
 
   /** decode + featurize as one iterator-to-iterator pass: batch-shaped
@@ -88,13 +188,9 @@ object Multimodal {
   def mediaFeatures(s: SparkSession, dir: String, dim: Int = 16): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val sums = decodeSums(r.payload, dim)
-        val digest = md.digest(sums.mkString(",").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          decodeStub(r.payload, dim), digest)
+        val (feats, digest, _) = featurize(r.kind, r.payload, dim)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats, digest)
       }
     }
   }
@@ -172,15 +268,45 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** x111: a REAL codec in the hot path, oracle-gated end-to-end. Each
+    * image-slice document's bytes become the pixels of a genuine
+    * grayscale PNG (`encodeGrayPng`), which the JDK's real PNG decoder
+    * (`decodeImage` -> javax.imageio) then decodes back to exact integer
+    * pixel statistics — all inside one iterator-to-iterator
+    * `mapPartitions` pass, bytes never leaving the partition (the x30
+    * batch shape, now with a real encode+decode in it). PNG is
+    * lossless, so the decoded pixel sum/max EQUAL the byte sum/max
+    * DuckDB computes directly on the text — a hash-gate on a real codec
+    * path with no codec on the oracle side. A decode failure poisons
+    * the row loudly (throw), not silently.
+    */
+  def imageDecodeStats(s: SparkSession, dir: String, width: Int = 32): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // the image slice
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val st = decodeImage(encodeGrayPng(bytes, width)).getOrElse(
+          throw new IllegalStateException(s"JDK PNG decoder failed on media $id"))
+        (id, st.width.toLong, st.height.toLong, st.nPixels, st.pixelSum,
+          st.pixelMax.toLong)
+      })
+      .toDF("media_id", "width", "height", "n_pixels", "pixel_sum", "pixel_max")
+      .orderBy(col("media_id"))
+  }
+
   /** Driver queries. The float vectors and raw frame bytes cannot ride
     * the driver compare (pandas cannot sort list/binary columns), so each
     * row carries scalar witnesses instead — and those ARE hash-gateable:
     * x30's feature digest is exact integer math over the payload bytes,
-    * x31's frame geometry is arithmetic over the byte length.
-    * MultimodalSpec pins determinism and partitioning invariance of the
-    * full-width lanes.
+    * x31's frame geometry is arithmetic over the byte length, and x111's
+    * pixel stats survive the lossless PNG round-trip. MultimodalSpec
+    * pins determinism and partitioning invariance of the full-width
+    * lanes.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_image_decode" -> ((s: SparkSession, dir: String) => imageDecodeStats(s, dir)),
     "x106_frame_overlap" -> ((s: SparkSession, dir: String) => frameOverlap(s, dir)),
     "x66_media_dedup" -> (mediaDedup _),
     "x30_media_features" -> ((s: SparkSession, dir: String) =>
@@ -202,6 +328,22 @@ object Multimodal {
     * numbers 0, 4, 8, … below bytelen/256).
     */
   val oracles: Map[String, String] = Map(
+    "x111_image_decode" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (
+        |  SELECT t.media_id, t.n,
+        |    CAST(sum(ord(substr(t.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS bsum,
+        |    CAST(max(ord(substr(t.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS bmax
+        |  FROM img t,
+        |       LATERAL (SELECT unnest(generate_series(1, t.n)) AS i)
+        |  GROUP BY t.media_id, t.n)
+        |SELECT media_id, CAST(32 AS BIGINT) AS width,
+        |  greatest(1, (n + 31) // 32) AS height,
+        |  greatest(1, (n + 31) // 32) * 32 AS n_pixels,
+        |  bsum AS pixel_sum, bmax AS pixel_max
+        |FROM b ORDER BY media_id""".stripMargin,
     "x106_frame_overlap" ->
       """WITH frames AS (
         |  SELECT DISTINCT media_id,
