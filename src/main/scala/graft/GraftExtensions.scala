@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotD].getName, "dot_d"),
-      (children: Seq[Expression]) => DotD(children.head, children(1))))
+      DotD.builder _))
     extensions.injectOptimizerRule(_ => BpeCountRewrite)
   }
 }

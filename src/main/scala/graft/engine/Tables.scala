@@ -41,11 +41,54 @@ object Tables {
       // TIMESTAMP(NANOS) arrives as a long under nanosAsLong and needs
       // the DIV-1000 truncation; a rewritten corpus (e.g. the 10x
       // scaling clone, written by DuckDB as micros) arrives as a native
-      // timestamp already at oracle precision — accept both spellings
+      // timestamp already at oracle precision — accept both spellings.
+      // The long case is footer-verified, not assumed: a raw INT64 ts
+      // (e.g. micros-as-INT64, a common parquet spelling) would be
+      // silently mis-scaled 1000x by the DIV, so the parquet logical-
+      // type annotation must actually say TIMESTAMP(NANOS).
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
+          assertTsIsNanos(spark, path(dir, name))
           raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         case _ => raw
       }
     } else spark.read.parquet(path(dir, name))
+
+  /** Paths whose INT64 `ts` has been footer-verified as
+    * TIMESTAMP(NANOS) — one footer read per path per JVM.
+    */
+  private val nanosVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertTsIsNanos(spark: SparkSession, p: String): Unit =
+    if (!nanosVerified.contains(p)) {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val fsPath = new org.apache.hadoop.fs.Path(p)
+      val fs = fsPath.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(fsPath).isDirectory)
+          fs.listStatus(fsPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).head
+        else fsPath
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      val ann =
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.getType(schema.getFieldIndex("ts"))
+            .asPrimitiveType().getLogicalTypeAnnotation
+        }
+        finally reader.close()
+      ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          nanosVerified.add(p): Unit
+        case other => throw new IllegalStateException(
+          s"$p: ts is INT64 but its parquet logical type is " +
+            s"${Option(other).getOrElse("<none>")}, not TIMESTAMP(NANOS) — " +
+            "refusing the nanos->micros DIV 1000 (a micros-as-INT64 " +
+            "column would be silently mis-scaled 1000x)")
+      }
+    }
 }

@@ -203,9 +203,16 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
-  /** Session-catalog name for the persisted ANN index of `dir`. */
-  def annIndexTable(dir: String): String =
-    "graft_ann_idx_" + (dir.hashCode & 0x7fffffff)
+  /** Session-catalog name for the persisted ANN index — every
+    * content-determining parameter encoded literally plus a path digest
+    * (the round-10 literal-naming discipline: a hashCode name, and a
+    * name omitting the LSH geometry, could both silently reuse a wrong
+    * index).
+    */
+  def annIndexTable(dir: String, numTables: Int = 18, bitsPerTable: Int = 4,
+      numBuckets: Int = 256): String =
+    s"graft_ann_idx_t${numTables}_b${bitsPerTable}_nb${numBuckets}" +
+      s"_d${graft.engine.Bucketing.pathDigest(dir)}"
 
   /** Materialize the ANN index ONCE: every corpus vector's LSH bucket
     * ids flattened to a single `tb = tbl * 2^bits + bucket` key and
@@ -219,7 +226,7 @@ object Similarity {
     */
   def buildAnnIndex(s: SparkSession, dir: String,
       numTables: Int = 18, bitsPerTable: Int = 4, numBuckets: Int = 256): String = {
-    val tbl = annIndexTable(dir)
+    val tbl = annIndexTable(dir, numTables, bitsPerTable, numBuckets)
     if (!s.catalog.tableExists(tbl)) {
       val c = corpus(s, dir)
       val planes = hyperplaneTensor(64, numTables, bitsPerTable)

@@ -79,9 +79,20 @@ object DotD {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Shared SQL builder: arity-checked so `dot_d(x)` raises a proper
+    * analysis-time error naming the function instead of an
+    * IndexOutOfBoundsException from `children(1)`.
+    */
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"dot_d expects exactly 2 arguments (array<float>, array<float>), " +
+        s"got ${children.length}")
+    DotD(children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotD].getName, "dot_d"),
-      (children: Seq[Expression]) => DotD(children.head, children(1)))
+      builder _)
 }

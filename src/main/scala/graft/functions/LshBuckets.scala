@@ -56,6 +56,22 @@ case class LshBuckets(child: Expression,
     copy(child = newChild)
 
   override def prettyName: String = "lsh_buckets"
+
+  // Array equals/hashCode are reference-based, so the synthesized case-
+  // class equality never matched two separately-constructed but
+  // identical plane tensors — defeating Catalyst canonicalization and
+  // subexpression elimination (ADVICE r9). Compare the tensor by
+  // CONTENT.
+  @transient private lazy val planesHash: Int =
+    java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
+  override def equals(other: Any): Boolean = other match {
+    case LshBuckets(c, p) => child == c && java.util.Arrays.deepEquals(
+      planes.asInstanceOf[Array[AnyRef]], p.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int = 31 * child.hashCode + planesHash
 }
 
 object LshBuckets {

@@ -22,11 +22,14 @@ object BucketedStar {
 
   private val M = DecimalType(18, 6)
 
-  /** Session-catalog name for the bucketed copy — keyed by data dir so
-    * warm (sf0.001) and timed (sf0.1) runs keep separate tables.
+  /** Session-catalog name for the bucketed copy — keyed by a data-dir
+    * digest so warm (sf0.001) and timed (sf0.1) runs keep separate
+    * tables (literal-digest naming, not String.hashCode: 32-bit
+    * hashCode collisions between two dirs would silently share a
+    * table).
     */
   def bucketedTable(dir: String, name: String): String =
-    s"graft_b_${name}_" + (dir.hashCode & 0x7fffffff)
+    s"graft_b_${name}_d" + graft.engine.Bucketing.pathDigest(dir)
 
   /** Idempotently materialize the bucketed fact copies for `dir`.
     * `Bench` calls this OUTSIDE the timed window (the write is the

@@ -123,6 +123,28 @@ class FunctionsSpec extends SparkSpec {
     assert(edges(2) == (Some(0.0), Some(0.0)), s"empty arrays fold to 0.0: ${edges(2)}")
   }
 
+  test("dot_d SQL builder rejects wrong arity with a named error") {
+    DotD.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_d(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("dot_d") && m.contains("2 arguments")),
+      s"expected an arity error naming dot_d, got: $e")
+  }
+
+  test("LshBuckets with equal-content tensors canonicalize equal") {
+    def planes() = Array(Array(Array(0.5, -0.25), Array(1.0, 2.0)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val c = ColumnBridge.expression(col("embedding"))
+    val a = LshBuckets(c, planes())
+    val b = LshBuckets(c, planes())
+    assert(a == b && a.hashCode == b.hashCode,
+      "content-equal plane tensors must compare equal (subexpression elimination)")
+    assert(a != LshBuckets(c, Array(Array(Array(9.0, 0.0)))))
+  }
+
   test("TopKAgg equals the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.engine.Tables(spark, Sf, "embeddings")
