@@ -232,6 +232,81 @@ class SimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming band probe fails fast when corpus growth changes the geometry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cdir = java.nio.file.Files.createTempDirectory("graft_geodrift").toString
+    val emb = graft.engine.Tables(spark, Dir, "embeddings") // 500 rows -> 8-bit bands
+    emb.write.parquet(s"$cdir/embeddings.parquet")
+    val dirs = java.nio.file.Files.createTempDirectory("graft_geodrift_out").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = Similarity.streamingBandProbe(spark,
+      in.toDF().toDF("vec_id", "embedding"), cdir,
+      s"$dirs/pairs", s"$dirs/ckpt", histMax = 250)
+    try {
+      in.addData((500L, Array.fill(64)(0.1f)))
+      q.processAllAvailable() // geometry unchanged: the batch commits
+      assert(graft.engine.VersionedTable.versions(spark, s"$dirs/pairs") == Seq(0L))
+      // grow the corpus across the 8->9-bit band boundary (500 -> 1500
+      // vectors): the standing index's geometry is now stale and the
+      // stream must refuse to probe it, not silently read wrong buckets
+      Seq(500L, 1000L).foreach { off =>
+        emb.withColumn("vec_id", col("vec_id") + off)
+          .write.mode("append").parquet(s"$cdir/embeddings.parquet")
+      }
+      in.addData((501L, Array.fill(64)(0.2f)))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("geometry drifted")),
+        s"expected the geometry-drift fail-fast, got: $e")
+    } finally q.stop()
+  }
+
+  test("banded probe join under a hot bucket: AQE skew split engages") {
+    import spark.implicits._
+    // a mostly-duplicated corpus (the real shape that makes one band
+    // bucket hot): 50k copies of one vector + 10k random in the history,
+    // 50 copies + 450 random in the increment. One 16-bit band keeps the
+    // gate on a single join key distribution.
+    val hot = graft.engine.Tables(spark, Dir, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val rnd = new scala.util.Random(7)
+    def noise() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val corpus = ((0L until 50000L).map(i => (i, hot)) ++
+      (50000L until 60000L).map(i => (i, noise())) ++
+      (60000L until 60050L).map(i => (i, hot)) ++
+      (60050L until 60500L).map(i => (i, noise())))
+      .toDF("vec_id", "embedding")
+    val keys = Similarity.srpBandKeysFor(spark, corpus, 16, 16)
+      .select(col("vec_id"), (col("band") * 65536L + col("key")).as("bk"))
+      .localCheckpoint(true)
+    val hist = keys.filter(col("vec_id") < 60000)
+      .select(col("bk"), col("vec_id").as("vec_a"))
+    val incr = keys.filter(col("vec_id") >= 60000)
+      .select(col("bk"), col("vec_id").as("vec_b"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "200k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "200k")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val qe = incr.join(hist, Seq("bk")).queryExecution
+      val n = qe.toRdd.count()
+      assert(n >= 50L * 50000L, s"the hot bucket must dominate the probe: $n")
+      assert(qe.executedPlan.toString.contains("skew=true"),
+        s"AQE must split the hot band bucket:\n${qe.executedPlan.toString.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("embedding dup clusters are consistent with the banded pair set") {
     val pairs = Similarity.bandedNearDup(spark, Dir)
       .select("vec_a", "vec_b").collect()
