@@ -1053,8 +1053,11 @@ object Similarity {
     finishIncremental(s, dir, hist, incr, histMax, threshold)
   }
 
-  private def finishIncremental(s: SparkSession, dir: String, hist: DataFrame,
-      incr: DataFrame, histMax: Int, threshold: Double): DataFrame = {
+  /** The distinct candidate pair set of one incremental probe: history
+    * hits plus increment-internal pairs — the frame whose size is the
+    * cost driver of the verify stage.
+    */
+  private def incrCandidates(hist: DataFrame, incr: DataFrame): DataFrame = {
     val candHist = incr.select(col("bk"), col("vec_id").as("vec_b"))
       .join(hist, Seq("bk"))
       .select(col("vec_a"), col("vec_b"))
@@ -1062,7 +1065,30 @@ object Similarity {
       .join(incr.select(col("bk"), col("vec_id").as("vec_b")), Seq("bk"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
-    val cand = candHist.unionByName(candIncr).distinct()
+    candHist.unionByName(candIncr).distinct()
+  }
+
+  /** Diagnostic: how many DISTINCT candidate pairs the incremental
+    * banded probe exact-verifies at a geometry — the quantity the
+    * scale-adaptive band width keeps near-linear in corpus size where
+    * fixed-width bands grow it quadratically (BASELINE.md records the
+    * measured curve). An operations-side index-health probe, not a
+    * driver query.
+    */
+  def incrBandedCandidateCount(s: SparkSession, dir: String, histMax: Int = 400,
+      sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): Long = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    val keys = srpBandKeys(s, dir, sb, bb)
+      .select(col("vec_id"),
+        (col("band") * (1L << bb) + col("key")).as("bk"))
+    incrCandidates(
+      keys.filter(col("vec_id") < histMax).select(col("bk"), col("vec_id").as("vec_a")),
+      keys.filter(col("vec_id") >= histMax)).count()
+  }
+
+  private def finishIncremental(s: SparkSession, dir: String, hist: DataFrame,
+      incr: DataFrame, histMax: Int, threshold: Double): DataFrame = {
+    val cand = incrCandidates(hist, incr)
     exactVerify(s, dir, cand, threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"),
         (col("vec_a") >= histMax).as("incr_internal"))
