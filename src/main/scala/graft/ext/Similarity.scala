@@ -920,8 +920,16 @@ object Similarity {
   def srpBandKeys(s: SparkSession, dir: String,
       sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): DataFrame = {
     val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    // Repartition before checkpointing: the sketch inherits the SCAN's
+    // split count (a small embeddings file reads as 1-2 partitions), but
+    // every consumer fans OUT from here — the probe self-join multiplies
+    // rows ~6x on a clone-heavy corpus and its partial aggregate runs
+    // wherever these partitions sit. Without this the whole candidate
+    // stage ran on 2 of 32 cores at the 10x corpus (candidate count
+    // 7.0 -> 1.5 s warm, x103 end-to-end 8.8 -> 2-3 s once spread).
     keysCache.computeIfAbsent((s, dir, sb, bb), _ =>
       srpBandKeysFor(s, t(s, dir, "embeddings"), sb, bb)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
         .localCheckpoint(true))
   }
 
