@@ -1321,6 +1321,131 @@ object Similarity {
       .orderBy(col("query_label"))
   }
 
+  /** Hard-negative mining — the contrastive-training companion to
+    * x105/x110: for each query, the k highest-cosine corpus vectors
+    * whose label DIFFERS from the query's (the "confusable" examples a
+    * retrieval/embedding trainer wants as negatives; easy random
+    * negatives teach nothing). Same broadcast-query shape and two-phase
+    * top-k as `knnRanked` — the corpus never shuffles, a partition-local
+    * row_number prefilter bounds what reaches the per-query window —
+    * and the same bitwise-cosine discipline (native `dotD` strict fold),
+    * so the float ranking hash-gates cross-engine. Ties break by vec_id:
+    * a total order.
+    */
+  def hardNegatives(s: SparkSession, dir: String,
+      numQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("neg_label"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Matryoshka dimension-ablation eval: recall@k of the exact cosine
+    * top-k computed over only the FIRST d dimensions, against the
+    * full-width exact top-k (the session-cached x20 ranking) — the
+    * measurement behind "can we serve truncated embeddings?" (MRL-style
+    * nested representations). One corpus pass per probed width (widths
+    * ≪ dims, each leg the same broadcast-query no-shuffle shape), exact
+    * integer hit counts, one final double division; the d = full-width
+    * leg recovers the reference ranking bit-for-bit, so its recall is
+    * exactly 1.0 — a built-in self-check the spec pins.
+    */
+  def dimAblationRecall(s: SparkSession, dir: String,
+      numQueries: Int = 20, k: Int = 10,
+      widths: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val full = cosineTopk(s, dir, numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val legs = widths.map { d =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("emb"))
+        .select(col("vec_id"), col("emb"), normD(col("emb")).as("nrm"))
+      val q = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+          col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotD(col("qv"), col("emb")) / (col("qn") * col("nrm"))).as("cosine"))
+      val local = Window.partitionBy(col("query_id"), col("part"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val topd = scored
+        .withColumn("part", spark_partition_id())
+        .withColumn("lrn", row_number().over(local))
+        .filter(col("lrn") <= k)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val hits = topd.join(full, Seq("query_id", "vec_id"), "left_semi")
+      full.agg(count(lit(1)).cast(LongType).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).cast(LongType).as("n_hits")))
+        .select(lit(d).cast(LongType).as("d"), col("n_exact"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
+            .as("recall"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy(col("d"))
+  }
+
+  /** Leave-one-out label-centroid outlier screen — the mislabel /
+    * contamination audit over the labeled embeddings: each vector's
+    * cosine to its OWN label's centroid computed WITHOUT itself
+    * (S − v, exact by linearity of the quantized integer sums; an
+    * in-centroid self-term flatters exactly the outliers this screen
+    * hunts), bottom `m` per label reported. The x108 discipline end to
+    * end: quantized integer dimension sums, DECIMAL(38,0) products, one
+    * final double expression — a float-fragile statistic that
+    * hash-gates. Shuffle shape: one posexplode aggregate to
+    * (label, dim) grain (tiny), broadcast back onto the per-vector
+    * dimension rows, one aggregate back to vector grain — the corpus
+    * rides exactly two map-side-combinable aggregates, no join of the
+    * corpus against itself anywhere.
+    */
+  def centroidOutliers(s: SparkSession, dir: String, m: Int = 5): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
+    val sums = dims.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).cast(LongType).as("sl"))
+    val geo = dims.join(broadcast(sums), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"), col("q"),
+        (col("sl") - col("q")).as("r"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("r").cast("decimal(38,0)")).as("dot"),
+        sum(col("q").cast("decimal(38,0)") * col("q").cast("decimal(38,0)")).as("n2v"),
+        sum(col("r").cast("decimal(38,0)") * col("r").cast("decimal(38,0)")).as("n2c"))
+    val scored = geo.select(col("vec_id"), col("label"),
+      when(col("n2v") === 0 || col("n2c") === 0, lit(null).cast(DoubleType))
+        .otherwise(col("dot").cast(DoubleType)
+          / (sqrt(col("n2v").cast(DoubleType)) * sqrt(col("n2c").cast(DoubleType))))
+        .as("loo_cosine"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("loo_cosine").asc_nulls_first, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("label"), col("rank"), col("vec_id"), col("loo_cosine"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** Recall audit of the banded lane against the exact kernel: per
     * cosine vigintile (floor(cosine*20)), how many exact pairs exist
     * and how many the banded path recovered. Test-scale only — the
@@ -1344,6 +1469,9 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x112_hard_negatives" -> ((s: SparkSession, dir: String) => hardNegatives(s, dir)),
+    "x113_dim_ablation" -> ((s: SparkSession, dir: String) => dimAblationRecall(s, dir)),
+    "x114_centroid_outliers" -> ((s: SparkSession, dir: String) => centroidOutliers(s, dir)),
     "x99_banded_neardup" -> ((s: SparkSession, dir: String) => bandedNearDup(s, dir)),
     "x100_banded_recall" -> (bandedRecallAudit _),
     "x105_knn_label_eval" -> ((s: SparkSession, dir: String) => knnLabelEval(s, dir)),
@@ -1537,7 +1665,124 @@ object Similarity {
        |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
 
+  /** One x113 truncated-top-k leg at width `d` — generated per probed
+    * width so the twin mirrors the Spark legs exactly (same slicing,
+    * same fold order, same tie-breaks).
+    */
+  private def dimAblationLeg(d: Int): String =
+    s"""e$d AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, $d), i -> embedding[i]) AS emb,
+       |    sqrt(list_reduce(list_transform(generate_series(1, $d),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |q$d AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn
+       |        FROM e$d WHERE vec_id < 20),
+       |s$d AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_reduce(list_transform(generate_series(1, $d),
+       |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.emb[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+       |  FROM q$d q JOIN e$d e ON e.vec_id <> q.query_id),
+       |t$d AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM s$d) WHERE rank <= 10),
+       |g$d AS (
+       |  SELECT CAST($d AS BIGINT) AS d,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM fr) AS n_exact,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM t$d JOIN fr USING (query_id, vec_id))""".stripMargin
+
+  private val dimAblationOracle: String = {
+    val widths = Seq(8, 16, 32, 64)
+    s"""WITH fe AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |fq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+       |       FROM fe WHERE vec_id < 20),
+       |fs AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+       |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+       |  FROM fq q JOIN fe e ON e.vec_id <> q.query_id),
+       |fr AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM fs) WHERE rank <= 10),
+       |${widths.map(dimAblationLeg).mkString(",\n")}
+       |SELECT d, n_exact, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM (${widths.map(d => s"SELECT * FROM g$d").mkString(" UNION ALL ")})
+       |ORDER BY d""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x112_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label,
+        |             embedding AS qv, nrm AS qn
+        |      FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.qn * e.nrm) AS cosine
+        |  FROM q JOIN e ON e.label <> q.query_label),
+        |ranked AS (
+        |  SELECT query_id, query_label, vec_id, neg_label, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, query_label, vec_id, neg_label, cosine,
+        |  CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x113_dim_ablation" -> dimAblationOracle,
+    "x114_centroid_outliers" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, i - 1 AS pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(embedding) AS v,
+        |                       unnest(generate_series(1, len(embedding))) AS i)),
+        |sums AS (
+        |  SELECT label, pos, CAST(sum(q) AS BIGINT) AS sl
+        |  FROM dims GROUP BY label, pos),
+        |geo AS (
+        |  SELECT d.vec_id, d.label,
+        |    sum(CAST(d.q AS HUGEINT) * CAST(s.sl - d.q AS HUGEINT)) AS dot,
+        |    sum(CAST(d.q AS HUGEINT) * CAST(d.q AS HUGEINT)) AS n2v,
+        |    sum(CAST(s.sl - d.q AS HUGEINT) * CAST(s.sl - d.q AS HUGEINT)) AS n2c
+        |  FROM dims d JOIN sums s ON d.label = s.label AND d.pos = s.pos
+        |  GROUP BY d.vec_id, d.label),
+        |scored AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN n2v = 0 OR n2c = 0 THEN NULL
+        |         ELSE CAST(dot AS DOUBLE)
+        |           / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) END
+        |      AS loo_cosine
+        |  FROM geo),
+        |ranked AS (
+        |  SELECT label, vec_id, loo_cosine,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY loo_cosine ASC NULLS FIRST, vec_id) AS rank
+        |  FROM scored)
+        |SELECT label, CAST(rank AS INT) AS rank, vec_id, loo_cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     "x108_embedding_drift" ->
       """WITH b AS (
         |  SELECT CAST((min(vec_id) + max(vec_id) + 1) // 2 AS BIGINT) AS mid

@@ -346,4 +346,46 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.forall(s => (s & ~((1L << Similarity.SrpBits) - 1)) == 0L))
     assert(a.values.toSet.size > 1, "sketches separate the fixture's vectors")
   }
+
+  test("hard negatives never share the query's label and rank densely") {
+    val rows = Similarity.hardNegatives(spark, Dir).collect()
+    assert(rows.length == 20 * 10)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("query_label") != r.getAs[Int]("neg_label"))
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("query_id"))
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      // within a query the reported negatives are in non-increasing cosine
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dim ablation: full-width leg recovers the exact ranking verbatim") {
+    val rows = Similarity.dimAblationRecall(spark, Dir).collect()
+      .map(r => r.getAs[Long]("d") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
+      .toMap
+    assert(rows.keySet == Set(8L, 16L, 32L, 64L))
+    rows.values.foreach { case (ne, nh, rec) =>
+      assert(ne == 200L && nh >= 0L && nh <= ne)
+      assert(rec >= 0.0 && rec <= 1.0 && rec == nh.toDouble / ne.toDouble)
+    }
+    // slicing to the full width is the identity, so recall is exactly 1
+    assert(rows(64L) == ((200L, 200L, 1.0)))
+  }
+
+  test("centroid outliers: LOO cosine is exact-integer derived and bounded") {
+    val rows = Similarity.centroidOutliers(spark, Dir).collect()
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length) && g.length <= 5)
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("loo_cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a <= b }, "ascending by cosine")
+      cs.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+    }
+    // partitioning invariance of the exact-integer pipeline
+    val again = Similarity.centroidOutliers(spark, Dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
