@@ -50,6 +50,19 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           assertTsIsNanos(spark, path(dir, name))
           raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // An arrow-written corpus (isAdjustedToUTC=false micros) arrives
+          // as timestamp_ntz under Spark's NTZ inference. Every session
+          // here pins spark.sql.session.timeZone=UTC, so the NTZ->TZ cast
+          // is value-preserving (the wall-clock instant IS the UTC
+          // instant) and keeps downstream typed access (Row.getTimestamp,
+          // Dataset[T] with java.sql.Timestamp fields) and the DuckDB
+          // twins exact. Normalizing at the read boundary keeps one
+          // canonical ts type for all 190+ queries regardless of which
+          // writer produced the fixture (nanos-INT64, micros-NTZ, or
+          // micros-UTC).
+          raw.withColumn("ts",
+            raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else spark.read.parquet(path(dir, name))

@@ -14,9 +14,13 @@ import graft.engine.Tables
   * the JDK's own javax.imageio readers (PNG/BMP/GIF/JPEG — part of
   * java.desktop, headless-safe, no external codec), and x111 runs a
   * genuine PNG encode+decode round-trip in the hot path, hash-gated
-  * against a codec-less DuckDB twin via PNG's losslessness. The
-  * remaining stub scope is AUDIO/VIDEO (the container has no codecs for
-  * those) and undecodable payloads: there `decodeStub` is a
+  * against a codec-less DuckDB twin via PNG's losslessness. Since round
+  * 11 the AUDIO kind parses FOR REAL too: `decodeWav` is a proper
+  * RIFF chunk walk over PCM-16 WAV (pure arithmetic — a container
+  * format needs no codec), and x115 hash-gates the signed-sample stats
+  * the same way. The remaining stub scope is VIDEO (no JDK codec
+  * exists for any video format) and undecodable payloads: there
+  * `decodeStub` is a
   * DETERMINISTIC FAKE deriving "samples" from the payload bytes; the
   * plumbing around it — schema, typed Dataset shape,
   * iterator-to-iterator `mapPartitions` batching, partition-count
@@ -161,14 +165,22 @@ object Multimodal {
       (Array[Float], String, Boolean) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
-    val real = if (kind == "image") decodeImage(payload, dim) else None
-    real match {
-      case Some(st) =>
-        val digest = hex(md.digest(st.grayHist.mkString(",").getBytes("UTF-8")))
-        val norm = math.sqrt(st.grayHist.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+    // real-decode dispatch: image -> JDK imageio (since r10), audio ->
+    // the RIFF/PCM parser (since r11); the integer histogram is the
+    // common witness either lane reduces to. Stub scope: video +
+    // payloads the real parsers reject.
+    val realHist: Option[Array[Long]] = kind match {
+      case "image" => decodeImage(payload, dim).map(_.grayHist)
+      case "audio" => decodeWav(payload, dim).map(_.sampleHist)
+      case _ => None
+    }
+    realHist match {
+      case Some(h) =>
+        val digest = hex(md.digest(h.mkString(",").getBytes("UTF-8")))
+        val norm = math.sqrt(h.foldLeft(0.0)((s, v) => s + v.toDouble * v))
         val feats =
           if (norm == 0.0) new Array[Float](dim)
-          else st.grayHist.map(v => (v / norm).toFloat)
+          else h.map(v => (v / norm).toFloat)
         (feats, digest, true)
       case None =>
         val sums = decodeSums(payload, dim)
@@ -268,6 +280,140 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** Exact integer statistics of a REAL parsed WAV clip. `sampleHist` is
+    * a `dim`-bin histogram over the full signed 16-bit range — the audio
+    * analog of `ImageStats.grayHist`, and the integer witness `featurize`
+    * reduces to features/digest when an audio payload parses for real.
+    */
+  final case class WavStats(sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long, sampleSum: Long, sampleMin: Int, sampleMax: Int,
+      sampleHist: Array[Long])
+
+  /** Deterministic WAV (RIFF/PCM-16LE mono) encode: `bytes` become the
+    * little-endian sample words of a genuine canonical-form WAV file —
+    * RIFF header, `fmt ` chunk (audio format 1 = uncompressed PCM), and
+    * a `data` chunk holding the bytes (zero-padded to a whole 16-bit
+    * sample). PCM is raw, so parse(encode(b)) recovers every sample
+    * exactly — the same losslessness property x111 rides for PNG, here
+    * with no codec at all: a WAV file IS arithmetic (RFC 2361 / the
+    * original IBM-Microsoft RIFF spec), which is what makes a REAL
+    * audio decode possible in a container with no media libraries.
+    */
+  def encodeWavPcm16(bytes: Array[Byte], sampleRate: Int = 16000): Array[Byte] = {
+    val dataLen = bytes.length + (bytes.length & 1) // pad to even
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                        // PCM
+      .putShort(1)                        // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)             // byte rate = rate * block align
+      .putShort(2)                        // block align (1 ch x 16 bit)
+      .putShort(16)                       // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen).put(bytes)
+    buf.array()                           // trailing pad byte is the 0 fill
+  }
+
+  /** REAL WAV parse — a proper RIFF chunk walk, not a fixed-offset
+    * header peel: chunks are visited in file order, unknown chunks
+    * (LIST/INFO/fact/cue — common in the wild) are skipped by their
+    * declared size with odd-size pad-byte alignment per the RIFF spec,
+    * and only `fmt ` + `data` are consumed. Samples are decoded as
+    * signed little-endian 16-bit words and reduced to exact integer
+    * stats, so the result is bit-reproducible by any engine that can
+    * see the same bytes (the property the x115 oracle gate rides).
+    * None when the bytes are not an uncompressed PCM-16 mono RIFF/WAVE
+    * — callers fall back to `decodeStub`, shrinking the stub's scope to
+    * video only.
+    */
+  def decodeWav(payload: Array[Byte], dim: Int = 16): Option[WavStats] = {
+    if (payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag4() != "RIFF") return None
+    buf.getInt // declared RIFF size; trust actual buffer bounds instead
+    if (tag4() != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFmt, ch, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, size)
+    // advance past a chunk body + its odd-size pad byte (RIFF aligns
+    // chunks to 16-bit boundaries; the pad may be absent at EOF)
+    def skip(size: Int): Unit =
+      buf.position(math.min(buf.position() + size + (size & 1), buf.limit()))
+    while (buf.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag4()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return None
+      val body = buf.position()
+      id match {
+        case "fmt " if size >= 16 =>
+          fmt = Some((buf.getShort & 0xffff, buf.getShort & 0xffff,
+            buf.getInt, { buf.position(body + 14); buf.getShort & 0xffff }))
+          buf.position(body)
+        case "data" => data = Some((body, size))
+        case _ => () // unknown chunk (LIST/fact/cue/...) — skipped below
+      }
+      skip(size)
+    }
+    for {
+      (audioFmt, channels, rate, bits) <- fmt
+      (off, size) <- data
+      if audioFmt == 1 && channels == 1 && bits == 16
+    } yield {
+      val n = size / 2
+      val hist = new Array[Long](dim)
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val v = ((payload(off + 2 * i) & 0xff) |
+          (payload(off + 2 * i + 1) << 8)).toShort.toInt
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        hist((v + 32768) * dim / 65536) += 1L
+        i += 1
+      }
+      if (n == 0) { mn = 0; mx = 0 }
+      WavStats(rate, bits, n.toLong, sum, mn, mx, hist)
+    }
+  }
+
+  /** x115: a second REAL decode lane, oracle-gated end-to-end. Each
+    * audio-slice document's bytes become the PCM-16LE sample words of a
+    * genuine WAV file (`encodeWavPcm16`), which the real RIFF parser
+    * (`decodeWav`) walks back to exact signed-sample statistics — one
+    * iterator-to-iterator `mapPartitions` pass, bytes never leaving the
+    * partition. PCM is raw, so the parsed stats EQUAL what DuckDB
+    * computes from the same bytes with plain little-endian arithmetic
+    * (low + 256*high, two's-complement above 32767) — a hash-gate on a
+    * real container-format parse with no audio library on either side.
+    * A parse failure poisons the row loudly (throw), not silently.
+    * With this lane the `decodeStub` scope shrinks to VIDEO only.
+    */
+  def audioDecodeStats(s: SparkSession, dir: String,
+      sampleRate: Int = 16000): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio slice
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val st = decodeWav(encodeWavPcm16(bytes, sampleRate)).getOrElse(
+          throw new IllegalStateException(s"WAV parser failed on media $id"))
+        (id, st.sampleRate.toLong, st.nSamples, st.sampleSum,
+          st.sampleMin.toLong, st.sampleMax.toLong)
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "sample_sum",
+        "sample_min", "sample_max")
+      .orderBy(col("media_id"))
+  }
+
   /** x111: a REAL codec in the hot path, oracle-gated end-to-end. Each
     * image-slice document's bytes become the pixels of a genuine
     * grayscale PNG (`encodeGrayPng`), which the JDK's real PNG decoder
@@ -306,6 +452,7 @@ object Multimodal {
     * lanes.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x115_audio_decode" -> ((s: SparkSession, dir: String) => audioDecodeStats(s, dir)),
     "x111_image_decode" -> ((s: SparkSession, dir: String) => imageDecodeStats(s, dir)),
     "x106_frame_overlap" -> ((s: SparkSession, dir: String) => frameOverlap(s, dir)),
     "x66_media_dedup" -> (mediaDedup _),
@@ -328,6 +475,33 @@ object Multimodal {
     * numbers 0, 4, 8, … below bytelen/256).
     */
   val oracles: Map[String, String] = Map(
+    // x115: the WAV round-trip is raw PCM, so the parsed signed-16LE
+    // sample stats are plain arithmetic over the text bytes: sample i =
+    // byte(2i) + 256*byte(2i+1) (0 high byte for an odd tail), minus
+    // 65536 when >= 32768 (two's complement). Byte j lives at hex
+    // positions 2j+1..2j+2.
+    "x115_audio_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |v AS (
+        |  SELECT media_id,
+        |    CAST(('0x' || substr(hx, CAST(4 * i + 1 AS BIGINT), 2)) AS INTEGER)
+        |    + 256 * CASE WHEN 2 * i + 1 < n
+        |        THEN CAST(('0x' || substr(hx, CAST(4 * i + 3 AS BIGINT), 2)) AS INTEGER)
+        |        ELSE 0 END AS vu
+        |  FROM (SELECT media_id, hx, n,
+        |          unnest(generate_series(0, (n + 1) // 2 - 1)) AS i FROM a)),
+        |s AS (
+        |  SELECT media_id, vu - CASE WHEN vu >= 32768 THEN 65536 ELSE 0 END AS v
+        |  FROM v)
+        |SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(min(v) AS BIGINT) AS sample_min,
+        |  CAST(max(v) AS BIGINT) AS sample_max
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
     "x111_image_decode" ->
       """WITH img AS (
         |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n

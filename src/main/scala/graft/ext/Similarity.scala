@@ -1334,12 +1334,24 @@ object Similarity {
     */
   def hardNegatives(s: SparkSession, dir: String,
       numQueries: Int = 20, k: Int = 10): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("qv"), normD(col("embedding")).as("qn"))
+    hardNegativesForQueries(s, dir, q, k)
+  }
+
+  /** The mining core behind x112, shared with the streaming form: the
+    * prepared query frame `q` (query_id, query_label, qv, qn) is
+    * broadcast against the standing labeled corpus — queries need not
+    * be corpus members, which is exactly what lets a micro-batch of
+    * fresh vectors ride the same plan.
+    */
+  private def hardNegativesForQueries(s: SparkSession, dir: String,
+      q: DataFrame, k: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
-    val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
-        col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("label") =!= col("query_label"))
       .select(col("query_id"), col("query_label"), col("vec_id"),
         col("label").as("neg_label"),
@@ -1358,6 +1370,34 @@ object Similarity {
         col("neg_label"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Continuous hard-negative mining: a stream of labeled query vectors
+    * (vec_id, label, embedding) — the shape of an embedding trainer's
+    * in-flight batch — each micro-batch mined against the standing
+    * labeled corpus by the exact x112 plan (`hardNegativesForQueries`:
+    * queries broadcast, corpus never shuffles, two-phase top-k) and
+    * published as one [[graft.engine.VersionedTable]] snapshot keyed by
+    * batchId. `commitIfAbsent` turns an at-least-once replay into a
+    * skipped commit (the streamingBandProbe discipline), so the
+    * negatives log is exactly-once per batch and time-travelable — a
+    * trainer can reproduce any step's negative set. Unlike the band
+    * probe there is no standing-index geometry to drift: the corpus is
+    * rescored exactly per batch, so no fail-fast gate is needed.
+    */
+  def streamingHardNegatives(s: SparkSession, queries: DataFrame,
+      dir: String, root: String, checkpoint: String,
+      k: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val q = batch.toDF().select(col("vec_id").as("query_id"),
+          col("label").as("query_label"), col("embedding").as("qv"),
+          normD(col("embedding")).as("qn"))
+        graft.engine.VersionedTable.commitIfAbsent(
+          hardNegativesForQueries(s, dir, q, k), root, batchId): Unit
+      }
+      .start()
 
   /** Matryoshka dimension-ablation eval: recall@k of the exact cosine
     * top-k computed over only the FIRST d dimensions, against the

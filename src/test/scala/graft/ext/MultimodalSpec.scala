@@ -88,6 +88,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV parser: PCM-16LE round-trip recovers exact sample values") {
+    // includes a negative sample (0x8001 = -32767), the max-ish positive
+    // (0x7fff = 32767), and an ODD byte count so the pad path runs
+    val bytes = Array[Byte](0x01, 0x80.toByte, 0xff.toByte, 0x7f, 0x34, 0x12, 0x7b)
+    val wav = Multimodal.encodeWavPcm16(bytes, sampleRate = 8000)
+    val st = Multimodal.decodeWav(wav).get
+    assert(st.sampleRate == 8000 && st.bitsPerSample == 16)
+    assert(st.nSamples == 4, "7 bytes pad to 4 samples")
+    val expected = Seq(-32767, 32767, 0x1234, 0x7b) // last = odd tail + 0 high
+    assert(st.sampleSum == expected.sum.toLong)
+    assert(st.sampleMin == expected.min && st.sampleMax == expected.max)
+    assert(st.sampleHist.sum == 4 && st.sampleHist(0) == 1 && st.sampleHist(15) == 1,
+      s"signed range must span the histogram: ${st.sampleHist.mkString(",")}")
+  }
+
+  test("WAV chunk walk skips unknown chunks and honors the odd-size pad") {
+    val bytes = Array[Byte](1, 2, 3, 4)
+    val wav = Multimodal.encodeWavPcm16(bytes)
+    // splice an unknown odd-sized LIST chunk between fmt and data: a
+    // parser that assumes data at offset 36 breaks; a real chunk walk
+    // (with the RIFF pad byte after odd sizes) does not
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // patch the RIFF size (offset 4, LE) to cover the added bytes
+    val riffSize = spliced.length - 8
+    (0 until 4).foreach(i => spliced(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte)
+    val st = Multimodal.decodeWav(spliced).get
+    val ref = Multimodal.decodeWav(wav).get
+    // field-wise: the histogram is an Array, where == is reference equality
+    def scalars(w: Multimodal.WavStats) = (w.sampleRate, w.bitsPerSample,
+      w.nSamples, w.sampleSum, w.sampleMin, w.sampleMax)
+    assert(scalars(st) == scalars(ref) && st.sampleHist.sameElements(ref.sampleHist),
+      "stats must be identical with the LIST chunk spliced in")
+  }
+
+  test("WAV parser rejects non-RIFF, non-WAVE, and non-PCM16 payloads") {
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+    val wav = Multimodal.encodeWavPcm16(Array[Byte](1, 2, 3, 4))
+    val notWave = wav.clone(); notWave(8) = 'X'.toByte
+    assert(Multimodal.decodeWav(notWave).isEmpty)
+    val notPcm = wav.clone(); notPcm(20) = 3 // audio format 3 = IEEE float
+    assert(Multimodal.decodeWav(notPcm).isEmpty)
+    val truncated = wav.take(30) // data chunk header missing entirely
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+  }
+
+  test("featurize dispatch: a genuine WAV under kind=audio takes the real parser") {
+    val wav = Multimodal.encodeWavPcm16(Array[Byte](9, 8, 7, 6, 5, 4))
+    val (feats, digest, real) = Multimodal.featurize("audio", wav, 16)
+    assert(real, "a genuine WAV under kind=audio must take the real parser")
+    val hist = Multimodal.decodeWav(wav, 16).get.sampleHist
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedDigest = md.digest(hist.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(digest == expectedDigest, "digest is the md5 of the exact bin counts")
+    val n = math.sqrt(feats.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+    assert(math.abs(n - 1.0) < 1e-6)
+    // same bytes under kind=video -> stub (video has no real lane yet)
+    assert(!Multimodal.featurize("video", wav, 16)._3)
+  }
+
+  test("x115 sample stats equal the LE byte arithmetic the oracle runs") {
+    val rows = Multimodal.audioDecodeStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.engine.Tables(spark, Sf, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val b = texts(r.getLong(0)).getBytes("UTF-8").map(_ & 0xff)
+      val samples = b.grouped(2).map {
+        case Array(lo, hi) => ((lo | (hi << 8)).toShort).toInt
+        case Array(lo) => lo
+      }.toSeq
+      assert(r.getLong(1) == 16000L)
+      assert(r.getLong(2) == samples.length.toLong, s"n_samples of ${r.getLong(0)}")
+      assert(r.getLong(3) == samples.map(_.toLong).sum, s"sample_sum of ${r.getLong(0)}")
+      assert(r.getLong(4) == samples.min.toLong && r.getLong(5) == samples.max.toLong)
+    }
+  }
+
   test("media payload bytes survive the binary column round trip") {
     val row = Multimodal.mediaTable(spark, Sf)
       .filter(col("media_id") === 1)

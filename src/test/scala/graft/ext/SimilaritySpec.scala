@@ -362,6 +362,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("streaming hard negatives equal the batch miner, exactly-once per batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val NumQ = 20
+    val Split = 10L // queries arrive as [0,10) then [10,20)
+    val qRows = graft.engine.Tables(spark, Dir, "embeddings")
+      .filter(col("vec_id") < NumQ)
+      .select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val dirs = java.nio.file.Files.createTempDirectory("graft_streamneg").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Array[Float])]
+    val q = Similarity.streamingHardNegatives(spark,
+      in.toDF().toDF("vec_id", "label", "embedding"), Dir,
+      s"$dirs/negs", s"$dirs/ckpt")
+    try {
+      in.addData(qRows.filter(_._1 < Split).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(qRows.filter(_._1 >= Split).toSeq: _*)
+      q.processAllAvailable()
+      val vs = graft.engine.VersionedTable.versions(spark, s"$dirs/negs")
+      assert(vs == Seq(0L, 1L), s"one snapshot per micro-batch: $vs")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      def value(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("neg_label"), r.getAs[Double]("cosine"))
+      val streamed = vs.flatMap { v =>
+        graft.engine.VersionedTable.read(spark, s"$dirs/negs", Some(v))
+          .collect().map(r => key(r) -> value(r))
+      }.toMap
+      // queries are corpus-independent (broadcast side only), so the
+      // split must not change any ranking: per-batch union == one batch run
+      val inline = Similarity.hardNegatives(spark, Dir, numQueries = NumQ)
+        .collect().map(r => key(r) -> value(r)).toMap
+      assert(streamed == inline,
+        s"streamed=${streamed.size} inline=${inline.size}")
+      // batch-0 replay must be a skipped commit, not a duplicate/overwrite
+      graft.engine.VersionedTable.commitIfAbsent(
+        Similarity.hardNegatives(spark, Dir, numQueries = 1), s"$dirs/negs", 0L)
+      assert(graft.engine.VersionedTable.versions(spark, s"$dirs/negs") == Seq(0L, 1L))
+      val replayed = graft.engine.VersionedTable.read(spark, s"$dirs/negs", Some(0L))
+        .collect().map(r => key(r) -> value(r)).toMap
+      assert(replayed == streamed.filter { case ((qid, _), _) => qid < Split },
+        "replay must leave the committed batch-0 snapshot untouched")
+    } finally q.stop()
+  }
+
   test("dim ablation: full-width leg recovers the exact ranking verbatim") {
     val rows = Similarity.dimAblationRecall(spark, Dir).collect()
       .map(r => r.getAs[Long]("d") ->
