@@ -62,16 +62,14 @@ object Bench {
     // gets ONE extra timed pass at suite end, after the loop's allocation
     // pressure has subsided, and the final number is the min. The rerun
     // map rides the output so the ledger shows what was re-adjudicated.
-    val medians = trailingMedians(sfDir)
+    val medians = BenchLedger.medians(java.nio.file.Paths.get("."), sfName(sfDir))
     val reruns: Map[String, Double] = results.toSeq.flatMap { case (name, v) =>
-      medians.get(name) match {
-        case Some(m) if v > 2.5 * m && v > 0.5 =>
-          val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-          catch { case _: Throwable => () }
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        case _ => None
-      }
+      if (BenchLedger.needsRerun(v, medians.get(name))) {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } else None
     }.toMap
     val finalResults = results.map { case (n, v) =>
       n -> math.min(v, reruns.getOrElse(n, v)) }
@@ -88,73 +86,10 @@ object Bench {
     val rr = reruns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"reruns":$rr,"queries":$top,"sf":"$sfDir"}""")
-    appendLedger(sfDir, finalResults)
+    BenchLedger.append(java.nio.file.Paths.get("."), sfName(sfDir), finalResults)
     spark.stop()
   }
 
-  /** Append this run's FULL per-query map to `BENCH_detail.jsonl` so
-    * future runs can median over every query, not just the 30 slowest
-    * that fit the driver's stdout tail. This closes the round-10 blind
-    * spot: a first-time-slow simple query (s09/q17/q26 that round) had
-    * no trailing median because it had never cracked a prior top-30, so
-    * the contention auto-rerun never fired on it.
-    */
-  private def appendLedger(
-      sfDir: String, results: Map[String, Double]): Unit =
-    try {
-      val line = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
-        .mkString(s"""{"sf":"${sfName(sfDir)}","queries":{""", ",", "}}\n")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_detail.jsonl"),
-        line.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND): Unit
-    } catch { case _: Throwable => () }
-
   private def sfName(sfDir: String): String =
     java.nio.file.Paths.get(sfDir).getFileName.toString
-
-  /** Per-query median seconds from prior runs at the SAME scale factor.
-    *
-    * Primary source: `BENCH_detail.jsonl`, the full per-query ledger this
-    * main appends after every run — it covers all queries, so even a
-    * query that never cracked a driver top-30 has a median to be judged
-    * against. Fallback/supplement: the trailing rounds' driver records
-    * (`BENCH_r*.json`, 30 slowest queries each). Ledger entries at a
-    * different sf are skipped (an sf0.01 iteration run must not drag
-    * sf0.1 medians down and fire spurious reruns). Parsed with Spark's
-    * own Jackson; missing or malformed files/lines contribute nothing,
-    * so a fresh checkout simply reruns nothing.
-    */
-  private def trailingMedians(sfDir: String): Map[String, Double] = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    def add(qs: com.fasterxml.jackson.databind.JsonNode): Unit =
-      if (qs.isObject) qs.properties().forEach { e =>
-        if (e.getValue.isNumber)
-          times.updateWith(e.getKey)(v =>
-            Some(e.getValue.asDouble :: v.getOrElse(Nil))): Unit
-      }
-    val ledger = java.nio.file.Paths.get("BENCH_detail.jsonl")
-    if (java.nio.file.Files.isReadable(ledger))
-      java.nio.file.Files.readAllLines(ledger).forEach { line =>
-        try {
-          val node = om.readTree(line)
-          if (node.path("sf").asText() == sfName(sfDir))
-            add(node.path("queries"))
-        } catch { case _: Throwable => () }
-      }
-    // Driver records carry absolute sf paths; all driver benches run at
-    // sf0.1, so only merge them when that is the scale being benched.
-    if (sfName(sfDir) == "sf0.1") {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      files.foreach { f =>
-        try add(om.readTree(f).path("parsed").path("queries"))
-        catch { case _: Throwable => () }
-      }
-    }
-    times.map { case (k, vs) => k -> vs.sorted.apply(vs.size / 2) }.toMap
-  }
 }

@@ -76,6 +76,60 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-grain dedup WITH document reassembly — the op x52 stops short
+    * of: drop every non-canonical (repeated) 32-token block and emit the
+    * scrubbed document itself, not just its counts (the CCNet/
+    * RefinedWeb-style "remove duplicated passages and rewrite the
+    * corpus" pass). Canonical = first occurrence by (doc_id, chunk_idx)
+    * — the same total order as x52, so the two ops agree on what
+    * survives.
+    *
+    * Scale shape — text moves ONCE: the keep/drop decision rides a
+    * NARROW (chunk_hash, doc_id, chunk_idx) frame through the window
+    * shuffle and a narrow per-doc kept-index aggregate; the full text
+    * then joins that verdict on doc_id (its single exchange) and the
+    * scrubbed document is re-sliced from the original token array
+    * map-side (`transform` over the kept indices). Chunk text never
+    * rides a shuffle — at 100 TB the dedup lanes carry ~3% of the
+    * corpus volume (one 128-bit hash per 32-token block) and the
+    * payload crosses the wire exactly once, which is the floor for an
+    * op that must emit rewritten documents.
+    */
+  def chunkScrub(s: SparkSession, dir: String, chunkSize: Int = 32): DataFrame =
+    chunkScrubOf(t(s, dir, "documents"), chunkSize)
+
+  /** The scrubber over any (doc_id, text) frame — public for specs. */
+  def chunkScrubOf(docs: DataFrame, chunkSize: Int): DataFrame = {
+    val stride = chunkSize
+    val narrow = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $stride"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("toks"), (col("chunk_idx") * stride + 1).cast(IntegerType),
+          lit(chunkSize))).cast(LongType).as("n_chunk_tokens"),
+        md5(array_join(slice(col("toks"), (col("chunk_idx") * stride + 1).cast(IntegerType),
+          lit(chunkSize)), " ").cast("binary")).as("chunk_hash"))
+    val w = Window.partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_idx"))
+    val verdict = narrow
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, col("n_chunk_tokens")).otherwise(0L)).as("tokens_kept"),
+        sort_array(collect_list(when(col("rn") === 1, col("chunk_idx")))).as("kept_idx"))
+    docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .join(verdict, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("tokens_kept"),
+        md5(array_join(flatten(transform(col("kept_idx"),
+          i => slice(col("toks"), (i * stride + 1).cast(IntegerType), lit(chunkSize)))),
+          " ").cast("binary")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns, shared verbatim with the DuckDB twin (both engines'
     * regex dialects — java.util.regex and RE2 — agree on this subset:
     * char classes, bounded repeats, `\b`, `\d`).
@@ -150,7 +204,8 @@ object Corpus {
     "x50_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
     "x51_pii_redaction" -> ((s: SparkSession, dir: String) => piiRedaction(s, dir)),
     "x52_chunk_dedup" -> ((s: SparkSession, dir: String) => chunkDedup(s, dir)),
-    "x53_vocab_encode" -> ((s: SparkSession, dir: String) => vocabEncode(s, dir)))
+    "x53_vocab_encode" -> ((s: SparkSession, dir: String) => vocabEncode(s, dir)),
+    "x116_chunk_scrub" -> ((s: SparkSession, dir: String) => chunkScrub(s, dir)))
 
   private val ChunkCte =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -176,6 +231,30 @@ object Corpus {
           |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
           |  CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // x116: same chunk geometry as x52 (stride = size = 32), plus the
+    // reassembly — kept chunks re-joined in chunk_idx order with single
+    // spaces, which equals Spark's flatten-then-join because chunks are
+    // themselves space-joined token slices. coalesce('') covers a doc
+    // whose every block is a repeat (string_agg over all-NULL is NULL;
+    // Spark's empty flatten joins to '').
+    "x116_chunk_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks)-1) // 32)) AS chunk_idx
+        |      FROM d),
+        |h AS (SELECT doc_id, chunk_idx,
+        |        array_to_string(list_slice(toks, CAST(chunk_idx*32+1 AS INT), CAST(chunk_idx*32+32 AS INT)), ' ') AS chunk_txt
+        |      FROM c),
+        |r AS (SELECT doc_id, chunk_idx, chunk_txt,
+        |        CAST(len(string_split(chunk_txt, ' ')) AS BIGINT) AS n_chunk_tokens,
+        |        row_number() OVER (PARTITION BY md5(chunk_txt) ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM h)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_txt END, ' ' ORDER BY chunk_idx), '')) AS scrubbed_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x51_pii_redaction" ->
       """WITH p AS (
         |  SELECT c_custkey,

@@ -241,7 +241,57 @@ object Sampling {
       .orderBy(col("bucket_len"))
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling,
+    * integer-exact: lay the documents on a weight axis in doc_id order
+    * (weight = n_chars — the "sample long documents proportionally
+    * more" curation move), drop a boundary every `step = total div k`
+    * units, and select each document once per boundary its weight span
+    * crosses: `n_picks = cum div step - (cum - w) div step`. Everything
+    * is BIGINT arithmetic on exact prefix sums — no float inclusion
+    * probability whose last ulp could flip a pick — so the selection
+    * hash-gates cross-engine, and it is reproducible by construction
+    * (a pure function of the corpus, like `hashBucket`).
+    *
+    * Scale shape — no global-order window: the exact global prefix sum
+    * is the classic two-phase scan, all narrow. Range-partition by
+    * doc_id, per-partition windows (parallel), aggregate one total per
+    * partition (a partitions-sized frame), window THAT tiny frame into
+    * exclusive offsets, and broadcast them back. The corpus never
+    * serializes through a single task — the single-partition
+    * `Window.orderBy` this replaces is exactly the 1000-executor
+    * bottleneck. Result values are partitioning-independent: cum(doc)
+    * = Σ w over doc_id ≤ doc regardless of where range bounds fall.
+    */
+  def ppsSample(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    ppsSampleOf(
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars").as("w")), k)
+
+  /** The sampler over any (doc_id, w) frame — public for specs. */
+  def ppsSampleOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = docs.repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val wOffsets = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("w")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wOffsets), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val step = docs.agg(expr(s"sum(w) div $k").cast(LongType).as("step"))
+    parts
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum", (col("offset") + sum(col("w")).over(wLocal)).cast(LongType))
+      .crossJoin(broadcast(step))
+      .withColumn("n_picks",
+        (expr("cum div step") - expr("(cum - w) div step")).cast(LongType))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("w").cast(LongType).as("w"), col("cum"), col("n_picks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x117_pps_sample" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
     "x91_length_batching" -> (lengthBatching _),
     "x76_packed_sequences" -> ((s: SparkSession, dir: String) => packedSequences(s, dir)),
     "x72_global_shuffle" -> ((s: SparkSession, dir: String) => globalShuffle(s, dir)),
@@ -270,6 +320,19 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // x117: DuckDB's plain global-order window IS the spec; the Spark
+    // side must reproduce it exactly through the two-phase scan.
+    // Explicit BIGINT casts: DuckDB sum(BIGINT) widens to HUGEINT.
+    "x117_pps_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+        |t AS (SELECT CAST(sum(w) // 50 AS BIGINT) AS step FROM d)
+        |SELECT doc_id, w, cum,
+        |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
+        |FROM c, t
+        |WHERE cum // step - (cum - w) // step > 0
+        |ORDER BY doc_id""".stripMargin,
     "x91_length_batching" -> lengthBatchingOracle,
     "x76_packed_sequences" ->
       """WITH t AS (

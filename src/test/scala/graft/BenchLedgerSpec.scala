@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contention-adjudication contract: after one recorded run, EVERY
+  * query has a median, so a phantom on ANY query — including one that
+  * never cracked a driver top-30 — triggers the auto-rerun (the
+  * round-10 blind spot: s09/q17/q26 escaped because only prior top-30
+  * members had medians).
+  */
+class BenchLedgerSpec extends AnyFunSuite {
+
+  private def tmpDir() = Files.createTempDirectory("graft_ledger")
+
+  test("a first-time-slow query is flagged after one ledger entry") {
+    val dir = tmpDir()
+    // one full-coverage run: a fast simple query that would never make
+    // a driver top-30
+    BenchLedger.append(dir, "sf0.1", Map("q17_date_buckets" -> 0.8, "x11" -> 3.2))
+    val m = BenchLedger.medians(dir, "sf0.1")
+    assert(m("q17_date_buckets") == 0.8 && m("x11") == 3.2)
+    // the r10 phantom: 5.59 s vs a 0.8 s median -> rerun fires
+    assert(BenchLedger.needsRerun(5.59, m.get("q17_date_buckets")))
+    assert(!BenchLedger.needsRerun(0.9, m.get("q17_date_buckets")))
+  }
+
+  test("no recorded median means no rerun, and sub-0.5 s spikes are ignored") {
+    assert(!BenchLedger.needsRerun(100.0, None))
+    // 0.4 s is >2.5x a 0.1 s median but below the floor: JIT noise
+    assert(!BenchLedger.needsRerun(0.4, Some(0.1)))
+    assert(BenchLedger.needsRerun(0.6, Some(0.2)))
+  }
+
+  test("medians are sf-scoped: iteration runs at another sf do not leak") {
+    val dir = tmpDir()
+    BenchLedger.append(dir, "sf0.1", Map("q01" -> 2.0))
+    BenchLedger.append(dir, "sf0.01", Map("q01" -> 0.1))
+    assert(BenchLedger.medians(dir, "sf0.1") == Map("q01" -> 2.0))
+    assert(BenchLedger.medians(dir, "sf0.01") == Map("q01" -> 0.1))
+  }
+
+  test("driver top-30 records merge into sf0.1 medians only") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("BENCH_r98.json"),
+      """{"parsed":{"queries":{"q05":1.0,"x11":2.0}}}""")
+    Files.writeString(dir.resolve("BENCH_r99.json"),
+      """{"parsed":{"queries":{"q05":3.0}}}""")
+    BenchLedger.append(dir, "sf0.1", Map("q05" -> 2.0))
+    // q05 observations: 1.0, 3.0, 2.0 -> median 2.0; x11: single obs
+    val m = BenchLedger.medians(dir, "sf0.1")
+    assert(m("q05") == 2.0 && m("x11") == 2.0)
+    assert(BenchLedger.medians(dir, "sf0.01").isEmpty,
+      "driver records are sf0.1-scale and must not seed other scales")
+  }
+
+  test("malformed ledger lines and files contribute nothing") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve(BenchLedger.FileName),
+      "not json at all\n{\"sf\":\"sf0.1\",\"queries\":{\"ok\":1.5}}\n")
+    Files.writeString(dir.resolve("BENCH_r97.json"), "{broken")
+    assert(BenchLedger.medians(dir, "sf0.1") == Map("ok" -> 1.5))
+  }
+
+  test("append is cumulative and medians are order-insensitive") {
+    val dir = tmpDir()
+    Seq(3.0, 1.0, 2.0).foreach(v =>
+      BenchLedger.append(dir, "sf0.1", Map("q" -> v)))
+    assert(BenchLedger.medians(dir, "sf0.1") == Map("q" -> 2.0))
+  }
+}

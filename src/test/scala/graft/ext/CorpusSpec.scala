@@ -49,6 +49,46 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) !== out(3L))
   }
 
+  test("chunk scrub drops repeated blocks and reassembles the exact survivor text") {
+    // doc 1: blocks A B A (the third block repeats the first); doc 2:
+    // blocks B C (B already seen in doc 1). Survivors: doc1 = A B,
+    // doc2 = C.
+    val a = (1 to 32).map(i => s"a$i").mkString(" ")
+    val b = (1 to 32).map(i => s"b$i").mkString(" ")
+    val c = (1 to 32).map(i => s"c$i").mkString(" ")
+    val out = Corpus.chunkScrubOf(
+      docsOf(1L -> s"$a $b $a", 2L -> s"$b $c"), chunkSize = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("tokens_kept"), r.getAs[String]("scrubbed_md5")))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, 2L, 64L, md5hex(s"$a $b"))))
+    assert(out(2L) == ((2L, 1L, 32L, md5hex(c))))
+  }
+
+  test("chunk scrub of an entirely-duplicated document is the empty string") {
+    val a = (1 to 32).map(i => s"a$i").mkString(" ")
+    val out = Corpus.chunkScrubOf(docsOf(1L -> a, 2L -> a), chunkSize = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("scrubbed_md5")))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((1L, md5hex(a))), "first occurrence is canonical")
+    assert(out(2L) == ((0L, md5hex(""))), "a fully-scrubbed doc reassembles to ''")
+  }
+
+  test("chunk scrub agrees with chunk dedup on what survives") {
+    val scrub = Corpus.chunkScrub(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept")))).toMap
+    val dedup = Corpus.chunkDedup(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_chunks") - r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Long]("tokens_kept")))).toMap
+    assert(scrub == dedup, "same canonical order, same survivors")
+  }
+
   test("redaction removes every PII pattern and counts match occurrences") {
     val rows = Corpus.piiRedaction(spark, Sf).collect()
     assert(rows.nonEmpty)

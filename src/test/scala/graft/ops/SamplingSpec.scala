@@ -17,6 +17,40 @@ class SamplingSpec extends SparkSpec {
     assert(a.toSet == b.toSet)
   }
 
+  test("PPS sample matches a brute-force prefix sum and is partitioning-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val weights = (0L until 400L).map(i => i -> (1L + rng.nextInt(500).toLong))
+    val k = 25
+    // brute force: exact integer systematic sampling on the driver
+    val total = weights.map(_._2).sum
+    val step = total / k
+    var cum = 0L
+    val expected = weights.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val picks = cum / step - before / step
+      if (picks > 0) Some((id, w, cum, picks)) else None
+    }
+    def run(parts: Int) = Sampling.ppsSampleOf(
+      weights.toDF("doc_id", "w").repartition(parts), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val out = run(5)
+    assert(out == expected, s"got ${out.take(5)}... want ${expected.take(5)}...")
+    assert(run(1) == expected && run(32) == expected,
+      "the two-phase scan must not depend on input partitioning")
+    // total picks is the boundary count, ~k by construction
+    assert(out.map(_._4).sum == total / step)
+  }
+
+  test("PPS picks are weight-proportional: heavy docs are never skipped") {
+    import spark.implicits._
+    // one doc owns >2 steps of weight: it must be picked >= 2 times
+    val weights = Seq((0L, 10L), (1L, 10L), (2L, 2000L), (3L, 10L), (4L, 10L))
+    val out = Sampling.ppsSampleOf(weights.toDF("doc_id", "w"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(2L) >= 2, s"the dominant-weight doc multi-picks: $out")
+  }
+
   test("splits are disjoint, exhaustive, and near the 80/10/10 rates") {
     val counts = Sampling.hashSplit(spark, Sf)
       .groupBy("split").count().collect()
