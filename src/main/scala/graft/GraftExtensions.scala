@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeCountRewrite, BpeTokenCount, DotD, ParsePoint}
+import graft.functions.{BpeCountRewrite, BpeTokenCount, DotD, NfcNormalize, ParsePoint}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions first-class SQL functions in any session built with
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotD].getName, "dot_d"),
       DotD.builder _))
+    extensions.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     extensions.injectOptimizerRule(_ => BpeCountRewrite)
   }
 }

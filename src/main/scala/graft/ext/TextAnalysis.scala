@@ -829,7 +829,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The native NFC expression as a Column (same bridge as
+    * [[fingerprintCol]]).
+    */
+  def nfcCol(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NfcNormalize(ColumnBridge.expression(c)))
+  }
+
+  /** x118: Unicode-normalization-aware dedup keys. A multilingual crawl
+    * spells the same text in different code-point sequences ("é" as
+    * U+00E9 or as "e"+U+0301), so hash-keyed dedup under-merges unless
+    * keys are NFC-normalized first. The fixture corpus is ASCII, so the
+    * two spellings are constructed IN-QUERY (identically on both
+    * engines: a composed literal vs a combining-mark literal prefixed
+    * to each document) and the query witnesses, per document, that (a)
+    * the raw spellings hash apart, (b) the NFC'd spellings hash
+    * together, and (c) NFC shortens the decomposed form by exactly the
+    * combining mark. The normalization is the native codegen'd
+    * [[graft.functions.NfcNormalize]] (JDK `java.text.Normalizer`);
+    * DuckDB's built-in `nfc_normalize` is the twin — a real Unicode
+    * table walk gated cross-engine, not a stub.
+    */
+  def nfcDedup(s: SparkSession, dir: String, maxDoc: Int = 100): DataFrame = {
+    // escapes, not glyphs: the two prefixes MUST differ at the code-point
+    // level (composed U+00E9 vs "e" + combining U+0301) and an editor
+    // would render them identically
+    val composed = concat(lit("caf\u00e9 "), col("text"))
+    val decomposed = concat(lit("cafe\u0301 "), col("text"))
+    t(s, dir, "documents").filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"),
+        length(decomposed).cast(LongType).as("n_raw_chars"),
+        length(nfcCol(decomposed)).cast(LongType).as("n_nfc_chars"),
+        md5(nfcCol(decomposed).cast("binary")).as("nfc_md5"),
+        (md5(nfcCol(composed).cast("binary"))
+          === md5(nfcCol(decomposed).cast("binary"))).as("spellings_agree"),
+        (md5(composed.cast("binary"))
+          =!= md5(decomposed.cast("binary"))).as("raw_differs"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x118_nfc_dedup" -> ((s: SparkSession, dir: String) => nfcDedup(s, dir)),
     "x80_repeated_windows" -> ((s: SparkSession, dir: String) => repeatedWindowRemoval(s, dir)),
     "x79_lang_confusion" -> (langConfusion _),
     "x71_gopher_rules" -> (gopherRules _),
@@ -1021,6 +1062,21 @@ object TextAnalysis {
          |FROM w$rounds""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    // x118: chr() builds the same two code-point sequences the Spark
+    // literals carry; nfc_normalize is DuckDB's own Unicode table walk.
+    ("x118_nfc_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    'caf' || chr(233) || ' ' || text AS composed,
+        |    'cafe' || chr(769) || ' ' || text AS decomposed
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(length(decomposed) AS BIGINT) AS n_raw_chars,
+        |  CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS n_nfc_chars,
+        |  md5(nfc_normalize(decomposed)) AS nfc_md5,
+        |  md5(nfc_normalize(composed)) = md5(nfc_normalize(decomposed)) AS spellings_agree,
+        |  md5(composed) <> md5(decomposed) AS raw_differs
+        |FROM v ORDER BY doc_id""".stripMargin) +
     ("x101_bpe_train_merges" -> bpeTrainOracle(8)) +
     ("x102_bpe_encode_report" -> bpeEncodeOracle(8)) +
     ("x97_bpe_first_merges" ->

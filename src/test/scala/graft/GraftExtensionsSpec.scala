@@ -23,6 +23,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getDouble(0) == 1.5 && r.getDouble(1) == -2.25)
       val n = s2.sql("SELECT bpe_token_count('hello, world 42') AS n").head().getInt(0)
       assert(n == 4, s"expected [hello][,][world][42], got $n")
+      // nfc_normalize composes "e"+U+0301 into U+00E9 from pure SQL
+      val nfc = s2.sql("SELECT nfc_normalize('café') AS s").head().getString(0)
+      assert(nfc == "café" && nfc.length == 4, s"expected composed form, got $nfc")
       // the optimizer rule rewrites the naive count spelling to the
       // native expression (non-constant input — a literal would just
       // constant-fold straight through the rewritten expression)

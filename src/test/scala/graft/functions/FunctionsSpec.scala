@@ -91,6 +91,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("hllowrld42", "", "", null, "abc"))
   }
 
+  test("NfcNormalize composes, is idempotent, and keeps ASCII byte-identical") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import spark.implicits._
+    def nfc(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+    val decomposed = "café"       // e + combining acute
+    val composed = "café"          // precomposed é
+    val rows = Seq(decomposed, composed, "plain ascii", "", null,
+      "Ångström")           // Å (A+ring) + ö (o+diaeresis)
+      .toDF("s")
+      .select(nfc(col("s")).as("n"), length(col("s")).as("lr"), length(nfc(col("s"))).as("ln"))
+      .collect()
+    assert(rows(0).getString(0) == composed && rows(0).getInt(1) == 5 && rows(0).getInt(2) == 4,
+      "decomposed input composes and loses the combining mark")
+    assert(rows(1).getString(0) == composed, "already-NFC input is unchanged")
+    assert(rows(2).getString(0) == "plain ascii" && rows(3).getString(0) == "")
+    assert(rows(4).isNullAt(0), "null propagates")
+    assert(rows(5).getString(0) == "Ångström",
+      "multiple combining marks compose independently")
+    // the JDK normalizer agrees with itself under double application
+    assert(java.text.Normalizer.normalize(rows(5).getString(0),
+      java.text.Normalizer.Form.NFC) == rows(5).getString(0))
+  }
+
   test("DotD is bitwise-identical to the interpreted HOF fold, incl. edges") {
     import graft.ext.Similarity
     // every corpus pair shape: self-dot over the real embeddings
