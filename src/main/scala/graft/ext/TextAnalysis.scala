@@ -217,14 +217,24 @@ object TextAnalysis {
     * the cheap per-row gates prune before the explode/pivot leg, and the
     * document text is scanned twice total instead of once per leg.
     */
+  /** The x02/x05 quality gate as a reusable predicate (chars in
+    * [100, 5000], >= 20 tokens, punctuation ratio < 0.1) — shared by the
+    * batch curation and the streaming ingest lane so both admit exactly
+    * the same documents.
+    */
+  def qualityOkCol(text: Column): Column = {
+    val nChars = length(text).cast(LongType)
+    val nToks = size(wsTokens(text)).cast(LongType)
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
+      (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)
+  }
+
   def corpusCurate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = wsTokens(col("text"))
-    val nChars = length(col("text")).cast(LongType)
     val nToks = size(toks).cast(LongType)
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
-    val qualityOk = nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
-      (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)
+    val qualityOk = qualityOkCol(col("text"))
     val survivors = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), nToks.as("n_tokens"),
         qualityOk.as("quality_ok"), fingerprintCol(col("text")).as("fp"))
