@@ -15,12 +15,12 @@ import graft.engine.Tables
   * java.desktop, headless-safe, no external codec), and x111 runs a
   * genuine PNG encode+decode round-trip in the hot path, hash-gated
   * against a codec-less DuckDB twin via PNG's losslessness. Since round
-  * 11 the AUDIO kind parses FOR REAL too: `decodeWav` is a proper
+  * 11 ALL THREE modalities decode for real: `decodeWav` is a proper
   * RIFF chunk walk over PCM-16 WAV (pure arithmetic — a container
-  * format needs no codec), and x115 hash-gates the signed-sample stats
-  * the same way. The remaining stub scope is VIDEO (no JDK codec
-  * exists for any video format) and undecodable payloads: there
-  * `decodeStub` is a
+  * format needs no codec; x115), and `decodeGifFrames` walks every
+  * frame of a genuine animated GIF with the JDK's own GIF reader
+  * (lossless at the palette-index level; x119). The remaining stub
+  * scope is undecodable payloads only: there `decodeStub` is a
   * DETERMINISTIC FAKE deriving "samples" from the payload bytes; the
   * plumbing around it — schema, typed Dataset shape,
   * iterator-to-iterator `mapPartitions` batching, partition-count
@@ -166,12 +166,14 @@ object Multimodal {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
     // real-decode dispatch: image -> JDK imageio (since r10), audio ->
-    // the RIFF/PCM parser (since r11); the integer histogram is the
-    // common witness either lane reduces to. Stub scope: video +
-    // payloads the real parsers reject.
+    // the RIFF/PCM parser, video -> the JDK GIF frame walk (both since
+    // r11); the integer histogram is the common witness every lane
+    // reduces to. Stub scope: payloads the real parsers reject.
     val realHist: Option[Array[Long]] = kind match {
       case "image" => decodeImage(payload, dim).map(_.grayHist)
       case "audio" => decodeWav(payload, dim).map(_.sampleHist)
+      case "video" => decodeGifFrames(payload, dim).filter(_.nonEmpty).map(
+        _.map(_.grayHist).reduce((a, b) => a.zip(b).map(p => p._1 + p._2)))
       case _ => None
     }
     realHist match {
@@ -414,6 +416,137 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Exact integer statistics of one REAL decoded video frame.
+    * `grayHist` is the frame's `dim`-bin sample histogram — the per-
+    * frame analog of `ImageStats.grayHist`, summed across frames by
+    * `featurize`'s video arm.
+    */
+  final case class FrameStats(width: Int, height: Int, pixelSum: Long,
+      pixelMax: Int, grayHist: Array[Long])
+
+  /** Deterministic multi-frame video encode: `bytes` become the pixels
+    * of a genuine ANIMATED GIF (GIF89a), `width`x`height` per frame,
+    * row-major, zero-padded tail — frame f holds bytes
+    * [f·w·h, (f+1)·w·h). GIF's pixel stream is LZW-compressed palette
+    * INDICES, which is lossless; with an identity 256-gray palette the
+    * indices ARE the bytes. Interlacing is explicitly disabled via the
+    * image metadata tree (the JDK writer's default interlace reorders
+    * rows within a frame) — with it off, decode(encode(b)) recovers
+    * every sample exactly, the same losslessness x111 rides for PNG and
+    * x115 for WAV, now for a real multi-frame container.
+    */
+  def encodeGrayGif(bytes: Array[Byte], width: Int = 16,
+      height: Int = 16): Array[Byte] = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val perFrame = width * height
+    val nFrames = math.max(1L, (bytes.length.toLong + perFrame - 1) / perFrame).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var i = 0
+      while (i < perFrame) {
+        val p = f * perFrame + i
+        raster.setSample(i % width, i / width, 0,
+          if (p < bytes.length) bytes(p) & 0xff else 0)
+        i += 1
+      }
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val meta = writer.getDefaultImageMetadata(spec, null)
+      val fmt = meta.getNativeMetadataFormatName
+      val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL video decode — the JDK's own GIF reader walks every frame of
+    * an animated GIF. Samples are read straight off the raster (the
+    * palette INDEX stream, which with x119's identity-gray encode IS
+    * the byte stream; reading indices also sidesteps the reader's
+    * palette resolution entirely), reduced per frame to exact integer
+    * stats. None when the bytes are not a GIF — callers fall back to
+    * `decodeStub`, whose scope is now undecodable payloads ONLY: every
+    * modality (image x111, audio x115, video x119) has a real decode
+    * lane.
+    */
+  def decodeGifFrames(payload: Array[Byte], dim: Int = 16): Option[Seq[FrameStats]] = {
+    if (payload.length < 6 ||
+      !new String(payload, 0, 3, "US-ASCII").equals("GIF")) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      Some((0 until n).map { f =>
+        val img = reader.read(f)
+        val raster = img.getRaster
+        val hist = new Array[Long](dim)
+        var sum = 0L
+        var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v > mx) mx = v
+            hist(math.min(dim - 1, v * dim / 256)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        FrameStats(img.getWidth, img.getHeight, sum, mx, hist)
+      })
+    } catch { case _: java.io.IOException => None }
+    finally { reader.dispose(); iis.close() }
+  }
+
+  /** x119: the THIRD real codec lane — video as a genuine multi-frame
+    * container, oracle-gated end-to-end per frame. Each video-slice
+    * document's bytes become the frames of an animated GIF
+    * (`encodeGrayGif`), which the JDK's real GIF reader then decodes
+    * back frame by frame; per (media_id, frame_no) the exact pixel
+    * sum/max EQUAL the byte arithmetic DuckDB runs over that frame's
+    * slice of the text — same gate family as x111/x115, but exercising
+    * multi-image container parsing, LZW decompression, and per-frame
+    * iteration. A decode failure poisons the row loudly (throw).
+    */
+  def videoDecodeStats(s: SparkSession, dir: String, width: Int = 16,
+      height: Int = 16): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // the video slice
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val frames = decodeGifFrames(encodeGrayGif(bytes, width, height)).getOrElse(
+          throw new IllegalStateException(s"JDK GIF decoder failed on media $id"))
+        frames.iterator.zipWithIndex.map { case (st, f) =>
+          (id, f.toLong, st.width.toLong * st.height, st.pixelSum, st.pixelMax.toLong)
+        }
+      })
+      .toDF("media_id", "frame_no", "n_pixels", "pixel_sum", "pixel_max")
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
   /** x111: a REAL codec in the hot path, oracle-gated end-to-end. Each
     * image-slice document's bytes become the pixels of a genuine
     * grayscale PNG (`encodeGrayPng`), which the JDK's real PNG decoder
@@ -452,6 +585,7 @@ object Multimodal {
     * lanes.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x119_video_decode" -> ((s: SparkSession, dir: String) => videoDecodeStats(s, dir)),
     "x115_audio_decode" -> ((s: SparkSession, dir: String) => audioDecodeStats(s, dir)),
     "x111_image_decode" -> ((s: SparkSession, dir: String) => imageDecodeStats(s, dir)),
     "x106_frame_overlap" -> ((s: SparkSession, dir: String) => frameOverlap(s, dir)),
@@ -475,6 +609,28 @@ object Multimodal {
     * numbers 0, 4, 8, … below bytelen/256).
     */
   val oracles: Map[String, String] = Map(
+    // x119: GIF frames are lossless at the index level, so per-frame
+    // pixel sum/max equal byte arithmetic over that frame's 256-byte
+    // slice; zero padding changes neither (bytes are unsigned).
+    "x119_video_decode" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, text, n,
+        |    unnest(generate_series(0, (n + 255) // 256 - 1)) AS frame_no
+        |  FROM vid),
+        |s AS (
+        |  SELECT f.media_id, f.frame_no,
+        |    CAST(sum(ord(substr(f.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS bsum,
+        |    CAST(max(ord(substr(f.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS bmax
+        |  FROM f,
+        |       LATERAL (SELECT unnest(generate_series(f.frame_no * 256 + 1,
+        |                  least(f.n, (f.frame_no + 1) * 256))) AS i)
+        |  GROUP BY f.media_id, f.frame_no)
+        |SELECT media_id, frame_no, CAST(256 AS BIGINT) AS n_pixels,
+        |  bsum AS pixel_sum, bmax AS pixel_max
+        |FROM s ORDER BY media_id, frame_no""".stripMargin,
     // x115: the WAV round-trip is raw PCM, so the parsed signed-16LE
     // sample stats are plain arithmetic over the text bytes: sample i =
     // byte(2i) + 256*byte(2i+1) (0 high byte for an odd tail), minus

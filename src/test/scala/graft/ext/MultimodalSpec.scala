@@ -171,6 +171,69 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real GIF decoder: animated round-trip recovers every frame's samples") {
+    // 600 bytes at 16x16 -> 3 frames, the last 88 pixels zero-padded
+    val bytes = Array.tabulate[Byte](600)(i => ((i * 31 + 7) % 256).toByte)
+    val gif = Multimodal.encodeGrayGif(bytes, 16, 16)
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+    val frames = Multimodal.decodeGifFrames(gif).get
+    assert(frames.length == 3)
+    frames.zipWithIndex.foreach { case (st, f) =>
+      assert(st.width == 16 && st.height == 16)
+      val slice = bytes.slice(f * 256, math.min(bytes.length, (f + 1) * 256))
+        .map(_ & 0xff)
+      assert(st.pixelSum == slice.map(_.toLong).sum, s"frame $f sum")
+      assert(st.pixelMax == slice.max, s"frame $f max")
+      assert(st.grayHist.sum == 256, s"frame $f histogram counts every pixel")
+    }
+  }
+
+  test("GIF decoder rejects non-GIF payloads") {
+    assert(Multimodal.decodeGifFrames("definitely not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array[Byte](1, 2)).isEmpty)
+    assert(Multimodal.decodeGifFrames(
+      Multimodal.encodeWavPcm16(Array[Byte](1, 2, 3, 4))).isEmpty,
+      "a WAV under the GIF parser is refused, not misread")
+  }
+
+  test("featurize dispatch: a genuine animated GIF under kind=video is real") {
+    val gif = Multimodal.encodeGrayGif(Array.tabulate[Byte](300)(_.toByte), 16, 16)
+    val (feats, digest, real) = Multimodal.featurize("video", gif, 16)
+    assert(real, "a genuine GIF under kind=video must take the real decoder")
+    val hist = Multimodal.decodeGifFrames(gif, 16).get
+      .map(_.grayHist).reduce((a, b) => a.zip(b).map(p => p._1 + p._2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(hist.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(digest == expected)
+    val n = math.sqrt(feats.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+    assert(math.abs(n - 1.0) < 1e-6)
+    // raw (non-GIF) video payloads still ride the documented stub
+    assert(!Multimodal.featurize("video", "raw clip bytes".getBytes, 16)._3)
+  }
+
+  test("x119 per-frame stats equal the byte arithmetic the oracle runs") {
+    val rows = Multimodal.videoDecodeStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.engine.Tables(spark, Sf, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, fr) =>
+      val b = texts(id).getBytes("UTF-8").map(_ & 0xff)
+      assert(fr.length == (b.length + 255) / 256, s"frame count of $id")
+      fr.foreach { r =>
+        val f = r.getLong(1).toInt
+        val slice = b.slice(f * 256, math.min(b.length, (f + 1) * 256))
+        assert(r.getLong(2) == 256L)
+        assert(r.getLong(3) == slice.map(_.toLong).sum, s"pixel_sum of $id/$f")
+        assert(r.getLong(4) == slice.max.toLong, s"pixel_max of $id/$f")
+      }
+    }
+  }
+
   test("media payload bytes survive the binary column round trip") {
     val row = Multimodal.mediaTable(spark, Sf)
       .filter(col("media_id") === 1)
