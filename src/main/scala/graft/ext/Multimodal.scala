@@ -35,6 +35,15 @@ import graft.engine.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // creates and deletes a temp file, which at one codec call per row
+  // dominates the cost of kilobyte-sized media (x119 at the 10x corpus,
+  // 16.7k clips: ~4.8 s with the file cache, ~1.8 s with the memory
+  // cache; x111's 16.7k PNGs 3.2 -> ~1.0 s). Payloads here are small by
+  // construction; executors decoding real media batches want the memory
+  // cache too.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
 
@@ -528,6 +537,13 @@ object Multimodal {
     * slice of the text — same gate family as x111/x115, but exercising
     * multi-image container parsing, LZW decompression, and per-frame
     * iteration. A decode failure poisons the row loudly (throw).
+    *
+    * The codec pass is repartitioned to configured parallelism first
+    * (the `srpBandKeys` precedent): a compute-bound lane inheriting the
+    * SCAN's split count runs one task per row group — the 10x corpus is
+    * a single row group, so without this the 16k-video decode serializes
+    * through one core (measured 16.7 s -> expected ~32x spread). The
+    * ~1 KB payload shuffle is trivia next to ~1 ms/clip of LZW.
     */
   def videoDecodeStats(s: SparkSession, dir: String, width: Int = 16,
       height: Int = 16): DataFrame = {
@@ -535,6 +551,7 @@ object Multimodal {
     Tables(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 2) // the video slice
       .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val frames = decodeGifFrames(encodeGrayGif(bytes, width, height)).getOrElse(
@@ -564,6 +581,9 @@ object Multimodal {
     Tables(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 0) // the image slice
       .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      // compute-bound codec pass: spread to configured parallelism, not
+      // the scan's row-group count (see videoDecodeStats)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val st = decodeImage(encodeGrayPng(bytes, width)).getOrElse(
