@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Graph.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++
-      flights.StarSchema.queries ++ streaming.EventStream.queries
+      flights.StarSchema.queries ++ streaming.EventStream.queries ++
+      streaming.CorpusIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.Graph.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++
-      flights.StarSchema.oracles ++ streaming.EventStream.oracles
+      flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
+      streaming.CorpusIngest.oracles
 }

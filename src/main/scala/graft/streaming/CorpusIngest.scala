@@ -66,6 +66,49 @@ object CorpusIngest {
       .foldLeft(corpus)(_.unionByName(_))
   }
 
+  /** x120: the ingest gate as a graded batch twin, so the streaming
+    * lane's core is HASH-GATED, not just spec-gated: documents with
+    * doc_id >= `splitAt` play one arriving micro-batch, the rest play
+    * the standing corpus, and the admitted set (quality ∧ within-batch
+    * canonical ∧ novel-vs-standing) must match DuckDB computing the
+    * same three gates relationally.
+    */
+  def ingestBatchTwin(s: SparkSession, dir: String,
+      splitAt: Long = 300L): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") >= splitAt).select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") < splitAt)
+      .select(TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    acceptBatch(batch, standing).orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x120_ingest_batch" -> ((s: SparkSession, dir: String) => ingestBatchTwin(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    // same three gates relationally: the x02/x05 quality predicate, the
+    // x04 canonical fingerprint, first occurrence by doc_id within the
+    // batch, anti-join against the standing fingerprints
+    "x120_ingest_batch" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM b
+        |  WHERE length(text) >= 100 AND length(text) <= 5000
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 20
+        |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) < 0.1),
+        |r AS (SELECT doc_id, n_tokens, fp,
+        |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q),
+        |standing AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, n_tokens, fp FROM r
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM standing)
+        |ORDER BY doc_id""".stripMargin)
+
   def streamingCorpusIngest(s: SparkSession, docs: DataFrame, dir: String,
       root: String, checkpoint: String): StreamingQuery =
     docs.writeStream

@@ -42,6 +42,24 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._4).sum == total / step)
   }
 
+  test("PPS plan never windows the corpus in a single partition") {
+    // the scale claim, plan-gated: the CORPUS cumulative-sum window must
+    // be keyed by pid (hashpartitioning), never SinglePartition. Two
+    // SinglePartition exchanges are expected and harmless — both feed
+    // aggregate-sized frames (the per-partition offsets window and the
+    // one-row step scalar), not the corpus.
+    val plan = Sampling.ppsSample(spark, Sf).queryExecution.executedPlan.toString
+    val singleParts = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singleParts <= 2, s"only the two tiny frames may serialize:\n$plan")
+    assert("Exchange hashpartitioning\\(pid".r.findAllIn(plan).nonEmpty,
+      s"the corpus window must be keyed by pid:\n$plan")
+    // the corpus-side window really is the pid-keyed one: the only
+    // window spec partitioned by an empty list must sit above an
+    // aggregate (the offsets frame), which the pid grouping guarantees
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"corpus cumsum rides the per-partition window:\n$plan")
+  }
+
   test("PPS picks are weight-proportional: heavy docs are never skipped") {
     import spark.implicits._
     // one doc owns >2 steps of weight: it must be picked >= 2 times
