@@ -438,6 +438,38 @@ object TextAnalysis {
           .as("bpe_tokens_per_word"))
   }
 
+  /** x121: per-source tokenizer FERTILITY under the x101-trained BPE
+    * merges — the tokenizer-eval a mixture designer reads before fixing
+    * sampling weights: a source whose text costs more BPE tokens per
+    * word (high fertility) or fewer chars per token is under-served by
+    * the vocabulary, and its token budget buys less text. Shape: the
+    * per-(source, word) histogram (one hash-aggregate over the exploded
+    * corpus) joins the TRAINED words table — vocabulary-sized, so
+    * broadcast — and reduces per source with exact integer sums; the
+    * corpus is touched once beyond the cached training pass.
+    */
+  def bpeFertilityBySource(s: SparkSession, dir: String,
+      rounds: Int = 8): DataFrame = {
+    val trained = bpeTrain(s, dir, rounds)._2
+      .select(col("w"), size(col("syms")).cast(LongType).as("n_syms"))
+    val srcWords = t(s, dir, "documents")
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("sfreq"))
+    srcWords.join(broadcast(trained), "w")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("sfreq")).cast(LongType).as("n_words"),
+        sum(col("sfreq") * length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("sfreq") * col("n_syms")).cast(LongType).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        (col("n_chars").cast(DoubleType) / col("n_bpe_tokens").cast(DoubleType))
+          .as("chars_per_bpe_token"),
+        (col("n_bpe_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("bpe_tokens_per_word"))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary growth curve (the Heaps'-law table): distinct-token
     * vocabulary size after each tenth of the corpus in doc_id order —
     * the dataset-diversity measure scaling-law estimates read (a
@@ -880,6 +912,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x121_bpe_fertility" -> ((s: SparkSession, dir: String) => bpeFertilityBySource(s, dir)),
     "x118_nfc_dedup" -> ((s: SparkSession, dir: String) => nfcDedup(s, dir)),
     "x80_repeated_windows" -> ((s: SparkSession, dir: String) => repeatedWindowRemoval(s, dir)),
     "x79_lang_confusion" -> (langConfusion _),
@@ -1071,7 +1104,30 @@ object TextAnalysis {
          |    AS bpe_tokens_per_word
          |FROM w$rounds""".stripMargin
 
+  /** x121's twin: the x102 unrolled-merge CTE chain, re-aggregated per
+    * source through a (source, word) histogram join.
+    */
+  private def bpeFertilityOracle(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+      s""",
+         |src AS (
+         |  SELECT source, w, count(*) AS sfreq FROM (
+         |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY source, w)
+         |SELECT s.source,
+         |  CAST(sum(s.sfreq) AS BIGINT) AS n_words,
+         |  CAST(sum(s.sfreq * len(s.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(s.sfreq * len(t.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(s.sfreq * len(s.w)) AS DOUBLE)
+         |    / CAST(sum(s.sfreq * len(t.syms)) AS DOUBLE) AS chars_per_bpe_token,
+         |  CAST(sum(s.sfreq * len(t.syms)) AS DOUBLE)
+         |    / CAST(sum(s.sfreq) AS DOUBLE) AS bpe_tokens_per_word
+         |FROM src s JOIN w$rounds t ON t.w = s.w
+         |GROUP BY s.source ORDER BY s.source""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
+    ("x121_bpe_fertility" -> bpeFertilityOracle(8)) +
     // x118: chr() builds the same two code-point sequences the Spark
     // literals carry; nfc_normalize is DuckDB's own Unicode table walk.
     ("x118_nfc_dedup" ->

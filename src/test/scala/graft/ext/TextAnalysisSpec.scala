@@ -121,4 +121,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep.getDouble(4) == nChars.toDouble / nBpe)
     assert(nBpe < nChars, "merges must compress below character count")
   }
+
+  test("per-source BPE fertility partitions the global encode report exactly") {
+    val rounds = 8
+    val rep = TextAnalysis.bpeEncodeReport(spark, Sf, rounds).collect()(0)
+    val bySource = TextAnalysis.bpeFertilityBySource(spark, Sf, rounds).collect()
+    assert(bySource.nonEmpty)
+    // the per-source integer sums must tie out to the corpus totals:
+    // every whitespace token belongs to exactly one source
+    assert(bySource.map(_.getAs[Long]("n_words")).sum == rep.getLong(1))
+    assert(bySource.map(_.getAs[Long]("n_chars")).sum == rep.getLong(2))
+    assert(bySource.map(_.getAs[Long]("n_bpe_tokens")).sum == rep.getLong(3))
+    bySource.foreach { r =>
+      val fert = r.getAs[Double]("bpe_tokens_per_word")
+      val cpt = r.getAs[Double]("chars_per_bpe_token")
+      assert(fert >= 1.0, s"${r.getString(0)}: a word is at least one token")
+      assert(cpt >= 1.0, s"${r.getString(0)}: a token is at least one char")
+      assert(fert == r.getAs[Long]("n_bpe_tokens").toDouble / r.getAs[Long]("n_words"))
+    }
+  }
 }
