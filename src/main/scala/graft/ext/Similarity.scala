@@ -388,6 +388,52 @@ object Similarity {
         array_join(col("q8").cast("array<string>"), ",").as("q8"))
       .orderBy(col("vec_id"))
 
+  /** x122: int8 retrieval parity — does serving the x23-quantized index
+    * return the float index's neighbors? Per query (broadcast, corpus
+    * never shuffles — the x20 discipline): exact INTEGER dot products
+    * over the int8 codes (every product ≤ 127²·64 ≪ 2⁶³; sums are
+    * order-independent, so the ranking is bit-identical across engines
+    * and partitionings with the vec_id tie-break — integer ties are
+    * COMMON under quantization, which is exactly why the audit must be
+    * integer-exact), two-phase top-k, then the per-query overlap with
+    * the float exact top-k (the session-cached x20 ranking). The
+    * quantized-serving go/no-go a retrieval stack reads: top-1 id +
+    * integer score and |int8 top-k ∩ float top-k| per query.
+    */
+  def int8RetrievalParity(s: SparkSession, dir: String,
+      numQueries: Int = 20, k: Int = 10): DataFrame = {
+    val q8 = quantizeInt8Vec(s, dir)
+      .select(col("vec_id"), transform(col("q8"), v => v.cast(LongType)).as("q8"))
+    val queries = q8.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    val scored = q8.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qq"), col("q8"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("idot"))
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("idot").desc, col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("vec_id"))
+    val topk = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("idot"), col("rank"))
+    val ref = cosineTopk(s, dir, numQueries, k).select(col("query_id"), col("vec_id"))
+    val overlap = topk.join(ref, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    topk.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("top1_vec_id"),
+        col("idot").as("top1_idot"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("top1_vec_id"), col("top1_idot"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        lit(k.toLong).as("k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Left-fold double dot product as a tight JVM loop — the same
     * summation sequence as `dotD`/the oracle's `list_reduce` (0.0 + p1 +
     * p2 ...), so the doubles are bitwise identical.
@@ -1531,6 +1577,7 @@ object Similarity {
     "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexedGated(s, dir)),
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
     "x23_quantize_int8" -> (quantizeInt8 _),
+    "x122_int8_retrieval" -> ((s: SparkSession, dir: String) => int8RetrievalParity(s, dir)),
     "x57_embedding_dup_clusters" -> (embeddingDupClusters _),
     "x60_truncated_rerank" -> ((s: SparkSession, dir: String) => truncatedRerank(s, dir)))
 
@@ -1994,6 +2041,54 @@ object Similarity {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
         |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+    // x122: the x23 quantization inlined per row, integer dot products
+    // (exact under BIGINT), vec_id tie-break, overlap vs the x20-shape
+    // float exact top-k.
+    "x122_int8_retrieval" ->
+      """WITH s8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+        |             (a, b) -> greatest(a, b)) = 0 THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(CAST(round(CAST(x AS DOUBLE)
+        |             / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+        |                 (a, b) -> greatest(a, b)) * 127.0) AS TINYINT) AS BIGINT) END) AS q8
+        |  FROM embeddings),
+        |qq AS (SELECT vec_id AS query_id, q8 AS qv FROM s8 WHERE vec_id < 20),
+        |iscored AS (
+        |  SELECT qq.query_id, s8.vec_id,
+        |    CAST(list_reduce(list_transform(generate_series(1, len(qq.qv)),
+        |      i -> qq.qv[i] * s8.q8[i]), (x, y) -> x + y) AS BIGINT) AS idot
+        |  FROM qq JOIN s8 ON s8.vec_id <> qq.query_id),
+        |itop AS (
+        |  SELECT query_id, vec_id, idot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, vec_id) AS rank
+        |  FROM iscored QUALIFY rank <= 10),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |fq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 20),
+        |fscored AS (
+        |  SELECT fq.query_id, e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(fq.qv)),
+        |      i -> CAST(fq.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (fq.qn * e.nrm) AS cosine
+        |  FROM fq JOIN e ON e.vec_id <> fq.query_id),
+        |ftop AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM fscored QUALIFY rank <= 10),
+        |ov AS (
+        |  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM itop i JOIN ftop f ON f.query_id = i.query_id AND f.vec_id = i.vec_id
+        |  GROUP BY i.query_id)
+        |SELECT t.query_id, t.vec_id AS top1_vec_id, t.idot AS top1_idot,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap, CAST(10 AS BIGINT) AS k
+        |FROM itop t LEFT JOIN ov ON ov.query_id = t.query_id
+        |WHERE t.rank = 1 ORDER BY t.query_id""".stripMargin,
     "x23_quantize_int8" ->
       """SELECT vec_id,
         |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
