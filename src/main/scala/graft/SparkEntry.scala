@@ -25,7 +25,7 @@ object SparkEntry {
       ops.DataQuality.queries ++ ops.ZOrder.queries ++ ops.BloomJoin.queries ++
       ops.Graph.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.Multimodal.queries ++ ext.Corpus.queries ++
+      ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries
 
@@ -39,7 +39,7 @@ object SparkEntry {
       ops.DataQuality.oracles ++ ops.ZOrder.oracles ++ ops.BloomJoin.oracles ++
       ops.Graph.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
-      ext.Corpus.oracles ++ ext.Multimodal.oracles ++
+      ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles
 }

