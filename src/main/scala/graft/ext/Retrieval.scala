@@ -50,37 +50,75 @@ object Retrieval {
       .drop("part", "lrank")
   }
 
-  /** The BM25-scored candidate frame: one row per (query_id, doc_id,
-    * term) hit, with the per-term Okapi score. Query q's term set is the
-    * distinct vocabulary of document q (query-by-example); the query doc
-    * itself is excluded from its own candidates.
+  /** A BM25 inverted index as four mergeable frames — the artifact a
+    * daily ingest PERSISTS next to its batch partition: `tf` and `dl`
+    * are doc-grain (disjoint batches union trivially), `df` and `stats`
+    * are count partials (merge = sum). At 100 TB, today's run tokenizes
+    * only today's documents; the serving index is a union of partials,
+    * never a re-scan of history.
     */
-  private def bm25Scored(s: SparkSession, dir: String, numQueries: Int,
-      k1: Double, b: Double): DataFrame = {
-    val toks = t(s, dir, "documents")
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame,
+      df: DataFrame, stats: DataFrame)
+
+  /** Build the index partial for a (doc_id, text) frame. */
+  def bm25Build(docs: DataFrame): Bm25Index = {
+    val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = t(s, dir, "documents").filter(col("doc_id") < numQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
-      .distinct()
+    Bm25Index(tf, dl, df, stats)
+  }
+
+  /** Merge index partials over disjoint document batches: doc-grain
+    * frames union; count partials re-aggregate with map-side combine.
+    * Associative and commutative — a 1000-partial merge is a tree
+    * reduction, and merged-then-scored is bit-identical to
+    * built-from-scratch (x128's gate).
+    */
+  def bm25Merge(parts: Seq[Bm25Index]): Bm25Index = Bm25Index(
+    tf = parts.map(_.tf).reduce(_ unionByName _),
+    dl = parts.map(_.dl).reduce(_ unionByName _),
+    df = parts.map(_.df).reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("df")).as("df")),
+    stats = parts.map(_.stats).reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len")))
+
+  /** The BM25-scored candidate frame over a prebuilt index: one row per
+    * (query_id, doc_id, term) hit with the per-term Okapi score. The
+    * query docs' own rows are excluded.
+    */
+  private def bm25ScoreIndex(ix: Bm25Index, qterms: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     // idf: rational Robertson (N - df + 0.5) / (df + 0.5); tf leg:
     // tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Spelled exactly as the
     // DuckDB twin spells it — same expression tree, same rounding.
     val idf = (d(col("n_docs")) - d(col("df")) + lit(0.5)) / (d(col("df")) + lit(0.5))
     val avgdl = d(col("total_len")) / d(col("n_docs"))
     val denom = d(col("tf")) + lit(k1) * (lit(1.0 - b) + lit(b) * d(col("dl")) / avgdl)
-    tf.join(broadcast(qterms), Seq("term"))
+    ix.tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
-      .join(df, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+      .join(ix.df, Seq("term"))
+      .join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
       .select(col("query_id"), col("doc_id"),
         (idf * (d(col("tf")) * lit(k1 + 1.0)) / denom).as("tsc"))
   }
+
+  /** Query-by-example term sets: the distinct vocabulary of each query
+    * document (doc_id < numQueries).
+    */
+  private def queryTerms(s: SparkSession, dir: String, numQueries: Int): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
+      .distinct()
+
+  private def bm25Scored(s: SparkSession, dir: String, numQueries: Int,
+      k1: Double, b: Double): DataFrame =
+    bm25ScoreIndex(bm25Build(t(s, dir, "documents").select(col("doc_id"), col("text"))),
+      queryTerms(s, dir, numQueries), k1, b)
 
   /** x123: BM25 top-k — for each query document (doc_id < numQueries),
     * the k corpus documents with the highest summed Okapi BM25 term
@@ -156,9 +194,35 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x128: incremental BM25 — the corpus arrives as disjoint ingest
+    * batches (simulated by a doc_id split), each batch builds its index
+    * partial independently, partials merge, and the merged index serves
+    * the same ranking. The oracle is the FULL-REBUILD SQL (x123's text
+    * verbatim): the gate proves merge-equals-rebuild bit for bit, which
+    * is exactly the invariant a daily 100 TB index pipeline lives on.
+    */
+  def incrBm25Topk(s: SparkSession, dir: String, splitAt: Long = 400L,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val parts = Seq(
+      bm25Build(docs.filter(col("doc_id") < splitAt)),
+      bm25Build(docs.filter(col("doc_id") >= splitAt)))
+    val perDoc = bm25ScoreIndex(bm25Merge(parts), queryTerms(s, dir, numQueries),
+        1.2, 0.75)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+          .as("score"))
+    topkPerQuery(perDoc, "score", k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x123_bm25_topk" -> ((s: SparkSession, dir: String) => bm25Topk(s, dir)),
-    "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)))
+    "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)),
+    "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)))
 
   /** Shared lexical CTE block: tf/dl/df/stats + the per-(query,doc,term)
     * BM25 score — the x123 oracle and the x124 lexical leg both splice it.
@@ -192,6 +256,15 @@ object Retrieval {
 
   val oracles: Map[String, String] = Map(
     "x123_bm25_topk" ->
+      s"""WITH $Bm25Cte,
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_hit_terms, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM perdoc)
+         |SELECT query_id, doc_id, n_hit_terms, score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // x128's oracle IS the full rebuild: merge-equals-rebuild is the gate.
+    "x128_incr_bm25" ->
       s"""WITH $Bm25Cte,
          |ranked AS (
          |  SELECT query_id, doc_id, n_hit_terms, score,

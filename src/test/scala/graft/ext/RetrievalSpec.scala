@@ -75,6 +75,17 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x128: merged index partials rank bit-identically to a from-scratch build") {
+    val full = Retrieval.bm25Topk(spark, Sf, numQueries = 3, k = 10).collect()
+    // sf0.001 has 50 docs; split mid-corpus so both partials are non-trivial
+    val incr = Retrieval.incrBm25Topk(spark, Sf, splitAt = 25L, numQueries = 3, k = 10)
+      .collect()
+    assert(incr.length === full.length)
+    incr.zip(full).foreach { case (a, b) =>
+      assert(a === b, "merge-then-score must equal rebuild-then-score bitwise")
+    }
+  }
+
   test("x125: raw-frequency-weighted mean of the DSIR ratio is ~1 (importance-weight invariant)") {
     val w = TextAnalysis.dsirWeights(spark, Sf).collect()
     assert(w.length > 0)
