@@ -60,12 +60,18 @@ object Retrieval {
   final case class Bm25Index(tf: DataFrame, dl: DataFrame,
       df: DataFrame, stats: DataFrame)
 
-  /** Build the index partial for a (doc_id, text) frame. */
+  /** Build the index partial for a (doc_id, text) frame. The corpus is
+    * tokenized ONCE: `tf` materializes (localCheckpoint — the in-session
+    * analog of persisting the index partial to the warehouse) and
+    * `dl`/`df`/`stats` derive from it (dl = Σ tf per doc), instead of
+    * each branch re-exploding the text — 1 token pass, not 4.
+    */
   def bm25Build(docs: DataFrame): Bm25Index = {
     val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     Bm25Index(tf, dl, df, stats)
@@ -115,9 +121,17 @@ object Retrieval {
         explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
       .distinct()
 
+  /** The full-corpus index is consumed by x123 AND x124's lexical leg —
+    * built once per (session, dataset), the cosineTopk discipline.
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Bm25Index]()
+
   private def bm25Scored(s: SparkSession, dir: String, numQueries: Int,
       k1: Double, b: Double): DataFrame =
-    bm25ScoreIndex(bm25Build(t(s, dir, "documents").select(col("doc_id"), col("text"))),
+    bm25ScoreIndex(
+      indexCache.computeIfAbsent((s, dir), _ =>
+        bm25Build(t(s, dir, "documents").select(col("doc_id"), col("text")))),
       queryTerms(s, dir, numQueries), k1, b)
 
   /** x123: BM25 top-k — for each query document (doc_id < numQueries),
