@@ -233,10 +233,149 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x129: maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    * — greedy diversified selection from each query's cosine top-`poolN`
+    * pool: step 1 takes the most relevant doc, step i takes
+    * argmax λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d,s). The workhorse for
+    * redundancy-free rerank pools and diversity-aware data selection.
+    *
+    * Shape: the pool (poolN per query) and its within-pool pairwise
+    * similarities (≤ poolN² per query) are checkpointed ONCE; the greedy
+    * loop is k−1 joins over those tiny frames — constant-size work per
+    * query regardless of corpus size, because diversification happens
+    * strictly inside the rerank pool (the scale-correct place). No
+    * collect: each step is a DataFrame argmax (window rn=1), and k is a
+    * fixed parameter, not data-dependent.
+    *
+    * Determinism: rel and sim are the x20 pinned-fold cosines; every
+    * step orders by the same (score desc, doc_id) key the unrolled
+    * DuckDB twin uses; max-over-selected is exact selection, and the
+    * λ-arithmetic is one fixed double tree.
+    */
+  def mmrRerank(s: SparkSession, dir: String, numQueries: Int = 3,
+      poolN: Int = 20, k: Int = 5): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normD(col("embedding")).as("nrm"))
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (Similarity.dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cosine"))
+    val pool = topkPerQuery(scored, "cosine", poolN)
+      .select(col("query_id"), col("doc_id"), col("cosine").as("rel"))
+      .localCheckpoint(true)
+    // ≤ numQueries·poolN rows with their vectors — materialized so the
+    // pairwise self-join below never re-reads the corpus
+    val pe = pool.join(c, pool("doc_id") === c("vec_id"))
+      .select(col("query_id"), col("doc_id"), col("rel"), col("embedding"), col("nrm"))
+      .localCheckpoint(true)
+    val sims = pe.as("a")
+      .join(pe.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (Similarity.dotD(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id"))
+    var selected = pool.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("doc_id"), col("rel"),
+        lit(0.0).as("simmax"))
+    for (i <- 2 to k) {
+      val chosen = selected.select(col("query_id").as("cq"), col("doc_id").as("cd"))
+      val remaining = pool
+        .join(selected.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"),
+          "left_anti")
+      // max similarity of each pool doc to the chosen set so far
+      val simSel = sims
+        .join(chosen, col("query_id") === col("cq") && col("doc_b") === col("cd"),
+          "left_semi")
+        .groupBy(col("query_id"), col("doc_a"))
+        .agg(max(col("sim")).as("simmax"))
+        .select(col("query_id").as("sq"), col("doc_a").as("sd"), col("simmax"))
+      val wi = Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("doc_id"))
+      val next = remaining
+        .join(simSel, col("query_id") === col("sq") && col("doc_id") === col("sd"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("simmax"))
+        .withColumn("rn", row_number().over(wi)).filter(col("rn") === 1)
+        .select(col("query_id"), lit(i).as("step"), col("doc_id"), col("rel"),
+          col("simmax"))
+      // ≤ numQueries·i rows — checkpointing flattens the recursion so
+      // step i+1 never re-derives steps 1..i's subplans
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+      .select(col("query_id"), col("step"), col("doc_id"), col("rel"), col("simmax"),
+        (lit(0.7) * col("rel") - lit(0.3) * col("simmax")).as("mmr_score"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x123_bm25_topk" -> ((s: SparkSession, dir: String) => bm25Topk(s, dir)),
     "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)),
-    "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)))
+    "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)),
+    "x129_mmr_rerank" -> ((s: SparkSession, dir: String) => mmrRerank(s, dir)))
+
+  /** x129's DuckDB twin: greedy MMR UNROLLED — step 1 is the plain
+    * relevance argmax, and each later step is a generated CTE computing
+    * max-sim-to-chosen over the accumulated chosen set, then the
+    * λ-argmax with the identical (score desc, doc_id) tie-break. Same
+    * pinned-fold cosines, same double tree — generated SQL, the
+    * srpOracle discipline.
+    */
+  private def mmrOracle(numQueries: Int, poolN: Int, k: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, len($a.embedding)),
+         |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val ch = (1 until i).map(j => s"SELECT query_id, doc_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""c$i AS ($ch),
+         |s$i AS (
+         |  SELECT query_id, $i AS step, doc_id, rel, simmax FROM (
+         |    SELECT p.query_id, p.doc_id, p.rel, max(m.sim) AS simmax
+         |    FROM pool p JOIN sims m ON m.query_id = p.query_id AND m.doc_a = p.doc_id
+         |    WHERE m.doc_b IN (SELECT cd.doc_id FROM c$i cd WHERE cd.query_id = p.query_id)
+         |      AND p.doc_id NOT IN (SELECT cd2.doc_id FROM c$i cd2 WHERE cd2.query_id = p.query_id)
+         |    GROUP BY p.query_id, p.doc_id, p.rel)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+         |    CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * simmax DESC, doc_id) = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, embedding, nrm FROM e WHERE vec_id < $numQueries),
+       |pool AS (
+       |  SELECT query_id, doc_id, rel FROM (
+       |    SELECT qv.query_id, e.vec_id AS doc_id,
+       |      ${dot("qv", "e")} / (qv.nrm * e.nrm) AS rel,
+       |      row_number() OVER (PARTITION BY qv.query_id ORDER BY
+       |        ${dot("qv", "e")} / (qv.nrm * e.nrm) DESC, e.vec_id) AS rn
+       |    FROM qv JOIN e ON e.vec_id <> qv.query_id)
+       |  WHERE rn <= $poolN),
+       |sims AS (
+       |  SELECT pa.query_id, pa.doc_id AS doc_a, pb.doc_id AS doc_b,
+       |    ${dot("ea", "eb")} / (ea.nrm * eb.nrm) AS sim
+       |  FROM pool pa JOIN pool pb
+       |    ON pa.query_id = pb.query_id AND pa.doc_id <> pb.doc_id
+       |  JOIN e ea ON ea.vec_id = pa.doc_id JOIN e eb ON eb.vec_id = pb.doc_id),
+       |s1 AS (
+       |  SELECT query_id, 1 AS step, doc_id, rel, CAST(0 AS DOUBLE) AS simmax
+       |  FROM pool QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, doc_id) = 1),
+       |$steps
+       |SELECT query_id, step, doc_id, rel, simmax,
+       |  CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * simmax AS mmr_score
+       |FROM ($union) ORDER BY query_id, step""".stripMargin
+  }
 
   /** Shared lexical CTE block: tf/dl/df/stats + the per-(query,doc,term)
     * BM25 score — the x123 oracle and the x124 lexical leg both splice it.
@@ -269,6 +408,7 @@ object Retrieval {
       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x129_mmr_rerank" -> mmrOracle(3, 20, 5),
     "x123_bm25_topk" ->
       s"""WITH $Bm25Cte,
          |ranked AS (

@@ -86,6 +86,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x129: MMR selection matches a driver-side greedy reference") {
+    val rows = Retrieval.mmrRerank(spark, Sf, numQueries = 3, poolN = 20, k = 5)
+      .collect()
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (embs(a), embs(b))
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    for (q <- 0L until 3L) {
+      val pool = embs.keys.filter(_ != q).toSeq
+        .map(d => (d, cos(q, d))).sortBy { case (d, r) => (-r, d) }.take(20)
+      var chosen = Vector(pool.head._1) // step 1: pure relevance argmax
+      for (_ <- 2 to 5) {
+        val next = pool.filterNot(p => chosen.contains(p._1))
+          .map { case (d, r) => (d, 0.7 * r - 0.3 * chosen.map(c => cos(d, c)).max) }
+          .sortBy { case (d, m) => (-m, d) }.head._1
+        chosen :+= next
+      }
+      val mine = rows.filter(_.getLong(0) == q).sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(mine.toSeq === chosen, s"query $q: greedy selection diverges")
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).distinct.length === rows.length,
+      "a doc is never selected twice per query")
+  }
+
   test("x125: raw-frequency-weighted mean of the DSIR ratio is ~1 (importance-weight invariant)") {
     val w = TextAnalysis.dsirWeights(spark, Sf).collect()
     assert(w.length > 0)
