@@ -27,7 +27,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
-      streaming.CorpusIngest.queries
+      streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +41,5 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
-      streaming.CorpusIngest.oracles
+      streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles
 }

@@ -66,11 +66,20 @@ object Retrieval {
     * `dl`/`df`/`stats` derive from it (dl = Σ tf per doc), instead of
     * each branch re-exploding the text — 1 token pass, not 4.
     */
-  def bm25Build(docs: DataFrame): Bm25Index = {
-    val toks = docs
-      .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+  def bm25Build(docs: DataFrame): Bm25Index =
+    indexFromTf(tfPartial(docs).localCheckpoint(true))
+
+  /** The doc-grain term-frequency partial for a (doc_id, text) batch —
+    * the ONE artifact an ingest persists; everything else derives.
+    */
+  def tfPartial(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
+    .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Derive the full index from a (possibly unioned) tf frame:
+    * dl = Σ tf per doc, df and corpus stats re-aggregate.
+    */
+  def indexFromTf(tf: DataFrame): Bm25Index = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -112,10 +121,28 @@ object Retrieval {
         (idf * (d(col("tf")) * lit(k1 + 1.0)) / denom).as("tsc"))
   }
 
+  /** Full ranking from a prebuilt index: per-(query,doc) pinned-fold
+    * score sum, then the two-phase top-k — public so the streaming
+    * ingest's snapshot-derived index serves through the same path the
+    * batch queries gate.
+    */
+  def bm25TopkFromIndex(ix: Bm25Index, qterms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = bm25ScoreIndex(ix, qterms, k1, b)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+          .as("score"))
+    topkPerQuery(perDoc, "score", k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Query-by-example term sets: the distinct vocabulary of each query
     * document (doc_id < numQueries).
     */
-  private def queryTerms(s: SparkSession, dir: String, numQueries: Int): DataFrame =
+  def queryTerms(s: SparkSession, dir: String, numQueries: Int): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("query_id"),
         explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
@@ -127,12 +154,13 @@ object Retrieval {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Bm25Index]()
 
+  private def fullIndex(s: SparkSession, dir: String): Bm25Index =
+    indexCache.computeIfAbsent((s, dir), _ =>
+      bm25Build(t(s, dir, "documents").select(col("doc_id"), col("text"))))
+
   private def bm25Scored(s: SparkSession, dir: String, numQueries: Int,
       k1: Double, b: Double): DataFrame =
-    bm25ScoreIndex(
-      indexCache.computeIfAbsent((s, dir), _ =>
-        bm25Build(t(s, dir, "documents").select(col("doc_id"), col("text")))),
-      queryTerms(s, dir, numQueries), k1, b)
+    bm25ScoreIndex(fullIndex(s, dir), queryTerms(s, dir, numQueries), k1, b)
 
   /** x123: BM25 top-k — for each query document (doc_id < numQueries),
     * the k corpus documents with the highest summed Okapi BM25 term
@@ -140,17 +168,8 @@ object Retrieval {
     * order so the doubles hash-compare against DuckDB.
     */
   def bm25Topk(s: SparkSession, dir: String, numQueries: Int = 3,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val perDoc = bm25Scored(s, dir, numQueries, k1, b)
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_terms"),
-        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
-          .as("score"))
-    topkPerQuery(perDoc, "score", k)
-      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
-        col("rank"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopkFromIndex(fullIndex(s, dir), queryTerms(s, dir, numQueries), k, k1, b)
 
   /** The lexical leg for fusion: BM25 ranking to a candidate pool of
     * `poolK` per query.
@@ -221,16 +240,7 @@ object Retrieval {
     val parts = Seq(
       bm25Build(docs.filter(col("doc_id") < splitAt)),
       bm25Build(docs.filter(col("doc_id") >= splitAt)))
-    val perDoc = bm25ScoreIndex(bm25Merge(parts), queryTerms(s, dir, numQueries),
-        1.2, 0.75)
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_terms"),
-        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
-          .as("score"))
-    topkPerQuery(perDoc, "score", k)
-      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
-        col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    bm25TopkFromIndex(bm25Merge(parts), queryTerms(s, dir, numQueries), k)
   }
 
   /** x129: maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
