@@ -1586,7 +1586,63 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** x130: exact pairwise covariance/correlation of embedding dimensions
+    * — the Gram pass PCA/whitening starts from. Same 2^-20 grid snap as
+    * x127, so Σq_i·q_j is an ORDER-FREE integer sum; the outer product
+    * is computed MAP-SIDE per row (a flattened nested transform, then
+    * posexplode feeding a partial aggregate — the wordcount shape), so
+    * the shuffle carries only ≤ d²/2 keyed partials per partition, never
+    * a row-amplified self-join of the corpus. The closing cov/corr
+    * arithmetic is one fixed double tree; corr is formed on the grid
+    * scale so no scale factor touches it. Emits the top `topPairs`
+    * off-diagonal pairs by |corr| (ties by dim_i, dim_j).
+    */
+  def embeddingGramTopk(s: SparkSession, dir: String, topPairs: Int = 20): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + lit(1)).as("dim"),
+        floor(col("v").cast(DoubleType) * lit(1048576.0)).as("q"))
+    val perDim = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sq2"))
+    val d = t(s, dir, "embeddings")
+      .select(transform(col("embedding"),
+        v => floor(v.cast(DoubleType) * lit(1048576.0))).as("qa"))
+      .select(size(col("qa")).as("w"),
+        posexplode(flatten(transform(col("qa"),
+          x => transform(col("qa"), y => x * y)))).as(Seq("idx", "qq")))
+      // idx < w² ≤ 2^53: the double division is exact under floor
+      .select(floor(col("idx") / col("w")).as("i0"),
+        pmod(col("idx"), col("w")).cast(LongType).as("j0"), col("qq"))
+      .filter(col("i0") < col("j0"))
+      .select((col("i0") + lit(1L)).cast("int").as("dim_i"),
+        (col("j0") + lit(1L)).cast("int").as("dim_j"), col("qq"))
+    val pairs = d.groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("qq")).as("sqq"))
+    def stdg(sq: Column, sq2: Column, n: Column) =
+      sqrt((sq2.cast(DoubleType) - sq.cast(DoubleType) * sq.cast(DoubleType)
+        / n.cast(DoubleType)) / n.cast(DoubleType))
+    val ai = perDim.select(col("dim").as("dim_i"), col("sq").as("sq_i"),
+      col("sq2").as("sq2_i"))
+    val aj = perDim.select(col("dim").as("dim_j"), col("sq").as("sq_j"),
+      col("sq2").as("sq2_j"))
+    val covg = (col("sqq").cast(DoubleType) -
+      col("sq_i").cast(DoubleType) * col("sq_j").cast(DoubleType)
+        / col("n").cast(DoubleType)) / col("n").cast(DoubleType)
+    val scored = pairs.join(broadcast(ai), Seq("dim_i")).join(broadcast(aj), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        (covg / lit(1099511627776.0)).as("cov"),
+        (covg / (stdg(col("sq_i"), col("sq2_i"), col("n"))
+          * stdg(col("sq_j"), col("sq2_j"), col("n")))).as("corr"))
+    val w = Window.orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPairs)
+      .select(col("rank"), col("dim_i"), col("dim_j"), col("n"), col("cov"), col("corr"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x130_embedding_gram" -> ((s: SparkSession, dir: String) => embeddingGramTopk(s, dir)),
     "x127_embedding_dim_stats" -> (embeddingDimStats _),
     "x112_hard_negatives" -> ((s: SparkSession, dir: String) => hardNegatives(s, dir)),
     "x113_dim_ablation" -> ((s: SparkSession, dir: String) => dimAblationRecall(s, dir)),
@@ -1847,6 +1903,41 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // x130: same grid snap; the twin forms Σq_i·q_j by self-joining the
+    // exploded grid on vec_id (the brute-force spelling of the map-side
+    // outer product), then the identical cov/corr double tree.
+    "x130_embedding_gram" ->
+      """WITH grid AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |perdim AS (
+        |  SELECT i AS dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sq2
+        |  FROM grid GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS dim_i, b.i AS dim_j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS sqq
+        |  FROM grid a JOIN grid b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY a.i, b.i),
+        |scored AS (
+        |  SELECT CAST(p.dim_i AS INT) AS dim_i, CAST(p.dim_j AS INT) AS dim_j, p.n,
+        |    ((CAST(sqq AS DOUBLE) - CAST(ai.sq AS DOUBLE) * CAST(aj.sq AS DOUBLE)
+        |       / CAST(p.n AS DOUBLE)) / CAST(p.n AS DOUBLE))
+        |      / CAST(1099511627776 AS DOUBLE) AS cov,
+        |    ((CAST(sqq AS DOUBLE) - CAST(ai.sq AS DOUBLE) * CAST(aj.sq AS DOUBLE)
+        |       / CAST(p.n AS DOUBLE)) / CAST(p.n AS DOUBLE))
+        |      / (sqrt((CAST(ai.sq2 AS DOUBLE) - CAST(ai.sq AS DOUBLE) * CAST(ai.sq AS DOUBLE)
+        |           / CAST(p.n AS DOUBLE)) / CAST(p.n AS DOUBLE))
+        |         * sqrt((CAST(aj.sq2 AS DOUBLE) - CAST(aj.sq AS DOUBLE) * CAST(aj.sq AS DOUBLE)
+        |           / CAST(p.n AS DOUBLE)) / CAST(p.n AS DOUBLE))) AS corr
+        |  FROM pairs p JOIN perdim ai ON ai.dim = p.dim_i
+        |  JOIN perdim aj ON aj.dim = p.dim_j)
+        |SELECT CAST(rank AS INT) AS rank, dim_i, dim_j, n, cov, corr FROM (
+        |  SELECT *, row_number() OVER (ORDER BY abs(corr) DESC, dim_i, dim_j) AS rank
+        |  FROM scored)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // x127: the identical 2^-20 grid snap (exact ops), integer sums,
     // and the same fixed double tree for mean/std.
     "x127_embedding_dim_stats" ->

@@ -146,6 +146,24 @@ class RetrievalSpec extends SparkSpec {
     assert(tv.head.getDouble(4) === expect, "exact integer TV must match the hand computation")
   }
 
+  test("x130: grid Gram pairs equal a driver-side exact recomputation; corr bounded") {
+    val rows = Similarity.embeddingGramTopk(spark, Sf, topPairs = 20).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getInt(1) < r.getInt(2)), "upper triangle only")
+    assert(rows.forall(r => math.abs(r.getDouble(5)) <= 1.0 + 1e-12), "|corr| <= 1")
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1048576.0).toLong).toArray)
+    val top = rows.head
+    val (i, j) = (top.getInt(1) - 1, top.getInt(2) - 1)
+    val n = embs.length.toLong
+    val (si, sj) = (embs.map(_(i)).sum, embs.map(_(j)).sum)
+    val sqq = embs.map(e => e(i) * e(j)).sum
+    val covg = (sqq.toDouble - si.toDouble * sj.toDouble / n.toDouble) / n.toDouble
+    assert(top.getDouble(4) === covg / 1099511627776.0,
+      "top pair covariance must be bit-identical to the exact recomputation")
+  }
+
   test("x127: fixed-point moments equal a driver-side exact recomputation, bit for bit") {
     val stats = Similarity.embeddingDimStats(spark, Sf).collect()
     val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
