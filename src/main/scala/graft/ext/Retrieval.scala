@@ -323,7 +323,42 @@ object Retrieval {
       .orderBy(col("query_id"), col("step"))
   }
 
+  /** x134: label-grounded evaluation of the LEXICAL lane — precision@k /
+    * recall@k of the x123 BM25 ranking against the embeddings labels
+    * (vec_id ≡ doc_id, the x124 identification), the counterpart of
+    * x105's kNN eval for the semantic lane: a retrieval pipeline reads
+    * the two side by side to decide the fusion weights x124 commits to.
+    * All counts integer (hits, class sizes); the only doubles are the
+    * two closing ratios; `first_hit_rank` stays null when the top-k has
+    * no relevant doc — identically in both engines. The top-k frames are
+    * numQueries·k rows, class sizes a labels-sized broadcast: eval cost
+    * is independent of corpus size.
+    */
+  def bm25LabelEval(s: SparkSession, dir: String,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val ql = lab.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val classSizes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_class"))
+    val hits = bm25Topk(s, dir, numQueries, k)
+      .join(lab.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .join(broadcast(ql), "query_id")
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("label") === col("qlabel"), col("rank")))
+          .cast("long").as("first_hit_rank"))
+    hits.join(broadcast(classSizes), col("qlabel") === col("label"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        (col("n_class") - 1).as("n_rel_corpus"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(k.toDouble)).as("precision_at_k"),
+        (col("n_hits").cast(DoubleType) / (col("n_class") - 1).cast(DoubleType))
+          .as("recall_at_k"),
+        col("first_hit_rank"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x134_bm25_label_eval" -> ((s: SparkSession, dir: String) => bm25LabelEval(s, dir)),
     "x123_bm25_topk" -> ((s: SparkSession, dir: String) => bm25Topk(s, dir)),
     "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)),
     "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)),
@@ -418,6 +453,29 @@ object Retrieval {
       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x134_bm25_label_eval" ->
+      s"""WITH $Bm25Cte,
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM perdoc),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ql AS (SELECT vec_id AS query_id, label AS qlabel FROM lab WHERE vec_id < 3),
+         |cs AS (SELECT label, count(*) AS n_class FROM lab GROUP BY label),
+         |hits AS (
+         |  SELECT t.query_id, ql.qlabel,
+         |    CAST(sum(CASE WHEN l.label = ql.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |    CAST(min(CASE WHEN l.label = ql.qlabel THEN t.rank END) AS BIGINT) AS first_hit_rank
+         |  FROM topk t JOIN lab l ON l.vec_id = t.doc_id
+         |  JOIN ql ON ql.query_id = t.query_id
+         |  GROUP BY t.query_id, ql.qlabel)
+         |SELECT h.query_id, h.qlabel AS label,
+         |  CAST(cs.n_class - 1 AS BIGINT) AS n_rel_corpus, h.n_hits,
+         |  CAST(h.n_hits AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+         |  CAST(h.n_hits AS DOUBLE) / CAST(cs.n_class - 1 AS DOUBLE) AS recall_at_k,
+         |  h.first_hit_rank
+         |FROM hits h JOIN cs ON cs.label = h.qlabel ORDER BY query_id""".stripMargin,
     "x129_mmr_rerank" -> mmrOracle(3, 20, 5),
     "x123_bm25_topk" ->
       s"""WITH $Bm25Cte,

@@ -988,7 +988,98 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** x131: CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): split each language's documents into
+    * head/middle/tail TERCILES of the x54 bigram-LM score (head = most
+    * fluent under the corpus LM — CCNet's "keep head, inspect middle,
+    * drop tail" recipe) and report the per-(lang, bucket) corpus slice a
+    * mixture designer reads: doc count, token budget, and the score
+    * range. `ntile(3)` is exact integer bucketing (both engines follow
+    * the SQL-standard first-(n mod k)-groups-get-one-extra rule) over the
+    * per-language (avg_p desc, doc_id) order; the bucket mean folds in
+    * pinned ascending order. The window partitions by language, so the
+    * sort is per-group and distributed — the x63 discipline; a skewed
+    * giant language falls back to the approx-percentile spelling at
+    * extreme scale.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(wsTokens(lower(col("text")))).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_p").desc, col("doc_id"))
+    bigramLmScore(s, dir)
+      .join(docs, "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast(LongType))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (aggregate(array_sort(collect_list(col("avg_p"))), lit(0.0), (a, b) => a + b)
+          / count(lit(1)).cast(DoubleType)).as("mean_p"),
+        min(col("avg_p")).as("min_p"), max(col("avg_p")).as("max_p"))
+      .select(col("lang"), col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket_name"),
+        col("n_docs"), col("total_tokens"), col("mean_p"), col("min_p"), col("max_p"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** x133: held-out interpolated LM scoring — the production form of the
+    * x54 quality filter: the model trains on one fold (doc_id mod 5 ≠ 4)
+    * and scores the OTHER (mod 5 = 4), so every probability is
+    * out-of-fold (x54's in-fold MLE rewards memorized text; a real
+    * curation LM never scores its own training data). Per held-out
+    * bigram, Jelinek–Mercer interpolation with unigram-Laplace backoff:
+    * p = λ·p_bi + (1−λ)·p_uni, λ = 0.75, p_bi = c₂/c₁ when the train
+    * corpus saw the bigram (else 0 — the backoff case, counted per doc),
+    * p_uni = (c_uni(w₂)+1)/(N+V). All counts are exact integers; each
+    * term is two divisions and one fused λ-tree of correctly-rounded
+    * double ops, and the per-doc mean folds ascending — bit-equal
+    * cross-engine. Shape: train-side model aggregates reduce map-side;
+    * held-out bigrams left-join the model tables on their token keys
+    * (vocab-sized, shuffle-joined at scale); no collect.
+    */
+  def heldoutLmScore(s: SparkSession, dir: String, lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ngrams = ColumnBridge.column(
+      graft.functions.WordNGrams(ColumnBridge.expression(lower(col("text"))), 2))
+    val docs = t(s, dir, "documents")
+    val isHeld = pmod(col("doc_id"), lit(5L)) === lit(4L)
+    val bi = docs.select(col("doc_id"), ngrams)
+      .select(col("doc_id"),
+        substring_index(col("ngram"), " ", 1).as("w1"),
+        substring_index(col("ngram"), " ", -1).as("w2"))
+    val uni = docs.filter(!isHeld)
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val stats = uni.agg(sum(col("cu")).as("n_tok"), count(lit(1)).as("v"))
+    val big = bi.filter(!isHeld).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = uni.select(col("w").as("w1"), col("cu").as("c1"))
+    val cu2 = uni.select(col("w").as("w2"), col("cu").as("cu2"))
+    val pBi = when(col("c2").isNull || col("c1").isNull, lit(0.0))
+      .otherwise(col("c2").cast(DoubleType) / col("c1").cast(DoubleType))
+    val pUni = (coalesce(col("cu2"), lit(0L)) + lit(1L)).cast(DoubleType) /
+      (col("n_tok") + col("v")).cast(DoubleType)
+    bi.filter(isHeld)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cu2, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (lit(lambda) * pBi + lit(1.0 - lambda) * pUni).as("p"),
+        col("c2").isNull.as("backoff"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        (aggregate(array_sort(collect_list(col("p"))), lit(0.0), (a, b) => a + b)
+          / count(lit(1)).cast(DoubleType)).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x131_ccnet_buckets" -> (ccnetBuckets _),
+    "x133_heldout_lm" -> ((s: SparkSession, dir: String) => heldoutLmScore(s, dir)),
     "x125_dsir_weights" -> ((s: SparkSession, dir: String) => dsirWeights(s, dir)),
     "x126_source_tv" -> (sourceTvDistance _),
     "x121_bpe_fertility" -> ((s: SparkSession, dir: String) => bpeFertilityBySource(s, dir)),
@@ -1206,6 +1297,77 @@ object TextAnalysis {
          |GROUP BY s.source ORDER BY s.source""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    // x131: the x54 scoring CTE re-bucketed with the SQL-standard ntile —
+    // identical tercile boundaries, pinned-fold bucket means.
+    ("x131_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT bi.doc_id, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1)),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
+        |      / CAST(count(*) AS DOUBLE) AS avg_p
+        |  FROM scored GROUP BY doc_id),
+        |docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bucketed AS (
+        |  SELECT d.lang, p.avg_p, d.n_tokens,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY p.avg_p DESC, p.doc_id) AS BIGINT) AS bucket
+        |  FROM perdoc p JOIN docs d USING (doc_id))
+        |SELECT lang, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  list_reduce(list_prepend(0.0, list(avg_p ORDER BY avg_p)), (a, b) -> a + b)
+        |    / CAST(count(*) AS DOUBLE) AS mean_p,
+        |  min(avg_p) AS min_p, max(avg_p) AS max_p
+        |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) +
+    // x133: out-of-fold scoring — train CTEs filter doc_id % 5 <> 4, the
+    // held-out bigrams left-join them; identical λ-tree and backoff CASE.
+    ("x133_heldout_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |uni AS (SELECT w, count(*) AS cu FROM toks WHERE doc_id % 5 <> 4 GROUP BY w),
+        |stats AS (SELECT sum(cu) AS n_tok, count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE doc_id % 5 <> 4 GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    CAST(0.75 AS DOUBLE) * (CASE WHEN big.c2 IS NULL OR u1.cu IS NULL THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(big.c2 AS DOUBLE) / CAST(u1.cu AS DOUBLE) END)
+        |    + CAST(0.25 AS DOUBLE) * (CAST(coalesce(u2.cu, 0) + 1 AS DOUBLE)
+        |        / CAST(n_tok + v AS DOUBLE)) AS p,
+        |    big.c2 IS NULL AS backoff
+        |  FROM bi h
+        |  LEFT JOIN big ON big.w1 = h.w1 AND big.w2 = h.w2
+        |  LEFT JOIN uni u1 ON u1.w = h.w1
+        |  LEFT JOIN uni u2 ON u2.w = h.w2
+        |  CROSS JOIN stats
+        |  WHERE h.doc_id % 5 = 4)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
+        |    / CAST(count(*) AS DOUBLE) AS avg_p
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
     // x125: Laplace-ratio mean with the pinned ascending fold; the
     // integer products mirror the Spark BIGINT arithmetic exactly.
     ("x125_dsir_weights" ->

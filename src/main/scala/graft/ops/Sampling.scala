@@ -290,7 +290,57 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** x132: epoch-capped token-budget allocation across sources — the
+    * mixture-planning step a data-constrained training run fixes before
+    * sampling (the Muennighoff et al. 2023 regime, arXiv:2305.16264:
+    * repeating a source beyond ~4 epochs buys almost nothing, so budget
+    * past the cap must flow to sources with headroom). Semantics, fully
+    * deterministic and integer-exact: budget B = `mult`×total corpus
+    * tokens splits uniformly across sources (integer div — the sub-source
+    * remainder is deliberately unallocated, both engines agree); each
+    * source caps at `maxEpochs`×its unique tokens; the capped surplus
+    * redistributes to uncapped sources in ONE pass, proportional to
+    * integer headroom (again div — proportional water-filling to a
+    * fixpoint would iterate; the single documented pass is deterministic
+    * and leaves only div-remainders unspent). The only doubles are the
+    * closing epochs ratios. Two scalar aggregates broadcast back over a
+    * sources-sized frame — nothing here touches the corpus twice, and
+    * the per-source token sums are map-side-combinable. BIGINT products
+    * (leftover×headroom) are exact to ~9.2e18; at 1e14-token corpora
+    * swap to DECIMAL(38,0) as in x125.
+    */
+  def tokenBudget(s: SparkSession, dir: String,
+      mult: Long = 3L, maxEpochs: Long = 4L): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("unique_tokens"))
+    val tot = per.agg(count(lit(1)).as("n_src"), sum(col("unique_tokens")).as("u_total"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("alloc0", expr(s"($mult * u_total) div n_src").cast(LongType))
+      .withColumn("cap", lit(maxEpochs) * col("unique_tokens"))
+      .withColumn("capped_alloc", least(col("alloc0"), col("cap")))
+      .withColumn("headroom", col("cap") - col("capped_alloc"))
+    val surplus = base.agg(
+      sum(col("alloc0") - col("capped_alloc")).as("leftover"),
+      sum(col("headroom")).as("hr_total"))
+    base.crossJoin(broadcast(surplus))
+      .withColumn("extra_alloc",
+        when(col("hr_total") > 0,
+          least(col("headroom"),
+            expr("(leftover * headroom) div hr_total").cast(LongType)))
+          .otherwise(lit(0L)))
+      .withColumn("final_alloc", col("capped_alloc") + col("extra_alloc"))
+      .select(col("source"), col("n_docs"), col("unique_tokens"), col("alloc0"),
+        col("capped_alloc"), col("extra_alloc"), col("final_alloc"),
+        (col("final_alloc").cast("double") / col("unique_tokens").cast("double"))
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x132_token_budget" -> ((s: SparkSession, dir: String) => tokenBudget(s, dir)),
     "x117_pps_sample" -> ((s: SparkSession, dir: String) => ppsSample(s, dir)),
     "x91_length_batching" -> (lengthBatching _),
     "x76_packed_sequences" -> ((s: SparkSession, dir: String) => packedSequences(s, dir)),
@@ -320,6 +370,36 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // x132: the same uniform-split / epoch-cap / one-pass-redistribute
+    // integer arithmetic; // is DuckDB's integer division (Spark: div).
+    "x132_token_budget" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS unique_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT count(*) AS n_src,
+        |        CAST(sum(unique_tokens) AS BIGINT) AS u_total FROM per),
+        |base AS (
+        |  SELECT source, n_docs, unique_tokens,
+        |    CAST((3 * u_total) // n_src AS BIGINT) AS alloc0,
+        |    CAST(4 * unique_tokens AS BIGINT) AS cap,
+        |    CAST(least((3 * u_total) // n_src, 4 * unique_tokens) AS BIGINT) AS capped_alloc
+        |  FROM per CROSS JOIN tot),
+        |b2 AS (SELECT *, cap - capped_alloc AS headroom FROM base),
+        |agg2 AS (
+        |  SELECT CAST(sum(alloc0 - capped_alloc) AS BIGINT) AS leftover,
+        |    CAST(sum(headroom) AS BIGINT) AS hr_total FROM b2),
+        |fin AS (
+        |  SELECT source, n_docs, unique_tokens, alloc0, capped_alloc,
+        |    CAST(CASE WHEN hr_total > 0
+        |      THEN least(headroom, (leftover * headroom) // hr_total)
+        |      ELSE 0 END AS BIGINT) AS extra_alloc
+        |  FROM b2 CROSS JOIN agg2)
+        |SELECT source, n_docs, unique_tokens, alloc0, capped_alloc, extra_alloc,
+        |  capped_alloc + extra_alloc AS final_alloc,
+        |  CAST(capped_alloc + extra_alloc AS DOUBLE)
+        |    / CAST(unique_tokens AS DOUBLE) AS epochs
+        |FROM fin ORDER BY source""".stripMargin,
     // x117: DuckDB's plain global-order window IS the spec; the Spark
     // side must reproduce it exactly through the two-phase scan.
     // Explicit BIGINT casts: DuckDB sum(BIGINT) widens to HUGEINT.

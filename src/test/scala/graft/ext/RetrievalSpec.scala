@@ -183,4 +183,27 @@ class RetrievalSpec extends SparkSpec {
         "min <= mean <= max per dimension")
     }
   }
+
+  test("x134: P/R@k reconstructs from the x123 top-k and the label table") {
+    val k = 10
+    val eval = Retrieval.bm25LabelEval(spark, Sf, numQueries = 3, k = k).collect()
+    assert(eval.length == 3)
+    val labels = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = Retrieval.bm25Topk(spark, Sf, numQueries = 3, k = k).collect()
+    eval.foreach { r =>
+      val q = r.getLong(0)
+      val qlabel = labels(q)
+      assert(r.getInt(1) == qlabel)
+      val ranked = topk.filter(_.getLong(0) == q).sortBy(_.getInt(4))
+        .flatMap(t => labels.get(t.getLong(1)).map(l => (t.getInt(4), l)))
+      val hits = ranked.count(_._2 == qlabel).toLong
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("n_rel_corpus") == labels.values.count(_ == qlabel).toLong - 1L)
+      assert(r.getAs[Double]("precision_at_k") == hits.toDouble / k)
+      val firstHit = ranked.find(_._2 == qlabel).map(_._1.toLong)
+      assert(Option(r.getAs[Any]("first_hit_rank")).map(_.asInstanceOf[Long]) == firstHit)
+    }
+  }
 }

@@ -140,4 +140,66 @@ class TextAnalysisSpec extends SparkSpec {
       assert(fert == r.getAs[Long]("n_bpe_tokens").toDouble / r.getAs[Long]("n_words"))
     }
   }
+
+  test("x131: buckets partition each language's scored docs; score ranges nest") {
+    val buckets = TextAnalysis.ccnetBuckets(spark, Sf).collect()
+    assert(buckets.nonEmpty)
+    val scored = TextAnalysis.bigramLmScore(spark, Sf)
+      .join(spark.read.parquet(s"$Sf/documents.parquet").select("doc_id", "lang"), "doc_id")
+      .collect().groupBy(_.getAs[String]("lang"))
+    buckets.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val sizes = rows.map(_.getAs[Long]("n_docs"))
+      assert(sizes.sum == scored(lang).length,
+        s"$lang: bucket sizes must partition the scored docs")
+      // ntile balance: sizes differ by at most one
+      assert(sizes.max - sizes.min <= 1, s"$lang: ntile must balance")
+      // head scores dominate middle dominate tail (ties may touch)
+      val byBucket = rows.sortBy(_.getAs[Long]("bucket"))
+      byBucket.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("min_p") >= lo.getAs[Double]("max_p"),
+            s"$lang: bucket ${hi.getAs[Long]("bucket")} must dominate the next")
+        case _ => ()
+      }
+    }
+    val names = buckets.map(r => r.getAs[Long]("bucket") -> r.getAs[String]("bucket_name"))
+    assert(names.toSet.subsetOf(Set(1L -> "head", 2L -> "middle", 3L -> "tail")))
+  }
+
+  test("x133: held-out scores are out-of-fold and match a driver brute force") {
+    val rows = TextAnalysis.heldoutLmScore(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 5 == 4), "only fold-4 docs are scored")
+    // driver-side reference: train counts from the raw text, same λ-tree
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val train = docs.filter(_._1 % 5 != 4)
+    val uni = train.flatMap(_._2).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val big = train.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val nTok = uni.values.sum
+    val v = uni.size.toLong
+    docs.filter(_._1 % 5 == 4).foreach { case (id, ts) =>
+      val bigrams = ts.zip(ts.drop(1))
+      if (bigrams.nonEmpty) {
+        val ps = bigrams.map { case (w1, w2) =>
+          val pBi = (big.get((w1, w2)), uni.get(w1)) match {
+            case (Some(c2), Some(c1)) => c2.toDouble / c1.toDouble
+            case _ => 0.0
+          }
+          val pUni = (uni.getOrElse(w2, 0L) + 1L).toDouble / (nTok + v).toDouble
+          0.75 * pBi + 0.25 * pUni
+        }
+        val expect = ps.sorted.foldLeft(0.0)(_ + _) / ps.size
+        val nBackoff = bigrams.count(b => !big.contains(b)).toLong
+        val r = rows.find(_.getLong(0) == id).get
+        assert(r.getLong(1) == bigrams.size, s"doc $id bigram count")
+        assert(r.getLong(2) == nBackoff, s"doc $id backoff count")
+        assert(r.getDouble(3) == expect, s"doc $id: pinned fold must match exactly")
+      }
+    }
+    // the model must actually back off somewhere on real data
+    assert(rows.map(_.getLong(2)).sum > 0, "held-out text should contain unseen bigrams")
+  }
 }

@@ -185,4 +185,38 @@ class SamplingSpec extends SparkSpec {
       .orderBy(col("event_id")).collect().toSeq
     assert(salted == plain)
   }
+
+  test("x132: token-budget allocation matches a driver brute force and respects the cap") {
+    val rows = Sampling.tokenBudget(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val per = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        src -> rs.map(_.getString(1).trim.split("\\s+").length.toLong).sum
+      }
+    val nSrc = per.size.toLong
+    val uTotal = per.values.sum
+    val alloc0 = (3L * uTotal) / nSrc
+    val capped = per.map { case (s, u) => s -> math.min(alloc0, 4L * u) }
+    val leftover = per.keys.map(s => alloc0 - capped(s)).sum
+    val headroom = per.map { case (s, u) => s -> (4L * u - capped(s)) }
+    val hrTotal = headroom.values.sum
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val u = per(src)
+      assert(r.getAs[Long]("unique_tokens") == u)
+      assert(r.getAs[Long]("alloc0") == alloc0)
+      assert(r.getAs[Long]("capped_alloc") == capped(src))
+      val extra = if (hrTotal > 0)
+        math.min(headroom(src), leftover * headroom(src) / hrTotal) else 0L
+      assert(r.getAs[Long]("extra_alloc") == extra, s"$src extra")
+      val fin = capped(src) + extra
+      assert(r.getAs[Long]("final_alloc") == fin)
+      assert(fin <= 4L * u, s"$src: epoch cap must hold after redistribution")
+      assert(r.getAs[Double]("epochs") == fin.toDouble / u.toDouble)
+    }
+    // nothing over-allocated: the budget is an upper bound
+    assert(rows.map(_.getAs[Long]("final_alloc")).sum <= 3L * uTotal)
+  }
 }
