@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for the `vecshard` DataSource V2 connector: round-trip fidelity,
+  * column-pruning (no vector bytes decoded for an id-only projection),
+  * sidecar shard pruning under pushed vec_id ranges, and the scan's
+  * self-description carrying the pushed filters.
+  */
+class VecShardSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("vecshard").toString
+    val src = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .repartitionByRange(4, col("vec_id"))
+    VecShard.writeShards(src, d)
+    d
+  }
+
+  test("round-trip: every (vec_id, embedding) survives the binary format bitwise") {
+    val back = VecShard.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(back.keySet == orig.keySet)
+    orig.foreach { case (id, v) => assert(back(id) == v, s"vector $id differs") }
+  }
+
+  test("column pruning: an id-only projection decodes zero vector bytes") {
+    VecShard.vectorBytesDecoded.set(0L)
+    val n = VecShard.read(spark, dir).select("vec_id").collect().length
+    assert(n > 0)
+    assert(VecShard.vectorBytesDecoded.get() == 0L,
+      "pruned scan must skip the float payload entirely")
+    // and a full read does decode
+    VecShard.read(spark, dir).select("embedding").collect(): Unit
+    assert(VecShard.vectorBytesDecoded.get() > 0L)
+  }
+
+  test("shard pruning: a pushed vec_id range opens only overlapping shards") {
+    val metas = VecShard.listShards(dir)
+    assert(metas.length == 4, "range-partitioned write should land 4 shards")
+    // ids are range-partitioned, so a tight range hits exactly one shard
+    val probe = metas.head
+    VecShard.filesOpened.set(0L)
+    val got = VecShard.read(spark, dir)
+      .filter(col("vec_id") >= probe.minId && col("vec_id") <= probe.minId + 1)
+      .collect()
+    assert(got.nonEmpty)
+    assert(VecShard.filesOpened.get() == 1L,
+      s"expected 1 shard opened, got ${VecShard.filesOpened.get()}")
+    // correctness never rides the pruning: the residual filter re-applies
+    assert(got.forall { r =>
+      val id = r.getLong(0); id >= probe.minId && id <= probe.minId + 1
+    })
+  }
+
+  test("scan description and plan carry the pushed filters and pruned schema") {
+    val df = VecShard.read(spark, dir).filter(col("vec_id") < 10L).select("vec_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("VecShardScan"), s"custom scan missing in:\n$plan")
+    assert(plan.contains("PushedFilters: [LessThan(vec_id,10)]")
+      || plan.contains("LessThan(vec_id,10)"), s"pushed filter missing in:\n$plan")
+    assert(df.collect().forall(_.getLong(0) < 10L))
+    assert(df.schema.fieldNames.toSeq == Seq("vec_id"))
+  }
+
+  test("the shortName registration resolves: format(\"vecshard\") works") {
+    val n = spark.read.format("vecshard").option("path", dir).load().count()
+    assert(n == spark.read.parquet(s"$Sf/embeddings.parquet").count())
+  }
+}
