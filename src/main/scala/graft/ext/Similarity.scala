@@ -1641,7 +1641,73 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** The per-label drift of an arriving vector batch against the STANDING
+    * reference corpus: cosine between the batch's label centroid and the
+    * reference's, on the 2^-20 fixed-point grid (sums order-free integer,
+    * products exact DECIMAL(38,0), one closing double tree — the x108
+    * arithmetic). Factored so the batch query (x135) and the streaming
+    * monitor hash-gate the SAME core, the x120 ingest-twin discipline.
+    */
+  def driftAgainstReference(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    def gridSums(df: DataFrame, out: String) = df
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
+      .groupBy(col("label"), col("pos")).agg(sum(col("q")).cast(LongType).as(out))
+    val geo = gridSums(batch, "sb")
+      .join(gridSums(t(s, dir, "embeddings"), "sr"), Seq("label", "pos"))
+      .groupBy(col("label")).agg(
+        sum(col("sb").cast("decimal(38,0)") * col("sr").cast("decimal(38,0)")).as("dot"),
+        sum(col("sb").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)")).as("nb2"),
+        sum(col("sr").cast("decimal(38,0)") * col("sr").cast("decimal(38,0)")).as("nr2"))
+    batch.groupBy(col("label")).agg(count(lit(1)).as("n_batch"))
+      .join(geo, "label")
+      .select(col("label"), col("n_batch"),
+        when(col("nb2") === 0 || col("nr2") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("dot").cast(DoubleType)
+            / (sqrt(col("nb2").cast(DoubleType)) * sqrt(col("nr2").cast(DoubleType))))
+          .as("centroid_cosine"))
+      .orderBy(col("label"))
+  }
+
+  /** x135: the monitoring lane's batch twin — the LAST QUARTER of the id
+    * range plays one arriving ingest batch, scored against the full
+    * standing reference by [[driftAgainstReference]]; the streaming
+    * monitor below commits exactly this frame per micro-batch, so the
+    * hash gate covers the streaming core relationally (x120's pattern).
+    */
+  def driftProbe(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    val bounds = base.agg(min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .select((col("max_id") + 1L - expr("(max_id - min_id + 1) div 4"))
+        .cast(LongType).as("cut"))
+    val batch = base.crossJoin(broadcast(bounds)).filter(col("vec_id") >= col("cut"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    driftAgainstReference(s, dir, batch)
+  }
+
+  /** Streaming embedding-drift monitor — x108/x135's continuous form: each
+    * micro-batch of (vec_id, label, embedding) rows scores against the
+    * standing reference corpus via [[driftAgainstReference]] and commits
+    * as one `VersionedTable` snapshot per batchId (`commitIfAbsent` ⇒
+    * at-least-once replay is exactly-once), giving ops a reproducible
+    * drift report per ingest step. The reference-side grid sums are a
+    * labels×dims frame — at cluster scale a daily job materializes them
+    * once and the per-batch cost is the batch's own aggregate.
+    */
+  def streamingEmbeddingDrift(s: SparkSession, vecs: DataFrame, dir: String,
+      root: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.engine.VersionedTable.commitIfAbsent(
+          driftAgainstReference(s, dir, batch.toDF()), root, batchId): Unit
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x135_drift_probe" -> (driftProbe _),
     "x130_embedding_gram" -> ((s: SparkSession, dir: String) => embeddingGramTopk(s, dir)),
     "x127_embedding_dim_stats" -> (embeddingDimStats _),
     "x112_hard_negatives" -> ((s: SparkSession, dir: String) => hardNegatives(s, dir)),
@@ -2014,6 +2080,36 @@ object Similarity {
         |  FROM scored)
         |SELECT label, CAST(rank AS INT) AS rank, vec_id, loo_cosine
         |FROM ranked WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+    "x135_drift_probe" ->
+      """WITH b AS (
+        |  SELECT CAST(max(vec_id) + 1 - (max(vec_id) - min(vec_id) + 1) // 4 AS BIGINT) AS cut
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, vec_id >= b.cut AS in_batch, i - 1 AS pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, b,
+        |       LATERAL (SELECT unnest(embedding) AS v,
+        |                       unnest(generate_series(1, len(embedding))) AS i)),
+        |sums AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CASE WHEN in_batch THEN q ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(q) AS BIGINT) AS sr
+        |  FROM dims GROUP BY label, pos),
+        |geo AS (
+        |  SELECT label,
+        |    sum(CAST(sb AS HUGEINT) * CAST(sr AS HUGEINT)) AS dot,
+        |    sum(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)) AS nb2,
+        |    sum(CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)) AS nr2
+        |  FROM sums GROUP BY label),
+        |c AS (
+        |  SELECT label, count(*) AS n_batch
+        |  FROM embeddings, b WHERE vec_id >= b.cut GROUP BY label)
+        |SELECT c.label, c.n_batch,
+        |  CASE WHEN geo.nb2 = 0 OR geo.nr2 = 0 THEN NULL
+        |       ELSE CAST(geo.dot AS DOUBLE)
+        |         / (sqrt(CAST(geo.nb2 AS DOUBLE)) * sqrt(CAST(geo.nr2 AS DOUBLE))) END
+        |    AS centroid_cosine
+        |FROM c JOIN geo ON geo.label = c.label ORDER BY c.label""".stripMargin,
     "x108_embedding_drift" ->
       """WITH b AS (
         |  SELECT CAST((min(vec_id) + max(vec_id) + 1) // 2 AS BIGINT) AS mid

@@ -451,4 +451,50 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.centroidOutliers(spark, Dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("streaming drift monitor commits the batch core's frame exactly once per batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.engine.Tables(spark, Dir, "embeddings")
+    val cut = base.agg(org.apache.spark.sql.functions.expr(
+      "cast(max(vec_id) + 1 - (max(vec_id) - min(vec_id) + 1) div 4 as bigint)"))
+      .collect()(0).getLong(0)
+    val rows = base.filter(col("vec_id") >= cut)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val mid = cut + (rows.length / 2)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_streamdrift").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Array[Float])]
+    val q = Similarity.streamingEmbeddingDrift(spark,
+      in.toDF().toDF("vec_id", "label", "embedding"), Dir,
+      s"$dirs/drift", s"$dirs/ckpt")
+    try {
+      in.addData(rows.filter(_._1 < mid).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= mid).toSeq: _*)
+      q.processAllAvailable()
+      val vs = graft.engine.VersionedTable.versions(spark, s"$dirs/drift")
+      assert(vs == Seq(0L, 1L), s"one snapshot per micro-batch: $vs")
+      // each snapshot equals the batch core run on exactly that slice
+      Seq(col("vec_id") >= cut && col("vec_id") < mid, col("vec_id") >= mid)
+        .zip(vs).foreach { case (pred, v) =>
+          val direct = Similarity.driftAgainstReference(spark, Dir,
+            base.filter(pred).select("vec_id", "label", "embedding"))
+            .collect().map(_.toString).toSeq
+          val snap = graft.engine.VersionedTable.read(spark, s"$dirs/drift", Some(v))
+            .orderBy("label").collect().map(_.toString).toSeq
+          assert(snap == direct, s"snapshot $v diverges from the batch core")
+        }
+      // and the graded x135 frame is the full-quarter instance of the core
+      val probe = Similarity.driftProbe(spark, Dir).collect().map(_.toString).toSeq
+      val direct = Similarity.driftAgainstReference(spark, Dir,
+        base.filter(col("vec_id") >= cut).select("vec_id", "label", "embedding"))
+        .collect().map(_.toString).toSeq
+      assert(probe == direct)
+      // replay of batch 0 must be a skipped commit
+      graft.engine.VersionedTable.commitIfAbsent(
+        Similarity.driftProbe(spark, Dir), s"$dirs/drift", 0L)
+      assert(graft.engine.VersionedTable.versions(spark, s"$dirs/drift") == Seq(0L, 1L))
+    } finally q.stop()
+  }
 }
