@@ -143,13 +143,19 @@ object VecShard {
   }
 }
 
-private[sources] class VecShardTable(path: String) extends Table with SupportsRead {
+private[sources] class VecShardTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vecshard($path)"
   override def schema(): StructType = VecShard.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VecShardScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VecShardWriteBuilder(path, info.schema())
 }
 
 private[sources] class VecShardScanBuilder(path: String) extends ScanBuilder
@@ -189,6 +195,120 @@ private[sources] class VecShardScan(path: String, required: StructType,
 
 private[sources] final case class VecShardPartition(file: String, count: Int,
     dim: Int, lo: Long, hi: Long) extends InputPartition
+
+/** The DSv2 write path: tasks stream records to invisible `.tmp` files
+  * and report (file, count, dim, min, max) upward; the driver-side
+  * `commit` publishes atomically by renaming data files FIRST and writing
+  * the sidecars LAST (a shard without its sidecar is invisible to
+  * `listShards`, so a crash mid-publish leaves the table readable at its
+  * prior state — the Sinks swap-writer discipline). `overwrite` maps to
+  * the TRUNCATE capability: old shards are removed inside the same
+  * commit, after the new data files land.
+  */
+private[sources] class VecShardWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new VecShardBatchWrite(path, schema, doTruncate)
+    }
+}
+
+private[sources] final case class VecShardCommit(file: String, count: Int,
+    dim: Int, minId: Long, maxId: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class VecShardBatchWrite(path: String, schema: StructType,
+    truncate: Boolean) extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new VecShardWriterFactory(path, schema)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val commits = messages.collect { case c: VecShardCommit if c.count > 0 => c }
+    // publish: data files first (still sidecar-less ⇒ invisible) ...
+    val published = commits.map { c =>
+      val tmp = new File(c.file)
+      val fin = new File(dir, tmp.getName.stripSuffix(".tmp"))
+      require(tmp.renameTo(fin), s"publish failed for ${tmp.getName}")
+      (c, fin)
+    }
+    // ... truncate-on-overwrite inside the commit, THEN the sidecars
+    if (truncate) {
+      val fresh = published.map(_._2.getName).toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => (f.getName.endsWith(".vec") && !fresh(f.getName)) ||
+          (f.getName.endsWith(".vec.meta") && !fresh(f.getName.stripSuffix(".meta"))))
+        .foreach(f => f.delete(): Unit)
+    }
+    published.foreach { case (c, fin) =>
+      val meta = new java.io.PrintWriter(new File(dir, fin.getName + ".meta"))
+      try meta.println(s"${c.count} ${c.dim} ${c.minId} ${c.maxId}")
+      finally meta.close()
+    }
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.collect { case c: VecShardCommit => new File(c.file).delete() }: Unit
+}
+
+private[sources] class VecShardWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new VecShardDataWriter(path, schema, partitionId, taskId)
+}
+
+private[sources] class VecShardDataWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val idPos = schema.fieldIndex("vec_id")
+  private val vecPos = schema.fieldIndex("embedding")
+  private val file = {
+    new File(path).mkdirs()
+    new File(path, f"shard-$partitionId%05d-$taskId.vec.tmp")
+  }
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(new FileOutputStream(file)))
+  private var count = 0
+  private var dim = -1
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+  private var buf: ByteBuffer = _
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getLong(idPos)
+    val vec = row.getArray(vecPos)
+    if (dim < 0) {
+      dim = vec.numElements()
+      buf = ByteBuffer.allocate(8 + 4 * dim).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    require(vec.numElements() == dim, "ragged embedding widths in one shard")
+    buf.clear(); buf.putLong(id)
+    var i = 0
+    while (i < dim) { buf.putFloat(vec.getFloat(i)); i += 1 }
+    out.write(buf.array(), 0, buf.position())
+    count += 1
+    minId = math.min(minId, id); maxId = math.max(maxId, id)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    if (count == 0) { file.delete(): Unit; VecShardCommit("", 0, 0, 0L, 0L) }
+    else VecShardCommit(file.getAbsolutePath, count, dim, minId, maxId)
+  }
+  override def abort(): Unit = { out.close(); file.delete(): Unit }
+  override def close(): Unit = ()
+}
 
 private[sources] class VecShardReaderFactory(required: StructType)
     extends PartitionReaderFactory {

@@ -72,4 +72,28 @@ class VecShardSpec extends SparkSpec {
     val n = spark.read.format("vecshard").option("path", dir).load().count()
     assert(n == spark.read.parquet(s"$Sf/embeddings.parquet").count())
   }
+
+  test("DSv2 write path: append round-trips and overwrite truncates atomically") {
+    val out = java.nio.file.Files.createTempDirectory("vecshard_w").toString
+    val src = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val lo = src.filter(col("vec_id") < 25L)
+    val hi = src.filter(col("vec_id") >= 25L)
+    lo.write.format("vecshard").mode("append").save(out)
+    hi.write.format("vecshard").mode("append").save(out)
+    val all = VecShard.read(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = src.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(all == orig, "two appends must union to the source")
+    // every published shard carries its sidecar (the invisible-until-meta
+    // publish contract)
+    val files = new java.io.File(out).listFiles().map(_.getName).toSet
+    files.filter(_.endsWith(".vec")).foreach(f =>
+      assert(files(f + ".meta"), s"$f missing sidecar"))
+    assert(!files.exists(_.endsWith(".tmp")), "no tmp residue after commit")
+    // overwrite replaces the table contents, not unions
+    lo.write.format("vecshard").mode("overwrite").save(out)
+    val after = VecShard.read(spark, out).collect().map(_.getLong(0)).toSet
+    assert(after == orig.keySet.filter(_ < 25L), "overwrite must truncate")
+  }
 }
