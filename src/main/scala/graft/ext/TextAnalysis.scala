@@ -1077,7 +1077,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x136: filter-agreement matrix — the audit a curation stack runs
+    * before composing its gates (the WIMBD/Dolma finding that nominally
+    * similar quality filters keep very different corpora): for each pair
+    * of the three independent doc-grain filters (the x02 heuristic
+    * predicate, the x71 Gopher rules, the x63 per-language LM quartile
+    * cut), the 2×2 keep/drop contingency counts and the Jaccard overlap
+    * of the kept sets. Docs a filter cannot score (LM: no bigrams) count
+    * as dropped BY THAT FILTER — stated policy, spelled identically in
+    * both engines via the left-join + coalesce(false). Three doc-grain
+    * flag projections (each its own already-audited plan), one
+    * doc_id-keyed join, one 6-row aggregate: the matrix costs one corpus
+    * pass per filter at any scale, and the integer cells are order-free.
+    */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), qualityOkCol(col("text")).as("k_heuristic"))
+    val flags = base
+      .join(gopherRules(s, dir).select(col("doc_id"), col("keep").as("k_gopher")),
+        Seq("doc_id"), "left")
+      .join(lmQualityFilter(s, dir).select(col("doc_id"), col("keep").as("k_lm")),
+        Seq("doc_id"), "left")
+      .na.fill(false, Seq("k_gopher", "k_lm"))
+    val pairs = Seq(("gopher", "heuristic", "k_gopher", "k_heuristic"),
+      ("gopher", "lm", "k_gopher", "k_lm"),
+      ("heuristic", "lm", "k_heuristic", "k_lm"))
+    pairs.map { case (a, b, ka, kb) =>
+      flags.select(lit(a).as("filter_a"), lit(b).as("filter_b"),
+        col(ka).as("ka"), col(kb).as("kb"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("filter_a"), col("filter_b"))
+      .agg(sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("n_both_keep"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_neither"))
+      .select(col("filter_a"), col("filter_b"), col("n_both_keep"),
+        col("n_only_a"), col("n_only_b"), col("n_neither"),
+        when(col("n_both_keep") + col("n_only_a") + col("n_only_b") === 0,
+          lit(null).cast(DoubleType))
+          .otherwise(col("n_both_keep").cast(DoubleType) /
+            (col("n_both_keep") + col("n_only_a") + col("n_only_b")).cast(DoubleType))
+          .as("kept_jaccard"))
+      .orderBy(col("filter_a"), col("filter_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x136_filter_agreement" -> (filterAgreement _),
     "x131_ccnet_buckets" -> (ccnetBuckets _),
     "x133_heldout_lm" -> ((s: SparkSession, dir: String) => heldoutLmScore(s, dir)),
     "x125_dsir_weights" -> ((s: SparkSession, dir: String) => dsirWeights(s, dir)),
@@ -1297,6 +1342,41 @@ object TextAnalysis {
          |GROUP BY s.source ORDER BY s.source""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    // x136: the three filters' own oracle CTEs spliced verbatim (Gopher,
+    // LM-quartile) plus the x02 predicate; unscoreable docs coalesce to
+    // dropped in both engines.
+    ("x136_filter_agreement" ->
+      s"""WITH g AS ($GopherSql),
+         |s54 AS ($BigramLmSql),
+         |lmranked AS (
+         |  SELECT s54.doc_id,
+         |    percent_rank() OVER (PARTITION BY d.lang ORDER BY s54.avg_p, s54.doc_id) AS pct_rank,
+         |    count(*) OVER (PARTITION BY d.lang) AS n_lang
+         |  FROM s54 JOIN documents d ON d.doc_id = s54.doc_id),
+         |f AS (
+         |  SELECT d.doc_id,
+         |    (length(d.text) >= 100 AND length(d.text) <= 5000
+         |      AND len(string_split_regex(trim(d.text), '\\s+')) >= 20
+         |      AND CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |        / CAST(length(d.text) AS DOUBLE) < 0.1) AS k_heuristic,
+         |    coalesce(g.keep, false) AS k_gopher,
+         |    coalesce(r.pct_rank >= 0.25 OR r.n_lang = 1, false) AS k_lm
+         |  FROM documents d
+         |  LEFT JOIN g ON g.doc_id = d.doc_id
+         |  LEFT JOIN lmranked r ON r.doc_id = d.doc_id),
+         |p AS (
+         |  SELECT 'gopher' AS filter_a, 'heuristic' AS filter_b, k_gopher AS ka, k_heuristic AS kb FROM f
+         |  UNION ALL SELECT 'gopher', 'lm', k_gopher, k_lm FROM f
+         |  UNION ALL SELECT 'heuristic', 'lm', k_heuristic, k_lm FROM f)
+         |SELECT filter_a, filter_b,
+         |  CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+         |  CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |  CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+         |  CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+         |  CASE WHEN sum(CASE WHEN ka OR kb THEN 1 ELSE 0 END) = 0 THEN NULL
+         |       ELSE CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(sum(CASE WHEN ka OR kb THEN 1 ELSE 0 END) AS DOUBLE) END AS kept_jaccard
+         |FROM p GROUP BY filter_a, filter_b ORDER BY filter_a, filter_b""".stripMargin) +
     // x131: the x54 scoring CTE re-bucketed with the SQL-standard ntile —
     // identical tercile boundaries, pinned-fold bucket means.
     ("x131_ccnet_buckets" ->

@@ -202,4 +202,36 @@ class TextAnalysisSpec extends SparkSpec {
     // the model must actually back off somewhere on real data
     assert(rows.map(_.getLong(2)).sum > 0, "held-out text should contain unseen bigrams")
   }
+
+  test("x136: contingency cells reconstruct from the three filters independently") {
+    import org.apache.spark.sql.functions.col
+    val m = TextAnalysis.filterAgreement(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m.keySet == Set(("gopher", "heuristic"), ("gopher", "lm"), ("heuristic", "lm")))
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val heur = TextAnalysis.qualityScore(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val gopher = TextAnalysis.gopherRules(spark, Sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lm = TextAnalysis.lmQualityFilter(spark, Sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val ids = heur.keySet
+    def check(a: Map[Long, Boolean], b: Map[Long, Boolean], key: (String, String)) = {
+      val r = m(key)
+      def ka(id: Long) = a.getOrElse(id, false)
+      def kb(id: Long) = b.getOrElse(id, false)
+      assert(r.getAs[Long]("n_both_keep") == ids.count(i => ka(i) && kb(i)).toLong)
+      assert(r.getAs[Long]("n_only_a") == ids.count(i => ka(i) && !kb(i)).toLong)
+      assert(r.getAs[Long]("n_only_b") == ids.count(i => !ka(i) && kb(i)).toLong)
+      assert(r.getAs[Long]("n_neither") == ids.count(i => !ka(i) && !kb(i)).toLong)
+      val cells = Seq("n_both_keep", "n_only_a", "n_only_b", "n_neither")
+        .map(r.getAs[Long](_)).sum
+      assert(cells == nDocs, "cells must partition the corpus")
+    }
+    check(gopher, heur, ("gopher", "heuristic"))
+    check(gopher, lm, ("gopher", "lm"))
+    check(heur, lm, ("heuristic", "lm"))
+  }
 }
