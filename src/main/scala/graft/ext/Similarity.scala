@@ -1706,7 +1706,61 @@ object Similarity {
       }
       .start()
 
+  /** x137: Johnson–Lindenstrauss distortion audit of the ±1 projection —
+    * the go/no-go for serving REDUCED vectors (x113 asks it for nested
+    * prefixes; this asks it for the random-projection alternative):
+    * project each embedding to k ∈ widths dims through the SAME
+    * md5-derived sign matrix the SRP lane uses (Achlioptas 2003:
+    * ±1 entries satisfy JL), and measure, over the deterministic
+    * consecutive-id pair set, the ratio (‖y_a−y_b‖²/k) / ‖x_a−x_b‖².
+    * Everything before the ratio is EXACT: grid-integer coordinates,
+    * BIGINT projections (≤64·2^20 ≈ 2^26 per coord, diff² ≤ 2^54 — safe),
+    * integer squared distances; per width one ratio division and a
+    * pinned-fold mean. Identical-on-the-grid pairs (d²=0) are excluded in
+    * both engines. Shape: one projection aggregate (the srpSketch vote
+    * plan, sans sign), one id+1 self-join on narrow frames — corpus-
+    * linear; the audit-pair set never goes quadratic.
+    */
+  def jlDistortion(s: SparkSession, dir: String,
+      widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("d"),
+        floor(col("col").cast(DoubleType) * 1048576.0).cast(LongType).as("q"))
+    val maxW = widths.max
+    val proj = dims.join(broadcast(srpSigns(s)), "d")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("s0")).as("y0"),
+        (1 until maxW).map(b => sum(col("q") * col(s"s$b")).as(s"y$b")): _*)
+    val d2o = dims.select(col("vec_id").as("ia"), col("d"), col("q").as("qa"))
+      .join(dims.select((col("vec_id") - 1L).as("ia"), col("d"), col("q").as("qb")),
+        Seq("ia", "d"))
+      .groupBy(col("ia"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2o"))
+    val pa = proj.select((col("vec_id").as("ia") +:
+      (0 until maxW).map(b => col(s"y$b").as(s"ya$b"))): _*)
+    val pb = proj.select(((col("vec_id") - 1L).as("ia") +:
+      (0 until maxW).map(b => col(s"y$b").as(s"yb$b"))): _*)
+    val joined = pa.join(pb, "ia").join(d2o, "ia").filter(col("d2o") > 0)
+    widths.map { k =>
+      val d2p = (0 until k)
+        .map(b => (col(s"ya$b") - col(s"yb$b")) * (col(s"ya$b") - col(s"yb$b")))
+        .reduce(_ + _)
+      joined.select(lit(k.toLong).as("k"),
+        ((d2p.cast(DoubleType) / lit(k.toDouble)) / col("d2o").cast(DoubleType))
+          .as("ratio"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (aggregate(array_sort(collect_list(col("ratio"))), lit(0.0), (a, b) => a + b)
+          / count(lit(1)).cast(DoubleType)).as("mean_ratio"),
+        min(col("ratio")).as("min_ratio"), max(col("ratio")).as("max_ratio"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x137_jl_distortion" -> ((s: SparkSession, dir: String) => jlDistortion(s, dir)),
     "x135_drift_probe" -> (driftProbe _),
     "x130_embedding_gram" -> ((s: SparkSession, dir: String) => embeddingGramTopk(s, dir)),
     "x127_embedding_dim_stats" -> (embeddingDimStats _),
@@ -1968,7 +2022,53 @@ object Similarity {
        |ORDER BY d""".stripMargin
   }
 
+  /** x137's DuckDB twin: the identical md5 sign matrix (the srpOracle
+    * columns), exact integer projections and squared distances, the same
+    * per-width ratio tree and pinned-fold means.
+    */
+  private def jlOracle(widths: Seq[Int]): String = {
+    val maxW = widths.max
+    val signCols = (0 until maxW).map(b =>
+      s"((('0x' || substr(md5(CAST(d AS VARCHAR) || ':$b'), 1, 15))::BIGINT % 2) * 2 - 1) AS s$b")
+      .mkString(",\n       |    ")
+    val yCols = (0 until maxW).map(b => s"CAST(sum(q * s$b) AS BIGINT) AS y$b")
+      .mkString(",\n       |    ")
+    val legs = widths.map { k =>
+      val d2p = (0 until k).map(b => s"(a.y$b - b.y$b) * (a.y$b - b.y$b)").mkString(" + ")
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |    (CAST($d2p AS DOUBLE) / CAST($k AS DOUBLE)) / CAST(o.d2o AS DOUBLE) AS ratio
+         |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+         |  JOIN d2o o ON o.ia = a.vec_id WHERE o.d2o > 0""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH dims AS (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |signs AS (
+       |  SELECT d,
+       |    $signCols
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS d)),
+       |proj AS (
+       |  SELECT vec_id,
+       |    $yCols
+       |  FROM dims JOIN signs USING (d) GROUP BY vec_id),
+       |d2o AS (
+       |  SELECT a.vec_id AS ia, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2o
+       |  FROM dims a JOIN dims b ON b.vec_id = a.vec_id + 1 AND b.d = a.d
+       |  GROUP BY a.vec_id),
+       |r AS (
+       |  $legs)
+       |SELECT k, count(*) AS n_pairs,
+       |  list_reduce(list_prepend(0.0, list(ratio ORDER BY ratio)), (x, y) -> x + y)
+       |    / CAST(count(*) AS DOUBLE) AS mean_ratio,
+       |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
+       |FROM r GROUP BY k ORDER BY k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x137_jl_distortion" -> jlOracle(Seq(8, 16, 32)),
     // x130: same grid snap; the twin forms Σq_i·q_j by self-joining the
     // exploded grid on vec_id (the brute-force spelling of the map-side
     // outer product), then the identical cov/corr double tree.

@@ -497,4 +497,28 @@ class SimilaritySpec extends SparkSpec {
       assert(graft.engine.VersionedTable.versions(spark, s"$dirs/drift") == Seq(0L, 1L))
     } finally q.stop()
   }
+
+  test("x137: JL distortion concentrates around 1 and tightens with width") {
+    val rows = Similarity.jlDistortion(spark, Dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("mean_ratio"),
+        r.getAs[Double]("min_ratio"), r.getAs[Double]("max_ratio"))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L))
+    val n = rows(8L)._1
+    assert(rows.values.forall(_._1 == n), "same audit-pair set for every width")
+    rows.foreach { case (k, (_, mean, lo, hi)) =>
+      assert(lo > 0.0 && lo <= mean && mean <= hi, s"k=$k ordering")
+      assert(mean > 0.5 && mean < 2.0, s"k=$k: E[ratio] ≈ 1 under JL, got $mean")
+    }
+    // the distortion envelope must tighten as k grows (JL concentration;
+    // deterministic here because the sign matrix is content-derived)
+    assert(rows(32L)._4 - rows(32L)._3 < rows(8L)._4 - rows(8L)._3,
+      "k=32 spread should be tighter than k=8")
+    // exact reproducibility: the whole pipeline is integer until the ratio
+    val again = Similarity.jlDistortion(spark, Dir).collect()
+    assert(again.map(_.toString).toSeq ==
+      Similarity.jlDistortion(spark, Dir).collect().map(_.toString).toSeq)
+    assert(again.map(_.toString).sorted.toSeq ==
+      rows.toSeq.sortBy(_._1).map { case (k, (np, m, lo, hi)) =>
+        org.apache.spark.sql.Row(k, np, m, lo, hi).toString }.sorted)
+  }
 }
