@@ -561,6 +561,48 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** x138: SemDeDup-style savings datasheet (Abbas et al. 2023,
+    * arXiv:2303.09540 ask "what does semantic dedup buy?" — this answers
+    * it in tokens): the x57 cluster table extended to EVERY document
+    * (singletons = their own cluster of 1), joined with the documents'
+    * token counts (vec_id ≡ doc_id), and rolled up per cluster size —
+    * clusters, docs, kept docs (1 canonical per cluster), and the token
+    * economics: total vs kept vs dropped tokens and the kept ratio. The
+    * table a curation owner reads to decide whether the semantic pass
+    * pays for itself at the next scale-up. All counts exact integers;
+    * one closing ratio. Shape: rides the cached banded pair set + CC
+    * labels (sub-quadratic production lane), one doc-grain join, one
+    * sizes-sized aggregate.
+    */
+  def semdedupReport(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bandedNearDup(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("lbl"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+    val all = t(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+      .join(toks, "vec_id")
+    val sized = all
+      .join(all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+    sized.groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("vec_id") === col("cluster_id"), col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_dropped"),
+        (col("tokens_kept").cast(DoubleType) / col("tokens_total").cast(DoubleType))
+          .as("kept_token_ratio"))
+      .orderBy(col("cluster_size"))
+  }
+
   private def l2normalize(v: Array[Float]): Array[Double] = {
     val n = math.sqrt(dotLoop(v, v))
     if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
@@ -1760,6 +1802,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x138_semdedup_report" -> (semdedupReport _),
     "x137_jl_distortion" -> ((s: SparkSession, dir: String) => jlDistortion(s, dir)),
     "x135_drift_probe" -> (driftProbe _),
     "x130_embedding_gram" -> ((s: SparkSession, dir: String) => embeddingGramTopk(s, dir)),
@@ -2474,6 +2517,39 @@ object Similarity {
         |  FROM rer)
         |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // x138: the x57 recursive-CC chain extended to singletons and joined
+    // with token counts — the same cluster derivation, same integer cells.
+    "x138_semdedup_report" ->
+      s"""WITH RECURSIVE $bandedCtes,
+        |p AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM wpairs),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |lbl AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |toks AS (
+        |  SELECT doc_id AS vec_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |allv AS (
+        |  SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id, t.n_tokens
+        |  FROM embeddings e LEFT JOIN lbl l ON l.vec_id = e.vec_id
+        |  JOIN toks t ON t.vec_id = e.vec_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM allv GROUP BY cluster_id)
+        |SELECT s.cluster_size,
+        |  CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+        |  count(*) AS n_docs,
+        |  CAST(sum(a.n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN a.vec_id = a.cluster_id THEN a.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(a.n_tokens) - sum(CASE WHEN a.vec_id = a.cluster_id THEN a.n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
+        |  CAST(sum(CASE WHEN a.vec_id = a.cluster_id THEN a.n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(a.n_tokens) AS DOUBLE) AS kept_token_ratio
+        |FROM allv a JOIN sz s ON s.cluster_id = a.cluster_id
+        |GROUP BY s.cluster_size ORDER BY s.cluster_size""".stripMargin,
     "x57_embedding_dup_clusters" ->
       s"""WITH RECURSIVE $bandedCtes,
         |p AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM wpairs),

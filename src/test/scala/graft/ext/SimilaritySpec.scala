@@ -498,6 +498,30 @@ class SimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x138: semdedup report ties out to the x57 cluster table and the corpus") {
+    val rep = Similarity.semdedupReport(spark, Dir).collect()
+    assert(rep.nonEmpty)
+    val nVecs = spark.read.parquet(s"$Dir/embeddings.parquet").count()
+    rep.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_clusters") * size)
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+      assert(r.getAs[Long]("tokens_dropped") ==
+        r.getAs[Long]("tokens_total") - r.getAs[Long]("tokens_kept"))
+      if (size == 1L) assert(r.getAs[Long]("tokens_dropped") == 0L,
+        "singletons drop nothing")
+    }
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == nVecs,
+      "every embedded doc appears in exactly one bucket")
+    // non-singleton rows must agree with the x57 cluster table
+    val x57 = Similarity.embeddingDupClusters(spark, Dir).collect()
+    val bySize = x57.groupBy(_.getAs[Long]("cluster_size"))
+      .map { case (k, g) => k -> g.length.toLong }
+    rep.filter(_.getAs[Long]("cluster_size") > 1L).foreach { r =>
+      assert(bySize(r.getAs[Long]("cluster_size")) == r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("x137: JL distortion concentrates around 1 and tightens with width") {
     val rows = Similarity.jlDistortion(spark, Dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("mean_ratio"),
