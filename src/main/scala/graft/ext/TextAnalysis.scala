@@ -1121,7 +1121,62 @@ object TextAnalysis {
       .orderBy(col("filter_a"), col("filter_b"))
   }
 
+  /** x139: held-out Kneser–Ney scoring — the standard n-gram smoothing
+    * (absolute discount D = 0.75 with continuation-probability backoff)
+    * on the same out-of-fold protocol as x133, completing the LM family
+    * the quality lane compares: x54 in-fold MLE, x133 Jelinek–Mercer,
+    * x139 KN. Per held-out bigram:
+    * p = max(c₂−D,0)/tc(w₁) + D·n₁₊(w₁·)/tc(w₁) · p_cont(w₂), with
+    * tc(w₁) = Σ_w c₂(w₁,w) (the bigram-context total — the correct KN
+    * denominator, NOT the unigram count), n₁₊(w₁·) = distinct
+    * continuations, p_cont(w₂) = n₁₊(·w₂)/|bigram types|; an unseen
+    * context backs off to p_cont alone (documented; both engines spell
+    * the same CASE). All counts exact integers; the discount tree is one
+    * fixed sequence of correctly-rounded double ops; per-doc mean folds
+    * ascending. Shape: three model aggregates off the one bigram
+    * histogram, token-keyed left joins — the x133 plan with one more
+    * vocab-sized leg.
+    */
+  def knLmScore(s: SparkSession, dir: String, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ngrams = ColumnBridge.column(
+      graft.functions.WordNGrams(ColumnBridge.expression(lower(col("text"))), 2))
+    val docs = t(s, dir, "documents")
+    val isHeld = pmod(col("doc_id"), lit(5L)) === lit(4L)
+    val bi = docs.select(col("doc_id"), ngrams)
+      .select(col("doc_id"),
+        substring_index(col("ngram"), " ", 1).as("w1"),
+        substring_index(col("ngram"), " ", -1).as("w2"))
+    val big = bi.filter(!isHeld).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("tc"), count(lit(1)).as("n1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("contw"))
+    val tot = big.agg(count(lit(1)).as("nbig"))
+    val pCont = coalesce(col("contw"), lit(0L)).cast(DoubleType) /
+      col("nbig").cast(DoubleType)
+    val d = lit(discount)
+    val pKn = when(col("tc").isNull, pCont)
+      .otherwise(
+        greatest(coalesce(col("c2"), lit(0L)).cast(DoubleType) - d, lit(0.0))
+          / col("tc").cast(DoubleType)
+          + (d * col("n1").cast(DoubleType) / col("tc").cast(DoubleType)) * pCont)
+    bi.filter(isHeld)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), pKn.as("p"), col("tc").isNull.as("unseen_ctx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("unseen_ctx"), 1L).otherwise(0L)).as("n_unseen_ctx"),
+        (aggregate(array_sort(collect_list(col("p"))), lit(0.0), (a, b) => a + b)
+          / count(lit(1)).cast(DoubleType)).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x139_kn_lm" -> ((s: SparkSession, dir: String) => knLmScore(s, dir)),
     "x136_filter_agreement" -> (filterAgreement _),
     "x131_ccnet_buckets" -> (ccnetBuckets _),
     "x133_heldout_lm" -> ((s: SparkSession, dir: String) => heldoutLmScore(s, dir)),
@@ -1415,6 +1470,42 @@ object TextAnalysis {
         |    / CAST(count(*) AS DOUBLE) AS mean_p,
         |  min(avg_p) AS min_p, max(avg_p) AS max_p
         |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) +
+    // x139: the x133 held-out protocol under Kneser–Ney — same fold CTEs,
+    // the KN discount tree spelled with the identical CASE/CAST sequence.
+    ("x139_kn_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i)),
+        |bi AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE doc_id % 5 <> 4 GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS tc, count(*) AS n1 FROM big GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS contw FROM big GROUP BY w2),
+        |tot AS (SELECT count(*) AS nbig FROM big),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    CASE WHEN ctx.tc IS NULL
+        |      THEN CAST(coalesce(cont.contw, 0) AS DOUBLE) / CAST(nbig AS DOUBLE)
+        |      ELSE greatest(CAST(coalesce(big.c2, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        |          / CAST(ctx.tc AS DOUBLE)
+        |        + (CAST(0.75 AS DOUBLE) * CAST(ctx.n1 AS DOUBLE) / CAST(ctx.tc AS DOUBLE))
+        |          * (CAST(coalesce(cont.contw, 0) AS DOUBLE) / CAST(nbig AS DOUBLE)) END AS p,
+        |    ctx.tc IS NULL AS unseen_ctx
+        |  FROM bi h
+        |  LEFT JOIN big ON big.w1 = h.w1 AND big.w2 = h.w2
+        |  LEFT JOIN ctx ON ctx.w1 = h.w1
+        |  LEFT JOIN cont ON cont.w2 = h.w2
+        |  CROSS JOIN tot
+        |  WHERE h.doc_id % 5 = 4)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN unseen_ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+        |  list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b)
+        |    / CAST(count(*) AS DOUBLE) AS avg_p
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
     // x133: out-of-fold scoring — train CTEs filter doc_id % 5 <> 4, the
     // held-out bigrams left-join them; identical λ-tree and backoff CASE.
     ("x133_heldout_lm" ->

@@ -203,6 +203,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "held-out text should contain unseen bigrams")
   }
 
+  test("x139: KN probabilities are proper and driver brute force matches exactly") {
+    val rows = TextAnalysis.knLmScore(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 5 == 4))
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val train = docs.filter(_._1 % 5 != 4)
+    val big = train.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val tc = big.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1 = big.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val contw = big.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nbig = big.size.toLong
+    val d = 0.75
+    docs.filter(_._1 % 5 == 4).foreach { case (id, ts) =>
+      val bigrams = ts.zip(ts.drop(1))
+      if (bigrams.nonEmpty) {
+        val ps = bigrams.map { case (w1, w2) =>
+          val pc = contw.getOrElse(w2, 0L).toDouble / nbig.toDouble
+          tc.get(w1) match {
+            case None => pc
+            case Some(t) =>
+              math.max(big.getOrElse((w1, w2), 0L).toDouble - d, 0.0) / t.toDouble +
+                (d * n1(w1).toDouble / t.toDouble) * pc
+          }
+        }
+        val r = rows.find(_.getLong(0) == id).get
+        assert(r.getLong(1) == bigrams.size)
+        assert(r.getLong(2) == bigrams.count(b => !tc.contains(b._1)).toLong)
+        assert(r.getDouble(3) == ps.sorted.foldLeft(0.0)(_ + _) / ps.size,
+          s"doc $id KN mean")
+        ps.foreach(p => assert(p >= 0.0 && p <= 1.0 + 1e-12, s"doc $id improper p"))
+      }
+    }
+  }
+
   test("x136: contingency cells reconstruct from the three filters independently") {
     import org.apache.spark.sql.functions.col
     val m = TextAnalysis.filterAgreement(spark, Sf).collect()
