@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's local[32] (and RunOne): a lower-core
+    // debug run must be EXPLICIT, because its numbers are not comparable
+    // (parallelism-bound queries run ~2x slower at local[4])
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
@@ -45,9 +48,24 @@ object Bench {
     // an idle host). A contention spike rarely hits both passes; the min is
     // the steady-state throughput a cluster actually sees.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // A 200+-query loop accumulates heap debris (dropped plans, codegen
+    // classes, released localCheckpoint blocks awaiting the
+    // ContextCleaner) whose collection otherwise lands INSIDE later
+    // queries' timed windows — r11 measured unrelated q29/q72 at ~2.5x
+    // their fresh-session time late in the loop, reproducibly on an idle
+    // host. Collecting outside the timed window when the heap is more
+    // than half full keeps each number a property of the query, not of
+    // loop position. (The driver-side total sums per-query seconds, so
+    // GC time here is amortized setup, exactly like the bucketed-table
+    // builds above.)
+    def gcIfPressured(): Unit = {
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) System.gc()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       try fn(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
+      gcIfPressured()
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).queryExecution.toRdd.count()
@@ -62,7 +80,8 @@ object Bench {
     // gets ONE extra timed pass at suite end, after the loop's allocation
     // pressure has subsided, and the final number is the min. The rerun
     // map rides the output so the ledger shows what was re-adjudicated.
-    val medians = BenchLedger.medians(java.nio.file.Paths.get("."), sfName(sfDir))
+    val medians = BenchLedger.medians(java.nio.file.Paths.get("."), sfName(sfDir),
+      cpus.toInt)
     val reruns: Map[String, Double] = results.toSeq.flatMap { case (name, v) =>
       if (BenchLedger.needsRerun(v, medians.get(name))) {
         val t0 = System.nanoTime()
@@ -86,7 +105,8 @@ object Bench {
     val rr = reruns.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"reruns":$rr,"queries":$top,"sf":"$sfDir"}""")
-    BenchLedger.append(java.nio.file.Paths.get("."), sfName(sfDir), finalResults)
+    BenchLedger.append(java.nio.file.Paths.get("."), sfName(sfDir), cpus.toInt,
+      finalResults)
     spark.stop()
   }
 

@@ -28,32 +28,37 @@ object BenchLedger {
   def needsRerun(v: Double, median: Option[Double]): Boolean =
     median.exists(m => v > 2.5 * m && v > 0.5)
 
-  /** Append one run's full per-query map as a single sf-tagged JSON
-    * line. Failures are swallowed: the ledger is an optimization, never
-    * a reason to fail a bench.
+  /** Append one run's full per-query map as a single (sf, cpus)-tagged
+    * JSON line. Failures are swallowed: the ledger is an optimization,
+    * never a reason to fail a bench.
     */
-  def append(dir: Path, sf: String, results: Map[String, Double]): Unit =
+  def append(dir: Path, sf: String, cpus: Int, results: Map[String, Double]): Unit =
     try {
       val line = results.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
-        .mkString(s"""{"sf":"$sf","queries":{""", ",", "}}\n")
+        .mkString(s"""{"sf":"$sf","cpus":$cpus,"queries":{""", ",", "}}\n")
       Files.write(dir.resolve(FileName), line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND): Unit
     } catch { case _: Throwable => () }
 
-  /** Per-query median seconds from prior runs at the SAME scale factor.
+  /** Per-query median seconds from prior runs at the SAME scale factor
+    * AND parallelism.
     *
     * Primary source: the ledger (full coverage). Supplement: the
     * trailing rounds' driver records (`BENCH_r*.json`, 30 slowest
-    * queries each) — merged only for sf0.1, the scale every driver
-    * bench runs at (their `sf` field is an absolute path, not a name).
-    * Ledger entries at a different sf are skipped: an sf0.01 iteration
-    * run must not drag sf0.1 medians down and fire spurious reruns.
-    * Missing or malformed files/lines contribute nothing, so a fresh
-    * checkout simply reruns nothing.
+    * queries each) — merged only for sf0.1 at the driver's own
+    * local[32] (their `sf` field is an absolute path, not a name).
+    * Entries at a different sf OR cpus are skipped: an sf0.01 iteration
+    * run must not drag sf0.1 medians down, and a local[4] debug run
+    * must not make every parallelism-bound query look 2.5x-slow at
+    * local[32] (r11 measured q29 at 4.3 s under local[4] vs 1.9 s under
+    * local[32] — same plan, fewer cores). Legacy ledger lines without a
+    * cpus field predate this tag and were all recorded at the driver's
+    * 32. Missing or malformed files/lines contribute nothing, so a
+    * fresh checkout simply reruns nothing.
     */
-  def medians(dir: Path, sf: String): Map[String, Double] = {
+  def medians(dir: Path, sf: String, cpus: Int = 32): Map[String, Double] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     def add(qs: com.fasterxml.jackson.databind.JsonNode): Unit =
@@ -67,10 +72,12 @@ object BenchLedger {
       Files.readAllLines(ledger).forEach { line =>
         try {
           val node = om.readTree(line)
-          if (node.path("sf").asText() == sf) add(node.path("queries"))
+          val lineCpus = if (node.has("cpus")) node.path("cpus").asInt() else 32
+          if (node.path("sf").asText() == sf && lineCpus == cpus)
+            add(node.path("queries"))
         } catch { case _: Throwable => () }
       }
-    if (sf == "sf0.1") {
+    if (sf == "sf0.1" && cpus == 32) {
       val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       files.foreach { f =>

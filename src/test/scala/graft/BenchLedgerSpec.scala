@@ -18,7 +18,7 @@ class BenchLedgerSpec extends AnyFunSuite {
     val dir = tmpDir()
     // one full-coverage run: a fast simple query that would never make
     // a driver top-30
-    BenchLedger.append(dir, "sf0.1", Map("q17_date_buckets" -> 0.8, "x11" -> 3.2))
+    BenchLedger.append(dir, "sf0.1", 32, Map("q17_date_buckets" -> 0.8, "x11" -> 3.2))
     val m = BenchLedger.medians(dir, "sf0.1")
     assert(m("q17_date_buckets") == 0.8 && m("x11") == 3.2)
     // the r10 phantom: 5.59 s vs a 0.8 s median -> rerun fires
@@ -35,8 +35,8 @@ class BenchLedgerSpec extends AnyFunSuite {
 
   test("medians are sf-scoped: iteration runs at another sf do not leak") {
     val dir = tmpDir()
-    BenchLedger.append(dir, "sf0.1", Map("q01" -> 2.0))
-    BenchLedger.append(dir, "sf0.01", Map("q01" -> 0.1))
+    BenchLedger.append(dir, "sf0.1", 32, Map("q01" -> 2.0))
+    BenchLedger.append(dir, "sf0.01", 32, Map("q01" -> 0.1))
     assert(BenchLedger.medians(dir, "sf0.1") == Map("q01" -> 2.0))
     assert(BenchLedger.medians(dir, "sf0.01") == Map("q01" -> 0.1))
   }
@@ -47,7 +47,7 @@ class BenchLedgerSpec extends AnyFunSuite {
       """{"parsed":{"queries":{"q05":1.0,"x11":2.0}}}""")
     Files.writeString(dir.resolve("BENCH_r99.json"),
       """{"parsed":{"queries":{"q05":3.0}}}""")
-    BenchLedger.append(dir, "sf0.1", Map("q05" -> 2.0))
+    BenchLedger.append(dir, "sf0.1", 32, Map("q05" -> 2.0))
     // q05 observations: 1.0, 3.0, 2.0 -> median 2.0; x11: single obs
     val m = BenchLedger.medians(dir, "sf0.1")
     assert(m("q05") == 2.0 && m("x11") == 2.0)
@@ -66,7 +66,28 @@ class BenchLedgerSpec extends AnyFunSuite {
   test("append is cumulative and medians are order-insensitive") {
     val dir = tmpDir()
     Seq(3.0, 1.0, 2.0).foreach(v =>
-      BenchLedger.append(dir, "sf0.1", Map("q" -> v)))
+      BenchLedger.append(dir, "sf0.1", 32, Map("q" -> v)))
     assert(BenchLedger.medians(dir, "sf0.1") == Map("q" -> 2.0))
+  }
+
+  test("medians are cpus-scoped: a local[4] debug run does not poison local[32]") {
+    val dir = tmpDir()
+    BenchLedger.append(dir, "sf0.1", 32, Map("q29" -> 1.9))
+    // the r11 incident: the same query measures ~4.3 s on 4 cores —
+    // same plan, fewer cores; it must not drag the 32-core median
+    BenchLedger.append(dir, "sf0.1", 4, Map("q29" -> 4.3))
+    assert(BenchLedger.medians(dir, "sf0.1", 32) == Map("q29" -> 1.9))
+    assert(BenchLedger.medians(dir, "sf0.1", 4) == Map("q29" -> 4.3))
+    // legacy untagged lines were all recorded at the driver's 32
+    Files.writeString(dir.resolve(BenchLedger.FileName),
+      "{\"sf\":\"sf0.1\",\"queries\":{\"legacy\":1.0}}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(BenchLedger.medians(dir, "sf0.1", 32)("legacy") == 1.0)
+    assert(!BenchLedger.medians(dir, "sf0.1", 4).contains("legacy"))
+    // driver top-30 records are local[32] evidence only
+    Files.writeString(dir.resolve("BENCH_r99.json"),
+      """{"parsed":{"queries":{"drv":2.0}}}""")
+    assert(BenchLedger.medians(dir, "sf0.1", 32)("drv") == 2.0)
+    assert(!BenchLedger.medians(dir, "sf0.1", 4).contains("drv"))
   }
 }
