@@ -522,6 +522,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("x137/x138 plan shapes: no cartesian corpus blowup, signs broadcast") {
+    val jl = Similarity.jlDistortion(spark, Dir).queryExecution.executedPlan.toString
+    assert(!jl.contains("CartesianProduct"), "JL audit must never go cartesian")
+    assert(jl.contains("BroadcastHashJoin"), "the 64-row sign table must broadcast")
+    val sd = Similarity.semdedupReport(spark, Dir).queryExecution.executedPlan.toString
+    assert(!sd.contains("CartesianProduct"), "semdedup report must never go cartesian")
+  }
+
   test("x137: JL distortion concentrates around 1 and tightens with width") {
     val rows = Similarity.jlDistortion(spark, Dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("mean_ratio"),

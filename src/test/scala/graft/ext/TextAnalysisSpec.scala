@@ -203,6 +203,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "held-out text should contain unseen bigrams")
   }
 
+  test("x131/x136 plan shapes: per-language windows, no corpus cartesian") {
+    val b = TextAnalysis.ccnetBuckets(spark, Sf).queryExecution.executedPlan.toString
+    // the tercile window must partition by language — a SinglePartition
+    // window over the corpus is the 1000-executor bottleneck
+    assert(b.contains("hashpartitioning(lang"),
+      s"ntile window should hash-partition by lang:\n${b.take(2000)}")
+    assert(!b.contains("CartesianProduct"))
+    val f = TextAnalysis.filterAgreement(spark, Sf).queryExecution.executedPlan.toString
+    assert(!f.contains("CartesianProduct"))
+  }
+
   test("x139: KN probabilities are proper and driver brute force matches exactly") {
     val rows = TextAnalysis.knLmScore(spark, Sf).collect()
     assert(rows.nonEmpty)
