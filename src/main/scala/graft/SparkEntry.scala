@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Graph.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
+      ext.Clustering.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries
 
@@ -40,6 +41,7 @@ object SparkEntry {
       ops.Graph.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
+      ext.Clustering.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles
 }

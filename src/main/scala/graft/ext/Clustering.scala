@@ -1,0 +1,434 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Tables
+
+/** Clustering operators over the `embeddings` table: integer-exact Lloyd
+  * k-means and (below) the product-quantization lane built on it — the
+  * unsupervised half of a curation pipeline (SemDeDup-style pruning,
+  * IVF coarse quantizers, PQ compression all start from k-means).
+  *
+  * Determinism discipline (the x127/x130 rules): coordinates snap to the
+  * 2^-20 fixed-point grid first, so every distance and every centroid
+  * recompute is ORDER-FREE integer arithmetic — bit-identical across
+  * engines, partitionings, and replays. Centroids use an explicit
+  * floor-div ((s - mod(s,n))/n, spelled identically in the DuckDB twin)
+  * instead of a float mean, so iteration k+1's input is integer-exact.
+  *
+  * Scale shape: the centroid frame is k×1 rows of d-length arrays —
+  * always broadcast; assignment is one map-side pass over the corpus
+  * (BroadcastNestedLoopJoin to k rows, then a map-side-combinable
+  * min-of-struct per point); the recompute is a (cluster, dim)-keyed
+  * sum — ≤ k·d keys total, independent of corpus size. One corpus scan
+  * per Lloyd iteration, the textbook distributed-k-means bound.
+  */
+object Clustering {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Exact floor-div on BIGINTs: subtract the positive mod, then divide
+    * the exact multiple (< 2^53, so the double division is exact). The
+    * DuckDB twin spells the same subtraction. At ≥2^33-row clusters the
+    * numerator would need DECIMAL(38,0); grid sums here are ≤ n·2^20.
+    */
+  private def fdiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(LongType)
+
+  /** The corpus on the 2^-20 grid: (vec_id, qa: array<bigint>). */
+  private def qvecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qa"))
+
+  /** Integer squared L2 distance between two grid arrays. Coordinates are
+    * ≤2^20 in magnitude, diffs ≤2^21, squares ≤2^42, d=64 terms ≤2^48 —
+    * ANSI-safe BIGINT throughout.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic seeding: the k corpus vectors with the smallest
+    * md5-derived hash of "km:<vec_id>" (ties by vec_id) become centroids
+    * 1..k in hash order — the cross-engine analog of a seeded sample,
+    * reproducible on any engine that has md5 (the x137 sign-matrix
+    * trick). k rows: the window is over the k survivors only.
+    */
+  private def seedCentroids(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val ranked = qvecs(s, dir)
+      .withColumn("h", TextAnalysis.tokenHash(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+    ranked.withColumn("cluster",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast(LongType))
+      .select(col("cluster"), col("qa").as("ca"))
+  }
+
+  /** One assignment pass: nearest centroid by exact integer distance,
+    * ties to the smallest cluster id (min of (dist, cluster) struct —
+    * map-side combinable). Centroids broadcast; the corpus never
+    * shuffles wider than its own row count.
+    */
+  private def assign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qa"), col("cluster"),
+        sqDist(col("qa"), col("ca")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("best"),
+        first(col("qa")).as("qa"))
+      .select(col("vec_id"), col("qa"),
+        col("best").getField("cluster").as("cluster"),
+        col("best").getField("dist").as("dist"))
+
+  /** Lloyd recompute: per-(cluster, dim) integer sums (≤ k·d shuffle
+    * keys regardless of corpus size), floor-div centroids, re-packed to
+    * arrays in dim order.
+    */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("qa")).as(Seq("d", "q")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("d"), fdiv(col("sq"), col("n")).as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")).as("ca"))
+
+  /** x140: integer-exact Lloyd k-means over the embedding corpus —
+    * `iters` assignment passes with a floor-div recompute between each
+    * (iters=2 ⇒ seed-assign, recompute, final assign). Emits one row per
+    * centroid of the LAST recompute: member count, exact integer inertia
+    * on the grid, RMS distance back on the float scale, and the
+    * centroid's coordinate checksum (pins the centroid itself, not just
+    * the partition sizes). Empty clusters survive with n=0/NULL rms.
+    */
+  def kmeansEmbed(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val pts = qvecs(s, dir)
+    var cents = seedCentroids(s, dir, k)
+    var assigned = assign(pts, cents)
+    for (_ <- 1 until iters) {
+      // k rows: flatten the per-iteration lineage so iteration i+1's plan
+      // does not re-derive iterations 1..i (the x129 checkpoint rule).
+      cents = recompute(assigned).localCheckpoint(true)
+      assigned = assign(pts, cents)
+    }
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+    val checksum = cents.select(col("cluster"),
+      aggregate(col("ca"), lit(0L), (a, v) => a + v).as("cent_sum"))
+    checksum.join(sizes, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        when(col("n").isNull, lit(null).cast(DoubleType))
+          .otherwise(sqrt(col("inertia").cast(DoubleType) / col("n").cast(DoubleType))
+            / lit(1048576.0)).as("rms"),
+        col("cent_sum"))
+      .orderBy(col("cluster"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI 2011): split d=64 dims into
+  // m=8 subspaces of 8, train a k=16 codebook per subspace (seed + one
+  // floor-div Lloyd round — the x140 arithmetic, keyed by subspace), and
+  // encode each vector as 8 four-bit codes. The compression lane every
+  // billion-vector ANN serving tier runs; 64 floats → 4 bytes here.
+  // ---------------------------------------------------------------------
+
+  /** Long-format grid coordinates split by subspace:
+    * (vec_id, sub, j, q) with sub = d div dsub, j = d mod dsub.
+    */
+  private def subDims(s: SparkSession, dir: String, dsub: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"),
+        floor(col("d") / lit(dsub.toDouble)).cast(LongType).as("sub"),
+        pmod(col("d").cast(LongType), lit(dsub.toLong)).as("j"),
+        floor(col("v").cast(DoubleType) * lit(1048576.0)).cast(LongType).as("q"))
+
+  /** Encode every vector against a long-format codebook (sub, code, j, c):
+    * nearest code per (vec_id, sub) by exact integer subspace distance,
+    * ties to the smallest code. The codebook (m·k·dsub rows) broadcasts;
+    * the join keys on (sub, j) so each corpus coordinate meets only its
+    * own subspace's k centroids — the wordcount shape, map-side partials
+    * into ≤ n·m keyed rows.
+    */
+  private def pqEncode(sdims: DataFrame, book: DataFrame): DataFrame =
+    sdims.join(broadcast(book), Seq("sub", "j"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best").getField("code").as("code"),
+        col("best").getField("dist").as("qerr"))
+
+  /** Train the per-subspace codebooks: k seeds per subspace by the
+    * md5-smallest "pq:<sub>:<vec_id>" hash (a per-subspace deterministic
+    * sample; the ranking window partitions by subspace — m small), then
+    * ONE floor-div Lloyd refine. Cached per (session, dataset): x141 and
+    * x142 share the trained book, the x123 fullIndex discipline.
+    */
+  private def pqCodebook(s: SparkSession, dir: String,
+      dsub: Int, k: Int): DataFrame = {
+    val sdims = subDims(s, dir, dsub)
+    val ranked = t(s, dir, "embeddings").select(col("vec_id"))
+      .crossJoin(broadcast(sdims.select(col("sub")).distinct()))
+      .withColumn("h", TextAnalysis.tokenHash(concat(lit("pq:"),
+        col("sub").cast("string"), lit(":"), col("vec_id").cast("string"))))
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))).cast(LongType))
+      .filter(col("code") <= k)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val c0 = ranked.join(sdims, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), col("j"), col("q").as("c"))
+    val a1 = pqEncode(sdims, c0)
+    a1.join(sdims, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("j"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("j"), fdiv(col("sq"), col("n")).as("c"))
+      .localCheckpoint(true)
+  }
+
+  private val bookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def cachedBook(s: SparkSession, dir: String): DataFrame =
+    bookCache.computeIfAbsent((s, dir), _ => pqCodebook(s, dir, dsub = 8, k = 16))
+
+  /** x141: PQ codebook utilization — encode the corpus with the trained
+    * book and report, per (subspace, code), the member count and total
+    * integer quantization error. The histogram every PQ deployment
+    * checks before serving (dead codes ⇒ wasted bits; one fat code ⇒
+    * unbalanced inverted lists). Codes with no members are kept with
+    * n=0 via a left join from the book side. Fully integer end to end.
+    */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val enc = pqEncode(subDims(s, dir, 8), cachedBook(s, dir))
+    val hist = enc.groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"), sum(col("qerr")).as("total_qerr"))
+    cachedBook(s, dir).select(col("sub"), col("code")).distinct()
+      .join(hist, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_qerr"), lit(0L)).as("total_qerr"))
+      .orderBy(col("sub"), col("code"))
+  }
+
+  /** Two-phase per-query top-k by ASCENDING distance (the x20 discipline
+    * flipped for distances): partition-local prune, then global rank.
+    */
+  private def topkAsc(scored: DataFrame, by: String, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col(by).asc, col("vec_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col(by).asc, col("vec_id"))
+    scored.withColumn("part", spark_partition_id())
+      .withColumn("lrank", row_number().over(local))
+      .filter(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("part", "lrank")
+  }
+
+  /** x142: asymmetric-distance (ADC) retrieval parity — the PQ serving
+    * path against its own exact-distance truth. For each query vector
+    * (vec_id < numQueries): build the per-subspace lookup table
+    * dist(query_sub, centroid) — nq·m·k integer rows, broadcast — then
+    * score every encoded corpus vector as Σ_sub table[sub, code] (one
+    * map-side join on (sub, code) + a map-side-combinable sum: the
+    * corpus is touched through its 4-byte codes ONLY, the whole point
+    * of PQ), take the ADC top-k, and mark which of them land in the
+    * exact grid-distance top-k (the recall-per-rank audit). Exact
+    * distances are computed ONLY for the k survivors (join back), plus
+    * the exact top-k set itself — never a full re-rank. All-integer.
+    */
+  def pqAdcParity(s: SparkSession, dir: String,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val sdims = subDims(s, dir, 8)
+    val book = cachedBook(s, dir)
+    val enc = pqEncode(sdims, book).filter(col("vec_id") >= numQueries)
+    val qsub = sdims.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
+    val tab = qsub.join(book, Seq("sub", "j"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum((col("qq") - col("c")) * (col("qq") - col("c"))).as("td"))
+    val adc = enc.join(broadcast(tab), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("td")).as("adc_dist"))
+    val top = topkAsc(adc, "adc_dist", k)
+    // exact grid distances: once for the ADC survivors, once for truth
+    val qfull = sdims.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
+    val exact = sdims.filter(col("vec_id") >= numQueries)
+      .join(qfull, Seq("sub", "j"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("exact_d2"))
+    val etop = topkAsc(exact, "exact_d2", k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
+    top.join(exact, Seq("query_id", "vec_id"))
+      .join(etop, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_dist"), col("exact_d2"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x140_kmeans_embed" -> ((s: SparkSession, dir: String) => kmeansEmbed(s, dir)),
+    "x141_pq_codes" -> (pqCodes _),
+    "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)))
+
+  /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
+    * Lloyd rounds with the identical positive-mod floor-div, brute-force
+    * point×centroid distances (the relational spelling of the broadcast
+    * pass). Exactly-integer end to end; the closing rms is one fixed
+    * double tree.
+    */
+  private def kmeansOracle(k: Int): String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      vec_id) AS BIGINT) AS cluster
+       |  FROM embeddings
+       |  QUALIFY cluster <= $k),
+       |c0 AS (SELECT s.cluster, d.d, d.q AS c FROM seeds s JOIN dims d USING (vec_id)),
+       |d1 AS (
+       |  SELECT p.vec_id, c.cluster, sum((p.q - c.c) * (p.q - c.c)) AS dist
+       |  FROM dims p JOIN c0 c ON c.d = p.d GROUP BY p.vec_id, c.cluster),
+       |a1 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a.cluster, p.d,
+       |    CAST((sum(p.q) - ((sum(p.q) % count(*)) + count(*)) % count(*)) / count(*)
+       |      AS BIGINT) AS c
+       |  FROM a1 a JOIN dims p USING (vec_id) GROUP BY a.cluster, p.d),
+       |d2 AS (
+       |  SELECT p.vec_id, c.cluster, sum((p.q - c.c) * (p.q - c.c)) AS dist
+       |  FROM dims p JOIN c1 c ON c.d = p.d GROUP BY p.vec_id, c.cluster),
+       |a2 AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT vec_id, cluster, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |sizes AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM a2 GROUP BY cluster),
+       |cs AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS cent_sum FROM c1 GROUP BY cluster)
+       |SELECT cs.cluster, coalesce(n, 0) AS n, coalesce(inertia, 0) AS inertia,
+       |  CASE WHEN n IS NULL THEN NULL
+       |       ELSE sqrt(CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0
+       |  END AS rms,
+       |  cent_sum
+       |FROM cs LEFT JOIN sizes USING (cluster) ORDER BY cs.cluster""".stripMargin
+
+  /** Shared CTE prefix of the PQ twins: grid subspace coordinates, the
+    * per-subspace md5 seed ranking, one Lloyd round (identical positive-
+    * mod floor-div), and the final encode `a2`. Brute-force relational
+    * spelling of the broadcast passes; all integer.
+    */
+  private val PqCte: String =
+    s"""sdims AS (
+       |  SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub,
+       |    CAST((i - 1) % 8 AS BIGINT) AS j,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |seeds AS (
+       |  SELECT vec_id, sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY
+       |      ('0x' || substr(md5('pq:' || CAST(sub AS VARCHAR) || ':' ||
+       |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      vec_id) AS BIGINT) AS code
+       |  FROM (SELECT vec_id FROM embeddings)
+       |       CROSS JOIN (SELECT DISTINCT sub FROM sdims)
+       |  QUALIFY code <= 16),
+       |c0 AS (
+       |  SELECT s.sub, s.code, d.j, d.q AS c
+       |  FROM seeds s JOIN sdims d ON d.vec_id = s.vec_id AND d.sub = s.sub),
+       |e0 AS (
+       |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
+       |  FROM sdims p JOIN c0 c ON c.sub = p.sub AND c.j = p.j
+       |  GROUP BY p.vec_id, p.sub, c.code),
+       |a1 AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM e0) WHERE rn = 1),
+       |book AS (
+       |  SELECT a.sub, a.code, p.j,
+       |    CAST((sum(p.q) - ((sum(p.q) % count(*)) + count(*)) % count(*)) / count(*)
+       |      AS BIGINT) AS c
+       |  FROM a1 a JOIN sdims p ON p.vec_id = a.vec_id AND p.sub = a.sub
+       |  GROUP BY a.sub, a.code, p.j),
+       |e1 AS (
+       |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
+       |  FROM sdims p JOIN book c ON c.sub = p.sub AND c.j = p.j
+       |  GROUP BY p.vec_id, p.sub, c.code),
+       |a2 AS (
+       |  SELECT vec_id, sub, code, dist AS qerr FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM e1) WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x140_kmeans_embed" -> kmeansOracle(8),
+    "x141_pq_codes" ->
+      s"""WITH $PqCte,
+         |hist AS (
+         |  SELECT sub, code, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(qerr) AS BIGINT) AS total_qerr
+         |  FROM a2 GROUP BY sub, code)
+         |SELECT b.sub, b.code, coalesce(h.n, 0) AS n,
+         |  coalesce(h.total_qerr, 0) AS total_qerr
+         |FROM (SELECT DISTINCT sub, code FROM book) b
+         |LEFT JOIN hist h USING (sub, code)
+         |ORDER BY b.sub, b.code""".stripMargin,
+    "x142_pq_adc" ->
+      s"""WITH $PqCte,
+         |tab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.code,
+         |    sum((q.q - c.c) * (q.q - c.c)) AS td
+         |  FROM sdims q JOIN book c ON c.sub = q.sub AND c.j = q.j
+         |  WHERE q.vec_id < 3
+         |  GROUP BY q.vec_id, c.sub, c.code),
+         |adc AS (
+         |  SELECT t.query_id, a.vec_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
+         |  FROM a2 a JOIN tab t ON t.sub = a.sub AND t.code = a.code
+         |  WHERE a.vec_id >= 3
+         |  GROUP BY t.query_id, a.vec_id),
+         |top AS (
+         |  SELECT query_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+         |    SELECT query_id, vec_id, adc_dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 10),
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, p.vec_id,
+         |    CAST(sum((p.q - q.q) * (p.q - q.q)) AS BIGINT) AS exact_d2
+         |  FROM sdims p JOIN sdims q ON q.sub = p.sub AND q.j = p.j
+         |  WHERE q.vec_id < 3 AND p.vec_id >= 3
+         |  GROUP BY q.vec_id, p.vec_id),
+         |etop AS (
+         |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS in_exact FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rn
+         |    FROM exact) WHERE rn <= 10)
+         |SELECT t.query_id, t.rank, t.vec_id, t.adc_dist, x.exact_d2,
+         |  coalesce(e.in_exact, 0) AS in_exact_topk
+         |FROM top t
+         |JOIN exact x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |LEFT JOIN etop e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         |ORDER BY t.query_id, t.rank""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** x140 integer-exact k-means: the graded query must match a plain-Scala
+  * reference computation (collected grid vectors, same md5 seeding, same
+  * floor-div Lloyd rounds) — the AsofJoinSpec discipline — and keep the
+  * broadcast assignment shape (no shuffle-side cartesian).
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private val K = 8
+
+  /** The spec-side twin of TextAnalysis.tokenHash: first 15 hex chars of
+    * md5, as a long.
+    */
+  private def h15(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def fdiv(a: Long, b: Long): Long = {
+    val m = ((a % b) + b) % b
+    (a - m) / b
+  }
+
+  test("x140 k-means matches a driver-side reference computation exactly") {
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1048576.0).toLong).toArray))
+      .sortBy(_._1)
+
+    // seeds: k smallest (md5 hash, vec_id); clusters 1..k in that order
+    val seeds = rows.map { case (id, _) => (h15(s"km:$id"), id) }
+      .sorted.take(K).map(_._2)
+    var cents: Map[Long, Array[Long]] =
+      seeds.zipWithIndex.map { case (id, i) =>
+        (i + 1L, rows.find(_._1 == id).get._2)
+      }.toMap
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    def assignAll(): Map[Long, (Long, Long)] = rows.map { case (id, qa) =>
+      val best = cents.toSeq.map { case (c, ca) => (d2(qa, ca), c) }.min
+      (id, (best._2, best._1))
+    }.toMap
+
+    var asg = assignAll()
+    // one recompute + final assignment (iters = 2)
+    cents = asg.groupBy(_._2._1).map { case (c, members) =>
+      val qs = members.keys.toSeq.map(id => rows.find(_._1 == id).get._2)
+      val n = qs.size.toLong
+      (c, Array.tabulate(qs.head.length)(d => fdiv(qs.map(_(d)).sum, n)))
+    }
+    asg = assignAll()
+
+    val expected = cents.keys.toSeq.sorted.map { c =>
+      val members = asg.filter(_._2._1 == c)
+      val n = members.size.toLong
+      val inertia = members.values.map(_._2).sum
+      val rms = if (n == 0) null
+        else java.lang.Double.valueOf(math.sqrt(inertia.toDouble / n.toDouble) / 1048576.0)
+      (c, n, inertia, rms, cents(c).sum)
+    }
+
+    val got = Clustering.kmeansEmbed(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+        r.getLong(4)))
+
+    assert(got.toSeq === expected)
+    assert(got.map(_._2).sum === rows.length.toLong)
+  }
+
+  test("x140 assignment plan broadcasts the centroids — no shuffle-side cartesian") {
+    val plan = Clustering.kmeansEmbed(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x141 PQ encode partitions every (vector, subspace) exactly once") {
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    val hist = Clustering.pqCodes(spark, Sf).collect()
+    assert(hist.length === 8 * 16) // every (sub, code) slot reported, dead codes included
+    assert(hist.map(_.getLong(2)).sum === 8L * n) // one code per vector per subspace
+    assert(hist.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 16L))
+    assert(hist.forall(r => r.getLong(3) >= 0L))
+  }
+
+  test("x142 ADC parity emits a full ascending top-k per query and broadcasts the tables") {
+    val df = Clustering.pqAdcParity(spark, Sf)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to 10))
+      val dists = sorted.map(_.getLong(3)).toSeq
+      assert(dists === dists.sorted) // ADC rank order is ascending distance
+      assert(qs.forall(r => Set(0L, 1L).contains(r.getLong(5))))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
