@@ -104,22 +104,27 @@ object Retrieval {
     * (query_id, doc_id, term) hit with the per-term Okapi score. The
     * query docs' own rows are excluded.
     */
-  private def bm25ScoreIndex(ix: Bm25Index, qterms: DataFrame,
-      k1: Double, b: Double): DataFrame = {
-    // idf: rational Robertson (N - df + 0.5) / (df + 0.5); tf leg:
-    // tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Spelled exactly as the
-    // DuckDB twin spells it — same expression tree, same rounding.
+  /** The per-term Okapi score column — idf: rational Robertson
+    * (N - df + 0.5) / (df + 0.5); tf leg: tf*(k1+1) / (tf + k1*(1 - b +
+    * b*dl/avgdl)). Spelled exactly as the DuckDB twin spells it — same
+    * expression tree, same rounding. Shared by the plain (x123) and
+    * weighted (x143 RM3) scorers so the two can never drift.
+    */
+  private def okapiTsc(k1: Double, b: Double): Column = {
     val idf = (d(col("n_docs")) - d(col("df")) + lit(0.5)) / (d(col("df")) + lit(0.5))
     val avgdl = d(col("total_len")) / d(col("n_docs"))
     val denom = d(col("tf")) + lit(k1) * (lit(1.0 - b) + lit(b) * d(col("dl")) / avgdl)
+    idf * (d(col("tf")) * lit(k1 + 1.0)) / denom
+  }
+
+  private def bm25ScoreIndex(ix: Bm25Index, qterms: DataFrame,
+      k1: Double, b: Double): DataFrame =
     ix.tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(ix.df, Seq("term"))
       .join(ix.dl, Seq("doc_id"))
       .crossJoin(broadcast(ix.stats))
-      .select(col("query_id"), col("doc_id"),
-        (idf * (d(col("tf")) * lit(k1 + 1.0)) / denom).as("tsc"))
-  }
+      .select(col("query_id"), col("doc_id"), okapiTsc(k1, b).as("tsc"))
 
   /** Full ranking from a prebuilt index: per-(query,doc) pinned-fold
     * score sum, then the two-phase top-k — public so the streaming
@@ -357,7 +362,60 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** x143: pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    * the RM3 shape, Lavrenko & Croft SIGIR'01): run the base BM25
+    * ranking, take each query's top `fbK` feedback documents, estimate
+    * expansion-term weights w(t) = Σ_d tf(t,d)/dl(d) over the feedback
+    * set (the uniform-prior relevance model; terms already in the query
+    * excluded by an anti-join), keep the top `expK` terms per query, and
+    * re-score with original terms at weight 1.0 and expansion terms at
+    * weight `beta` — score = Σ wt · Okapi(t,d), same expression tree as
+    * x123 via [[okapiTsc]].
+    *
+    * Determinism: tf/dl ratios and the weighted term scores are exact
+    * double trees; every per-group sum folds in ascending value order
+    * (pinned), ranks tie-break on (value, term|doc_id). Scale shape: the
+    * feedback frame is fbK·numQueries rows; candidate expansion terms
+    * are bounded by the feedback docs' vocabularies (windowed per query,
+    * never corpus-wide); the weighted query set broadcasts back into the
+    * postings exactly like the base query — two bounded passes over the
+    * index, zero new shuffle classes.
+    */
+  def rm3Topk(s: SparkSession, dir: String, numQueries: Int = 3, fbK: Int = 5,
+      expK: Int = 5, beta: Double = 0.4, k: Int = 10): DataFrame = {
+    val ix = fullIndex(s, dir)
+    val q = queryTerms(s, dir, numQueries)
+    val fb = bm25TopkFromIndex(ix, q, fbK).select(col("query_id"), col("doc_id"))
+    val cand = fb.join(ix.tf, Seq("doc_id")).join(ix.dl, Seq("doc_id"))
+      .join(q, Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term"))
+      .agg(aggregate(array_sort(collect_list(d(col("tf")) / d(col("dl")))),
+        lit(0.0), (a, v) => a + v).as("w"))
+    val expWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("w").desc, col("term"))
+    val exp = cand.withColumn("rn", row_number().over(expWin))
+      .filter(col("rn") <= expK)
+      .select(col("query_id"), col("term"), lit(beta).as("wt"))
+    val wq = q.withColumn("wt", lit(1.0)).unionByName(exp)
+    val scored = ix.tf.join(broadcast(wq), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(ix.df, Seq("term"))
+      .join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"),
+        (col("wt") * okapiTsc(1.2, 0.75)).as("tsc"))
+    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+          .as("score"))
+    topkPerQuery(perDoc, "score", k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x143_rm3_expansion" -> ((s: SparkSession, dir: String) => rm3Topk(s, dir)),
     "x134_bm25_label_eval" -> ((s: SparkSession, dir: String) => bm25LabelEval(s, dir)),
     "x123_bm25_topk" -> ((s: SparkSession, dir: String) => bm25Topk(s, dir)),
     "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)),
@@ -453,6 +511,52 @@ object Retrieval {
       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // x143: the Bm25Cte base ranking feeds the feedback top-5, the
+    // anti-joined tf/dl relevance-model weights, the top-5 expansion
+    // terms at 0.4, and the weighted re-score (identical Okapi text,
+    // wt-wrapped). Same pinned folds, same tie-breaks.
+    "x143_rm3_expansion" ->
+      s"""WITH $Bm25Cte,
+         |fb AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |    FROM perdoc) WHERE rn <= 5),
+         |cand AS (
+         |  SELECT f.query_id, tf.term,
+         |    list_reduce(list_prepend(0.0, list(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+         |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))), (a, v) -> a + v) AS w
+         |  FROM fb f JOIN tf ON tf.doc_id = f.doc_id JOIN dl ON dl.doc_id = f.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+         |                    WHERE q.query_id = f.query_id AND q.term = tf.term)
+         |  GROUP BY f.query_id, tf.term),
+         |expq AS (
+         |  SELECT query_id, term, CAST(0.4 AS DOUBLE) AS wt FROM (
+         |    SELECT query_id, term,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) AS rn
+         |    FROM cand) WHERE rn <= 5),
+         |wq AS (
+         |  SELECT query_id, term, CAST(1.0 AS DOUBLE) AS wt FROM qterms
+         |  UNION ALL SELECT query_id, term, wt FROM expq),
+         |scored2 AS (
+         |  SELECT w.query_id, tf.doc_id,
+         |    w.wt * ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+         |            / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS tsc
+         |  FROM tf JOIN wq w USING (term) JOIN df USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+         |  WHERE tf.doc_id <> w.query_id),
+         |perdoc2 AS (
+         |  SELECT query_id, doc_id, count(*) AS n_hit_terms,
+         |    list_reduce(list_prepend(0.0, list(tsc ORDER BY tsc)), (a, v) -> a + v) AS score
+         |  FROM scored2 GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_hit_terms, score, CAST(rank AS INT) AS rank FROM (
+         |  SELECT query_id, doc_id, n_hit_terms, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM perdoc2) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x134_bm25_label_eval" ->
       s"""WITH $Bm25Cte,
          |ranked AS (

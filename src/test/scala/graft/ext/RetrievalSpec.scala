@@ -52,6 +52,28 @@ class RetrievalSpec extends SparkSpec {
       "only the 1-row stats frame may nested-loop (BroadcastNestedLoopJoin)")
   }
 
+  test("x143: RM3 expansion re-ranks with extra terms and keeps the broadcast shape") {
+    val base = Retrieval.bm25Topk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    val df = Retrieval.rm3Topk(spark, Sf)
+    val rm3 = df.collect()
+    val byQ = rm3.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq === (1 to 10), s"query $q rank set")
+      // expansion terms add hits: no result may hit FEWER terms than the
+      // query's own vocabulary allows, and at least one ranked doc must
+      // differ from the unexpanded ranking for some query (checked below)
+      assert(rows.forall(_.getLong(2) >= 1L))
+    }
+    val moved = rm3.exists(r => base.get((r.getLong(0), r.getInt(4))).exists(_ != r.getLong(1)))
+    assert(moved, "expansion changed no ranking at all — feedback terms had no effect")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "weighted query set should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row stats frame may nested-loop (BroadcastNestedLoopJoin)")
+  }
+
   test("x124: every fused score reconstructs from its two ranks; legs agree with the pools") {
     val fused = Retrieval.hybridRrf(spark, Sf, numQueries = 3, poolK = 50, k = 10).collect()
     assert(fused.nonEmpty)
