@@ -104,7 +104,12 @@ object Clustering {
     * centroid's coordinate checksum (pins the centroid itself, not just
     * the partition sizes). Empty clusters survive with n=0/NULL rms.
     */
-  def kmeansEmbed(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The Lloyd loop itself: (final assignment incl. grid vectors and
+    * distances, final centroids). Shared by the x140 report and the x144
+    * SemDeDup prune.
+    */
+  private def lloyd(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val pts = qvecs(s, dir)
     var cents = seedCentroids(s, dir, k)
     var assigned = assign(pts, cents)
@@ -114,6 +119,11 @@ object Clustering {
       cents = recompute(assigned).localCheckpoint(true)
       assigned = assign(pts, cents)
     }
+    (assigned, cents)
+  }
+
+  def kmeansEmbed(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (assigned, cents) = lloyd(s, dir, k, iters)
     val sizes = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
     val checksum = cents.select(col("cluster"),
@@ -126,6 +136,59 @@ object Clustering {
           .otherwise(sqrt(col("inertia").cast(DoubleType) / col("n").cast(DoubleType))
             / lit(1048576.0)).as("rms"),
         col("cent_sum"))
+      .orderBy(col("cluster"))
+  }
+
+  /** x144: the faithful SemDeDup prune (Abbas et al. 2023) — k-means
+    * clusters first, pairwise cosine WITHIN clusters only, drop the
+    * dup-pair member farther from its centroid. x138 reports savings
+    * over banded-LSH components; this is the paper's own geometry:
+    * cluster count k is the knob that bounds the quadratic term (at
+    * n=10⁹ SemDeDup runs k≈10⁵, so within-cluster pair work is
+    * Σ|c|² ≈ n²/k — the published price; here the pair join keys on
+    * `cluster`, so AQE's skew split handles a fat cluster).
+    *
+    * Exactness: the threshold test cos(a,b) > τ is evaluated as
+    * INTEGERS — dot > 0 ∧ tauDen·dot² > tauNum·‖a‖²·‖b‖² on the 2^-20
+    * grid (τ² = tauNum/tauDen; the graded default τ=0.35 — 49/400 —
+    * sits inside the fixture's cosine range, max ≈0.47, so the drop
+    * path is actually exercised; real corpora run the paper's 0.95
+    * via tauNum=361. Products ≤ ~2e30, exact in DECIMAL(38,0) here
+    * and HUGEINT in the twin) — no float cosine anywhere near the
+    * gate. The drop rule is order-free: a member is dropped iff SOME
+    * dup-partner sits strictly closer to the centroid (ties by
+    * vec_id), so the survivor set needs no iteration.
+    */
+  def semdedupKmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, tauNum: Long = 49L, tauDen: Long = 400L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val asg = lloyd(s, dir, k, iters)._1
+      .withColumn("n2", aggregate(transform(col("qa"), x => x * x),
+        lit(0L), (a, v) => a + v))
+    val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("qaa"),
+      col("dist").as("da"), col("n2").as("na2"))
+    val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("qab"),
+      col("dist").as("db"), col("n2").as("nb2"))
+    val dup = a.join(b, Seq("cluster")).filter(col("ib") > col("ia"))
+      .withColumn("dot", aggregate(zip_with(col("qaa"), col("qab"),
+        (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .filter(col("dot") > 0 &&
+        lit(tauDen).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >
+          lit(tauNum).cast(dec) * col("na2").cast(dec) * col("nb2").cast(dec))
+      .select(col("cluster"), col("ia"), col("da"), col("ib"), col("db"))
+    val drops = dup.select(col("cluster"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("ia") < col("ib")), col("ib"))
+          .otherwise(col("ia")).as("vec_id"))
+      .distinct()
+    val members = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val pairs = dup.groupBy(col("cluster")).agg(count(lit(1)).as("n_dup_pairs"))
+    val dropped = drops.groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
+    members.join(pairs, Seq("cluster"), "left").join(dropped, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy(col("cluster"))
   }
 
@@ -279,7 +342,8 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x140_kmeans_embed" -> ((s: SparkSession, dir: String) => kmeansEmbed(s, dir)),
     "x141_pq_codes" -> (pqCodes _),
-    "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)))
+    "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)),
+    "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)))
 
   /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
     * Lloyd rounds with the identical positive-mod floor-div, brute-force
@@ -288,7 +352,25 @@ object Clustering {
     * double tree.
     */
   private def kmeansOracle(k: Int): String =
-    s"""WITH dims AS (
+    s"""WITH ${kmCte(k)},
+       |sizes AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM a2 GROUP BY cluster),
+       |cs AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS cent_sum FROM c1 GROUP BY cluster)
+       |SELECT cs.cluster, coalesce(n, 0) AS n, coalesce(inertia, 0) AS inertia,
+       |  CASE WHEN n IS NULL THEN NULL
+       |       ELSE sqrt(CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0
+       |  END AS rms,
+       |  cent_sum
+       |FROM cs LEFT JOIN sizes USING (cluster) ORDER BY cs.cluster""".stripMargin
+
+  /** The shared twin prefix: grid dims, md5 seed ranking, two Lloyd
+    * rounds — ends at `a2` (final assignment with dist) and `c1` (final
+    * centroids).
+    */
+  private def kmCte(k: Int): String =
+    s"""dims AS (
        |  SELECT vec_id, i - 1 AS d,
        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
        |  FROM embeddings,
@@ -321,18 +403,7 @@ object Clustering {
        |  SELECT vec_id, cluster, dist FROM (
        |    SELECT vec_id, cluster, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       |    FROM d2) WHERE rn = 1),
-       |sizes AS (
-       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(dist) AS BIGINT) AS inertia
-       |  FROM a2 GROUP BY cluster),
-       |cs AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS cent_sum FROM c1 GROUP BY cluster)
-       |SELECT cs.cluster, coalesce(n, 0) AS n, coalesce(inertia, 0) AS inertia,
-       |  CASE WHEN n IS NULL THEN NULL
-       |       ELSE sqrt(CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0
-       |  END AS rms,
-       |  cent_sum
-       |FROM cs LEFT JOIN sizes USING (cluster) ORDER BY cs.cluster""".stripMargin
+       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   /** Shared CTE prefix of the PQ twins: grid subspace coordinates, the
     * per-subspace md5 seed ranking, one Lloyd round (identical positive-
@@ -385,6 +456,39 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "x140_kmeans_embed" -> kmeansOracle(8),
+    // x144: the kmeans prefix's final assignment, then brute-force
+    // within-cluster pairs; the τ test runs in HUGEINT (the twin of the
+    // Spark side's DECIMAL(38,0)) and the drop rule is the same
+    // closer-to-centroid tuple comparison.
+    "x144_semdedup_kmeans" ->
+      s"""WITH ${kmCte(8)},
+         |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM dims GROUP BY vec_id),
+         |geo AS (
+         |  SELECT p.cluster, p.ia, p.da, p.ib, p.db, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+         |  FROM (SELECT a.cluster, a.vec_id AS ia, a.dist AS da,
+         |               b.vec_id AS ib, b.dist AS db
+         |        FROM a2 a JOIN a2 b ON b.cluster = a.cluster AND b.vec_id > a.vec_id) p
+         |  JOIN dims x ON x.vec_id = p.ia
+         |  JOIN dims y ON y.vec_id = p.ib AND y.d = x.d
+         |  GROUP BY p.cluster, p.ia, p.da, p.ib, p.db),
+         |dup AS (
+         |  SELECT g.cluster, g.ia, g.da, g.ib, g.db
+         |  FROM geo g JOIN nrm na ON na.vec_id = g.ia JOIN nrm nb ON nb.vec_id = g.ib
+         |  WHERE g.dot > 0
+         |    AND CAST(400 AS HUGEINT) * CAST(g.dot AS HUGEINT) * CAST(g.dot AS HUGEINT)
+         |      > CAST(49 AS HUGEINT) * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)),
+         |drops AS (
+         |  SELECT DISTINCT cluster,
+         |    CASE WHEN da < db OR (da = db AND ia < ib) THEN ib ELSE ia END AS vec_id
+         |  FROM dup),
+         |members AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cluster),
+         |prs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM dup GROUP BY cluster),
+         |drp AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dropped FROM drops GROUP BY cluster)
+         |SELECT m.cluster, m.n_members, coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+         |  coalesce(d.n_dropped, 0) AS n_dropped,
+         |  m.n_members - coalesce(d.n_dropped, 0) AS n_kept
+         |FROM members m LEFT JOIN prs p USING (cluster) LEFT JOIN drp d USING (cluster)
+         |ORDER BY m.cluster""".stripMargin,
     "x141_pq_codes" ->
       s"""WITH $PqCte,
          |hist AS (

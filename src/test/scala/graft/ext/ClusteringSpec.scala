@@ -3,10 +3,10 @@ package graft.ext
 import graft.SparkSpec
 import org.apache.spark.sql.functions.col
 
-/** x140 integer-exact k-means: the graded query must match a plain-Scala
-  * reference computation (collected grid vectors, same md5 seeding, same
-  * floor-div Lloyd rounds) — the AsofJoinSpec discipline — and keep the
-  * broadcast assignment shape (no shuffle-side cartesian).
+/** x140/x144 integer-exact k-means lane: the graded queries must match a
+  * plain-Scala reference computation (collected grid vectors, same md5
+  * seeding, same floor-div Lloyd rounds, same integer τ test) — the
+  * AsofJoinSpec discipline — and keep the broadcast assignment shape.
   */
 class ClusteringSpec extends SparkSpec {
 
@@ -26,38 +26,41 @@ class ClusteringSpec extends SparkSpec {
     (a - m) / b
   }
 
-  test("x140 k-means matches a driver-side reference computation exactly") {
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Reference Lloyd (iters=2): (grid rows, final centroids,
+    * final assignment vec_id -> (cluster, dist)).
+    */
+  private def referenceKmeans(): (Array[(Long, Array[Long])],
+      Map[Long, Array[Long]], Map[Long, (Long, Long)]) = {
     val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1048576.0).toLong).toArray))
       .sortBy(_._1)
-
-    // seeds: k smallest (md5 hash, vec_id); clusters 1..k in that order
     val seeds = rows.map { case (id, _) => (h15(s"km:$id"), id) }
       .sorted.take(K).map(_._2)
     var cents: Map[Long, Array[Long]] =
       seeds.zipWithIndex.map { case (id, i) =>
         (i + 1L, rows.find(_._1 == id).get._2)
       }.toMap
-
-    def d2(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-
     def assignAll(): Map[Long, (Long, Long)] = rows.map { case (id, qa) =>
       val best = cents.toSeq.map { case (c, ca) => (d2(qa, ca), c) }.min
       (id, (best._2, best._1))
     }.toMap
-
     var asg = assignAll()
-    // one recompute + final assignment (iters = 2)
     cents = asg.groupBy(_._2._1).map { case (c, members) =>
       val qs = members.keys.toSeq.map(id => rows.find(_._1 == id).get._2)
       val n = qs.size.toLong
       (c, Array.tabulate(qs.head.length)(d => fdiv(qs.map(_(d)).sum, n)))
     }
     asg = assignAll()
+    (rows, cents, asg)
+  }
 
+  test("x140 k-means matches a driver-side reference computation exactly") {
+    val (rows, cents, asg) = referenceKmeans()
     val expected = cents.keys.toSeq.sorted.map { c =>
       val members = asg.filter(_._2._1 == c)
       val n = members.size.toLong
@@ -66,12 +69,10 @@ class ClusteringSpec extends SparkSpec {
         else java.lang.Double.valueOf(math.sqrt(inertia.toDouble / n.toDouble) / 1048576.0)
       (c, n, inertia, rms, cents(c).sum)
     }
-
     val got = Clustering.kmeansEmbed(spark, Sf).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
         r.getLong(4)))
-
     assert(got.toSeq === expected)
     assert(got.map(_._2).sum === rows.length.toLong)
   }
@@ -80,6 +81,32 @@ class ClusteringSpec extends SparkSpec {
     val plan = Clustering.kmeansEmbed(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x144 SemDeDup prune matches a driver-side reference (integer tau test)") {
+    val (rows, cents, asg) = referenceKmeans()
+    val byId = rows.toMap
+    val n2 = rows.map { case (id, qa) => (id, qa.map(x => x * x).sum) }.toMap
+    val tauNum = BigInt(49); val tauDen = BigInt(400)
+    val dups = for {
+      (ia, (ca, da)) <- asg.toSeq
+      (ib, (cb, db)) <- asg.toSeq
+      if ib > ia && ca == cb
+      dot = byId(ia).zip(byId(ib)).map { case (x, y) => x * y }.sum
+      if dot > 0 && tauDen * BigInt(dot) * BigInt(dot) > tauNum * BigInt(n2(ia)) * BigInt(n2(ib))
+    } yield (ca, ia, da, ib, db)
+    val dropped = dups.map { case (c, ia, da, ib, db) =>
+      if (da < db || (da == db && ia < ib)) (c, ib) else (c, ia)
+    }.distinct
+    val expected = cents.keys.toSeq.sorted.map { c =>
+      val nm = asg.count(_._2._1 == c).toLong
+      val np = dups.count(_._1 == c).toLong
+      val nd = dropped.count(_._1 == c).toLong
+      (c, nm, np, nd, nm - nd)
+    }
+    val got = Clustering.semdedupKmeans(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected)
   }
 
   test("x141 PQ encode partitions every (vector, subspace) exactly once") {
