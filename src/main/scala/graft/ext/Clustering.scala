@@ -203,13 +203,18 @@ object Clustering {
   /** Long-format grid coordinates split by subspace:
     * (vec_id, sub, j, q) with sub = d div dsub, j = d mod dsub.
     */
-  private def subDims(s: SparkSession, dir: String, dsub: Int): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+  /** Explode a (vec_id, qa: array<bigint>) frame into subspace-long
+    * format (vec_id, sub, j, q).
+    */
+  private def toSubDims(vecs: DataFrame, dsub: Int): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("qa")).as(Seq("d", "v")))
       .select(col("vec_id"),
         floor(col("d") / lit(dsub.toDouble)).cast(LongType).as("sub"),
         pmod(col("d").cast(LongType), lit(dsub.toLong)).as("j"),
-        floor(col("v").cast(DoubleType) * lit(1048576.0)).cast(LongType).as("q"))
+        col("v").as("q"))
+
+  private def subDims(s: SparkSession, dir: String, dsub: Int): DataFrame =
+    toSubDims(qvecs(s, dir), dsub)
 
   /** Encode every vector against a long-format codebook (sub, code, j, c):
     * nearest code per (vec_id, sub) by exact integer subspace distance,
@@ -234,12 +239,11 @@ object Clustering {
     * ONE floor-div Lloyd refine. Cached per (session, dataset): x141 and
     * x142 share the trained book, the x123 fullIndex discipline.
     */
-  private def pqCodebook(s: SparkSession, dir: String,
-      dsub: Int, k: Int): DataFrame = {
-    val sdims = subDims(s, dir, dsub)
-    val ranked = t(s, dir, "embeddings").select(col("vec_id"))
+  private def trainBook(sdims: DataFrame, ids: DataFrame, prefix: String,
+      k: Int): DataFrame = {
+    val ranked = ids
       .crossJoin(broadcast(sdims.select(col("sub")).distinct()))
-      .withColumn("h", TextAnalysis.tokenHash(concat(lit("pq:"),
+      .withColumn("h", TextAnalysis.tokenHash(concat(lit(prefix),
         col("sub").cast("string"), lit(":"), col("vec_id").cast("string"))))
       .withColumn("code", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))).cast(LongType))
@@ -254,6 +258,11 @@ object Clustering {
       .select(col("sub"), col("code"), col("j"), fdiv(col("sq"), col("n")).as("c"))
       .localCheckpoint(true)
   }
+
+  private def pqCodebook(s: SparkSession, dir: String,
+      dsub: Int, k: Int): DataFrame =
+    trainBook(subDims(s, dir, dsub),
+      t(s, dir, "embeddings").select(col("vec_id")), "pq:", k)
 
   private val bookCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
@@ -322,7 +331,20 @@ object Clustering {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("td")).as("adc_dist"))
     val top = topkAsc(adc, "adc_dist", k)
-    // exact grid distances: once for the ADC survivors, once for truth
+    annotateWithExact(s, dir, top, numQueries, k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_dist"), col("exact_d2"), col("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The truth leg shared by x142 and x145: full exact grid distances per
+    * query (the audit is corpus-linear — one keyed aggregate, no
+    * re-rank), joined onto an approximate top-k frame together with the
+    * exact top-k membership flag.
+    */
+  private def annotateWithExact(s: SparkSession, dir: String, top: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
+    val sdims = subDims(s, dir, 8)
     val qfull = sdims.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
     val exact = sdims.filter(col("vec_id") >= numQueries)
@@ -333,9 +355,64 @@ object Clustering {
       .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
     top.join(exact, Seq("query_id", "vec_id"))
       .join(etop, Seq("query_id", "vec_id"), "left")
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        col("adc_dist"), col("exact_d2"),
-        coalesce(col("in_exact"), lit(0L)).as("in_exact_topk"))
+      .withColumn("in_exact_topk", coalesce(col("in_exact"), lit(0L)))
+  }
+
+  /** x145: IVF-PQ (IVFADC — Jégou et al. 2011 §IV): the full serving
+    * composition. The x140 coarse quantizer splits the corpus into
+    * inverted lists; each vector's RESIDUAL against its coarse centroid
+    * (integer on the grid) is PQ-encoded with a residual-trained book;
+    * a query probes its `nprobe` nearest coarse cells and scores their
+    * members through per-(cell, subspace, code) lookup tables
+    * ‖q_sub − c_sub − b_sub‖² — nq·nprobe·m·k integer rows, broadcast.
+    * The corpus contributes ONLY its coarse cell id and its 8 codes:
+    * scan cost at serving time is independent of d, and the candidate
+    * set is the probed lists, not the corpus — the two knobs (k_coarse,
+    * nprobe) that make ADC search sublinear at 10⁹ vectors. The exact
+    * truth leg marks which survivors land in the true top-k, so the
+    * gate measures BOTH pruning loss (unprobed cells) and quantization
+    * loss (ADC ranks) against DuckDB bit for bit.
+    */
+  def ivfpqTopk(s: SparkSession, dir: String, kCoarse: Int = 8, nprobe: Int = 2,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val (assigned0, cents) = lloyd(s, dir, kCoarse, 2)
+    // every point is assigned to its nearest centroid IN `cents`, so the
+    // residual against that same centroid is the well-posed IVFADC one
+    val assigned = assigned0.localCheckpoint(true)
+    val resid = assigned.join(broadcast(cents), Seq("cluster"))
+      .select(col("vec_id"),
+        zip_with(col("qa"), col("ca"), (x, y) => x - y).as("qa"))
+    val rsdims = toSubDims(resid, 8)
+    val book = trainBook(rsdims, t(s, dir, "embeddings").select(col("vec_id")),
+      "ivfpq:", 16)
+    val enc = pqEncode(rsdims, book).filter(col("vec_id") >= numQueries)
+    val qv = qvecs(s, dir).filter(col("vec_id") < numQueries)
+    val probed = qv.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        sqDist(col("qa"), col("ca")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val csub = toSubDims(cents.select(col("cluster").as("vec_id"), col("ca").as("qa")), 8)
+      .select(col("vec_id").as("cluster"), col("sub"), col("j"), col("q").as("c"))
+    val qsub = toSubDims(qv, 8)
+      .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
+    val tab = probed.join(qsub, Seq("query_id"))
+      .join(csub, Seq("cluster", "sub", "j"))
+      .join(book.select(col("sub"), col("code"), col("j"), col("c").as("bc")),
+        Seq("sub", "j"))
+      .groupBy(col("query_id"), col("cluster"), col("sub"), col("code"))
+      .agg(sum((col("qq") - col("c") - col("bc")) * (col("qq") - col("c") - col("bc")))
+        .as("td"))
+    val adc = enc.join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(tab), Seq("cluster", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("cluster")).as("cluster"), sum(col("td")).as("adc_dist"))
+    val top = topkAsc(adc, "adc_dist", k)
+    annotateWithExact(s, dir, top, numQueries, k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cluster"),
+        col("adc_dist"), col("exact_d2"), col("in_exact_topk"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -343,7 +420,8 @@ object Clustering {
     "x140_kmeans_embed" -> ((s: SparkSession, dir: String) => kmeansEmbed(s, dir)),
     "x141_pq_codes" -> (pqCodes _),
     "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)),
-    "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)))
+    "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)),
+    "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)))
 
   /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
     * Lloyd rounds with the identical positive-mod floor-div, brute-force
@@ -456,6 +534,101 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "x140_kmeans_embed" -> kmeansOracle(8),
+    // x145: the kmeans prefix (coarse cells + centroids), residual
+    // subspace coordinates, the 'ivfpq:'-seeded residual book (same
+    // one-Lloyd text as the PQ twin), probe ranking, per-cell ADC
+    // lookup tables, and the probed-list scoring — all integer until
+    // the final BIGINT casts.
+    "x145_ivfpq_topk" ->
+      s"""WITH ${kmCte(8)},
+         |rsdims AS (
+         |  SELECT p.vec_id, CAST(p.d // 8 AS BIGINT) AS sub,
+         |    CAST(p.d % 8 AS BIGINT) AS j, p.q - c.c AS q
+         |  FROM dims p JOIN a2 a ON a.vec_id = p.vec_id
+         |  JOIN c1 c ON c.cluster = a.cluster AND c.d = p.d),
+         |rseeds AS (
+         |  SELECT vec_id, sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY
+         |      ('0x' || substr(md5('ivfpq:' || CAST(sub AS VARCHAR) || ':' ||
+         |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+         |      vec_id) AS BIGINT) AS code
+         |  FROM (SELECT vec_id FROM embeddings)
+         |       CROSS JOIN (SELECT DISTINCT sub FROM rsdims)
+         |  QUALIFY code <= 16),
+         |rc0 AS (
+         |  SELECT s.sub, s.code, d.j, d.q AS c
+         |  FROM rseeds s JOIN rsdims d ON d.vec_id = s.vec_id AND d.sub = s.sub),
+         |re0 AS (
+         |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
+         |  FROM rsdims p JOIN rc0 c ON c.sub = p.sub AND c.j = p.j
+         |  GROUP BY p.vec_id, p.sub, c.code),
+         |ra1 AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM re0) WHERE rn = 1),
+         |rbook AS (
+         |  SELECT a.sub, a.code, p.j,
+         |    CAST((sum(p.q) - ((sum(p.q) % count(*)) + count(*)) % count(*)) / count(*)
+         |      AS BIGINT) AS c
+         |  FROM ra1 a JOIN rsdims p ON p.vec_id = a.vec_id AND p.sub = a.sub
+         |  GROUP BY a.sub, a.code, p.j),
+         |re1 AS (
+         |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
+         |  FROM rsdims p JOIN rbook c ON c.sub = p.sub AND c.j = p.j
+         |  GROUP BY p.vec_id, p.sub, c.code),
+         |ra2 AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM re1) WHERE rn = 1),
+         |qcd AS (
+         |  SELECT q.vec_id AS query_id, c.cluster, sum((q.q - c.c) * (q.q - c.c)) AS dist
+         |  FROM dims q JOIN c1 c ON c.d = q.d WHERE q.vec_id < 3
+         |  GROUP BY q.vec_id, c.cluster),
+         |probed AS (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT query_id, cluster,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, cluster) AS rn
+         |    FROM qcd) WHERE rn <= 2),
+         |tab AS (
+         |  SELECT p.query_id, p.cluster, b.sub, b.code,
+         |    sum((q.q - c.c - b.c) * (q.q - c.c - b.c)) AS td
+         |  FROM probed p
+         |  JOIN dims q ON q.vec_id = p.query_id
+         |  JOIN c1 c ON c.cluster = p.cluster AND c.d = q.d
+         |  JOIN rbook b ON b.sub = CAST(q.d // 8 AS BIGINT)
+         |    AND b.j = CAST(q.d % 8 AS BIGINT)
+         |  GROUP BY p.query_id, p.cluster, b.sub, b.code),
+         |adc AS (
+         |  SELECT t.query_id, e.vec_id, CAST(min(av.cluster) AS BIGINT) AS cluster,
+         |    CAST(sum(t.td) AS BIGINT) AS adc_dist
+         |  FROM ra2 e
+         |  JOIN a2 av ON av.vec_id = e.vec_id
+         |  JOIN tab t ON t.cluster = av.cluster AND t.sub = e.sub AND t.code = e.code
+         |  WHERE e.vec_id >= 3
+         |  GROUP BY t.query_id, e.vec_id),
+         |top AS (
+         |  SELECT query_id, vec_id, cluster, adc_dist, CAST(rn AS INT) AS rank FROM (
+         |    SELECT query_id, vec_id, cluster, adc_dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 10),
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, p.vec_id,
+         |    CAST(sum((p.q - q.q) * (p.q - q.q)) AS BIGINT) AS exact_d2
+         |  FROM dims p JOIN dims q ON q.d = p.d
+         |  WHERE q.vec_id < 3 AND p.vec_id >= 3
+         |  GROUP BY q.vec_id, p.vec_id),
+         |etop AS (
+         |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS in_exact FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rn
+         |    FROM exact) WHERE rn <= 10)
+         |SELECT t.query_id, t.rank, t.vec_id, t.cluster, t.adc_dist, x.exact_d2,
+         |  coalesce(e.in_exact, 0) AS in_exact_topk
+         |FROM top t
+         |JOIN exact x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |LEFT JOIN etop e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         |ORDER BY t.query_id, t.rank""".stripMargin,
     // x144: the kmeans prefix's final assignment, then brute-force
     // within-cluster pairs; the τ test runs in HUGEINT (the twin of the
     // Spark side's DECIMAL(38,0)) and the drop rule is the same

@@ -118,6 +118,23 @@ class ClusteringSpec extends SparkSpec {
     assert(hist.forall(r => r.getLong(3) >= 0L))
   }
 
+  test("x145 IVF-PQ probes at most nprobe cells per query and ranks ascending ADC") {
+    val df = Clustering.ivfpqTopk(spark, Sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, qs) =>
+      val sorted = qs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to qs.length), s"query $q ranks contiguous")
+      val dists = sorted.map(_.getLong(4)).toSeq
+      assert(dists === dists.sorted, s"query $q ADC order")
+      assert(qs.map(_.getLong(3)).distinct.length <= 2, s"query $q candidates outside nprobe=2 cells")
+      assert(qs.forall(r => Set(0L, 1L).contains(r.getLong(6))))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("x142 ADC parity emits a full ascending top-k per query and broadcasts the tables") {
     val df = Clustering.pqAdcParity(spark, Sf)
     val rows = df.collect()
