@@ -159,12 +159,29 @@ object Clustering {
     * dup-partner sits strictly closer to the centroid (ties by
     * vec_id), so the survivor set needs no iteration.
     */
-  def semdedupKmeans(s: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 2, tauNum: Long = 49L, tauDen: Long = 400L): DataFrame = {
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val asg = lloyd(s, dir, k, iters)._1
+  /** The x144 lloyd assignment augmented with each vector's exact grid
+    * squared norm (the τ test's denominator). Shared by x144 and x148.
+    */
+  private def assignedWithNorms(s: SparkSession, dir: String, k: Int,
+      iters: Int): DataFrame =
+    // NOT checkpointed: the x144/x148 plans consume the assignment
+    // through up to six join legs, but every leg bottoms out in the
+    // same Exchanges and ReuseExchange deduplicates them at runtime —
+    // an eager localCheckpoint here measured SLOWER (12.8 vs 8.4 s at
+    // sf0.1) because it serializes the legs behind one materialization
+    // and forfeits the broadcast-size estimate on the tiny cents side
+    lloyd(s, dir, k, iters)._1
       .withColumn("n2", aggregate(transform(col("qa"), x => x * x),
         lit(0L), (a, v) => a + v))
+
+  /** Within-cluster SemDeDup dup pairs + order-free drops over a lloyd
+    * assignment (shared by x144 and the x148 D4 prune): the integer τ
+    * test and the closer-to-centroid tuple drop rule documented on
+    * `semdedupKmeans`. Returns (dup pairs, distinct dropped ids).
+    */
+  private def dupDrops(asg: DataFrame, tauNum: Long,
+      tauDen: Long): (DataFrame, DataFrame) = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("qaa"),
       col("dist").as("da"), col("n2").as("na2"))
     val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("qab"),
@@ -181,6 +198,13 @@ object Clustering {
           (col("da") === col("db") && col("ia") < col("ib")), col("ib"))
           .otherwise(col("ia")).as("vec_id"))
       .distinct()
+    (dup, drops)
+  }
+
+  def semdedupKmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, tauNum: Long = 49L, tauDen: Long = 400L): DataFrame = {
+    val asg = assignedWithNorms(s, dir, k, iters)
+    val (dup, drops) = dupDrops(asg, tauNum, tauDen)
     val members = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
     val pairs = dup.groupBy(col("cluster")).agg(count(lit(1)).as("n_dup_pairs"))
     val dropped = drops.groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
@@ -189,6 +213,57 @@ object Clustering {
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster"))
+  }
+
+  /** x148: the D4 prune (Tirumala et al. 2023) — SemDeDup first, then
+    * SSL-prototype pruning over the SURVIVORS: within each cluster,
+    * rank the dedup survivors by distance to their centroid (ties by
+    * vec_id) and drop the closest `protoNum/protoDen` fraction — the
+    * "too prototypical" examples that add the least diversity
+    * (Sorscher et al. 2022's easy-example cut). Drop count per cluster
+    * is the exact floor ⌊protoNum·n_surv/protoDen⌋, so it is always
+    * < n_surv: a non-empty cluster keeps at least one member (and the
+    * SemDeDup rule already never drops a cluster's closest member).
+    * Integer-exact end to end — grid distances, floor-div counts — and
+    * the kept SET is pinned, not just its size: kept_id_sum +
+    * kept_id_xor over the surviving vec_ids (two independent exact
+    * aggregates; a membership swap that preserved one would have to
+    * preserve both). Scale shape: everything after the x144 pair join
+    * is per-cluster windows + map-side-combinable aggregates; the
+    * within-cluster rank sorts each cluster independently (the
+    * lmQualityFilter argument — cluster is the balance unit, and k is
+    * the operator's own skew knob).
+    */
+  def d4Prune(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      tauNum: Long = 49L, tauDen: Long = 400L,
+      protoNum: Long = 1L, protoDen: Long = 5L): DataFrame = {
+    val asg = assignedWithNorms(s, dir, k, iters)
+    val drops = dupDrops(asg, tauNum, tauDen)._2
+    val surv = asg.join(drops.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val byDist = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist"), col("vec_id"))
+    val whole = Window.partitionBy(col("cluster"))
+    val marked = surv
+      .withColumn("prank", row_number().over(byDist))
+      .withColumn("n_surv", count(lit(1)).over(whole))
+      .withColumn("proto_drop",
+        col("prank") <= fdiv(lit(protoNum) * col("n_surv"), lit(protoDen)))
+    val members = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val dupDropped = drops.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_dup_dropped"))
+    val pruned = marked.groupBy(col("cluster"))
+      .agg(sum(when(col("proto_drop"), 1L).otherwise(0L)).as("n_proto_dropped"),
+        sum(when(!col("proto_drop"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("proto_drop"), col("vec_id"))).as("kept_id_sum"),
+        expr("bit_xor(CASE WHEN NOT proto_drop THEN vec_id END)").as("kept_id_xor"))
+    members.join(dupDropped, Seq("cluster"), "left")
+      .join(pruned, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
+        coalesce(col("n_proto_dropped"), lit(0L)).as("n_proto_dropped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("kept_id_sum"), col("kept_id_xor"))
       .orderBy(col("cluster"))
   }
 
@@ -421,6 +496,7 @@ object Clustering {
     "x141_pq_codes" -> (pqCodes _),
     "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)),
     "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)),
+    "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
     "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)))
 
   /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
@@ -482,6 +558,34 @@ object Clustering {
        |    SELECT vec_id, cluster, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
        |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** Shared twin prefix of the SemDeDup-family oracles (x144/x148): the
+    * kmeans prefix's final assignment, then brute-force within-cluster
+    * pairs; the τ test runs in HUGEINT (the twin of the Spark side's
+    * DECIMAL(38,0)) and the drop rule is the same closer-to-centroid
+    * tuple comparison. Ends at `a2` (assignment) and `drops`.
+    */
+  private val DupCte: String =
+    s"""${kmCte(8)},
+       |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM dims GROUP BY vec_id),
+       |geo AS (
+       |  SELECT p.cluster, p.ia, p.da, p.ib, p.db, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+       |  FROM (SELECT a.cluster, a.vec_id AS ia, a.dist AS da,
+       |               b.vec_id AS ib, b.dist AS db
+       |        FROM a2 a JOIN a2 b ON b.cluster = a.cluster AND b.vec_id > a.vec_id) p
+       |  JOIN dims x ON x.vec_id = p.ia
+       |  JOIN dims y ON y.vec_id = p.ib AND y.d = x.d
+       |  GROUP BY p.cluster, p.ia, p.da, p.ib, p.db),
+       |dup AS (
+       |  SELECT g.cluster, g.ia, g.da, g.ib, g.db
+       |  FROM geo g JOIN nrm na ON na.vec_id = g.ia JOIN nrm nb ON nb.vec_id = g.ib
+       |  WHERE g.dot > 0
+       |    AND CAST(400 AS HUGEINT) * CAST(g.dot AS HUGEINT) * CAST(g.dot AS HUGEINT)
+       |      > CAST(49 AS HUGEINT) * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)),
+       |drops AS (
+       |  SELECT DISTINCT cluster,
+       |    CASE WHEN da < db OR (da = db AND ia < ib) THEN ib ELSE ia END AS vec_id
+       |  FROM dup)""".stripMargin
 
   /** Shared CTE prefix of the PQ twins: grid subspace coordinates, the
     * per-subspace md5 seed ranking, one Lloyd round (identical positive-
@@ -634,26 +738,7 @@ object Clustering {
     // Spark side's DECIMAL(38,0)) and the drop rule is the same
     // closer-to-centroid tuple comparison.
     "x144_semdedup_kmeans" ->
-      s"""WITH ${kmCte(8)},
-         |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM dims GROUP BY vec_id),
-         |geo AS (
-         |  SELECT p.cluster, p.ia, p.da, p.ib, p.db, CAST(sum(x.q * y.q) AS BIGINT) AS dot
-         |  FROM (SELECT a.cluster, a.vec_id AS ia, a.dist AS da,
-         |               b.vec_id AS ib, b.dist AS db
-         |        FROM a2 a JOIN a2 b ON b.cluster = a.cluster AND b.vec_id > a.vec_id) p
-         |  JOIN dims x ON x.vec_id = p.ia
-         |  JOIN dims y ON y.vec_id = p.ib AND y.d = x.d
-         |  GROUP BY p.cluster, p.ia, p.da, p.ib, p.db),
-         |dup AS (
-         |  SELECT g.cluster, g.ia, g.da, g.ib, g.db
-         |  FROM geo g JOIN nrm na ON na.vec_id = g.ia JOIN nrm nb ON nb.vec_id = g.ib
-         |  WHERE g.dot > 0
-         |    AND CAST(400 AS HUGEINT) * CAST(g.dot AS HUGEINT) * CAST(g.dot AS HUGEINT)
-         |      > CAST(49 AS HUGEINT) * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)),
-         |drops AS (
-         |  SELECT DISTINCT cluster,
-         |    CASE WHEN da < db OR (da = db AND ia < ib) THEN ib ELSE ia END AS vec_id
-         |  FROM dup),
+      s"""WITH $DupCte,
          |members AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cluster),
          |prs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM dup GROUP BY cluster),
          |drp AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dropped FROM drops GROUP BY cluster)
@@ -661,6 +746,41 @@ object Clustering {
          |  coalesce(d.n_dropped, 0) AS n_dropped,
          |  m.n_members - coalesce(d.n_dropped, 0) AS n_kept
          |FROM members m LEFT JOIN prs p USING (cluster) LEFT JOIN drp d USING (cluster)
+         |ORDER BY m.cluster""".stripMargin,
+    // x148: the x144 prefix, then the D4 prototype cut over the dedup
+    // survivors — the same (dist, vec_id) rank, the same positive
+    // floor-div drop count (operands positive, so // IS the floor),
+    // and the sum+xor membership pin.
+    "x148_d4_prune" ->
+      s"""WITH $DupCte,
+         |surv AS (
+         |  SELECT a.cluster, a.vec_id, a.dist
+         |  FROM a2 a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+         |  WHERE dr.vec_id IS NULL),
+         |ranked AS (
+         |  SELECT cluster, vec_id,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS prank,
+         |    count(*) OVER (PARTITION BY cluster) AS n_surv
+         |  FROM surv),
+         |marked AS (
+         |  SELECT cluster, vec_id,
+         |    prank <= (1 * n_surv) // 5 AS proto_drop
+         |  FROM ranked),
+         |members AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cluster),
+         |dd AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dup_dropped FROM drops GROUP BY cluster),
+         |pp AS (
+         |  SELECT cluster,
+         |    CAST(sum(CASE WHEN proto_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_proto_dropped,
+         |    CAST(sum(CASE WHEN NOT proto_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN NOT proto_drop THEN vec_id END) AS BIGINT) AS kept_id_sum,
+         |    CAST(bit_xor(CASE WHEN NOT proto_drop THEN vec_id END) AS BIGINT) AS kept_id_xor
+         |  FROM marked GROUP BY cluster)
+         |SELECT m.cluster, m.n_members,
+         |  coalesce(d.n_dup_dropped, 0) AS n_dup_dropped,
+         |  coalesce(p.n_proto_dropped, 0) AS n_proto_dropped,
+         |  coalesce(p.n_kept, 0) AS n_kept,
+         |  p.kept_id_sum, p.kept_id_xor
+         |FROM members m LEFT JOIN dd d USING (cluster) LEFT JOIN pp p USING (cluster)
          |ORDER BY m.cluster""".stripMargin,
     "x141_pq_codes" ->
       s"""WITH $PqCte,

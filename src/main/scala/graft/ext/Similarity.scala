@@ -434,6 +434,69 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** x146: binary (1-bit) quantized retrieval — the third point on the
+    * quantized-serving curve after int8 (x122) and PQ/IVF-PQ
+    * (x142/x145). Each vector compresses to its per-dimension sign
+    * bits packed into ⌈d/64⌉ BIGINT words (64 floats → 8 bytes, a 32×
+    * shrink); candidate ranking is Hamming distance = popcount(XOR),
+    * evaluated by the codegen'd `bit_count`/`^` builtins — the scan
+    * reads 1/32 the bytes of a float index and does no FP work at all.
+    * The Hamming pool is deliberately coarse (1 bit/dim), so serving
+    * stacks always rescore: the top-`poolR` Hamming candidates per
+    * query are reranked by exact float cosine (the x20 arithmetic —
+    * dotD's fold matches the twin's `list_reduce` bitwise) down to
+    * top-`k`. Deterministic end to end: Hamming ties break by vec_id
+    * (integer ties are the NORM at 1 bit), cosine ties likewise, so
+    * the result is hash-gated, not recall-gated. At 100 TB the sig
+    * pass is map-only (no shuffle until the bounded per-query top-R),
+    * the pool is numQueries·poolR rows, and only those rows ever touch
+    * float vectors again.
+    */
+  def binaryRetrieval(s: SparkSession, dir: String,
+      numQueries: Int = 20, poolR: Int = 50, k: Int = 10): DataFrame = {
+    val c = corpus(s, dir)
+    // Width-generic bit packing: word w holds dims [w·64, w·64+63], bit b
+    // set iff embedding[w·64+b] > 0 (strict — zeros and -0.0 land on 0 in
+    // both engines). Pure builtins, so the whole pass stays in codegen.
+    val sig = expr(
+      """transform(sequence(0, (size(embedding) + 63) div 64 - 1),
+        |  w -> aggregate(sequence(0, 63), 0L,
+        |    (acc, b) -> IF(w * 64 + b < size(embedding)
+        |        AND element_at(embedding, CAST(w * 64 + b + 1 AS INT)) > CAST(0 AS FLOAT),
+        |      acc | shiftleft(1L, b), acc)))""".stripMargin).as("sig")
+    val sigs = c.select(col("vec_id"), sig)
+    val queries = sigs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val ham = sigs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qsig"), col("sig"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
+    val local = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val pool = ham
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= poolR)
+      .withColumn("hrank", row_number().over(global))
+      .filter(col("hrank") <= poolR)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val rescored = c.join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Left-fold double dot product as a tight JVM loop — the same
     * summation sequence as `dotD`/the oracle's `list_reduce` (0.0 + p1 +
     * p2 ...), so the doubles are bitwise identical.
@@ -1830,6 +1893,7 @@ object Similarity {
     "x22_label_topk_norm" -> ((s: SparkSession, dir: String) => labelTopkNorm(s, dir)),
     "x23_quantize_int8" -> (quantizeInt8 _),
     "x122_int8_retrieval" -> ((s: SparkSession, dir: String) => int8RetrievalParity(s, dir)),
+    "x146_binary_retrieval" -> ((s: SparkSession, dir: String) => binaryRetrieval(s, dir)),
     "x57_embedding_dup_clusters" -> (embeddingDupClusters _),
     "x60_truncated_rerank" -> ((s: SparkSession, dir: String) => truncatedRerank(s, dir)))
 
@@ -2472,6 +2536,46 @@ object Similarity {
         |  COALESCE(ov.n_overlap, 0) AS n_overlap, CAST(10 AS BIGINT) AS k
         |FROM itop t LEFT JOIN ov ON ov.query_id = t.query_id
         |WHERE t.rank = 1 ORDER BY t.query_id""".stripMargin,
+    // x146: the sign bits spelled UNPACKED (hamming = count of dims
+    // whose strict `> 0` signs differ — exactly popcount(xor) of the
+    // packed words), the same (hamming, vec_id)-ordered top-50 pool,
+    // and the x20-arithmetic float rescore to top-10.
+    "x146_binary_retrieval" ->
+      """WITH sb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM embeddings),
+        |qb AS (SELECT vec_id AS query_id, bits AS qbits FROM sb WHERE vec_id < 20),
+        |ham AS (
+        |  SELECT qb.query_id, sb.vec_id,
+        |    CAST(list_reduce(list_transform(generate_series(1, len(sb.bits)),
+        |      i -> CASE WHEN qbits[i] <> bits[i] THEN 1 ELSE 0 END),
+        |      (x, y) -> x + y) AS BIGINT) AS hamming
+        |  FROM qb JOIN sb ON sb.vec_id <> qb.query_id),
+        |pool AS (
+        |  SELECT query_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS hrank
+        |  FROM ham QUALIFY hrank <= 50),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 20),
+        |resc AS (
+        |  SELECT p.query_id, p.vec_id, p.hamming,
+        |    list_reduce(list_transform(generate_series(1, len(qe.qv)),
+        |      i -> CAST(qe.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (qe.qn * e.nrm) AS cosine
+        |  FROM pool p JOIN qe ON qe.query_id = p.query_id
+        |              JOIN e ON e.vec_id = p.vec_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, hamming, cosine
+        |FROM (
+        |  SELECT query_id, vec_id, hamming, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM resc) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x23_quantize_int8" ->
       """SELECT vec_id,
         |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),

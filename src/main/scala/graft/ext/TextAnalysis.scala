@@ -791,6 +791,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x147: weak-supervision quality classifier — the CCNet/GPT-3 recipe
+    * (train a cheap linear classifier on rule-derived labels, score the
+    * whole corpus) with integer-exact arithmetic so the gate is a hash,
+    * not a tolerance. Labels come from the verified Gopher pass (x71
+    * `keep`); the training split is the even doc_ids; features are
+    * per-doc whitespace-token frequencies over a df≥2 training
+    * vocabulary (the df cut bounds the weight table — the Dedup
+    * posting-list discipline — which is what makes the score join
+    * broadcastable at corpus scale). Per-token weight is the NB
+    * log-odds' exact integer surrogate: with Laplace-smoothed class
+    * likelihoods p=(pos_t+1)/(P+V), q=(neg_t+1)/(N+V), the weight is
+    * the cross-multiplied numerator difference
+    * (pos_t+1)·(N+V) − (neg_t+1)·(P+V) — same sign as log(p/q),
+    * common positive denominator dropped, no float log anywhere. A doc
+    * scores Σ tf·weight (BIGINT-exact: weights ≤ ~1e11, tf sums ≤ ~1e3
+    * at sf0.1; a petabyte corpus moves this to DECIMAL(38,0));
+    * predicted_keep = score > 0 (equal-prior NB — the prior is one
+    * constant the threshold absorbs). Scale shape: train is two
+    * aggregations over the token-frequency frame, score is one
+    * broadcast join + one map-side-combinable sum; the corpus text is
+    * tokenized once and never shuffled at token grain twice.
+    */
+  def nbQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val labels = gopherRules(s, dir).select(col("doc_id"), col("keep"))
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val train = tf.join(labels, "doc_id")
+      .filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    // tf is (doc_id, w)-distinct, so df per token is a plain count
+    val vocab = train.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("keep"), col("tf")).otherwise(0L)).as("pos_t"),
+        sum(when(!col("keep"), col("tf")).otherwise(0L)).as("neg_t"))
+      .filter(col("df") >= 2L)
+    val tot = vocab.agg(sum(col("pos_t")).as("p_tot"),
+      sum(col("neg_t")).as("n_tot"), count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        ((col("pos_t") + lit(1L)) * (col("n_tot") + col("v")) -
+          (col("neg_t") + lit(1L)) * (col("p_tot") + col("v"))).as("wt"))
+    val scored = tf.join(broadcast(weights), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_vocab_tokens"),
+        sum(col("tf") * col("wt")).as("score"))
+    labels.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit("train"))
+          .otherwise(lit("heldout")).as("split"),
+        coalesce(col("n_vocab_tokens"), lit(0L)).as("n_vocab_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0L).as("predicted_keep"),
+        col("keep").as("weak_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end curation manifest — the full training-data recipe
     * composed from individually-verified legs: Gopher quality rules
     * (x71) ∧ exact-dedup canonical survivors (x10) ∧ temperature-scaled
@@ -1187,6 +1243,7 @@ object TextAnalysis {
     "x80_repeated_windows" -> ((s: SparkSession, dir: String) => repeatedWindowRemoval(s, dir)),
     "x79_lang_confusion" -> (langConfusion _),
     "x71_gopher_rules" -> (gopherRules _),
+    "x147_nb_quality" -> (nbQualityScore _),
     "x74_curation_manifest" -> ((s: SparkSession, dir: String) => curationManifest(s, dir)),
     "x45_corpus_pipeline" -> (corpusPipeline _),
     "x01_token_count" -> (tokenCount _),
@@ -1790,6 +1847,46 @@ object TextAnalysis {
          |ORDER BY lang_labeled, lang_detected""".stripMargin
     }) +
     ("x71_gopher_rules" -> GopherSql) +
+    // x147: the Gopher labels spliced verbatim, the same df≥2 training
+    // vocabulary (tf is (doc_id, w)-distinct, so df is count(*)), the
+    // same cross-multiplied integer weights, and the same left-join
+    // zero-coalesce for docs with no in-vocabulary tokens.
+    ("x147_nb_quality" ->
+      s"""WITH g AS ($GopherSql),
+         |lab AS (SELECT doc_id, keep FROM g),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, w),
+         |train AS (
+         |  SELECT tf.doc_id, tf.w, tf.tf, lab.keep
+         |  FROM tf JOIN lab USING (doc_id) WHERE tf.doc_id % 2 = 0),
+         |vocab AS (
+         |  SELECT w,
+         |    CAST(sum(CASE WHEN keep THEN tf ELSE 0 END) AS BIGINT) AS pos_t,
+         |    CAST(sum(CASE WHEN NOT keep THEN tf ELSE 0 END) AS BIGINT) AS neg_t
+         |  FROM train GROUP BY w HAVING count(*) >= 2),
+         |tot AS (
+         |  SELECT CAST(sum(pos_t) AS BIGINT) AS p_tot,
+         |    CAST(sum(neg_t) AS BIGINT) AS n_tot,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM vocab),
+         |wt AS (
+         |  SELECT w, (pos_t + 1) * (n_tot + v) - (neg_t + 1) * (p_tot + v) AS wt
+         |  FROM vocab CROSS JOIN tot),
+         |sc AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_vocab_tokens,
+         |    CAST(sum(tf.tf * wt.wt) AS BIGINT) AS score
+         |  FROM tf JOIN wt USING (w) GROUP BY tf.doc_id)
+         |SELECT l.doc_id,
+         |  CASE WHEN l.doc_id % 2 = 0 THEN 'train' ELSE 'heldout' END AS split,
+         |  coalesce(s.n_vocab_tokens, 0) AS n_vocab_tokens,
+         |  coalesce(s.score, 0) AS score,
+         |  coalesce(s.score, 0) > 0 AS predicted_keep,
+         |  l.keep AS weak_keep
+         |FROM lab l LEFT JOIN sc s USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin) +
     ("x74_curation_manifest" ->
       s"""WITH g AS ($GopherSql),
          |c AS (${Dedup.oracles("x10_dedup_exact")}),

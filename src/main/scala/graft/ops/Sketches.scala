@@ -162,10 +162,55 @@ object Sketches {
       .orderBy(col("day"))
   }
 
+  /** q81: sketch-based join-cardinality estimation — the planner
+    * statistic that decides broadcast-vs-shuffle and pre-sizes shuffle
+    * partitions WITHOUT running the join. |A ⋈ B| on key k is
+    * Σ_k cntA(k)·cntB(k), which is exactly the inner product of the two
+    * key-frequency vectors; the count-min estimate (Cormode &
+    * Muthukrishnan 2005 §4.2) is min over hash rows of the bucketed
+    * inner product, and it NEVER underestimates — collisions only add.
+    * The sketch here is built relationally with the md5-derived hash
+    * BOTH engines can compute (the kmCte seed trick), so every number
+    * is integer-exact and the whole row hash-gates: depth·width counts
+    * per side (768 keyed rows regardless of input size — map-side
+    * combinable, the sketch rides the shuffle, not the keys), one
+    * 768-row join, a min. `overestimate_ok` is pinned TRUE by the
+    * estimator's one-sided guarantee. BIGINT is safe to ~3e9·√width
+    * rows per side; past that the products move to DECIMAL(38,0).
+    */
+  def joinCardEst(s: SparkSession, dir: String,
+      depth: Int = 3, width: Int = 256): DataFrame = {
+    def sketch(df: DataFrame, key: org.apache.spark.sql.Column,
+        cnt: String): DataFrame =
+      df.select(key.cast("string").as("k"))
+        .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+        .select(col("i"),
+          pmod(graft.ext.TextAnalysis.tokenHash(
+            concat(lit("cms:"), col("i").cast("string"), lit(":"), col("k"))),
+            lit(width.toLong)).as("bucket"))
+        .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as(cnt))
+    val sa = sketch(Tables(s, dir, "orders"), col("o_orderkey"), "ca")
+    val sb = sketch(Tables(s, dir, "lineitem"), col("l_orderkey"), "cb")
+    val ests = sa.join(sb, Seq("i", "bucket"))
+      .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("est_i"))
+    val minEst = ests.agg(min(col("est_i")).as("est"))
+    // the verification anchor — at scale this leg is what the estimate
+    // REPLACES; 1-row frames, lazy, never a driver collect
+    val exact = Tables(s, dir, "orders").select(col("o_orderkey"))
+      .join(Tables(s, dir, "lineitem").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_exact"))
+    ests.crossJoin(minEst).crossJoin(exact)
+      .select(col("i"), col("est_i"), col("est"), col("n_exact"),
+        (col("est_i") >= col("n_exact")).as("overestimate_ok"))
+      .orderBy(col("i"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sketches" -> (eventSketches _),
     "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHittersGated(s, dir)),
     "q49_exact_percentiles" -> (exactPercentiles _),
+    "q81_join_card_est" -> ((s: SparkSession, dir: String) => joinCardEst(s, dir)),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
   /** Every sketch query hash-gates: exact legs compare outright and each
@@ -199,6 +244,32 @@ object Sketches {
         |SELECT day, n_users_day_exact, TRUE AS day_est_ok,
         |  n_users_total_exact, TRUE AS total_est_ok
         |FROM d CROSS JOIN t ORDER BY day""".stripMargin,
+    // q81: the identical md5-derived CMS rows — every value is an exact
+    // integer, so the estimate itself hash-compares; no bound flag
+    // needed beyond the estimator's pinned one-sided guarantee.
+    "q81_join_card_est" ->
+      """WITH ii AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |sa AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('cms:' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM orders CROSS JOIN ii GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('cms:' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem CROSS JOIN ii GROUP BY 1, 2),
+        |est AS (
+        |  SELECT i, CAST(sum(ca * cb) AS BIGINT) AS est_i
+        |  FROM sa JOIN sb USING (i, bucket) GROUP BY i),
+        |m AS (SELECT CAST(min(est_i) AS BIGINT) AS est FROM est),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT CAST(i AS INT) AS i, est_i, est, n_exact,
+        |  est_i >= n_exact AS overestimate_ok
+        |FROM est CROSS JOIN m CROSS JOIN x ORDER BY i""".stripMargin,
     "q49_exact_percentiles" ->
       """WITH r AS (
         |  SELECT event_type, value, event_id,

@@ -151,4 +151,41 @@ class ClusteringSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("x148 D4 prune matches a driver-side reference (dedup, then prototype cut)") {
+    val (rows, cents, asg) = referenceKmeans()
+    val byId = rows.toMap
+    val n2 = rows.map { case (id, qa) => (id, qa.map(x => x * x).sum) }.toMap
+    val tauNum = BigInt(49); val tauDen = BigInt(400)
+    val dups = for {
+      (ia, (ca, da)) <- asg.toSeq
+      (ib, (cb, db)) <- asg.toSeq
+      if ib > ia && ca == cb
+      dot = byId(ia).zip(byId(ib)).map { case (x, y) => x * y }.sum
+      if dot > 0 && tauDen * BigInt(dot) * BigInt(dot) > tauNum * BigInt(n2(ia)) * BigInt(n2(ib))
+    } yield (ca, ia, da, ib, db)
+    val dropped = dups.map { case (c, ia, da, ib, db) =>
+      if (da < db || (da == db && ia < ib)) (c, ib) else (c, ia)
+    }.distinct
+    val droppedIds = dropped.map(_._2).toSet
+    val expected = cents.keys.toSeq.sorted.map { c =>
+      val members = asg.filter(_._2._1 == c).toSeq
+      val surv = members.collect {
+        case (id, (_, d)) if !droppedIds.contains(id) => (d, id)
+      }.sorted
+      val nProto = ((1L * surv.size) / 5).toInt
+      val kept = surv.drop(nProto).map(_._2)
+      (c, members.size.toLong, dropped.count(_._1 == c).toLong,
+        nProto.toLong, kept.size.toLong,
+        if (kept.isEmpty) null else java.lang.Long.valueOf(kept.sum),
+        if (kept.isEmpty) null else java.lang.Long.valueOf(kept.reduce(_ ^ _)))
+    }
+    val got = Clustering.d4Prune(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+        if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))))
+    assert(got.toSeq === expected)
+    // D4's two cuts never delete a whole cluster: floor(n/5) < n
+    assert(got.forall(r => r._2 == 0L || r._5 >= 1L))
+  }
 }

@@ -553,4 +553,33 @@ class SimilaritySpec extends SparkSpec {
       rows.toSeq.sortBy(_._1).map { case (k, (np, m, lo, hi)) =>
         org.apache.spark.sql.Row(k, np, m, lo, hi).toString }.sorted)
   }
+
+  test("x146 binary retrieval matches a driver-side reference (sign pool + exact rescore)") {
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.indices.count(i => (a(i) > 0f) != (b(i) > 0f)).toLong
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val expected = rows.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      val pool = rows.filter(_._1 != qid)
+        .map { case (id, v) => (ham(qv, v), id, v) }
+        .sortBy(t => (t._1, t._2)).take(50)
+      val top = pool.map { case (h, id, v) =>
+          (dot(qv, v) / (nrm(qv) * nrm(v)), h, id)
+        }.sortBy(t => (-t._1, t._3)).take(10)
+      top.zipWithIndex.map { case ((c, h, id), i) => (qid, i + 1, id, h, c) }
+    }
+    val got = Similarity.binaryRetrieval(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expected.toSeq)
+    // the 1-bit pool must be doing real work: every returned candidate's
+    // Hamming distance is within the pool's 50-candidate cut
+    assert(got.forall(_._4 <= 64L))
+  }
 }

@@ -282,4 +282,45 @@ class TextAnalysisSpec extends SparkSpec {
     check(gopher, lm, ("gopher", "lm"))
     check(heur, lm, ("heuristic", "lm"))
   }
+
+  test("x147 NB quality classifier matches a driver-side integer reference") {
+    val labels = TextAnalysis.gopherRules(spark, Sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val tf = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val train = tf.filter { case (id, _, _) => id % 2 == 0 }
+    // tf rows are (doc, w)-distinct, so df per token = row count
+    val vocab = train.groupBy(_._2).filter(_._2.length >= 2).map {
+      case (w, rs) =>
+        (w, rs.filter(r => labels(r._1)).map(_._3).sum,
+          rs.filter(r => !labels(r._1)).map(_._3).sum)
+    }.toSeq
+    val pTot = vocab.map(_._2).sum
+    val nTot = vocab.map(_._3).sum
+    val v = vocab.size.toLong
+    val wt = vocab.map { case (w, p, n) =>
+      (w, (p + 1L) * (nTot + v) - (n + 1L) * (pTot + v))
+    }.toMap
+    val scores = tf.filter(t => wt.contains(t._2)).groupBy(_._1).map {
+      case (id, rs) => (id, (rs.map(_._3).sum, rs.map(r => r._3 * wt(r._2)).sum))
+    }
+    val expected = labels.keys.toSeq.sorted.map { id =>
+      val (nv, sc) = scores.getOrElse(id, (0L, 0L))
+      (id, if (id % 2 == 0) "train" else "heldout", nv, sc, sc > 0L, labels(id))
+    }
+    val got = TextAnalysis.nbQualityScore(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(got.toSeq === expected)
+    // the classifier must actually learn the weak signal: train-split
+    // accuracy above the majority-class rate
+    val trainRows = got.filter(_._2 == "train")
+    val majority = math.max(trainRows.count(_._6), trainRows.count(r => !r._6))
+    assert(trainRows.count(r => r._5 == r._6) >= majority,
+      "NB surrogate should fit its own training labels at least as well as majority-class")
+  }
 }

@@ -98,4 +98,33 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(fromPartials - exactTotal) / exactTotal <= 0.05,
       s"merged estimate $fromPartials vs exact $exactTotal")
   }
+
+  test("q81 CMS join-cardinality estimate matches a driver-side reference and never underestimates") {
+    def h15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ok = spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val lk = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    def sketch(keys: Array[Long]): Map[(Int, Long), Long] =
+      keys.flatMap(k => (0 until 3).map(i => (i, h15(s"cms:$i:$k") % 256L)))
+        .groupBy(identity).map { case (b, hits) => (b, hits.length.toLong) }
+    val sa = sketch(ok); val sb = sketch(lk)
+    val estI = (0 until 3).map { i =>
+      sa.collect { case ((j, b), c) if j == i =>
+        c * sb.getOrElse((i, b), 0L)
+      }.sum
+    }
+    val cntA = ok.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val exact = lk.map(k => cntA.getOrElse(k, 0L)).sum
+    val expected = (0 until 3).map(i => (i, estI(i), estI.min, exact, estI(i) >= exact))
+    val got = Sketches.joinCardEst(spark, Sf).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === expected)
+    // the one-sided CMS guarantee, asserted independently of the flag
+    assert(estI.forall(_ >= exact))
+  }
 }
