@@ -57,8 +57,8 @@ object Clustering {
     * reproducible on any engine that has md5 (the x137 sign-matrix
     * trick). k rows: the window is over the k survivors only.
     */
-  private def seedCentroids(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val ranked = qvecs(s, dir)
+  private def seedCentroidsOf(pts: DataFrame, k: Int): DataFrame = {
+    val ranked = pts
       .withColumn("h", TextAnalysis.tokenHash(
         concat(lit("km:"), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k)
@@ -108,10 +108,9 @@ object Clustering {
     * distances, final centroids). Shared by the x140 report and the x144
     * SemDeDup prune.
     */
-  private def lloyd(s: SparkSession, dir: String, k: Int,
+  private def lloydOn(pts: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
-    val pts = qvecs(s, dir)
-    var cents = seedCentroids(s, dir, k)
+    var cents = seedCentroidsOf(pts, k)
     var assigned = assign(pts, cents)
     for (_ <- 1 until iters) {
       // k rows: flatten the per-iteration lineage so iteration i+1's plan
@@ -121,6 +120,10 @@ object Clustering {
     }
     (assigned, cents)
   }
+
+  private def lloyd(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) =
+    lloydOn(qvecs(s, dir), k, iters)
 
   def kmeansEmbed(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
     val (assigned, cents) = lloyd(s, dir, k, iters)
@@ -264,6 +267,44 @@ object Clustering {
         coalesce(col("n_proto_dropped"), lit(0L)).as("n_proto_dropped"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("kept_id_sum"), col("kept_id_xor"))
+      .orderBy(col("cluster"))
+  }
+
+  /** x150: arrival-batch cluster drift against FROZEN centroids — the
+    * serving-time monitor for a clustered corpus: the model trains on
+    * the reference corpus (vec_id % 5 ≠ 4, the x140 Lloyd loop
+    * verbatim), the held-back fifth plays the newly-arrived batch, and
+    * each arrival is assigned to its nearest frozen centroid (one
+    * broadcast pass — arrivals never trigger a retrain, exactly how a
+    * production tier serves between refreshes). Per cluster: base vs
+    * arrival member counts and exact integer inertias, plus the frozen
+    * centroid's coordinate checksum (a silent retrain would move it).
+    * A healthy pipeline shows arrivals distributing like the base and
+    * comparable per-member inertia; a drifted source piles into few
+    * cells with inflated distances — x108 measures embedding drift
+    * distributionally, this measures it against the DEPLOYED structure.
+    * Integer-exact end to end, so the gate is a hash.
+    */
+  def clusterDrift(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, mod: Long = 5L): DataFrame = {
+    val pts = qvecs(s, dir)
+    val base = pts.filter(pmod(col("vec_id"), lit(mod)) =!= lit(mod - 1))
+    val arrivals = pts.filter(pmod(col("vec_id"), lit(mod)) === lit(mod - 1))
+    val (asgBase, cents) = lloydOn(base, k, iters)
+    val asgNew = assign(arrivals, cents)
+    val nb = asgBase.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"), sum(col("dist")).as("base_inertia"))
+    val na = asgNew.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"), sum(col("dist")).as("new_inertia"))
+    val cs = cents.select(col("cluster"),
+      aggregate(col("ca"), lit(0L), (a, v) => a + v).as("cent_sum"))
+    cs.join(nb, Seq("cluster"), "left").join(na, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("base_inertia"), lit(0L)).as("base_inertia"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("new_inertia"), lit(0L)).as("new_inertia"),
+        col("cent_sum"))
       .orderBy(col("cluster"))
   }
 
@@ -497,6 +538,7 @@ object Clustering {
     "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)),
     "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)),
     "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
+    "x150_cluster_drift" -> ((s: SparkSession, dir: String) => clusterDrift(s, dir)),
     "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)))
 
   /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
@@ -523,18 +565,18 @@ object Clustering {
     * rounds — ends at `a2` (final assignment with dist) and `c1` (final
     * centroids).
     */
-  private def kmCte(k: Int): String =
+  private def kmCte(k: Int, src: String = "embeddings"): String =
     s"""dims AS (
        |  SELECT vec_id, i - 1 AS d,
        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
-       |  FROM embeddings,
+       |  FROM $src,
        |       LATERAL (SELECT unnest(embedding) AS v,
        |                       unnest(generate_series(1, len(embedding))) AS i)),
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
        |      ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
        |      vec_id) AS BIGINT) AS cluster
-       |  FROM embeddings
+       |  FROM $src
        |  QUALIFY cluster <= $k),
        |c0 AS (SELECT s.cluster, d.d, d.q AS c FROM seeds s JOIN dims d USING (vec_id)),
        |d1 AS (
@@ -638,6 +680,37 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "x140_kmeans_embed" -> kmeansOracle(8),
+    // x150: the x140 CTE chain rebased onto the reference corpus
+    // (vec_id % 5 <> 4), one extra frozen-centroid assignment pass for
+    // the held-back arrivals, and the same coalesced per-cluster report.
+    "x150_cluster_drift" ->
+      s"""WITH ${kmCte(8, "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4) base")},
+         |arr AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4) a,
+         |       LATERAL (SELECT unnest(embedding) AS v,
+         |                       unnest(generate_series(1, len(embedding))) AS i)),
+         |d3 AS (
+         |  SELECT p.vec_id, c.cluster, sum((p.q - c.c) * (p.q - c.c)) AS dist
+         |  FROM arr p JOIN c1 c ON c.d = p.d GROUP BY p.vec_id, c.cluster),
+         |a3 AS (
+         |  SELECT vec_id, cluster, dist FROM (
+         |    SELECT vec_id, cluster, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d3) WHERE rn = 1),
+         |nb AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_base,
+         |       CAST(sum(dist) AS BIGINT) AS base_inertia FROM a2 GROUP BY cluster),
+         |na AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new,
+         |       CAST(sum(dist) AS BIGINT) AS new_inertia FROM a3 GROUP BY cluster),
+         |cs AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS cent_sum FROM c1 GROUP BY cluster)
+         |SELECT cs.cluster, coalesce(n_base, 0) AS n_base,
+         |  coalesce(base_inertia, 0) AS base_inertia,
+         |  coalesce(n_new, 0) AS n_new,
+         |  coalesce(new_inertia, 0) AS new_inertia,
+         |  cent_sum
+         |FROM cs LEFT JOIN nb USING (cluster) LEFT JOIN na USING (cluster)
+         |ORDER BY cs.cluster""".stripMargin,
     // x145: the kmeans prefix (coarse cells + centroids), residual
     // subspace coordinates, the 'ivfpq:'-seeded residual book (same
     // one-Lloyd text as the PQ twin), probe ranking, per-cell ADC

@@ -938,6 +938,50 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** x149: CCNet-style line-grain exact dedup (Wenzek et al. 2020 §3.1
+    * — the pass that strips repeated navigation chrome, cookie banners
+    * and boilerplate lines BEFORE any LM scoring): every non-empty
+    * trimmed line is hashed corpus-wide, and only its FIRST occurrence
+    * (smallest (doc_id, line_no)) survives; blank lines never join a
+    * dup class (they are layout, not content — a corpus-wide "first
+    * empty line wins" would gut every document below the first).
+    * Reported per document: line totals, kept/dropped counts, and the
+    * exact surviving character mass — the number CCNet's savings tables
+    * are built from. Scale shape: one posexplode, one hash-keyed
+    * min-struct aggregate (map-side combinable — O(1) state per
+    * distinct line, never a position list), one hash-keyed join back,
+    * one doc-grain aggregate; the only wide key is the line hash
+    * itself, whose cardinality the dedup is busy shrinking.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("t", trim(col("line")))
+    val nonEmpty = lines.filter(length(col("t")) > 0)
+      .withColumn("h", TextAnalysis.tokenHash(col("t")))
+    val firsts = nonEmpty.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+      .select(col("h"), col("first").getField("doc_id").as("f_doc"),
+        col("first").getField("line_no").as("f_line"))
+    val marked = nonEmpty.join(firsts, Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("f_doc") && col("line_no") === col("f_line"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_nonempty"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("kept"), length(col("t")).cast(LongType)).otherwise(0L))
+          .as("retained_chars"))
+    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_nonempty"), lit(0L)).as("n_nonempty"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("retained_chars"), lit(0L)).as("retained_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Split-contamination detection — the eval-integrity companion to
     * x61's leakage-safe split: how many verified near-dup pairs
     * STRADDLE the naive per-document split (x40), i.e. a train document
@@ -1075,6 +1119,7 @@ object Dedup {
     "x92_effective_dataset_size" -> (effectiveDatasetSize _),
     "x94_sorted_neighborhood" -> ((s: SparkSession, dir: String) => sortedNeighborhood(s, dir)),
     "x96_split_contamination" -> (splitContamination _),
+    "x149_line_dedup" -> (lineDedup _),
     "x98_incremental_neardup_indexed" ->
       ((s: SparkSession, dir: String) => incrementalNearDupIndexed(s, dir)),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
@@ -1120,6 +1165,41 @@ object Dedup {
     // the indexed path emits the identical pair set as x86 (cross-band
     // 64-bit bucket collisions die in exact verification) — same twin
     "x98_incremental_neardup_indexed" -> oraclesBase("x86_incremental_neardup"),
+    // x149: the identical md5-keyed first-occurrence rule — blank
+    // trimmed lines bypass the dup classes, positions are 0-based on
+    // both sides (unnest ordinality minus 1).
+    "x149_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, i - 1 AS line_no, l, trim(l) AS t
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |       LATERAL (SELECT unnest(ls) AS l,
+        |                       unnest(generate_series(1, len(ls))) AS i)),
+        |ne AS (
+        |  SELECT doc_id, line_no, t,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |  FROM lines WHERE length(t) > 0),
+        |firsts AS (
+        |  SELECT h, min(doc_id * 1000000 + line_no) AS fkey
+        |  FROM ne GROUP BY h),
+        |marked AS (
+        |  SELECT ne.doc_id, ne.line_no, ne.t,
+        |    ne.doc_id * 1000000 + ne.line_no = f.fkey AS kept
+        |  FROM ne JOIN firsts f USING (h)),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_nonempty,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |    CAST(sum(CASE WHEN kept THEN length(t) ELSE 0 END) AS BIGINT) AS retained_chars
+        |  FROM marked GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  coalesce(p.n_nonempty, 0) AS n_nonempty,
+        |  coalesce(p.n_kept, 0) AS n_kept,
+        |  coalesce(p.n_dropped, 0) AS n_dropped,
+        |  coalesce(p.retained_chars, 0) AS retained_chars
+        |FROM totals t LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // composes the x12 pair SQL with x40's split CASE (same md5 bucket)
     "x96_split_contamination" ->
       s"""WITH p AS (${oraclesBase("x12_minhash_pairs")}),

@@ -507,6 +507,39 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
+  /** x151: Zipf frequency-octave audit — the rank-frequency health
+    * check that does NOT need a float log: every vocabulary token lands
+    * in octave ⌊log₂(count)⌋, computed as the length of the count's
+    * binary rendering minus one (`conv(c,10,2)` / `bin(c)` — pure
+    * integer string ops, identical in both engines; no log2 boundary
+    * rounding to trust). A Zipf-shaped corpus shows type counts
+    * decaying geometrically across octaves while each octave carries
+    * comparable occurrence mass; a pathological corpus (mass collapsed
+    * into a handful of mega-tokens, or a long tail of near-singletons
+    * from encoding noise) bends the profile immediately. Output per
+    * octave: the [2^o, 2^{o+1}) bound, distinct types, total
+    * occurrences, and the top-down cumulative occurrence mass — every
+    * value an exact BIGINT. One token-count aggregate (map-side
+    * combinable) + a ≤64-row octave rollup: free at any corpus size.
+    */
+  def freqOctaves(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = t(s, dir, "documents")
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("octave").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq
+      .withColumn("octave", (length(conv(col("c"), 10, 2)) - 1).cast(LongType))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occ"))
+      .withColumn("lo", expr("shiftleft(1L, CAST(octave AS INT))"))
+      .withColumn("cum_occ_from_top", sum(col("n_occ")).over(w).cast(LongType))
+      .select(col("octave"), col("lo"), col("n_types"), col("n_occ"),
+        col("cum_occ_from_top"))
+      .orderBy(col("octave"))
+  }
+
   /** Suffix-stripping token normalizer (stemming-lite): the first
     * matching rule of ies->y, sses->ss, trailing-s (not ss), -ing, -ed,
     * each guarded so the stem keeps >= 3 characters. Pure string CASE —
@@ -1262,6 +1295,7 @@ object TextAnalysis {
     "x68_pmi_topk" -> ((s: SparkSession, dir: String) => pmiTopk(s, dir)),
     "x89_curation_datasheet" -> (curationDatasheet _),
     "x93_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
+    "x151_freq_octaves" -> (freqOctaves _),
     "x97_bpe_first_merges" -> ((s: SparkSession, dir: String) => bpeFirstMerges(s, dir)),
     "x101_bpe_train_merges" -> ((s: SparkSession, dir: String) => bpeTrainMerges(s, dir)),
     "x102_bpe_encode_report" -> ((s: SparkSession, dir: String) => bpeEncodeReport(s, dir)),
@@ -1847,6 +1881,25 @@ object TextAnalysis {
          |ORDER BY lang_labeled, lang_detected""".stripMargin
     }) +
     ("x71_gopher_rules" -> GopherSql) +
+    // x151: the identical binary-rendering octave (bin == conv base-2,
+    // both minimal-length), shifts for the bound, one ≤64-row window.
+    ("x151_freq_octaves" ->
+      """WITH freq AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |oct AS (
+        |  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS octave,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_occ
+        |  FROM freq GROUP BY 1)
+        |SELECT octave, CAST(CAST(1 AS BIGINT) << octave AS BIGINT) AS lo,
+        |  n_types, n_occ,
+        |  CAST(sum(n_occ) OVER (ORDER BY octave DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_occ_from_top
+        |FROM oct ORDER BY octave""".stripMargin) +
     // x147: the Gopher labels spliced verbatim, the same df≥2 training
     // vocabulary (tf is (doc_id, w)-distinct, so df is count(*)), the
     // same cross-multiplied integer weights, and the same left-join

@@ -32,12 +32,13 @@ class ClusteringSpec extends SparkSpec {
   /** Reference Lloyd (iters=2): (grid rows, final centroids,
     * final assignment vec_id -> (cluster, dist)).
     */
-  private def referenceKmeans(): (Array[(Long, Array[Long])],
+  private def referenceKmeans(keep: Long => Boolean = _ => true): (Array[(Long, Array[Long])],
       Map[Long, Array[Long]], Map[Long, (Long, Long)]) = {
     val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1048576.0).toLong).toArray))
+      .filter(t => keep(t._1))
       .sortBy(_._1)
     val seeds = rows.map { case (id, _) => (h15(s"km:$id"), id) }
       .sorted.take(K).map(_._2)
@@ -187,5 +188,35 @@ class ClusteringSpec extends SparkSpec {
     assert(got.toSeq === expected)
     // D4's two cuts never delete a whole cluster: floor(n/5) < n
     assert(got.forall(r => r._2 == 0L || r._5 >= 1L))
+  }
+
+  test("x150 cluster drift matches a frozen-centroid reference and freezes the model") {
+    val (baseRows, cents, asgBase) = referenceKmeans(id => id % 5 != 4)
+    val arrivals = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1048576.0).toLong).toArray))
+      .filter(_._1 % 5 == 4)
+    val asgNew = arrivals.map { case (id, qa) =>
+      val best = cents.toSeq.map { case (c, ca) => (d2(qa, ca), c) }.min
+      (id, (best._2, best._1))
+    }.toMap
+    val expected = cents.keys.toSeq.sorted.map { c =>
+      val bm = asgBase.filter(_._2._1 == c)
+      val nm = asgNew.filter(_._2._1 == c)
+      (c, bm.size.toLong, bm.values.map(_._2).sum,
+        nm.size.toLong, nm.values.map(_._2).sum, cents(c).sum)
+    }
+    val got = Clustering.clusterDrift(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq === expected)
+    // the arrival batch must be non-trivial and fully assigned
+    assert(got.map(_._4).sum === arrivals.length.toLong)
+    assert(arrivals.nonEmpty)
+    // frozen model: base members + centroid checksums equal a pure
+    // base-only x140 run (arrivals must not have perturbed training)
+    assert(got.map(r => (r._1, r._2)).toMap ===
+      cents.keys.map(c => (c, asgBase.count(_._2._1 == c).toLong)).toMap)
   }
 }

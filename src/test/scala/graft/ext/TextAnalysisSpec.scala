@@ -323,4 +323,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(trainRows.count(r => r._5 == r._6) >= majority,
       "NB surrogate should fit its own training labels at least as well as majority-class")
   }
+
+  test("x151 frequency octaves match a driver-side reference and partition the token mass") {
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .collect().map(_.getString(0))
+    val byOct = toks.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(c => 63 - java.lang.Long.numberOfLeadingZeros(c))
+    val expected = byOct.keys.toSeq.sorted.map { o =>
+      val cs = byOct(o).toSeq
+      (o.toLong, 1L << o, cs.size.toLong, cs.sum)
+    }
+    val got = TextAnalysis.freqOctaves(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === expected)
+    // octave bounds: every count in [2^o, 2^{o+1}) — implied by the
+    // reference; also check the top-down cumulative closes at the total
+    assert(got.map(_._4).sum === toks.length.toLong)
+    assert(got.head._5 === got.map(_._4).sum,
+      "lowest octave's top-down cumulative must equal the whole corpus")
+    // the binary-length octave arithmetic agrees with floor(log2) across
+    // the whole BIGINT-relevant range the twin relies on
+    for (c <- Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, (1L << 40) - 1, 1L << 40))
+      assert(63 - java.lang.Long.numberOfLeadingZeros(c) ===
+        java.lang.Long.toBinaryString(c).length - 1)
+  }
 }
