@@ -28,7 +28,8 @@ object SparkEntry {
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
       ext.Clustering.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
-      streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries
+      streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
+      streaming.TrendingTokens.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
       ext.Clustering.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
-      streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles
+      streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
+      streaming.TrendingTokens.oracles
 }

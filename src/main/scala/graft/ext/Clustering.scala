@@ -489,8 +489,15 @@ object Clustering {
     * gate measures BOTH pruning loss (unprobed cells) and quantization
     * loss (ADC ranks) against DuckDB bit for bit.
     */
-  def ivfpqTopk(s: SparkSession, dir: String, kCoarse: Int = 8, nprobe: Int = 2,
-      numQueries: Int = 3, k: Int = 10): DataFrame = {
+  /** The IVFADC candidate frame shared by x145 and the x153 curve:
+    * (query_id, vec_id, cluster, adc_dist, prn) where `prn` is the
+    * candidate's cell's probe rank for that query — ADC distances do
+    * not depend on WHICH cells are probed, so one pass at `maxProbe`
+    * yields every smaller-nprobe result by filtering `prn <= p` (the
+    * standard one-pass recall-curve trick).
+    */
+  private def ivfpqAdc(s: SparkSession, dir: String, kCoarse: Int,
+      maxProbe: Int, numQueries: Int): DataFrame = {
     val (assigned0, cents) = lloyd(s, dir, kCoarse, 2)
     // every point is assigned to its nearest centroid IN `cents`, so the
     // residual against that same centroid is the well-posed IVFADC one
@@ -506,10 +513,11 @@ object Clustering {
     val probed = qv.crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("cluster"),
         sqDist(col("qa"), col("ca")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("cluster"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster")))
+        .cast(LongType))
+      .filter(col("prn") <= maxProbe)
+      .select(col("query_id"), col("cluster"), col("prn"))
     val csub = toSubDims(cents.select(col("cluster").as("vec_id"), col("ca").as("qa")), 8)
       .select(col("vec_id").as("cluster"), col("sub"), col("j"), col("q").as("c"))
     val qsub = toSubDims(qv, 8)
@@ -518,18 +526,60 @@ object Clustering {
       .join(csub, Seq("cluster", "sub", "j"))
       .join(book.select(col("sub"), col("code"), col("j"), col("c").as("bc")),
         Seq("sub", "j"))
-      .groupBy(col("query_id"), col("cluster"), col("sub"), col("code"))
+      .groupBy(col("query_id"), col("cluster"), col("prn"), col("sub"), col("code"))
       .agg(sum((col("qq") - col("c") - col("bc")) * (col("qq") - col("c") - col("bc")))
         .as("td"))
-    val adc = enc.join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    enc.join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .join(broadcast(tab), Seq("cluster", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(first(col("cluster")).as("cluster"), sum(col("td")).as("adc_dist"))
+      .agg(first(col("cluster")).as("cluster"), sum(col("td")).as("adc_dist"),
+        min(col("prn")).as("prn"))
+  }
+
+  def ivfpqTopk(s: SparkSession, dir: String, kCoarse: Int = 8, nprobe: Int = 2,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val adc = ivfpqAdc(s, dir, kCoarse, nprobe, numQueries)
+      .select(col("query_id"), col("vec_id"), col("cluster"), col("adc_dist"))
     val top = topkAsc(adc, "adc_dist", k)
     annotateWithExact(s, dir, top, numQueries, k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cluster"),
         col("adc_dist"), col("exact_d2"), col("in_exact_topk"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** x153: the IVF-PQ recall-vs-nprobe curve — the tuning datasheet a
+    * serving tier reads to pick its probe budget (Jégou et al. 2011
+    * fig. 8's table form). ONE ADC pass at `maxProbe` cells yields the
+    * whole sweep: a candidate seen when probing p cells is exactly a
+    * candidate whose own cell ranks ≤ p for that query, so each curve
+    * point re-ranks the SAME checkpointed candidate frame under
+    * `prn <= p` — the pipeline never re-trains or re-scores per point.
+    * Per nprobe: ranked candidates and how many land in the exact
+    * top-k (integer counts; recall@k = n_hits/n_ranked read off the
+    * row). Monotone in nprobe by construction — the spec pins it.
+    */
+  def ivfpqRecallCurve(s: SparkSession, dir: String, kCoarse: Int = 8,
+      maxProbe: Int = 4, numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val adc = ivfpqAdc(s, dir, kCoarse, maxProbe, numQueries)
+      .localCheckpoint(true)
+    val sdims = subDims(s, dir, 8)
+    val qfull = sdims.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
+    val exact = sdims.filter(col("vec_id") >= numQueries)
+      .join(qfull, Seq("sub", "j"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("exact_d2"))
+    val etop = topkAsc(exact, "exact_d2", k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
+      .localCheckpoint(true)
+    (1 to maxProbe).map { p =>
+      val sel = topkAsc(adc.filter(col("prn") <= p), "adc_dist", k)
+      sel.join(etop, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_ranked"),
+          sum(coalesce(col("in_exact"), lit(0L))).as("n_hits"))
+        .select(lit(p.toLong).as("nprobe"), col("n_ranked"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("nprobe"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -539,7 +589,8 @@ object Clustering {
     "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)),
     "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
     "x150_cluster_drift" -> ((s: SparkSession, dir: String) => clusterDrift(s, dir)),
-    "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)))
+    "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
+    "x153_ivfpq_recall_curve" -> ((s: SparkSession, dir: String) => ivfpqRecallCurve(s, dir)))
 
   /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
     * Lloyd rounds with the identical positive-mod floor-div, brute-force
@@ -600,6 +651,94 @@ object Clustering {
        |    SELECT vec_id, cluster, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
        |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** Shared twin prefix of the IVFADC oracles (x145/x153): the kmeans
+    * prefix, residual subspace coordinates, the 'ivfpq:'-seeded
+    * residual book (one Lloyd round, the PQ arithmetic), probe ranking
+    * kept as `prn <= maxProbe`, per-(cell, sub, code) ADC tables, the
+    * probed-list candidate scoring, and the exact truth leg — ends at
+    * `adc` (with prn), `exact`, `etop`.
+    */
+  private def IvfpqCte(maxProbe: Int): String =
+    s"""${kmCte(8)},
+       |rsdims AS (
+       |  SELECT p.vec_id, CAST(p.d // 8 AS BIGINT) AS sub,
+       |    CAST(p.d % 8 AS BIGINT) AS j, p.q - c.c AS q
+       |  FROM dims p JOIN a2 a ON a.vec_id = p.vec_id
+       |  JOIN c1 c ON c.cluster = a.cluster AND c.d = p.d),
+       |rseeds AS (
+       |  SELECT vec_id, sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY
+       |      ('0x' || substr(md5('ivfpq:' || CAST(sub AS VARCHAR) || ':' ||
+       |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      vec_id) AS BIGINT) AS code
+       |  FROM (SELECT vec_id FROM embeddings)
+       |       CROSS JOIN (SELECT DISTINCT sub FROM rsdims)
+       |  QUALIFY code <= 16),
+       |rc0 AS (
+       |  SELECT s.sub, s.code, d.j, d.q AS c
+       |  FROM rseeds s JOIN rsdims d ON d.vec_id = s.vec_id AND d.sub = s.sub),
+       |re0 AS (
+       |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
+       |  FROM rsdims p JOIN rc0 c ON c.sub = p.sub AND c.j = p.j
+       |  GROUP BY p.vec_id, p.sub, c.code),
+       |ra1 AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM re0) WHERE rn = 1),
+       |rbook AS (
+       |  SELECT a.sub, a.code, p.j,
+       |    CAST((sum(p.q) - ((sum(p.q) % count(*)) + count(*)) % count(*)) / count(*)
+       |      AS BIGINT) AS c
+       |  FROM ra1 a JOIN rsdims p ON p.vec_id = a.vec_id AND p.sub = a.sub
+       |  GROUP BY a.sub, a.code, p.j),
+       |re1 AS (
+       |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
+       |  FROM rsdims p JOIN rbook c ON c.sub = p.sub AND c.j = p.j
+       |  GROUP BY p.vec_id, p.sub, c.code),
+       |ra2 AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM re1) WHERE rn = 1),
+       |qcd AS (
+       |  SELECT q.vec_id AS query_id, c.cluster, sum((q.q - c.c) * (q.q - c.c)) AS dist
+       |  FROM dims q JOIN c1 c ON c.d = q.d WHERE q.vec_id < 3
+       |  GROUP BY q.vec_id, c.cluster),
+       |probed AS (
+       |  SELECT query_id, cluster, CAST(rn AS BIGINT) AS prn FROM (
+       |    SELECT query_id, cluster,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, cluster) AS rn
+       |    FROM qcd) WHERE rn <= $maxProbe),
+       |tab AS (
+       |  SELECT p.query_id, p.cluster, p.prn, b.sub, b.code,
+       |    sum((q.q - c.c - b.c) * (q.q - c.c - b.c)) AS td
+       |  FROM probed p
+       |  JOIN dims q ON q.vec_id = p.query_id
+       |  JOIN c1 c ON c.cluster = p.cluster AND c.d = q.d
+       |  JOIN rbook b ON b.sub = CAST(q.d // 8 AS BIGINT)
+       |    AND b.j = CAST(q.d % 8 AS BIGINT)
+       |  GROUP BY p.query_id, p.cluster, p.prn, b.sub, b.code),
+       |adc AS (
+       |  SELECT t.query_id, e.vec_id, CAST(min(av.cluster) AS BIGINT) AS cluster,
+       |    CAST(sum(t.td) AS BIGINT) AS adc_dist,
+       |    CAST(min(t.prn) AS BIGINT) AS prn
+       |  FROM ra2 e
+       |  JOIN a2 av ON av.vec_id = e.vec_id
+       |  JOIN tab t ON t.cluster = av.cluster AND t.sub = e.sub AND t.code = e.code
+       |  WHERE e.vec_id >= 3
+       |  GROUP BY t.query_id, e.vec_id),
+       |exact AS (
+       |  SELECT q.vec_id AS query_id, p.vec_id,
+       |    CAST(sum((p.q - q.q) * (p.q - q.q)) AS BIGINT) AS exact_d2
+       |  FROM dims p JOIN dims q ON q.d = p.d
+       |  WHERE q.vec_id < 3 AND p.vec_id >= 3
+       |  GROUP BY q.vec_id, p.vec_id),
+       |etop AS (
+       |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS in_exact FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rn
+       |    FROM exact) WHERE rn <= 10)""".stripMargin
 
   /** Shared twin prefix of the SemDeDup-family oracles (x144/x148): the
     * kmeans prefix's final assignment, then brute-force within-cluster
@@ -715,97 +854,39 @@ object Clustering {
     // subspace coordinates, the 'ivfpq:'-seeded residual book (same
     // one-Lloyd text as the PQ twin), probe ranking, per-cell ADC
     // lookup tables, and the probed-list scoring — all integer until
-    // the final BIGINT casts.
+    // the final BIGINT casts. Shared with x153 via IvfpqCte(maxProbe).
     "x145_ivfpq_topk" ->
-      s"""WITH ${kmCte(8)},
-         |rsdims AS (
-         |  SELECT p.vec_id, CAST(p.d // 8 AS BIGINT) AS sub,
-         |    CAST(p.d % 8 AS BIGINT) AS j, p.q - c.c AS q
-         |  FROM dims p JOIN a2 a ON a.vec_id = p.vec_id
-         |  JOIN c1 c ON c.cluster = a.cluster AND c.d = p.d),
-         |rseeds AS (
-         |  SELECT vec_id, sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY
-         |      ('0x' || substr(md5('ivfpq:' || CAST(sub AS VARCHAR) || ':' ||
-         |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-         |      vec_id) AS BIGINT) AS code
-         |  FROM (SELECT vec_id FROM embeddings)
-         |       CROSS JOIN (SELECT DISTINCT sub FROM rsdims)
-         |  QUALIFY code <= 16),
-         |rc0 AS (
-         |  SELECT s.sub, s.code, d.j, d.q AS c
-         |  FROM rseeds s JOIN rsdims d ON d.vec_id = s.vec_id AND d.sub = s.sub),
-         |re0 AS (
-         |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
-         |  FROM rsdims p JOIN rc0 c ON c.sub = p.sub AND c.j = p.j
-         |  GROUP BY p.vec_id, p.sub, c.code),
-         |ra1 AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-         |    FROM re0) WHERE rn = 1),
-         |rbook AS (
-         |  SELECT a.sub, a.code, p.j,
-         |    CAST((sum(p.q) - ((sum(p.q) % count(*)) + count(*)) % count(*)) / count(*)
-         |      AS BIGINT) AS c
-         |  FROM ra1 a JOIN rsdims p ON p.vec_id = a.vec_id AND p.sub = a.sub
-         |  GROUP BY a.sub, a.code, p.j),
-         |re1 AS (
-         |  SELECT p.vec_id, p.sub, c.code, sum((p.q - c.c) * (p.q - c.c)) AS dist
-         |  FROM rsdims p JOIN rbook c ON c.sub = p.sub AND c.j = p.j
-         |  GROUP BY p.vec_id, p.sub, c.code),
-         |ra2 AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-         |    FROM re1) WHERE rn = 1),
-         |qcd AS (
-         |  SELECT q.vec_id AS query_id, c.cluster, sum((q.q - c.c) * (q.q - c.c)) AS dist
-         |  FROM dims q JOIN c1 c ON c.d = q.d WHERE q.vec_id < 3
-         |  GROUP BY q.vec_id, c.cluster),
-         |probed AS (
-         |  SELECT query_id, cluster FROM (
-         |    SELECT query_id, cluster,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, cluster) AS rn
-         |    FROM qcd) WHERE rn <= 2),
-         |tab AS (
-         |  SELECT p.query_id, p.cluster, b.sub, b.code,
-         |    sum((q.q - c.c - b.c) * (q.q - c.c - b.c)) AS td
-         |  FROM probed p
-         |  JOIN dims q ON q.vec_id = p.query_id
-         |  JOIN c1 c ON c.cluster = p.cluster AND c.d = q.d
-         |  JOIN rbook b ON b.sub = CAST(q.d // 8 AS BIGINT)
-         |    AND b.j = CAST(q.d % 8 AS BIGINT)
-         |  GROUP BY p.query_id, p.cluster, b.sub, b.code),
-         |adc AS (
-         |  SELECT t.query_id, e.vec_id, CAST(min(av.cluster) AS BIGINT) AS cluster,
-         |    CAST(sum(t.td) AS BIGINT) AS adc_dist
-         |  FROM ra2 e
-         |  JOIN a2 av ON av.vec_id = e.vec_id
-         |  JOIN tab t ON t.cluster = av.cluster AND t.sub = e.sub AND t.code = e.code
-         |  WHERE e.vec_id >= 3
-         |  GROUP BY t.query_id, e.vec_id),
+      s"""WITH ${IvfpqCte(2)},
          |top AS (
          |  SELECT query_id, vec_id, cluster, adc_dist, CAST(rn AS INT) AS rank FROM (
          |    SELECT query_id, vec_id, cluster, adc_dist,
          |      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
-         |    FROM adc) WHERE rn <= 10),
-         |exact AS (
-         |  SELECT q.vec_id AS query_id, p.vec_id,
-         |    CAST(sum((p.q - q.q) * (p.q - q.q)) AS BIGINT) AS exact_d2
-         |  FROM dims p JOIN dims q ON q.d = p.d
-         |  WHERE q.vec_id < 3 AND p.vec_id >= 3
-         |  GROUP BY q.vec_id, p.vec_id),
-         |etop AS (
-         |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS in_exact FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rn
-         |    FROM exact) WHERE rn <= 10)
+         |    FROM adc) WHERE rn <= 10)
          |SELECT t.query_id, t.rank, t.vec_id, t.cluster, t.adc_dist, x.exact_d2,
          |  coalesce(e.in_exact, 0) AS in_exact_topk
          |FROM top t
          |JOIN exact x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
          |LEFT JOIN etop e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
          |ORDER BY t.query_id, t.rank""".stripMargin,
+    // x153: the same IVFADC chain probed at maxProbe=4; each curve
+    // point filters the candidate frame by its cell's probe rank and
+    // re-ranks — no retrain, no rescore, the Spark side's one-pass
+    // trick spelled relationally.
+    "x153_ivfpq_recall_curve" ->
+      s"""WITH ${IvfpqCte(4)},
+         |ps AS (SELECT unnest(generate_series(1, 4)) AS nprobe),
+         |ranked AS (
+         |  SELECT ps.nprobe, a.query_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY ps.nprobe, a.query_id
+         |      ORDER BY a.adc_dist, a.vec_id) AS rn
+         |  FROM adc a JOIN ps ON a.prn <= ps.nprobe),
+         |sel AS (SELECT nprobe, query_id, vec_id FROM ranked WHERE rn <= 10)
+         |SELECT CAST(s.nprobe AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_ranked,
+         |  CAST(sum(coalesce(e.in_exact, 0)) AS BIGINT) AS n_hits
+         |FROM sel s
+         |LEFT JOIN etop e ON e.query_id = s.query_id AND e.vec_id = s.vec_id
+         |GROUP BY s.nprobe ORDER BY nprobe""".stripMargin,
     // x144: the kmeans prefix's final assignment, then brute-force
     // within-cluster pairs; the τ test runs in HUGEINT (the twin of the
     // Spark side's DECIMAL(38,0)) and the drop rule is the same

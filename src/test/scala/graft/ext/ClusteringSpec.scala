@@ -219,4 +219,22 @@ class ClusteringSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)).toMap ===
       cents.keys.map(c => (c, asgBase.count(_._2._1 == c).toLong)).toMap)
   }
+
+  test("x153 recall curve is monotone in nprobe and consistent with the x145 point") {
+    val curve = Clustering.ivfpqRecallCurve(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // probing more cells can only add candidates: hits never decrease
+    assert(curve.map(_._3).toSeq === curve.map(_._3).sorted.toSeq,
+      s"recall must be monotone in nprobe: ${curve.toSeq}")
+    curve.foreach { case (p, nRanked, nHits) =>
+      assert(nRanked <= 30L, s"nprobe=$p ranked more than numQueries*k")
+      assert(nHits <= nRanked)
+    }
+    // the nprobe=2 curve point must agree with x145's own gate
+    val x145Hits = Clustering.ivfpqTopk(spark, Sf).collect()
+      .map(_.getAs[Long]("in_exact_topk")).sum
+    assert(curve.find(_._1 == 2L).get._3 === x145Hits,
+      "curve point 2 must equal the sum of x145's in_exact_topk flags")
+  }
 }
