@@ -938,6 +938,42 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** x154: dedup-aggressiveness threshold sweep — the policy datasheet
+    * that answers "what does raising τ cost" BEFORE a full dedup run:
+    * the verified candidate pair set (the x11 df-cut machinery — one
+    * pair-finding pass, checkpointed, the expensive leg never reruns
+    * per threshold) is swept across τ ∈ {0.50, 0.60, 0.70, 0.80};
+    * each point counts qualifying pairs (J ≥ τ evaluated as INTEGERS:
+    * 100·|∩| ≥ pct·|∪| — no float Jaccard near the gate) and the
+    * documents an order-free drop rule would remove (dropped iff SOME
+    * qualifying partner is better under (shingle count desc, doc_id) —
+    * the x144 rule family, so the count needs no iteration). The
+    * text-lane twin of the x153 recall curve: one pass, N policy
+    * points.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String,
+      taus: Seq[Long] = Seq(50L, 60L, 70L, 80L)): DataFrame = {
+    val posts = shinglePostings(s, dir)
+    val pairs = verifyPairs(dfCutCandidates(posts, 20, 3), posts)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"))
+      .localCheckpoint(true)
+    taus.map { pct =>
+      val q = pairs.filter(col("n_common") * 100L >=
+        lit(pct) * (col("n_a") + col("n_b") - col("n_common")))
+      val sides = q.select(col("doc_a").as("id"), col("n_a").as("n_me"),
+          col("n_b").as("n_other"), col("doc_b").as("other"))
+        .unionByName(q.select(col("doc_b").as("id"), col("n_b").as("n_me"),
+          col("n_a").as("n_other"), col("doc_a").as("other")))
+      val dropped = sides
+        .filter(col("n_other") > col("n_me") ||
+          (col("n_other") === col("n_me") && col("other") < col("id")))
+        .select(col("id")).distinct()
+      q.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_docs_dropped")))
+        .select(lit(pct).as("tau_pct"), col("n_pairs"), col("n_docs_dropped"))
+    }.reduce(_ unionByName _).orderBy(col("tau_pct"))
+  }
+
   /** x149: CCNet-style line-grain exact dedup (Wenzek et al. 2020 §3.1
     * — the pass that strips repeated navigation chrome, cookie banners
     * and boilerplate lines BEFORE any LM scoring): every non-empty
@@ -1120,6 +1156,7 @@ object Dedup {
     "x94_sorted_neighborhood" -> ((s: SparkSession, dir: String) => sortedNeighborhood(s, dir)),
     "x96_split_contamination" -> (splitContamination _),
     "x149_line_dedup" -> (lineDedup _),
+    "x154_dedup_sweep" -> ((s: SparkSession, dir: String) => dedupThresholdSweep(s, dir)),
     "x98_incremental_neardup_indexed" ->
       ((s: SparkSession, dir: String) => incrementalNearDupIndexed(s, dir)),
     "x61_leakage_safe_split" -> (leakageSafeSplit _),
@@ -1165,6 +1202,53 @@ object Dedup {
     // the indexed path emits the identical pair set as x86 (cross-band
     // 64-bit bucket collisions die in exact verification) — same twin
     "x98_incremental_neardup_indexed" -> oraclesBase("x86_incremental_neardup"),
+    // x154: the x11 candidate CTEs without the top-20 cut, the same
+    // integer τ comparison per sweep point, and the same order-free
+    // better-partner drop rule.
+    "x154_dedup_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        |dfc AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+        |inv2 AS (SELECT doc_id, inv.shingle FROM inv
+        |         JOIN dfc ON inv.shingle = dfc.shingle WHERE df BETWEEN 2 AND 20),
+        |rc AS (SELECT doc_id, count(*) AS nr FROM inv2 GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+        |           FROM inv2 a JOIN inv2 b
+        |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |cand AS (SELECT doc_a, doc_b FROM shared
+        |         JOIN rc ra ON ra.doc_id = shared.doc_a
+        |         JOIN rc rb ON rb.doc_id = shared.doc_b
+        |         WHERE n >= least(3, ra.nr, rb.nr)),
+        |pv AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_common,
+        |    CAST(len(da.sh) AS BIGINT) AS n_a, CAST(len(db.sh) AS BIGINT) AS n_b
+        |  FROM cand c JOIN d da ON da.doc_id = c.doc_a
+        |              JOIN d db ON db.doc_id = c.doc_b),
+        |ts AS (SELECT CAST(unnest([50, 60, 70, 80]) AS BIGINT) AS tau_pct),
+        |q AS (
+        |  SELECT ts.tau_pct, pv.doc_a, pv.doc_b, pv.n_a, pv.n_b
+        |  FROM pv JOIN ts ON pv.n_common * 100 >= ts.tau_pct * (pv.n_a + pv.n_b - pv.n_common)),
+        |dropped AS (
+        |  SELECT tau_pct, id FROM (
+        |    SELECT tau_pct, doc_a AS id, n_a AS n_me, n_b AS n_other, doc_b AS other FROM q
+        |    UNION ALL
+        |    SELECT tau_pct, doc_b, n_b, n_a, doc_a FROM q)
+        |  WHERE n_other > n_me OR (n_other = n_me AND other < id)
+        |  GROUP BY tau_pct, id),
+        |np AS (SELECT tau_pct, CAST(count(*) AS BIGINT) AS n_pairs FROM q GROUP BY tau_pct),
+        |nd AS (SELECT tau_pct, CAST(count(*) AS BIGINT) AS n_docs_dropped
+        |       FROM dropped GROUP BY tau_pct)
+        |SELECT ts.tau_pct, coalesce(np.n_pairs, 0) AS n_pairs,
+        |  coalesce(nd.n_docs_dropped, 0) AS n_docs_dropped
+        |FROM ts LEFT JOIN np USING (tau_pct) LEFT JOIN nd USING (tau_pct)
+        |ORDER BY ts.tau_pct""".stripMargin,
     // x149: the identical md5-keyed first-occurrence rule — blank
     // trimmed lines bypass the dup classes, positions are 0-based on
     // both sides (unnest ordinality minus 1).

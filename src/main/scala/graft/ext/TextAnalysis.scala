@@ -880,6 +880,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x155: curation survival funnel — the stage-by-stage attrition
+    * report every dataset paper publishes (RefinedWeb table 2,
+    * Dolma §4): documents flowing through the VERIFIED gates in
+    * pipeline order — Gopher rules (x71) → language agreement (x03,
+    * detected == labeled) → exact-dedup canonical (x10) → per-language
+    * LM quartile (x63; docs the LM cannot score count as dropped, the
+    * x136 convention) — with per-stage entering/surviving/dropped
+    * counts. Each leg keeps its own oracle; the funnel's twin is
+    * composed from the same SQL bodies, so a drift in any leg fails
+    * both gates (the x74 discipline). Shape: four doc-grain flag
+    * projections, one join chain, one global aggregate, a 4-row
+    * unpivot — nothing wider than a doc_id join at any scale.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val g = gopherRules(s, dir).select(col("doc_id"), col("keep").as("kg"))
+    val l = langId(s, dir).select(col("doc_id"),
+      (col("lang_detected") === col("lang_labeled")).as("kl"))
+    val c = Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_canonical").as("kc"))
+    val lm = lmQualityFilter(s, dir).select(col("doc_id"), col("keep").as("km"))
+    val a = g.join(l, "doc_id").join(c, "doc_id").join(lm, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("kg"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("kg") && col("kl"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("kg") && col("kl") && col("kc"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("kg") && col("kl") && col("kc") &&
+          coalesce(col("km"), lit(false)), 1L).otherwise(0L)).as("n4"))
+    Seq(("1_gopher", "n0", "n1"), ("2_lang", "n1", "n2"),
+        ("3_canonical", "n2", "n3"), ("4_lm_quartile", "n3", "n4"))
+      .map { case (stage, in, out) =>
+        a.select(lit(stage).as("stage"), col(in).as("n_in"), col(out).as("n_out"),
+          (col(in) - col(out)).as("n_dropped"))
+      }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
   /** End-to-end curation manifest — the full training-data recipe
     * composed from individually-verified legs: Gopher quality rules
     * (x71) ∧ exact-dedup canonical survivors (x10) ∧ temperature-scaled
@@ -1277,6 +1311,7 @@ object TextAnalysis {
     "x79_lang_confusion" -> (langConfusion _),
     "x71_gopher_rules" -> (gopherRules _),
     "x147_nb_quality" -> (nbQualityScore _),
+    "x155_curation_funnel" -> (curationFunnel _),
     "x74_curation_manifest" -> ((s: SparkSession, dir: String) => curationManifest(s, dir)),
     "x45_corpus_pipeline" -> (corpusPipeline _),
     "x01_token_count" -> (tokenCount _),
@@ -1881,6 +1916,40 @@ object TextAnalysis {
          |ORDER BY lang_labeled, lang_detected""".stripMargin
     }) +
     ("x71_gopher_rules" -> GopherSql) +
+    // x155: the four gates' own oracle SQL spliced verbatim (Gopher,
+    // x03 lang agreement, x10 canonical, x54+quartile LM), cumulative
+    // conjunctions, 4-row unpivot. Unscoreable docs drop at the LM
+    // stage in both engines.
+    ("x155_curation_funnel" ->
+      s"""WITH g AS ($GopherSql),
+         |l AS (${baseOracles("x03_lang_id")}),
+         |c AS (${Dedup.oracles("x10_dedup_exact")}),
+         |s54 AS ($BigramLmSql),
+         |lmr AS (
+         |  SELECT s54.doc_id,
+         |    percent_rank() OVER (PARTITION BY d.lang ORDER BY s54.avg_p, s54.doc_id) AS pct_rank,
+         |    count(*) OVER (PARTITION BY d.lang) AS n_lang
+         |  FROM s54 JOIN documents d ON d.doc_id = s54.doc_id),
+         |f AS (
+         |  SELECT g.doc_id, g.keep AS kg,
+         |    l.lang_detected = l.lang_labeled AS kl,
+         |    c.is_canonical AS kc,
+         |    coalesce(lmr.pct_rank >= 0.25 OR lmr.n_lang = 1, FALSE) AS km
+         |  FROM g JOIN l USING (doc_id) JOIN c USING (doc_id)
+         |  LEFT JOIN lmr ON lmr.doc_id = g.doc_id),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN kg THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN kg AND kl THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN kg AND kl AND kc THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN kg AND kl AND kc AND km THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |  FROM f)
+         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+         |  SELECT '1_gopher' AS stage, n0 AS n_in, n1 AS n_out FROM a
+         |  UNION ALL SELECT '2_lang', n1, n2 FROM a
+         |  UNION ALL SELECT '3_canonical', n2, n3 FROM a
+         |  UNION ALL SELECT '4_lm_quartile', n3, n4 FROM a)
+         |ORDER BY stage""".stripMargin) +
     // x151: the identical binary-rendering octave (bin == conv base-2,
     // both minimal-length), shifts for the bound, one ≤64-row window.
     ("x151_freq_octaves" ->

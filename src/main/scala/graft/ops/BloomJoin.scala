@@ -67,9 +67,53 @@ object BloomJoin {
       .orderBy(col("event_type"))
   }
 
+  /** x156: Bloom contamination pre-screen — the at-scale shape of the
+    * x44/x96 eval-integrity checks: the (small) eval split's canonical
+    * fingerprints aggregate into one bloom sketch that ships to every
+    * train partition as a codegen'd literal probe; only rows the
+    * sketch flags ever reach the exact fingerprint join. At 100 TB the
+    * exact IN-list is a shuffle over the whole training corpus — the
+    * bloom probe turns it into a scan-local filter with a tiny exact
+    * join over the flagged remainder. The graded row reports the EXACT
+    * legs (train size, eval fingerprint count, true contamination) and
+    * pins the two sketch guarantees the plan relies on: a bloom filter
+    * has NO false negatives (every truly contaminated row is flagged —
+    * otherwise the pruned exact join would be wrong, not just slow),
+    * and its false-positive mass stays under a generous bound (10% of
+    * the clean rows at these sketch parameters ≥3σ; a broken hash
+    * flips the flag and fails the hash gate). Flag values are
+    * deterministic: Spark's bloom uses fixed seeds.
+    */
+  def bloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.ext.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .join(graft.ops.Sampling.hashSplit(s, dir).select(col("doc_id"), col("split")),
+        "doc_id")
+    val eval = fps.filter(col("split") === "test").select(col("fp"))
+    val train = fps.filter(col("split") =!= "test")
+    val sketch = buildBloom(eval, "fp", 10000L)
+    val evalFps = eval.distinct().withColumn("contam", lit(true))
+    train
+      .withColumn("bloom_hit", mightContain(sketch, col("fp")))
+      .join(evalFps, Seq("fp"), "left")
+      .withColumn("is_contaminated", coalesce(col("contam"), lit(false)))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        (sum(when(col("is_contaminated") && !col("bloom_hit"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!col("is_contaminated") && col("bloom_hit"), 1L).otherwise(0L)) <=
+          ceil(sum(when(!col("is_contaminated"), 1L).otherwise(0L)) * lit(0.10)))
+          .as("fp_bound_ok"))
+      .crossJoin(eval.distinct().agg(count(lit(1)).as("n_eval_fps")))
+      .select(col("n_train"), col("n_eval_fps"), col("n_contaminated"),
+        col("no_false_negatives"), col("fp_bound_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_bloom_semi_reduction" -> ((s: SparkSession, dir: String) =>
-      bloomSemiReduction(s, dir)))
+      bloomSemiReduction(s, dir)),
+    "x156_bloom_contamination" -> (bloomContamination _))
 
   val oracles: Map[String, String] = Map(
     "q68_bloom_semi_reduction" ->
@@ -78,5 +122,25 @@ object BloomJoin {
         |FROM events
         |WHERE user_id IN (SELECT c_custkey FROM customer
         |                  WHERE c_mktsegment = 'BUILDING')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // x156: exact legs relationally (x40's md5 split, x04's canonical
+    // fingerprint); the two sketch guarantees are pinned TRUE.
+    "x156_bloom_contamination" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |fps AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents),
+        |t AS (SELECT f.fp FROM fps f JOIN sp USING (doc_id) WHERE sp.split <> 'test'),
+        |e AS (SELECT DISTINCT f.fp FROM fps f JOIN sp USING (doc_id) WHERE sp.split = 'test')
+        |SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_train,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_eval_fps,
+        |  CAST((SELECT count(*) FROM t WHERE fp IN (SELECT fp FROM e)) AS BIGINT)
+        |    AS n_contaminated,
+        |  TRUE AS no_false_negatives, TRUE AS fp_bound_ok""".stripMargin)
 }

@@ -394,4 +394,38 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 2L, 1L, 1L, 11L),  // exact repeat dropped
       (2L, 3L, 2L, 1L, 1L, 10L))) // whitespace-trimmed repeat dropped; blank uncounted
   }
+
+  test("x154 threshold sweep matches a driver-side reference over the df-cut candidates") {
+    val posts = Dedup.shinglePostings(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = posts.groupBy(_._1).map { case (d, hs) => (d, hs.map(_._2).toSet) }
+    val df = posts.groupBy(_._2).map { case (h, ds) => (h, ds.length) }
+    val rare = df.filter { case (_, c) => c >= 2 && c <= 20 }.keySet
+    val rareByDoc = byDoc.map { case (d, hs) => (d, hs & rare) }
+    val cands = (for {
+      (a, ha) <- rareByDoc.toSeq; (b, hb) <- rareByDoc.toSeq
+      if a < b
+      shared = (ha & hb).size
+      if shared >= math.min(3, math.min(ha.size, hb.size)) && shared > 0
+    } yield (a, b)).toSet
+    val pairStats = cands.toSeq.map { case (a, b) =>
+      val common = (byDoc(a) & byDoc(b)).size.toLong
+      (a, b, byDoc(a).size.toLong, byDoc(b).size.toLong, common)
+    }
+    val expected = Seq(50L, 60L, 70L, 80L).map { pct =>
+      val q = pairStats.filter { case (_, _, na, nb, c) => c * 100 >= pct * (na + nb - c) }
+      val dropped = q.flatMap { case (a, b, na, nb, _) =>
+        Seq((a, na, nb, b), (b, nb, na, a))
+      }.collect { case (id, nMe, nOther, other)
+          if nOther > nMe || (nOther == nMe && other < id) => id
+      }.distinct
+      (pct, q.size.toLong, dropped.size.toLong)
+    }
+    val got = Dedup.dedupThresholdSweep(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    // sweep monotonicity: raising tau can only shrink both counts
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.reverse.toSeq)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse.toSeq)
+  }
 }

@@ -348,4 +348,35 @@ class TextAnalysisSpec extends SparkSpec {
       assert(63 - java.lang.Long.numberOfLeadingZeros(c) ===
         java.lang.Long.toBinaryString(c).length - 1)
   }
+
+  test("x155 funnel stages agree with the individually-verified gate legs") {
+    def flags(df: org.apache.spark.sql.DataFrame, c: String): Map[Long, Boolean] =
+      df.select(col("doc_id"), col(c)).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val g = flags(TextAnalysis.gopherRules(spark, Sf), "keep")
+    val l = TextAnalysis.langId(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1) == r.getString(2))).toMap
+    val c = flags(Dedup.dedupExact(spark, Sf)
+      .select(col("doc_id"), col("is_canonical")), "is_canonical")
+    val lm = flags(TextAnalysis.lmQualityFilter(spark, Sf)
+      .select(col("doc_id"), col("keep")), "keep")
+    val ids = g.keys.toSeq
+    def kl(id: Long) = l(id)
+    def km(id: Long) = lm.getOrElse(id, false)
+    val n0 = ids.size.toLong
+    val n1 = ids.count(g).toLong
+    val n2 = ids.count(i => g(i) && kl(i)).toLong
+    val n3 = ids.count(i => g(i) && kl(i) && c(i)).toLong
+    val n4 = ids.count(i => g(i) && kl(i) && c(i) && km(i)).toLong
+    val got = TextAnalysis.curationFunnel(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("1_gopher", n0, n1, n0 - n1),
+      ("2_lang", n1, n2, n1 - n2),
+      ("3_canonical", n2, n3, n2 - n3),
+      ("4_lm_quartile", n3, n4, n3 - n4)))
+    // a funnel only narrows, and every stage must actually be reachable
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4)
+    assert(n0 > 0)
+  }
 }
