@@ -496,8 +496,14 @@ object Clustering {
     * yields every smaller-nprobe result by filtering `prn <= p` (the
     * standard one-pass recall-curve trick).
     */
-  private def ivfpqAdc(s: SparkSession, dir: String, kCoarse: Int,
-      maxProbe: Int, numQueries: Int): DataFrame = {
+  /** The trained IVF-PQ serving artifact: coarse centroids
+    * (cluster, ca), residual codebook (sub, code, j, c), and the
+    * encoded corpus (vec_id, cluster, sub, code) — three narrow frames
+    * that ARE the index a serving tier persists (x157 round-trips them
+    * through VersionedTable snapshots).
+    */
+  private def ivfpqModel(s: SparkSession, dir: String, kCoarse: Int,
+      numQueries: Int): (DataFrame, DataFrame, DataFrame) = {
     val (assigned0, cents) = lloyd(s, dir, kCoarse, 2)
     // every point is assigned to its nearest centroid IN `cents`, so the
     // residual against that same centroid is the well-posed IVFADC one
@@ -508,7 +514,20 @@ object Clustering {
     val rsdims = toSubDims(resid, 8)
     val book = trainBook(rsdims, t(s, dir, "embeddings").select(col("vec_id")),
       "ivfpq:", 16)
-    val enc = pqEncode(rsdims, book).filter(col("vec_id") >= numQueries)
+    val codes = pqEncode(rsdims, book).filter(col("vec_id") >= numQueries)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    (cents, book, codes)
+  }
+
+  /** The IVFADC serving pass over a (possibly reloaded) index: probe
+    * ranking, per-cell ADC tables, probed-list scoring. Pure function
+    * of the three index frames — x145/x153 run it on the fresh model,
+    * x157 on the round-tripped snapshots.
+    */
+  private def ivfpqServe(s: SparkSession, dir: String, cents: DataFrame,
+      book: DataFrame, codes: DataFrame, maxProbe: Int,
+      numQueries: Int): DataFrame = {
     val qv = qvecs(s, dir).filter(col("vec_id") < numQueries)
     val probed = qv.crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("cluster"),
@@ -529,11 +548,50 @@ object Clustering {
       .groupBy(col("query_id"), col("cluster"), col("prn"), col("sub"), col("code"))
       .agg(sum((col("qq") - col("c") - col("bc")) * (col("qq") - col("c") - col("bc")))
         .as("td"))
-    enc.join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    codes
       .join(broadcast(tab), Seq("cluster", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(first(col("cluster")).as("cluster"), sum(col("td")).as("adc_dist"),
         min(col("prn")).as("prn"))
+  }
+
+  private def ivfpqAdc(s: SparkSession, dir: String, kCoarse: Int,
+      maxProbe: Int, numQueries: Int): DataFrame = {
+    val (cents, book, codes) = ivfpqModel(s, dir, kCoarse, numQueries)
+    ivfpqServe(s, dir, cents, book, codes, maxProbe, numQueries)
+  }
+
+  /** x157: index persistence round-trip — the serving-artifact
+    * lifecycle every ANN deployment needs: the trained IVF-PQ model
+    * (centroids, residual codebook, encoded corpus) is PUBLISHED as
+    * three VersionedTable snapshots, read back, and served from the
+    * reloaded frames. The graded contract is reload-equals-rebuild:
+    * the output is the x145 serving result bit for bit (its oracle IS
+    * x145's SQL), so a lossy round-trip — a dropped row group, a
+    * column type narrowed by the writer, a stale snapshot — fails the
+    * hash gate. At scale this is the refresh boundary between the
+    * training pipeline (writes a new index version) and the serving
+    * tier (reads the latest committed version, never mid-write state:
+    * the VersionedTable commit protocol's atomicity carries over).
+    */
+  def ivfpqIndexReload(s: SparkSession, dir: String, kCoarse: Int = 8,
+      nprobe: Int = 2, numQueries: Int = 3, k: Int = 10): DataFrame = {
+    import graft.engine.VersionedTable
+    val (cents, book, codes) = ivfpqModel(s, dir, kCoarse, numQueries)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString
+    VersionedTable.commit(cents, s"$root/cents")
+    VersionedTable.commit(book, s"$root/book")
+    VersionedTable.commit(codes, s"$root/codes")
+    val rc = VersionedTable.read(s, s"$root/cents")
+    val rb = VersionedTable.read(s, s"$root/book")
+    val rk = VersionedTable.read(s, s"$root/codes")
+    val adc = ivfpqServe(s, dir, rc, rb, rk, nprobe, numQueries)
+      .select(col("query_id"), col("vec_id"), col("cluster"), col("adc_dist"))
+    val top = topkAsc(adc, "adc_dist", k)
+    annotateWithExact(s, dir, top, numQueries, k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cluster"),
+        col("adc_dist"), col("exact_d2"), col("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   def ivfpqTopk(s: SparkSession, dir: String, kCoarse: Int = 8, nprobe: Int = 2,
@@ -590,7 +648,8 @@ object Clustering {
     "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
     "x150_cluster_drift" -> ((s: SparkSession, dir: String) => clusterDrift(s, dir)),
     "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
-    "x153_ivfpq_recall_curve" -> ((s: SparkSession, dir: String) => ivfpqRecallCurve(s, dir)))
+    "x153_ivfpq_recall_curve" -> ((s: SparkSession, dir: String) => ivfpqRecallCurve(s, dir)),
+    "x157_ivfpq_index_reload" -> ((s: SparkSession, dir: String) => ivfpqIndexReload(s, dir)))
 
   /** x140's DuckDB twin: the same grid, md5 seed ranking, two unrolled
     * Lloyd rounds with the identical positive-mod floor-div, brute-force
@@ -740,6 +799,23 @@ object Clustering {
        |      row_number() OVER (PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rn
        |    FROM exact) WHERE rn <= 10)""".stripMargin
 
+  /** The x145 serving twin (also the x157 oracle — reload must equal
+    * rebuild): probe at nprobe=2, ADC top-10, exact annotation.
+    */
+  private lazy val X145Sql: String =
+    s"""WITH ${IvfpqCte(2)},
+       |top AS (
+       |  SELECT query_id, vec_id, cluster, adc_dist, CAST(rn AS INT) AS rank FROM (
+       |    SELECT query_id, vec_id, cluster, adc_dist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 10)
+       |SELECT t.query_id, t.rank, t.vec_id, t.cluster, t.adc_dist, x.exact_d2,
+       |  coalesce(e.in_exact, 0) AS in_exact_topk
+       |FROM top t
+       |JOIN exact x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+       |LEFT JOIN etop e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+       |ORDER BY t.query_id, t.rank""".stripMargin
+
   /** Shared twin prefix of the SemDeDup-family oracles (x144/x148): the
     * kmeans prefix's final assignment, then brute-force within-cluster
     * pairs; the τ test runs in HUGEINT (the twin of the Spark side's
@@ -855,19 +931,10 @@ object Clustering {
     // one-Lloyd text as the PQ twin), probe ranking, per-cell ADC
     // lookup tables, and the probed-list scoring — all integer until
     // the final BIGINT casts. Shared with x153 via IvfpqCte(maxProbe).
-    "x145_ivfpq_topk" ->
-      s"""WITH ${IvfpqCte(2)},
-         |top AS (
-         |  SELECT query_id, vec_id, cluster, adc_dist, CAST(rn AS INT) AS rank FROM (
-         |    SELECT query_id, vec_id, cluster, adc_dist,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
-         |    FROM adc) WHERE rn <= 10)
-         |SELECT t.query_id, t.rank, t.vec_id, t.cluster, t.adc_dist, x.exact_d2,
-         |  coalesce(e.in_exact, 0) AS in_exact_topk
-         |FROM top t
-         |JOIN exact x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
-         |LEFT JOIN etop e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
-         |ORDER BY t.query_id, t.rank""".stripMargin,
+    "x145_ivfpq_topk" -> X145Sql,
+    // x157: reload-equals-rebuild — the round-tripped index must serve
+    // exactly what the fresh model serves, so the oracle IS x145's.
+    "x157_ivfpq_index_reload" -> X145Sql,
     // x153: the same IVFADC chain probed at maxProbe=4; each curve
     // point filters the candidate frame by its cell's probe rank and
     // re-ranks — no retrain, no rescore, the Spark side's one-pass

@@ -237,4 +237,10 @@ class ClusteringSpec extends SparkSpec {
     assert(curve.find(_._1 == 2L).get._3 === x145Hits,
       "curve point 2 must equal the sum of x145's in_exact_topk flags")
   }
+
+  test("x157 reloaded index serves exactly what the fresh model serves") {
+    val fresh = Clustering.ivfpqTopk(spark, Sf).collect().map(_.toString).toSeq
+    val reloaded = Clustering.ivfpqIndexReload(spark, Sf).collect().map(_.toString).toSeq
+    assert(reloaded === fresh, "reload-equals-rebuild violated")
+  }
 }
