@@ -325,6 +325,51 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** x158: the index REFRESH that closes x150's loop — x150 serves
+    * arrivals against frozen centroids; at the refresh boundary the
+    * model folds them in with ONE warm-started Lloyd round: assign the
+    * WHOLE corpus (base + arrivals) to the frozen centroids, recompute
+    * (the same floor-div arithmetic), re-assign. Per cluster: member
+    * counts and exact integer inertias before vs after, and the L1
+    * shift of the centroid itself — the "how much did the refresh
+    * move" number a serving tier alarms on. A full retrain (x140 from
+    * scratch) costs `iters` passes over the corpus; the warm refresh
+    * costs two, which is why production tiers refresh warm and retrain
+    * rarely. Integer-exact end to end. (Floor-div centroids mean the
+    * global inertia non-increase of real-valued Lloyd holds only up to
+    * grid rounding — the spec checks conservation and the reference,
+    * not a strict descent.)
+    */
+  def centroidRefresh(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, mod: Long = 5L): DataFrame = {
+    val pts = qvecs(s, dir)
+    val base = pts.filter(pmod(col("vec_id"), lit(mod)) =!= lit(mod - 1))
+    val cOld = lloydOn(base, k, iters)._2
+    val before = assign(pts, cOld)
+    val cNew = recompute(before).localCheckpoint(true)
+    val after = assign(pts, cNew)
+    val nb = before.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_before"), sum(col("dist")).as("inertia_before"))
+    val na = after.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_after"), sum(col("dist")).as("inertia_after"))
+    // basis = the OLD model's clusters; one emptied by the refresh
+    // keeps its row with a NULL shift (recompute emits no centroid)
+    val shift = cOld.select(col("cluster"), col("ca").as("ca_old"))
+      .join(cNew.select(col("cluster"), col("ca").as("ca_new")), Seq("cluster"), "left")
+      .select(col("cluster"),
+        when(col("ca_new").isNotNull,
+          aggregate(zip_with(col("ca_old"), col("ca_new"),
+            (x, y) => abs(x - y)), lit(0L), (a, v) => a + v)).as("cent_shift_l1"))
+    shift.join(nb, Seq("cluster"), "left").join(na, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("inertia_before"), lit(0L)).as("inertia_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("inertia_after"), lit(0L)).as("inertia_after"),
+        col("cent_shift_l1"))
+      .orderBy(col("cluster"))
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou et al., TPAMI 2011): split d=64 dims into
   // m=8 subspaces of 8, train a k=16 codebook per subspace (seed + one
@@ -681,6 +726,7 @@ object Clustering {
     "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)),
     "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
     "x150_cluster_drift" -> ((s: SparkSession, dir: String) => clusterDrift(s, dir)),
+    "x158_centroid_refresh" -> ((s: SparkSession, dir: String) => centroidRefresh(s, dir)),
     "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "x153_ivfpq_recall_curve" -> ((s: SparkSession, dir: String) => ivfpqRecallCurve(s, dir)),
     "x157_ivfpq_index_reload" -> ((s: SparkSession, dir: String) => ivfpqIndexReload(s, dir)))
@@ -1002,6 +1048,55 @@ object Clustering {
          |  m.n_members - coalesce(d.n_dropped, 0) AS n_kept
          |FROM members m LEFT JOIN prs p USING (cluster) LEFT JOIN drp d USING (cluster)
          |ORDER BY m.cluster""".stripMargin,
+    // x158: the base-trained frozen centroids (the x150 CTE chain),
+    // one warm refresh round over ALL points: assign, floor-div
+    // recompute, re-assign; per-cluster L1 centroid shift; a cluster
+    // emptied by the refresh keeps a NULL shift (no new centroid).
+    "x158_centroid_refresh" ->
+      s"""WITH ${kmCte(8, "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4) base")},
+         |alld AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings,
+         |       LATERAL (SELECT unnest(embedding) AS v,
+         |                       unnest(generate_series(1, len(embedding))) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, c.cluster, sum((p.q - c.c) * (p.q - c.c)) AS dist
+         |  FROM alld p JOIN c1 c ON c.d = p.d GROUP BY p.vec_id, c.cluster),
+         |ba AS (
+         |  SELECT vec_id, cluster, dist FROM (
+         |    SELECT vec_id, cluster, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM bd) WHERE rn = 1),
+         |c2n AS (
+         |  SELECT a.cluster, p.d,
+         |    CAST((sum(p.q) - ((sum(p.q) % count(*)) + count(*)) % count(*)) / count(*)
+         |      AS BIGINT) AS c
+         |  FROM ba a JOIN alld p USING (vec_id) GROUP BY a.cluster, p.d),
+         |ad AS (
+         |  SELECT p.vec_id, c.cluster, sum((p.q - c.c) * (p.q - c.c)) AS dist
+         |  FROM alld p JOIN c2n c ON c.d = p.d GROUP BY p.vec_id, c.cluster),
+         |aa AS (
+         |  SELECT vec_id, cluster, dist FROM (
+         |    SELECT vec_id, cluster, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |nb AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_before,
+         |       CAST(sum(dist) AS BIGINT) AS inertia_before FROM ba GROUP BY cluster),
+         |na AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_after,
+         |       CAST(sum(dist) AS BIGINT) AS inertia_after FROM aa GROUP BY cluster),
+         |sh AS (
+         |  SELECT o.cluster, CAST(sum(abs(o.c - nn.c)) AS BIGINT) AS cent_shift_l1
+         |  FROM c1 o LEFT JOIN c2n nn ON nn.cluster = o.cluster AND nn.d = o.d
+         |  GROUP BY o.cluster)
+         |SELECT sh.cluster,
+         |  coalesce(nb.n_before, 0) AS n_before,
+         |  coalesce(nb.inertia_before, 0) AS inertia_before,
+         |  coalesce(na.n_after, 0) AS n_after,
+         |  coalesce(na.inertia_after, 0) AS inertia_after,
+         |  sh.cent_shift_l1
+         |FROM sh LEFT JOIN nb USING (cluster) LEFT JOIN na USING (cluster)
+         |ORDER BY sh.cluster""".stripMargin,
     // x148: the x144 prefix, then the D4 prototype cut over the dedup
     // survivors — the same (dist, vec_id) rank, the same positive
     // floor-div drop count (operands positive, so // IS the floor),

@@ -834,7 +834,54 @@ object Scalars {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q82: last-touch conversion attribution — the warehouse op behind
+    * every marketing/readthrough dashboard: each `purchase` is
+    * attributed to the user's LAST preceding touch (`click`/`view`)
+    * under (epoch, event_id) lexicographic order, and the attribution
+    * only STANDS if that last touch falls inside the lookback window
+    * (an older touch does not roll forward — the standard last-touch
+    * rule). One shuffle on user_id: touches and purchases ride the
+    * SAME window pass (the as-of union-window shape), the running
+    * `max(struct(epoch, id, type))` over touch rows is
+    * map-side-combinable state, and no self-join ever materializes the
+    * touch×purchase product — the twin spells exactly that brute-force
+    * join and must agree row for row. Epoch arithmetic in BIGINT
+    * seconds; `value` passes through untouched from the shared
+    * parquet.
+    */
+  def attribution(s: SparkSession, dir: String,
+      lookbackS: Long = 7L * 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"),
+      unix_timestamp(col("ts")).as("epoch_s"))
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev.withColumn("last_touch",
+      max(when(isTouch,
+        struct(col("epoch_s"), col("event_id"), col("event_type")))).over(w))
+    tagged.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("value"),
+        col("epoch_s"),
+        col("last_touch").getField("epoch_s").as("touch_epoch"),
+        col("last_touch").getField("event_id").as("raw_touch_id"),
+        col("last_touch").getField("event_type").as("raw_touch_type"))
+      .withColumn("attributed",
+        col("touch_epoch").isNotNull &&
+          col("epoch_s") - col("touch_epoch") <= lookbackS)
+      .select(col("purchase_id"), col("user_id"), col("value"),
+        when(col("attributed"), col("raw_touch_id")).as("touch_id"),
+        when(col("attributed"), col("raw_touch_type")).as("touch_type"),
+        when(col("attributed"), col("epoch_s") - col("touch_epoch"))
+          .as("secs_since_touch"),
+        col("attributed"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_attribution" -> ((s: SparkSession, dir: String) => attribution(s, dir)),
     "q78_audience_overlap" -> (audienceOverlap _),
     "q77_ship_latency" -> (shipLatency _),
     "q76_capped_balance" -> (cappedBalance _),
@@ -868,6 +915,38 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    // q82: the brute-force relational spelling — per purchase, the
+    // argmax touch under (epoch, event_id) among strictly-earlier
+    // touches of the same user, then the lookback test on that row.
+    "q82_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        |  FROM events),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |tch AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+        |lt AS (
+        |  SELECT purchase_id, touch_id, touch_type, touch_epoch FROM (
+        |    SELECT p.event_id AS purchase_id, tch.event_id AS touch_id,
+        |      tch.event_type AS touch_type, tch.epoch_s AS touch_epoch,
+        |      row_number() OVER (PARTITION BY p.event_id
+        |        ORDER BY tch.epoch_s DESC, tch.event_id DESC) AS rn
+        |    FROM p JOIN tch ON tch.user_id = p.user_id
+        |      AND (tch.epoch_s < p.epoch_s
+        |           OR (tch.epoch_s = p.epoch_s AND tch.event_id < p.event_id)))
+        |  WHERE rn = 1)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.value,
+        |  CASE WHEN l.touch_epoch IS NOT NULL
+        |         AND p.epoch_s - l.touch_epoch <= 604800 THEN l.touch_id END AS touch_id,
+        |  CASE WHEN l.touch_epoch IS NOT NULL
+        |         AND p.epoch_s - l.touch_epoch <= 604800 THEN l.touch_type END AS touch_type,
+        |  CASE WHEN l.touch_epoch IS NOT NULL
+        |         AND p.epoch_s - l.touch_epoch <= 604800
+        |       THEN p.epoch_s - l.touch_epoch END AS secs_since_touch,
+        |  coalesce(l.touch_epoch IS NOT NULL
+        |    AND p.epoch_s - l.touch_epoch <= 604800, FALSE) AS attributed
+        |FROM p LEFT JOIN lt l ON l.purchase_id = p.event_id
+        |ORDER BY purchase_id""".stripMargin,
     "q78_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |sizes AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),

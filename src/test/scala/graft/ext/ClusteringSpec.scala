@@ -238,6 +238,36 @@ class ClusteringSpec extends SparkSpec {
       "curve point 2 must equal the sum of x145's in_exact_topk flags")
   }
 
+  test("x158 warm refresh matches a driver-side reference and conserves the corpus") {
+    val (_, cOld, _) = referenceKmeans(id => id % 5 != 4)
+    val all = referenceKmeans()._1
+    def assignTo(cents: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      all.map { case (id, qa) =>
+        val best = cents.toSeq.map { case (c, ca) => (d2(qa, ca), c) }.min
+        (id, (best._2, best._1))
+      }.toMap
+    val before = assignTo(cOld)
+    val cNew = before.groupBy(_._2._1).map { case (c, members) =>
+      val qs = members.keys.toSeq.map(id => all.find(_._1 == id).get._2)
+      (c, Array.tabulate(qs.head.length)(d => fdiv(qs.map(_(d)).sum, qs.size.toLong)))
+    }
+    val after = assignTo(cNew)
+    val expected = cOld.keys.toSeq.sorted.map { c =>
+      val b = before.filter(_._2._1 == c); val a = after.filter(_._2._1 == c)
+      val shift = cNew.get(c).map(nn =>
+        java.lang.Long.valueOf(cOld(c).zip(nn).map { case (x, y) => math.abs(x - y) }.sum))
+        .orNull
+      (c, b.size.toLong, b.values.map(_._2).sum, a.size.toLong, a.values.map(_._2).sum, shift)
+    }
+    val got = Clustering.centroidRefresh(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5))))
+    assert(got.toSeq === expected)
+    // conservation: both assignments cover the whole corpus exactly once
+    assert(got.map(_._2).sum === all.length.toLong)
+    assert(got.map(_._4).sum === all.length.toLong)
+  }
+
   test("x157 reloaded index serves exactly what the fresh model serves") {
     val fresh = Clustering.ivfpqTopk(spark, Sf).collect().map(_.toString).toSeq
     val reloaded = Clustering.ivfpqIndexReload(spark, Sf).collect().map(_.toString).toSeq

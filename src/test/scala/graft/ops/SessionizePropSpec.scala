@@ -61,4 +61,33 @@ class SessionizePropSpec extends SparkSpec {
       }
     }
   }
+
+  test("q82 attribution matches a driver-side last-touch reference") {
+    val ev = graft.engine.Tables(spark, Sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touches = ev.filter(t => t._3 == "click" || t._3 == "view")
+      .groupBy(_._2).view.mapValues(_.sortBy(t => (t._4, t._1)).toSeq).toMap
+    val expected = ev.filter(_._3 == "purchase").sortBy(_._1).map {
+      case (pid, uid, _, pe) =>
+        val last = touches.getOrElse(uid, Seq.empty[(Long, Long, String, Long)])
+          .filter(t => t._4 < pe || (t._4 == pe && t._1 < pid)).lastOption
+        last match {
+          case Some((tid, _, tt, te)) if pe - te <= 7L * 86400L =>
+            (pid, uid, Some(tid), Some(tt), Some(pe - te), true)
+          case _ => (pid, uid, None, None, None, false)
+        }
+    }
+    val got = Scalars.attribution(spark, Sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6))
+    }
+    assert(got.toSeq === expected.toSeq)
+    // every purchase appears exactly once, attributed or not
+    assert(got.length === ev.count(_._3 == "purchase"))
+  }
 }
