@@ -467,6 +467,39 @@ object Clustering {
       .orderBy(col("sub"), col("code"))
   }
 
+  /** x159: quantization-error outlier screen — the vectors the PQ
+    * codebook represents WORST (highest total reconstruction error
+    * across subspaces) are the out-of-distribution / noise candidates
+    * every compressed serving tier should audit: their ADC distances
+    * are the least trustworthy, and in curation they are exactly the
+    * embeddings most likely to be garbage (encoding failures, empty
+    * docs, modality mixups). Complements x114's LOO-cosine screen with
+    * the COMPRESSION lens — a vector can sit near its label centroid
+    * yet quantize terribly. Per top-`k` outlier: exact integer total
+    * qerr next to the corpus total (its share is the two-BIGINT exact
+    * ratio). Rides the cached codebook and the one-pass encode —
+    * nothing new touches the corpus.
+    */
+  def pqErrorOutliers(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val perVec = pqEncode(subDims(s, dir, 8), cachedBook(s, dir))
+      .groupBy(col("vec_id")).agg(sum(col("qerr")).as("total_qerr"))
+    val corpus = perVec.agg(sum(col("total_qerr")).as("corpus_qerr"))
+    // two-phase global top-k: partition-local prune before the single-
+    // partition rank window sees anything (perVec is corpus-sized)
+    val local = Window.partitionBy(col("part"))
+      .orderBy(col("total_qerr").desc, col("vec_id"))
+    val w = Window.orderBy(col("total_qerr").desc, col("vec_id"))
+    perVec
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(corpus))
+      .select(col("rank"), col("vec_id"), col("total_qerr"), col("corpus_qerr"))
+      .orderBy(col("rank"))
+  }
+
   /** Two-phase per-query top-k by ASCENDING distance (the x20 discipline
     * flipped for distances): partition-local prune, then global rank.
     */
@@ -727,6 +760,7 @@ object Clustering {
     "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
     "x150_cluster_drift" -> ((s: SparkSession, dir: String) => clusterDrift(s, dir)),
     "x158_centroid_refresh" -> ((s: SparkSession, dir: String) => centroidRefresh(s, dir)),
+    "x159_pq_error_outliers" -> ((s: SparkSession, dir: String) => pqErrorOutliers(s, dir)),
     "x145_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "x153_ivfpq_recall_curve" -> ((s: SparkSession, dir: String) => ivfpqRecallCurve(s, dir)),
     "x157_ivfpq_index_reload" -> ((s: SparkSession, dir: String) => ivfpqIndexReload(s, dir)))
@@ -1132,6 +1166,18 @@ object Clustering {
          |  p.kept_id_sum, p.kept_id_xor
          |FROM members m LEFT JOIN dd d USING (cluster) LEFT JOIN pp p USING (cluster)
          |ORDER BY m.cluster""".stripMargin,
+    // x159: the PqCte encode rolled to per-vector totals, top-20 by
+    // (qerr desc, vec_id), corpus total alongside.
+    "x159_pq_error_outliers" ->
+      s"""WITH $PqCte,
+         |pv AS (SELECT vec_id, CAST(sum(qerr) AS BIGINT) AS total_qerr
+         |       FROM a2 GROUP BY vec_id),
+         |tot AS (SELECT CAST(sum(total_qerr) AS BIGINT) AS corpus_qerr FROM pv)
+         |SELECT CAST(rank AS INT) AS rank, vec_id, total_qerr, corpus_qerr FROM (
+         |  SELECT vec_id, total_qerr,
+         |    row_number() OVER (ORDER BY total_qerr DESC, vec_id) AS rank
+         |  FROM pv) CROSS JOIN tot
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "x141_pq_codes" ->
       s"""WITH $PqCte,
          |hist AS (

@@ -273,4 +273,19 @@ class ClusteringSpec extends SparkSpec {
     val reloaded = Clustering.ivfpqIndexReload(spark, Sf).collect().map(_.toString).toSeq
     assert(reloaded === fresh, "reload-equals-rebuild violated")
   }
+
+  test("x159 outliers carry the largest per-vector qerr and the exact corpus total") {
+    val perVec = Clustering.pqCodes(spark, Sf).collect()
+    val corpusTotal = perVec.map(_.getLong(3)).sum
+    val rows = Clustering.pqErrorOutliers(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    assert(rows.map(_._1).toSeq === (1 to 20))
+    // descending with the vec_id tie-break
+    val errs = rows.map(_._3).toSeq
+    assert(errs === errs.sorted.reverse)
+    assert(rows.forall(_._4 == corpusTotal),
+      "corpus_qerr must equal the x141 histogram's total qerr")
+    assert(errs.head > 0L)
+  }
 }
