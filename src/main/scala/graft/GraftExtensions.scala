@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeCountRewrite, BpeTokenCount, DotD, NfcNormalize, ParsePoint}
+import graft.functions.{BpeCountRewrite, BpeTokenCount, DotD, DotL, LongVec, NfcNormalize, ParsePoint, SqDistL}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions first-class SQL functions in any session built with
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotD].getName, "dot_d"),
       DotD.builder _))
+    extensions.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotL].getName, "dot_l"),
+      LongVec.dotBuilder))
+    extensions.injectFunction((
+      FunctionIdentifier("sqdist_l"),
+      new ExpressionInfo(classOf[SqDistL].getName, "sqdist_l"),
+      LongVec.sqDistBuilder))
     extensions.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

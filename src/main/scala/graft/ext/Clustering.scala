@@ -46,10 +46,23 @@ object Clustering {
 
   /** Integer squared L2 distance between two grid arrays. Coordinates are
     * ≤2^20 in magnitude, diffs ≤2^21, squares ≤2^42, d=64 terms ≤2^48 —
-    * ANSI-safe BIGINT throughout.
+    * ANSI-safe BIGINT throughout. Native codegen'd kernel (`SqDistL`)
+    * since the 10x audit — the interpreted HOF spelling dominated the
+    * assign crossJoin and the SemDeDup pair join; overflow still raises
+    * (addExact/multiplyExact), matching the ANSI semantics it replaced.
     */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+  private def sqDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SqDistL(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Native long-array dot (Σ aᵢ·bᵢ) — same codegen/overflow story. */
+  private def dotL(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotL(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Deterministic seeding: the k corpus vectors with the smallest
     * md5-derived hash of "km:<vec_id>" (ties by vec_id) become centroids
@@ -174,8 +187,7 @@ object Clustering {
     // sf0.1) because it serializes the legs behind one materialization
     // and forfeits the broadcast-size estimate on the tiny cents side
     lloyd(s, dir, k, iters)._1
-      .withColumn("n2", aggregate(transform(col("qa"), x => x * x),
-        lit(0L), (a, v) => a + v))
+      .withColumn("n2", dotL(col("qa"), col("qa")))
 
   /** Within-cluster SemDeDup dup pairs + order-free drops over a lloyd
     * assignment (shared by x144 and the x148 D4 prune): the integer τ
@@ -190,8 +202,7 @@ object Clustering {
     val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("qab"),
       col("dist").as("db"), col("n2").as("nb2"))
     val dup = a.join(b, Seq("cluster")).filter(col("ib") > col("ia"))
-      .withColumn("dot", aggregate(zip_with(col("qaa"), col("qab"),
-        (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", dotL(col("qaa"), col("qab")))
       .filter(col("dot") > 0 &&
         lit(tauDen).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >
           lit(tauNum).cast(dec) * col("na2").cast(dec) * col("nb2").cast(dec))

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native integer-vector kernels for the grid-quantized clustering lane
+  * (the long-array siblings of [[DotD]]): `dot_l` = Σ aᵢ·bᵢ and
+  * `sqdist_l` = Σ (aᵢ−bᵢ)², both over ARRAY<BIGINT> in index order.
+  * The `aggregate(zip_with(...))` HOF spelling they replace is
+  * interpreted — two lambda frames and a zipped-array allocation per
+  * element per pair — and dominated the SemDeDup pair join at the 10x
+  * corpus (207 s cold at k=8, ~50 M pairs × 64 dims). The kernels run
+  * inside whole-stage codegen via the shared static method, the
+  * ParsePoint/DotD discipline.
+  *
+  * OVERFLOW SEMANTICS MATCH ANSI: products and sums go through
+  * `Math.multiplyExact`/`addExact`, so an overflowing input raises
+  * (wrapped as ArithmeticException) exactly like the HOF spelling under
+  * `spark.sql.ansi.enabled` — a silent wrap here would let a too-coarse
+  * grid corrupt every gate downstream. Integer sums are
+  * order-independent, so no fold-order caveat applies (unlike dot_d).
+  * NULL on length mismatch or a null element, like zip_with.
+  */
+abstract class LongVecBinary extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT> args, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  /** The static kernel's method name on the LongVec module. */
+  protected def kernel: String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVec.invoke(kernel, a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = LongVec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val result = ctx.freshName("lv")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Long $result = $helper.$kernel($a, $b);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $result.longValue();
+         |}
+       """.stripMargin)
+  }
+}
+
+case class DotL(left: Expression, right: Expression) extends LongVecBinary {
+  override protected def kernel: String = "dotOrNull"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotL =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_l"
+}
+
+case class SqDistL(left: Expression, right: Expression) extends LongVecBinary {
+  override protected def kernel: String = "sqDistOrNull"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistL =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sqdist_l"
+}
+
+object LongVec {
+
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  def sqDistOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Eval-path dispatch (codegen calls the kernels directly). */
+  def invoke(kernel: String, a: ArrayData, b: ArrayData): java.lang.Long =
+    kernel match {
+      case "dotOrNull" => dotOrNull(a, b)
+      case "sqDistOrNull" => sqDistOrNull(a, b)
+    }
+
+  private def builder2(name: String,
+      mk: (Expression, Expression) => Expression)(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"$name expects exactly 2 arguments (array<bigint>, array<bigint>), " +
+        s"got ${children.length}")
+    mk(children.head, children(1))
+  }
+
+  def dotBuilder: Seq[Expression] => Expression = builder2("dot_l", DotL.apply)
+  def sqDistBuilder: Seq[Expression] => Expression = builder2("sqdist_l", SqDistL.apply)
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotL].getName, "dot_l"), dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sqdist_l"),
+      new ExpressionInfo(classOf[SqDistL].getName, "sqdist_l"), sqDistBuilder)
+  }
+}

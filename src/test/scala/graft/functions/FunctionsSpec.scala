@@ -169,6 +169,48 @@ class FunctionsSpec extends SparkSpec {
     assert(a != LshBuckets(c, Array(Array(Array(9.0, 0.0)))))
   }
 
+  test("dot_l / sqdist_l equal the interpreted HOF spelling and keep ANSI overflow") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    graft.functions.LongVec.register(spark)
+    def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.DotL(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    def sqL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.SqDistL(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val grid = graft.engine.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1048576.0)).cast("long")).as("qa"))
+    val rows = grid.select(
+        dotL(col("qa"), col("qa")).as("nat_dot"),
+        aggregate(zip_with(col("qa"), col("qa"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v).as("hof_dot"),
+        sqL(col("qa"), expr("reverse(qa)")).as("nat_sq"),
+        aggregate(zip_with(col("qa"), expr("reverse(qa)"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("hof_sq"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+    // length mismatch -> NULL, like zip_with's null padding poisoning the fold
+    val mism = spark.sql(
+      "SELECT dot_l(array(1L, 2L), array(1L)) AS d").collect().head
+    assert(mism.isNullAt(0))
+    // overflow raises instead of wrapping (the ANSI parity contract)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT dot_l(array(${Long.MaxValue}L, ${Long.MaxValue}L), " +
+        s"array(2L, 2L)) AS d").collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs2(e).exists(_.toLowerCase.contains("overflow")),
+      s"expected an overflow error, got: ${msgs2(e)}")
+  }
+
   test("TopKAgg equals the window row_number spelling") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.engine.Tables(spark, Sf, "embeddings")
