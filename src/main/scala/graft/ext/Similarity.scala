@@ -497,6 +497,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x160: hubness audit of the kNN graph (Radovanović et al., JMLR
+    * 2010) — the high-dimensional pathology check every embedding
+    * pipeline should run before trusting nearest-neighbor structure:
+    * in high-d spaces the k-occurrence distribution (how often each
+    * vector appears in OTHERS' top-k) grows heavy-tailed — a few
+    * "hubs" appear in thousands of neighbor lists while "antihubs"
+    * appear in none — which silently corrupts kNN labeling (x105),
+    * dedup verification and retrieval diversity. Reported: the top
+    * `topHubs` vectors by exact k-occurrence over a BOUNDED query
+    * sample (`numQueries` of them — the standard estimator: hub
+    * structure shows in any sizable query sample, and the audit stays
+    * m·n-linear instead of the n² full graph, which measured 979 s at
+    * the 10x corpus vs 8 s for the full-graph sf0.1 case), with the
+    * corpus-level counts alongside (antihub count, max occurrence, n);
+    * mean occurrence is k·m/n by construction, so max vs that mean is
+    * the skew headline. The sample rides the session-cached x20
+    * ranking (one broadcast of the query set, WindowGroupLimit-pruned
+    * top-k); at 10⁹ vectors the same aggregate runs over the ANN
+    * index's OUTPUT lists (x21/x145) — one keyed count either way.
+    */
+  def hubnessAudit(s: SparkSession, dir: String, k: Int = 10,
+      topHubs: Int = 20, numQueries: Int = 500): DataFrame = {
+    val knn = cosineTopk(s, dir, numQueries, k)
+    val occ = knn.groupBy(col("vec_id")).agg(count(lit(1)).as("k_occ"))
+    val occFull = t(s, dir, "embeddings").select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+    val summary = occFull.agg(
+      sum(when(col("k_occ") === 0L, 1L).otherwise(0L)).as("n_antihubs"),
+      max(col("k_occ")).as("max_k_occ"),
+      count(lit(1)).as("n_vectors"))
+    val local = Window.partitionBy(col("part"))
+      .orderBy(col("k_occ").desc, col("vec_id"))
+    val global = Window.orderBy(col("k_occ").desc, col("vec_id"))
+    occFull
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= topHubs)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= topHubs)
+      .crossJoin(broadcast(summary))
+      .select(col("rank"), col("vec_id"), col("k_occ"),
+        col("n_antihubs"), col("max_k_occ"), col("n_vectors"))
+      .orderBy(col("rank"))
+  }
+
   /** Left-fold double dot product as a tight JVM loop — the same
     * summation sequence as `dotD`/the oracle's `list_reduce` (0.0 + p1 +
     * p2 ...), so the doubles are bitwise identical.
@@ -1894,6 +1940,7 @@ object Similarity {
     "x23_quantize_int8" -> (quantizeInt8 _),
     "x122_int8_retrieval" -> ((s: SparkSession, dir: String) => int8RetrievalParity(s, dir)),
     "x146_binary_retrieval" -> ((s: SparkSession, dir: String) => binaryRetrieval(s, dir)),
+    "x160_hubness" -> ((s: SparkSession, dir: String) => hubnessAudit(s, dir)),
     "x57_embedding_dup_clusters" -> (embeddingDupClusters _),
     "x60_truncated_rerank" -> ((s: SparkSession, dir: String) => truncatedRerank(s, dir)))
 
@@ -2536,6 +2583,47 @@ object Similarity {
         |  COALESCE(ov.n_overlap, 0) AS n_overlap, CAST(10 AS BIGINT) AS k
         |FROM itop t LEFT JOIN ov ON ov.query_id = t.query_id
         |WHERE t.rank = 1 ORDER BY t.query_id""".stripMargin,
+    // x160: the sampled kNN graph relationally (vec_id < 500 as
+    // queries — the whole corpus at sf0.01 — the x20 cosine
+    // arithmetic, rank <= 10), k-occurrence counts with the
+    // zero-coalesce for antihubs, top-20 by (k_occ desc, vec_id).
+    "x160_hubness" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.nrm * e.nrm) AS cosine
+        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 500),
+        |knn AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10),
+        |occ AS (
+        |  SELECT a.vec_id, CAST(coalesce(c.n, 0) AS BIGINT) AS k_occ
+        |  FROM (SELECT vec_id FROM embeddings) a
+        |  LEFT JOIN (SELECT vec_id, count(*) AS n FROM knn GROUP BY vec_id) c
+        |    USING (vec_id)),
+        |summ AS (
+        |  SELECT CAST(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs,
+        |    CAST(max(k_occ) AS BIGINT) AS max_k_occ,
+        |    CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM occ)
+        |SELECT CAST(rank AS INT) AS rank, vec_id, k_occ,
+        |  n_antihubs, max_k_occ, n_vectors
+        |FROM (
+        |  SELECT vec_id, k_occ,
+        |    row_number() OVER (ORDER BY k_occ DESC, vec_id) AS rank
+        |  FROM occ) CROSS JOIN summ
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // x146: the sign bits spelled UNPACKED (hamming = count of dims
     // whose strict `> 0` signs differ — exactly popcount(xor) of the
     // packed words), the same (hamming, vec_id)-ordered top-50 pool,

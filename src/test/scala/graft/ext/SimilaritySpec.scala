@@ -582,4 +582,34 @@ class SimilaritySpec extends SparkSpec {
     // Hamming distance is within the pool's 50-candidate cut
     assert(got.forall(_._4 <= 64L))
   }
+
+  test("x160 hubness audit matches a driver-side full-kNN reference") {
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = rows.map { case (id, v) => (id, math.sqrt(dot(v, v))) }.toMap
+    val occ = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    rows.foreach { case (qid, qv) =>
+      rows.filter(_._1 != qid)
+        .map { case (id, v) => (dot(qv, v) / (nrm(qid) * nrm(id)), id) }
+        .sortBy(t => (-t._1, t._2)).take(10)
+        .foreach { case (_, id) => occ(id) += 1L }
+    }
+    val full = rows.map(_._1).map(id => (id, occ(id)))
+    val expTop = full.sortBy(t => (-t._2, t._1)).take(20)
+    val nAnti = full.count(_._2 == 0L).toLong
+    val maxOcc = full.map(_._2).max
+    val got = Similarity.hubnessAudit(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(t => (t._2, t._3)).toSeq === expTop.toSeq)
+    assert(got.forall(t => t._4 == nAnti && t._5 == maxOcc && t._6 == rows.length.toLong))
+    // mass conservation: the k-occurrence distribution sums to n*k
+    assert(full.map(_._2).sum === rows.length.toLong * 10L)
+  }
 }
