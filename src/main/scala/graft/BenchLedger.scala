@@ -21,12 +21,27 @@ object BenchLedger {
   val FileName = "BENCH_detail.jsonl"
 
   /** A best-of-reps time is a contention-phantom suspect when it
-    * exceeds 2.5x its trailing median AND is large enough to matter
-    * (sub-half-second queries triple on JIT noise alone). No median
-    * recorded yet => nothing to judge against => no rerun.
+    * exceeds its trailing median by the adjudication factor AND is
+    * large enough to matter (sub-half-second queries triple on JIT
+    * noise alone). No median recorded yet => nothing to judge against
+    * => no rerun.
+    *
+    * The factor is sample-aware (the r11 escape: x82 at 1.9x and x11
+    * at 1.5x of their well-established medians slipped under a flat
+    * 2.5x and read as regressions until hand-adjudicated): with >= 5
+    * recorded samples the per-query variance is known, so the trigger
+    * tightens to 2.0x; with fewer, 2.5x still guards against honest
+    * early-round drift being rerun forever.
     */
-  def needsRerun(v: Double, median: Option[Double]): Boolean =
-    median.exists(m => v > 2.5 * m && v > 0.5)
+  def needsRerun(v: Double, stat: Option[(Double, Int)]): Boolean =
+    stat.exists { case (m, n) =>
+      v > (if (n >= 5) 2.0 else 2.5) * m && v > 0.5
+    }
+
+  /** Back-compat single-median form: unknown sample count => loose 2.5x. */
+  def needsRerun(v: Double, median: Option[Double])(
+      implicit d: DummyImplicit): Boolean =
+    needsRerun(v, median.map(m => (m, 0)))
 
   /** Append one run's full per-query map as a single (sf, cpus)-tagged
     * JSON line. Failures are swallowed: the ledger is an optimization,
@@ -58,7 +73,13 @@ object BenchLedger {
     * 32. Missing or malformed files/lines contribute nothing, so a
     * fresh checkout simply reruns nothing.
     */
-  def medians(dir: Path, sf: String, cpus: Int = 32): Map[String, Double] = {
+  def medians(dir: Path, sf: String, cpus: Int = 32): Map[String, Double] =
+    stats(dir, sf, cpus).map { case (k, (m, _)) => k -> m }
+
+  /** Per-query (median seconds, sample count) — the sample count feeds
+    * the adaptive rerun factor in [[needsRerun]].
+    */
+  def stats(dir: Path, sf: String, cpus: Int = 32): Map[String, (Double, Int)] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     def add(qs: com.fasterxml.jackson.databind.JsonNode): Unit =
@@ -85,6 +106,7 @@ object BenchLedger {
         catch { case _: Throwable => () }
       }
     }
-    times.map { case (k, vs) => k -> vs.sorted.apply(vs.size / 2) }.toMap
+    times.map { case (k, vs) =>
+      k -> (vs.sorted.apply(vs.size / 2), vs.size) }.toMap
   }
 }

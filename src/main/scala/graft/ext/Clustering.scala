@@ -697,14 +697,25 @@ object Clustering {
     * tier (reads the latest committed version, never mid-write state:
     * the VersionedTable commit protocol's atomicity carries over).
     */
+  /** Published-index roots, one per (session, dataset, params) — repeated
+    * bench/oracle invocations re-serve from the same committed snapshots
+    * instead of leaking a fresh temp directory per call (the
+    * ivfpqModelCache discipline applied to the filesystem side effect).
+    */
+  private val indexRootCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), String]()
+
   def ivfpqIndexReload(s: SparkSession, dir: String, kCoarse: Int = 8,
       nprobe: Int = 2, numQueries: Int = 3, k: Int = 10): DataFrame = {
     import graft.engine.VersionedTable
-    val (cents, book, codes) = ivfpqModel(s, dir, kCoarse, numQueries)
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString
-    VersionedTable.commit(cents, s"$root/cents")
-    VersionedTable.commit(book, s"$root/book")
-    VersionedTable.commit(codes, s"$root/codes")
+    val root = indexRootCache.computeIfAbsent((s, dir, kCoarse, numQueries), _ => {
+      val (cents, book, codes) = ivfpqModel(s, dir, kCoarse, numQueries)
+      val r = java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString
+      VersionedTable.commit(cents, s"$r/cents")
+      VersionedTable.commit(book, s"$r/book")
+      VersionedTable.commit(codes, s"$r/codes")
+      r
+    })
     val rc = VersionedTable.read(s, s"$root/cents")
     val rb = VersionedTable.read(s, s"$root/book")
     val rk = VersionedTable.read(s, s"$root/codes")
@@ -737,7 +748,11 @@ object Clustering {
     * `prn <= p` — the pipeline never re-trains or re-scores per point.
     * Per nprobe: ranked candidates and how many land in the exact
     * top-k (integer counts; recall@k = n_hits/n_ranked read off the
-    * row). Monotone in nprobe by construction — the spec pins it.
+    * row). n_ranked is monotone in nprobe by construction (more cells
+    * can only add candidates); n_hits is EMPIRICALLY monotone on real
+    * data but not an invariant — a larger probe pool can surface a
+    * low-ADC-distance candidate that displaces an exact-top-k member
+    * from the ADC top-k — so the spec pins n_ranked, not n_hits.
     */
   def ivfpqRecallCurve(s: SparkSession, dir: String, kCoarse: Int = 8,
       maxProbe: Int = 4, numQueries: Int = 3, k: Int = 10): DataFrame = {

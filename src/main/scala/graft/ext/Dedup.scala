@@ -1251,7 +1251,10 @@ object Dedup {
         |ORDER BY ts.tau_pct""".stripMargin,
     // x149: the identical md5-keyed first-occurrence rule — blank
     // trimmed lines bypass the dup classes, positions are 0-based on
-    // both sides (unnest ordinality minus 1).
+    // both sides (unnest ordinality minus 1). First occurrence is the
+    // lexicographic struct min, the exact mirror of the Spark side's
+    // min(struct(doc_id, line_no)) — no integer radix, so the rule
+    // holds for any line count or doc_id magnitude.
     "x149_line_dedup" ->
       """WITH lines AS (
         |  SELECT doc_id, i - 1 AS line_no, l, trim(l) AS t
@@ -1263,12 +1266,12 @@ object Dedup {
         |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
         |  FROM lines WHERE length(t) > 0),
         |firsts AS (
-        |  SELECT h, min(doc_id * 1000000 + line_no) AS fkey
+        |  SELECT h, min({'d': doc_id, 'l': line_no}) AS f
         |  FROM ne GROUP BY h),
         |marked AS (
         |  SELECT ne.doc_id, ne.line_no, ne.t,
-        |    ne.doc_id * 1000000 + ne.line_no = f.fkey AS kept
-        |  FROM ne JOIN firsts f USING (h)),
+        |    ne.doc_id = fs.f.d AND ne.line_no = fs.f.l AS kept
+        |  FROM ne JOIN firsts fs USING (h)),
         |per_doc AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_nonempty,
         |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

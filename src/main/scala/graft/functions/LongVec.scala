@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * inside whole-stage codegen via the shared static method, the
   * ParsePoint/DotD discipline.
   *
-  * OVERFLOW SEMANTICS MATCH ANSI: products and sums go through
-  * `Math.multiplyExact`/`addExact`, so an overflowing input raises
-  * (wrapped as ArithmeticException) exactly like the HOF spelling under
-  * `spark.sql.ansi.enabled` — a silent wrap here would let a too-coarse
-  * grid corrupt every gate downstream. Integer sums are
+  * OVERFLOW SEMANTICS ARE ALWAYS-CHECKED: products and sums go through
+  * `Math.multiplyExact`/`addExact` unconditionally, so an overflowing
+  * input raises (ArithmeticException) regardless of the
+  * `spark.sql.ansi.enabled` flag — matching the HOF spelling when ANSI
+  * is on, and STRICTER than it when ANSI is off (the HOF would silently
+  * wrap there; a silent wrap would let a too-coarse grid corrupt every
+  * gate downstream, so the kernel refuses it either way). Integer sums are
   * order-independent, so no fold-order caveat applies (unlike dot_d).
   * NULL on length mismatch or a null element, like zip_with.
   */

@@ -38,10 +38,20 @@ object TrendingTokens {
   def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("token")).agg(sum(col("n")).as("n"))
 
-  /** Deterministic top-k of a counts frame: (n desc, token). */
+  /** Deterministic top-k of a counts frame: (n desc, token). Two-phase
+    * (the pqErrorOutliers discipline): each partition prunes to its own
+    * best k before the single-partition rank window sees anything, so
+    * the global window ranks at most k·partitions rows — never the
+    * whole vocabulary.
+    */
   def topK(counts: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("part"))
+      .orderBy(col("n").desc, col("token"))
     val w = Window.orderBy(col("n").desc, col("token"))
-    counts.withColumn("rank", row_number().over(w))
+    counts.withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("token"), col("n"), col("rank"))
       .orderBy(col("rank"))

@@ -27,7 +27,7 @@ class BenchLedgerSpec extends AnyFunSuite {
   }
 
   test("no recorded median means no rerun, and sub-0.5 s spikes are ignored") {
-    assert(!BenchLedger.needsRerun(100.0, None))
+    assert(!BenchLedger.needsRerun(100.0, Option.empty[(Double, Int)]))
     // 0.4 s is >2.5x a 0.1 s median but below the floor: JIT noise
     assert(!BenchLedger.needsRerun(0.4, Some(0.1)))
     assert(BenchLedger.needsRerun(0.6, Some(0.2)))
@@ -68,6 +68,25 @@ class BenchLedgerSpec extends AnyFunSuite {
     Seq(3.0, 1.0, 2.0).foreach(v =>
       BenchLedger.append(dir, "sf0.1", 32, Map("q" -> v)))
     assert(BenchLedger.medians(dir, "sf0.1") == Map("q" -> 2.0))
+  }
+
+  test("rerun factor tightens to 2.0x once five samples establish the variance") {
+    // the r11 escapes: x82 at 1.9x and x11 at 1.5x of well-established
+    // medians slipped under the flat 2.5x trigger
+    assert(!BenchLedger.needsRerun(4.26, Some((2.4, 4))), "below 2.5x, few samples")
+    assert(BenchLedger.needsRerun(5.0, Some((2.4, 5))), "2.08x with 5 samples fires")
+    assert(!BenchLedger.needsRerun(4.26, Some((2.4, 5))), "1.78x never fires")
+    assert(BenchLedger.needsRerun(6.1, Some((2.4, 4))), ">2.5x fires regardless")
+    // the back-compat Option[Double] form stays loose (unknown count)
+    assert(!BenchLedger.needsRerun(5.0, Some(2.4)))
+    assert(BenchLedger.needsRerun(6.1, Some(2.4)))
+  }
+
+  test("stats expose the sample count medians aggregate over") {
+    val dir = tmpDir()
+    Seq(3.0, 1.0, 2.0).foreach(v =>
+      BenchLedger.append(dir, "sf0.1", 32, Map("q" -> v)))
+    assert(BenchLedger.stats(dir, "sf0.1") == Map("q" -> ((2.0, 3))))
   }
 
   test("medians are cpus-scoped: a local[4] debug run does not poison local[32]") {

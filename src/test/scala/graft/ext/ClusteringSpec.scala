@@ -224,9 +224,12 @@ class ClusteringSpec extends SparkSpec {
     val curve = Clustering.ivfpqRecallCurve(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
-    // probing more cells can only add candidates: hits never decrease
-    assert(curve.map(_._3).toSeq === curve.map(_._3).sorted.toSeq,
-      s"recall must be monotone in nprobe: ${curve.toSeq}")
+    // probing more cells can only add candidates: n_ranked never
+    // decreases (a true invariant). n_hits is NOT asserted monotone —
+    // a wider probe pool can displace an exact-top-k member from the
+    // ADC top-k, so hit monotonicity is fixture-dependent.
+    assert(curve.map(_._2).toSeq === curve.map(_._2).sorted.toSeq,
+      s"n_ranked must be monotone in nprobe: ${curve.toSeq}")
     curve.foreach { case (p, nRanked, nHits) =>
       assert(nRanked <= 30L, s"nprobe=$p ranked more than numQueries*k")
       assert(nHits <= nRanked)
