@@ -24,7 +24,8 @@ object SparkEntry {
       ops.AsofJoin.queries ++ ops.RangeJoin.queries ++ ops.Sampling.queries ++
       ops.DataQuality.queries ++ ops.ZOrder.queries ++ ops.BloomJoin.queries ++
       ops.Graph.queries ++
-      ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
+      ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.SuffixDedup.queries ++
+      ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
       ext.Clustering.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
@@ -40,7 +41,8 @@ object SparkEntry {
       ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
       ops.DataQuality.oracles ++ ops.ZOrder.oracles ++ ops.BloomJoin.oracles ++
       ops.Graph.oracles ++
-      ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
+      ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.SuffixDedup.oracles ++
+      ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
       ext.Clustering.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++

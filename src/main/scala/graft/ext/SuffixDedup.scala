@@ -1,0 +1,397 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Tables
+
+/** Exact-substring dedup (the ExactSubstr pass of Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better") via a
+  * DISTRIBUTED SUFFIX ARRAY — the one dedup family the chunk (x52/x116),
+  * winnowing (x70) and line (x149) grains only approximate: arbitrary
+  * cross-document repeated token runs of length >= L, located exactly.
+  *
+  * Construction is prefix doubling (Manber–Myers, in its sort/join
+  * distributed form, cf. Flick & Aluru SC'15): every token position is a
+  * suffix; round k refines an order-preserving integer rank of each
+  * suffix's first k symbols into one over 2k symbols by pairing
+  * `(rank(p), rank(p+k))` and re-ranking. The seed rank already orders
+  * the first FOUR tokens (one sort over the 4-gram strings — string
+  * order equals token order because tokens are space-free and ' ' sorts
+  * below them), so log2(maxDocTokens) - 2 rounds remain, each ONE
+  * per-document `lead` window plus ONE range-partitioned sort. Suffixes
+  * never compare past their own document (`lead` is per-doc; a missing
+  * symbol ranks below every real rank, which is exactly the
+  * shorter-suffix-first rule), so rounds stop at the LONGEST DOCUMENT
+  * (not the corpus — the scale lever: 100 TB of 100k-token docs is ~15
+  * rounds). Documents whose full suffixes are character-identical
+  * across the corpus tie in content order and are broken by doc_id at
+  * densification — the DuckDB twin's ORDER BY suffix, doc_id.
+  *
+  * Scale shape per round: one hash exchange on doc_id (the `lead`
+  * window), then `repartitionByRange` + in-partition sort +
+  * `monotonically_increasing_id` (order-preserving labels with NO
+  * global window and NO driver collect) + a min-window over the tied
+  * group, which the range layout already satisfies — no further
+  * exchange. Partition counts are left to AQE: a test corpus coalesces
+  * to a few tasks, a 100 TB corpus fans out. Each round is
+  * checkpointed — the x82 unrolled-iteration discipline — so plans
+  * stay linear.
+  *
+  * Downstream, the threshold-L duplicated-position test is suffix-array
+  * ADJACENCY: the suffixes sharing a first-L-token prefix form a
+  * contiguous run in SA order, so position p is duplicated iff its
+  * L-token window equals an SA-NEIGHBOR's window — no corpus-wide
+  * gram shuffle on the hot path. Spans (x162) and the scrubbed corpus
+  * (x163) derive from those positions exactly as in the paper: merge
+  * overlapping windows per document, cut the merged spans out.
+  *
+  * Reference scope: not in the reference pipeline (its dedup is
+  * `SELECT DISTINCT` at dimension grain — `dags/` star-schema DAG);
+  * this lane is the builder brief's LLM-data dedup ask.
+  */
+object SuffixDedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Duplicated-run threshold in tokens (Lee et al. use 50 BPE tokens at
+    * web scale; 8 keeps the pinned test corpus non-vacuous — ~2k of 24k
+    * positions sit in a repeated 8-gram there).
+    */
+  val MinMatchTokens = 8
+
+  /** Seed-rank width: the base sort orders this many leading tokens at
+    * once, cutting two doubling rounds vs token-grain seeding.
+    */
+  private val SeedWidth = 4
+
+  /** Order-preserving integer labels for lexicographic `keys` order,
+    * with equal keys receiving equal labels — the distributed re-rank
+    * primitive. Labels are NOT dense (monotonically_increasing_id =
+    * pid << 33 | in-partition row number, group-minimized); density is
+    * never needed mid-doubling, only order, so no global window, no
+    * zipWithIndex barrier, no driver round-trip. Range partitioning
+    * puts equal keys in one partition and orders partitions by key
+    * range, so the label order extends the key order across the
+    * cluster; and because RangePartitioning on `keys` satisfies the
+    * window's ClusteredDistribution over the same keys, the label
+    * window runs WITHOUT a further exchange or sort. `grp_n` (group
+    * size, same window — one WindowExec) rides along so the caller's
+    * all-distinct test is a filter on the frame it already has, not a
+    * second aggregate pass.
+    */
+  private def orderLabel(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__lbl", monotonically_increasing_id())
+      .withColumn("rank_new", min(col("__lbl")).over(
+        Window.partitionBy(keys: _*)))
+      .withColumn("grp_n", count(lit(1)).over(
+        Window.partitionBy(keys: _*)))
+      .drop("__lbl")
+
+  /** (doc_id, pos, tok) for every token of every document, 0-based. */
+  private[ext] def tokenPositions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+
+  /** Per-(session, dataset) final suffix ranks — shared by x161/x162/x163. */
+  private val rankCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Prefix-doubling suffix ranking over the whole corpus: one row per
+    * token position, `rank` ordered by suffix content — suffixes with
+    * IDENTICAL full content (cross-document exact dups) share a rank
+    * and are broken by doc_id at densification.
+    *
+    * The seed rank orders the first `SeedWidth` tokens in one sort of
+    * the leading-gram STRING (equal to token order: tokens are
+    * space-free, ' ' sorts below them, and a suffix shorter than the
+    * window is a strict prefix of any extension, so string-prefix-first
+    * IS shorter-suffix-first). Suffixes ending within the window are
+    * fully determined and take doc_id as a final key so cross-doc
+    * identical short suffixes order deterministically; longer suffixes
+    * sharing a seed gram stay tied for the doubling rounds to refine.
+    */
+  private[ext] def suffixRanks(s: SparkSession, dir: String): DataFrame =
+    rankCache.computeIfAbsent((s, dir), _ => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), size(col("w")).cast(LongType).as("n"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(SeedWidth)))))
+            .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("g"),
+          when(col("n") - col("pos") < SeedWidth, col("doc_id"))
+            .otherwise(lit(-1L)).as("e"))
+      var ranks = orderLabel(base, Seq(col("g"), col("e")))
+        .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
+          col("grp_n"))
+        .localCheckpoint(true)
+      // after the round with shift k, ranks order the first 2k tokens;
+      // stop once that covers the longest document OR all ranks are
+      // already distinct — real text can disambiguate in
+      // O(log longestRepeat) rounds, well before the longest-doc bound
+      // (the sf0.1 fixture does NOT stop early: it contains
+      // near-duplicate documents with 64+-token repeats, so every
+      // round runs; prose corpora without full-doc dups stop sooner)
+      val maxLen = t(s, dir, "documents")
+        .agg(max(size(TextAnalysis.wsTokens(lower(col("text"))))))
+        .head().getInt(0).toLong
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      var k = SeedWidth.toLong
+      var distinct = false
+      while (k < maxLen && !distinct) {
+        // rank of the suffix k tokens ahead IN THE SAME DOCUMENT: a
+        // per-doc lead window (positions are 0..n_tokens-1 contiguous),
+        // ONE exchange on doc_id — half the traffic of the
+        // (doc_id, pos) self-join spelling. -1 = "suffix ends inside
+        // this window": shorter sorts first, below every real label
+        // (labels are nonnegative). LAZY checkpoint: the range
+        // partitioner's sampling job is the pass that materializes it,
+        // and the shuffle then reads stored rows — one execution of the
+        // window, not two, and no dedicated materialization pass.
+        val paired = ranks
+          .withColumn("rank2",
+            coalesce(lead(col("rank"), k.toInt).over(byDoc), lit(-1L)))
+          .localCheckpoint(false)
+        ranks = orderLabel(paired, Seq(col("rank"), col("rank2")))
+          .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
+            col("grp_n"))
+          .localCheckpoint(false)
+        k *= 2
+        // the all-distinct test reads the grp_n the labeling window
+        // already computed: filter + take(1) — and as the round's first
+        // action it doubles as the lazy checkpoint's materializer
+        distinct = ranks.filter(col("grp_n") > 1L).isEmpty
+      }
+      ranks.drop("grp_n")
+    })
+
+  private val saCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The dense suffix array: (doc_id, pos, sa), sa = 0..n-1 in suffix
+    * order, rank ties (content-identical cross-doc suffixes) broken by
+    * doc_id — the twin's ORDER BY suffix, doc_id. Densification is the
+    * one bounded driver round-trip in the lane: per-partition row
+    * counts (one long per shuffle partition) turn range-partitioned
+    * in-partition row numbers into global indexes — the same class as
+    * the audited k-row collects in BloomJoin/Graph.
+    */
+  private[ext] def suffixArray(s: SparkSession, dir: String): DataFrame =
+    saCache.computeIfAbsent((s, dir), _ => {
+      val real = suffixRanks(s, dir)
+        .repartitionByRange(col("rank"), col("doc_id"))
+        .sortWithinPartitions(col("rank"), col("doc_id"))
+        .withColumn("part", spark_partition_id())
+        .localCheckpoint(true)
+      val counts = real.groupBy(col("part")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = counts.keys.toSeq.sorted
+      val offsets = pids.map(p =>
+        p -> pids.filter(_ < p).map(counts).sum).toMap
+      val offCol = offsets.foldLeft(lit(0L)) {
+        case (acc, (p, off)) => when(col("part") === p, lit(off)).otherwise(acc) }
+      real
+        .withColumn("sa",
+          row_number().over(Window.partitionBy(col("part"))
+            .orderBy(col("rank"), col("doc_id")))
+            .cast(LongType) + offCol - 1L)
+        .select(col("doc_id"), col("pos"), col("sa"))
+        .localCheckpoint(true)
+    })
+
+  /** x161: the suffix array itself, hash-gated position by position
+    * against DuckDB's brute-force suffix sort — the certificate the
+    * whole lane rides on. Emitted as (doc_id, pos, sa).
+    */
+  def suffixArrayDump(s: SparkSession, dir: String): DataFrame =
+    suffixArray(s, dir).orderBy(col("doc_id"), col("pos"))
+
+  /** The L-token window starting at each position, as the space-joined
+    * token string (exact — no hash in the gate; a 100 TB run would
+    * xxhash64 it and accept the 2^-64 collision odds): (doc_id, pos,
+    * gram), positions with fewer than L tokens left get no row.
+    */
+  private[ext] def gramAt(s: SparkSession, dir: String, L: Int): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("w")) - L),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(L)))))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("gram"))
+
+  private val coveredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  /** Duplicated window starts: (doc_id, pos, cross_doc) for every
+    * position whose L-token window occurs at least twice in the corpus.
+    * The test is SA adjacency (equal windows are SA-contiguous, so any
+    * member of a >= 2 group has an equal NEIGHBOR); cross_doc marks
+    * windows whose occurrence set spans >= 2 documents (one further
+    * group-size aggregate on the duplicated grams only — the survivors,
+    * not the corpus).
+    */
+  private[ext] def coveredPositions(s: SparkSession, dir: String,
+      L: Int = MinMatchTokens): DataFrame =
+    coveredCache.computeIfAbsent((s, dir, L), _ => {
+      val grams = gramAt(s, dir, L)
+      val withSa = suffixArray(s, dir).join(grams, Seq("doc_id", "pos"), "inner")
+        .localCheckpoint(true)
+      val prev = withSa.select((col("sa") + 1L).as("sa"), col("gram").as("gram_prev"))
+      val next = withSa.select((col("sa") - 1L).as("sa"), col("gram").as("gram_next"))
+      val covered = withSa
+        .join(prev, Seq("sa"), "left")
+        .join(next, Seq("sa"), "left")
+        .filter(col("gram") === col("gram_prev") || col("gram") === col("gram_next"))
+        .select(col("doc_id"), col("pos"), col("gram"))
+        .localCheckpoint(true)
+      val docsPerGram = covered.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      covered.join(docsPerGram, Seq("gram"))
+        .select(col("doc_id"), col("pos"), (col("n_docs") >= 2L).as("cross_doc"))
+    })
+
+  /** x162: the ExactSubstr audit — maximal duplicated spans per document
+    * (the x85 shape at suffix-array exactness): overlapping/touching
+    * L-token duplicated windows merge into [span_start, span_end) token
+    * intervals via the classic island scan, per-document windows only
+    * (partitionBy doc_id — no global funnel). Per span: token length,
+    * contributing window count, and whether any window also occurs in
+    * another document.
+    */
+  def exactSubstrSpans(s: SparkSession, dir: String,
+      L: Int = MinMatchTokens): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    coveredPositions(s, dir, L)
+      .withColumn("end", col("pos") + L)
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"), max(col("cross_doc")).as("cross_doc"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"), col("cross_doc"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** x163: the scrubbed corpus (the x116 shape at substring exactness):
+    * every token inside a duplicated span is cut, survivors re-join in
+    * position order, and the doc-grain report carries exact counts plus
+    * the md5 of the scrubbed text (empty string when a document is
+    * entirely duplicated material).
+    */
+  def exactSubstrScrub(s: SparkSession, dir: String,
+      L: Int = MinMatchTokens): DataFrame = {
+    val cut = coveredPositions(s, dir, L)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (L - 1)))
+        .as("pos"))
+      .distinct()
+      .withColumn("covered", lit(true))
+    tokenPositions(s, dir)
+      .join(cut, Seq("doc_id", "pos"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_cut"),
+        sum(when(!col("covered"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(
+            when(!col("covered"), struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ")).as("scrubbed_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"), col("n_kept"),
+        col("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x161_suffix_array" -> ((s: SparkSession, dir: String) => suffixArrayDump(s, dir)),
+    "x162_exact_substr_spans" ->
+      ((s: SparkSession, dir: String) => exactSubstrSpans(s, dir)),
+    "x163_exact_substr_scrub" ->
+      ((s: SparkSession, dir: String) => exactSubstrScrub(s, dir)))
+
+  /** Shared DuckDB CTEs: tokenized docs and the brute-force covered
+    * window starts (gram occurs >= 2 times corpus-wide; the twin of the
+    * SA-adjacency test) with the >= 2-document flag.
+    */
+  private def coveredCtes(L: Int): String =
+    s"""d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |     FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |        array_to_string(list_slice(w, i, i + $L - 1), ' ') AS gram
+       |      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - $L + 1)) AS i)),
+       |gc AS (SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS nd
+       |       FROM g GROUP BY gram),
+       |cov AS (SELECT g.doc_id, g.pos, gc.nd >= 2 AS cross_doc
+       |        FROM g JOIN gc USING (gram) WHERE gc.n >= 2)""".stripMargin
+
+  lazy val oracles: Map[String, String] = Map(
+    // x161: brute-force suffix sort. Joining tokens with single spaces
+    // makes string order equal token order (every token is [a-z0-9]+,
+    // and ' ' sorts below both ranges), the shorter-is-prefix rule
+    // plays the unique terminator, and doc_id breaks cross-document
+    // full-suffix ties exactly like the terminators' doc_id ranking.
+    "x161_suffix_array" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |        array_to_string(list_slice(w, i, len(w)), ' ') AS suffix
+        |      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i))
+        |SELECT doc_id, pos,
+        |  row_number() OVER (ORDER BY suffix, doc_id) - 1 AS sa
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
+    "x162_exact_substr_spans" ->
+      s"""WITH ${coveredCtes(MinMatchTokens)},
+         |isl AS (
+         |  SELECT doc_id, pos, cross_doc, pos + ${MinMatchTokens} AS e,
+         |    CASE WHEN max(pos + ${MinMatchTokens}) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |         OR pos > max(pos + ${MinMatchTokens}) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS new_span
+         |  FROM cov),
+         |isl2 AS (
+         |  SELECT doc_id, pos, e, cross_doc,
+         |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl)
+         |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+         |  max(e) - min(pos) AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  bool_or(cross_doc) AS cross_doc
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "x163_exact_substr_scrub" ->
+      s"""WITH ${coveredCtes(MinMatchTokens)},
+         |cut AS (
+         |  SELECT DISTINCT doc_id, CAST(unnest(generate_series(pos, pos + ${MinMatchTokens - 1})) AS BIGINT) AS pos
+         |  FROM cov),
+         |tok AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+         |m AS (
+         |  SELECT t.doc_id, t.pos, t.tok, cut.pos IS NOT NULL AS covered
+         |  FROM tok t LEFT JOIN cut ON t.doc_id = cut.doc_id AND t.pos = cut.pos)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |  CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '')) AS scrubbed_md5
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}
