@@ -564,6 +564,74 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_no"))
   }
 
+  /** Deterministic grayscale JPEG encode for the x164 gate: each byte
+    * becomes one CONSTANT 8x8 block (`wBlocks` blocks per row,
+    * zero-value padding blocks in the tail). JPEG is lossy in general,
+    * but this geometry is chosen so the round-trip is EXACT: at
+    * compression quality 1.0 the scaled Annex-K quantization tables are
+    * all ones, a constant block's forward DCT is a lone integral DC
+    * coefficient (every AC term is a sum of equal-value differences =
+    * exactly 0), quantization by 1 keeps it, and the DC-only inverse
+    * DCT reproduces the constant — verified for all 256 byte values in
+    * MultimodalSpec. The encoder output is also byte-deterministic
+    * (fixed tables, no timestamps), spec-pinned.
+    */
+  def encodeGrayJpeg(bytes: Array[Byte], wBlocks: Int = 16): Array[Byte] = {
+    val hBlocks = math.max(1L, (bytes.length.toLong + wBlocks - 1) / wBlocks).toInt
+    val img = new java.awt.image.BufferedImage(wBlocks * 8, hBlocks * 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      val bx = (i % wBlocks) * 8
+      val by = (i / wBlocks) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { raster.setSample(bx + x, by + y, 0, bytes(i) & 0xff); x += 1 }
+        y += 1
+      }
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    try writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** x164: the JPEG sibling of x111 — the SAME JDK decoder
+    * (`decodeImage` already dispatches any javax.imageio-readable
+    * format), now exercised through a REAL lossy codec: Huffman decode,
+    * dequantization, inverse DCT. The flat-block geometry
+    * (`encodeGrayJpeg`) makes the lossy path exactly invertible, so the
+    * decoded pixel sum equals 64x the byte sum DuckDB computes with no
+    * codec on its side — the x111 hash-gate carried over to a
+    * DCT-compressed container. One iterator-to-iterator pass, bytes
+    * never leave the partition.
+    */
+  def jpegDecodeStats(s: SparkSession, dir: String, wBlocks: Int = 16): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // the image slice
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val st = decodeImage(encodeGrayJpeg(bytes, wBlocks)).getOrElse(
+          throw new IllegalStateException(s"JDK JPEG decoder failed on media $id"))
+        (id, st.width.toLong, st.height.toLong, st.nPixels, st.pixelSum,
+          st.pixelMax.toLong)
+      })
+      .toDF("media_id", "width", "height", "n_pixels", "pixel_sum", "pixel_max")
+      .orderBy(col("media_id"))
+  }
+
   /** x111: a REAL codec in the hot path, oracle-gated end-to-end. Each
     * image-slice document's bytes become the pixels of a genuine
     * grayscale PNG (`encodeGrayPng`), which the JDK's real PNG decoder
@@ -608,6 +676,7 @@ object Multimodal {
     "x119_video_decode" -> ((s: SparkSession, dir: String) => videoDecodeStats(s, dir)),
     "x115_audio_decode" -> ((s: SparkSession, dir: String) => audioDecodeStats(s, dir)),
     "x111_image_decode" -> ((s: SparkSession, dir: String) => imageDecodeStats(s, dir)),
+    "x164_jpeg_decode" -> ((s: SparkSession, dir: String) => jpegDecodeStats(s, dir)),
     "x106_frame_overlap" -> ((s: SparkSession, dir: String) => frameOverlap(s, dir)),
     "x66_media_dedup" -> (mediaDedup _),
     "x30_media_features" -> ((s: SparkSession, dir: String) =>
@@ -678,6 +747,27 @@ object Multimodal {
         |  CAST(min(v) AS BIGINT) AS sample_min,
         |  CAST(max(v) AS BIGINT) AS sample_max
         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // x164: the flat-block JPEG round-trip is exact (quality-1.0 all-ones
+    // quant tables + constant blocks), so every pixel stat is byte
+    // arithmetic: 16 blocks of 8x8 per row => width 128, one 8-pixel-tall
+    // block row per 16 bytes, sum scales by 64, max is the byte max
+    // (padding blocks are zero).
+    "x164_jpeg_decode" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (
+        |  SELECT t.media_id, t.n,
+        |    CAST(sum(ord(substr(t.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS bsum,
+        |    CAST(max(ord(substr(t.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS bmax
+        |  FROM img t,
+        |       LATERAL (SELECT unnest(generate_series(1, t.n)) AS i)
+        |  GROUP BY t.media_id, t.n)
+        |SELECT media_id, CAST(128 AS BIGINT) AS width,
+        |  greatest(1, (n + 15) // 16) * 8 AS height,
+        |  greatest(1, (n + 15) // 16) * 1024 AS n_pixels,
+        |  bsum * 64 AS pixel_sum, bmax AS pixel_max
+        |FROM b ORDER BY media_id""".stripMargin,
     "x111_image_decode" ->
       """WITH img AS (
         |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n

@@ -88,6 +88,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("flat-block JPEG round-trip is exact for every byte value") {
+    // the x164 exactness law: quality-1.0 quant tables are all ones and
+    // constant blocks are DC-only, so the LOSSY codec inverts exactly —
+    // checked for all 256 values, not a sample
+    val allv = Array.tabulate(256)(_.toByte)
+    val enc = Multimodal.encodeGrayJpeg(allv, 16)
+    val st = Multimodal.decodeImage(enc).get
+    assert(st.width == 128 && st.height == 128)
+    assert(st.pixelSum == allv.map(_ & 0xff).map(_.toLong).sum * 64,
+      "decoded sum must be exactly 64x the byte sum")
+    assert(st.pixelMax == 255)
+    // per-pixel, not just the sum: every block uniform at its byte value
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    val r = img.getRaster
+    for (i <- 0 until 256; y <- 0 until 8; x <- 0 until 8)
+      assert(r.getSample((i % 16) * 8 + x, (i / 16) * 8 + y, 0) == i,
+        s"block $i pixel ($x,$y)")
+    // encoder byte-determinism (the fixture the oracle arithmetic pins)
+    assert(java.util.Arrays.equals(enc, Multimodal.encodeGrayJpeg(allv, 16)))
+  }
+
+  test("x164 JPEG stats equal the byte arithmetic the oracle runs, incl. padding") {
+    // an odd tail forces zero-padding blocks: sum unchanged, geometry grows
+    val bytes = Array.tabulate(37)(i => (i * 7 % 256).toByte)
+    val st = Multimodal.decodeImage(Multimodal.encodeGrayJpeg(bytes, 16)).get
+    assert(st.width == 128 && st.height == 3 * 8 && st.nPixels == 3 * 1024L)
+    assert(st.pixelSum == bytes.map(_ & 0xff).map(_.toLong).sum * 64)
+    val rows = Multimodal.jpegDecodeStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.engine.Tables(spark, Sf, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val bs = texts(r.getLong(0)).getBytes("UTF-8").map(_ & 0xff)
+      assert(r.getLong(1) == 128)
+      assert(r.getLong(2) == math.max(1, (bs.length + 15) / 16) * 8L)
+      assert(r.getLong(4) == bs.map(_.toLong).sum * 64, s"pixel_sum of ${r.getLong(0)}")
+      assert(r.getLong(5) == bs.max.toLong, s"pixel_max of ${r.getLong(0)}")
+    }
+  }
+
   test("real WAV parser: PCM-16LE round-trip recovers exact sample values") {
     // includes a negative sample (0x8001 = -32767), the max-ish positive
     // (0x7fff = 32767), and an ODD byte count so the pad path runs
