@@ -626,8 +626,17 @@ object Clustering {
     })
 
   private def ivfpqModelPlan(s: SparkSession, dir: String, kCoarse: Int,
-      numQueries: Int): (DataFrame, DataFrame, DataFrame) = {
-    val (assigned0, cents) = lloyd(s, dir, kCoarse, 2)
+      numQueries: Int): (DataFrame, DataFrame, DataFrame) =
+    ivfpqModelFor(qvecs(s, dir), kCoarse, numQueries)
+
+  /** The x145 trainer over an EXPLICIT grid corpus (vec_id, qa) — the
+    * streaming serving lane trains on the standing base and freezes the
+    * result. Identical arithmetic to the full-corpus model: Lloyd
+    * cells, residual codebook, codes for vec_id >= numQueries.
+    */
+  def ivfpqModelFor(pts: DataFrame, kCoarse: Int = 8,
+      numQueries: Int = 3): (DataFrame, DataFrame, DataFrame) = {
+    val (assigned0, cents) = lloydOn(pts, kCoarse, 2)
     // every point is assigned to its nearest centroid IN `cents`, so the
     // residual against that same centroid is the well-posed IVFADC one
     val assigned = assigned0.localCheckpoint(true)
@@ -635,13 +644,75 @@ object Clustering {
       .select(col("vec_id"),
         zip_with(col("qa"), col("ca"), (x, y) => x - y).as("qa"))
     val rsdims = toSubDims(resid, 8)
-    val book = trainBook(rsdims, t(s, dir, "embeddings").select(col("vec_id")),
-      "ivfpq:", 16)
+    val book = trainBook(rsdims, pts.select(col("vec_id")), "ivfpq:", 16)
     val codes = pqEncode(rsdims, book).filter(col("vec_id") >= numQueries)
       .select(col("vec_id"), col("sub"), col("code"))
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
     (cents, book, codes)
   }
+
+  /** An (vec_id, embedding) frame on the lane's canonical 2^-20 grid —
+    * the public quantization for the streaming serving module (arrival
+    * batches must land on the EXACT grid the index was trained on).
+    */
+  def gridVecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qa"))
+
+  /** Frozen-index arrival encoding — the streaming serving lane's core:
+    * nearest frozen centroid (one broadcast pass — no retrain), residual
+    * against it, 4-bit codes from the FROZEN book. Pure function of
+    * (arrivals, index), so batch-by-batch encoding trivially equals
+    * one-shot encoding of the union — the invariant the spec gates.
+    */
+  def ivfpqEncodeWith(arrivals: DataFrame, cents: DataFrame,
+      book: DataFrame): DataFrame = {
+    val asg = assign(arrivals, cents)
+    val resid = asg.join(broadcast(cents), Seq("cluster"))
+      .select(col("vec_id"),
+        zip_with(col("qa"), col("ca"), (x, y) => x - y).as("qa"))
+    pqEncode(toSubDims(resid, 8), book)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(asg.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+  }
+
+  /** Snapshot-served IVFADC ranking from explicit index frames — the
+    * public form of the x145/x157 serving pass (queries are the first
+    * `numQueries` vectors of `dir`'s embeddings, as everywhere in the
+    * lane).
+    */
+  def ivfpqTopkWith(s: SparkSession, dir: String, cents: DataFrame,
+      book: DataFrame, codes: DataFrame, nprobe: Int = 2,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val adc = ivfpqServe(s, dir, cents, book, codes, nprobe, numQueries)
+      .select(col("query_id"), col("vec_id"), col("cluster"), col("adc_dist"))
+    topkAsc(adc, "adc_dist", k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cluster"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The x150 drift gate as an exact-integer decision: are the arrivals'
+    * frozen-assignment distances worse ON AVERAGE than the base's by
+    * more than factorNum/factorDen? Cross-multiplied in BigInt on the
+    * two 1-row aggregates — no float ratio whose rounding could flip a
+    * refresh. Empty sides never trigger.
+    */
+  def assignmentDrifted(base: DataFrame, arrivals: DataFrame, cents: DataFrame,
+      factorNum: Long = 2L, factorDen: Long = 1L): Boolean = {
+    val b = assign(base, cents).agg(sum(col("dist")), count(lit(1))).head()
+    val a = assign(arrivals, cents).agg(sum(col("dist")), count(lit(1))).head()
+    if (a.isNullAt(0) || b.isNullAt(0) || a.getLong(1) == 0L || b.getLong(1) == 0L) false
+    else BigInt(a.getLong(0)) * b.getLong(1) * factorDen >
+      BigInt(b.getLong(0)) * a.getLong(1) * factorNum
+  }
+
+  /** One warm Lloyd round over an explicit corpus against frozen
+    * centroids (the x158 core): assign, floor-div recompute.
+    */
+  def warmCentroids(pts: DataFrame, cents: DataFrame): DataFrame =
+    recompute(assign(pts, cents))
 
   /** The IVFADC serving pass over a (possibly reloaded) index: probe
     * ranking, per-cell ADC tables, probed-list scoring. Pure function
