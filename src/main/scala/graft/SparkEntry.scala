@@ -27,7 +27,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.SuffixDedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
-      ext.Clustering.queries ++
+      ext.Clustering.queries ++ ext.UnigramLm.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
       streaming.TrendingTokens.queries
@@ -44,7 +44,7 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.SuffixDedup.oracles ++
       ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
-      ext.Clustering.oracles ++
+      ext.Clustering.oracles ++ ext.UnigramLm.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
       streaming.TrendingTokens.oracles
