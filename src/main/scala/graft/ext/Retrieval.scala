@@ -176,6 +176,185 @@ object Retrieval {
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25TopkFromIndex(fullIndex(s, dir), queryTerms(s, dir, numQueries), k, k1, b)
 
+  // ---------------------------------------------------------------------
+  // MaxScore pruned evaluation (x168/x169)
+  // ---------------------------------------------------------------------
+
+  /** Per-term score upper bound ub(t) = max over the term's posting list
+    * of the Okapi contribution — the impact metadata a disk-resident
+    * index stores next to each posting list (Turtle & Flood 1995; the
+    * whole-list bound of Broder et al.'s WAND, CIKM'03). One aggregate
+    * pass over `tf` at index-build time, amortized across every query
+    * the index ever serves — cached per (session, dataset) exactly like
+    * the index itself.
+    */
+  def termBounds(ix: Bm25Index, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    ix.tf.join(ix.df, Seq("term")).join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .groupBy(col("term")).agg(max(okapiTsc(k1, b)).as("ub"))
+
+  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def fullBounds(s: SparkSession, dir: String): DataFrame =
+    boundsCache.computeIfAbsent((s, dir), _ =>
+      termBounds(fullIndex(s, dir)).localCheckpoint(true))
+
+  /** MaxScore evaluation core (Turtle & Flood 1995): returns the pruned
+    * top-k ranking — PROVABLY identical to [[bm25TopkFromIndex]] — plus
+    * the per-query pruning audit. The steps, with the exactness argument:
+    *
+    *  1. Threshold seeding: take the documents hit by each query's
+    *     `seedTerms` RAREST terms (smallest df — the cheapest posting
+    *     lists) and score them FULLY. The k-th largest of those true
+    *     scores θ is a lower bound on the global k-th best (order
+    *     statistics over a subset are dominated by those over the whole
+    *     set; fewer than k seed hits → θ = 0, no pruning, still exact).
+    *     Full-scoring the seed pool costs one candidate pass bounded by
+    *     the rare terms' postings — and buys a θ near the true k-th
+    *     score, because high-idf terms dominate the winners' scores.
+    *  2. Partition: sort the query's terms by (ub asc, term); the
+    *     maximal prefix P with Σ ub < θ (strict) is non-essential. Any
+    *     document matching ONLY P-terms scores <= Σ_P ub < θ <= k-th
+    *     true score, so it can neither enter the top k nor displace a
+    *     tie (ties break by doc_id AFTER score, and its score is
+    *     STRICTLY below). ub > 0 makes the running sum strictly
+    *     increasing, so {cum < θ} is automatically a prefix, and the
+    *     last term is always essential (its cum bounds the θ-achieving
+    *     document's score from above).
+    *  3. Candidates = documents with at least one essential-term
+    *     posting; score them FULLY (all query terms) through the exact
+    *     x123 pipeline — same expression tree, same pinned ascending
+    *     fold — then the two-phase top-k.
+    *
+    * The 100 TB shape: the corpus-sized joins touch only the seed
+    * postings (rarest terms — the shortest lists), the essential-term
+    * postings, and the candidates' own rows. A stopword in the query no
+    * longer drags its billion-entry posting list through the scoring
+    * join unless the threshold genuinely requires it — the x169 audit
+    * measures exactly how many posting entries the partition excused.
+    *
+    * Determinism: the prefix's running sums fold over an array sorted
+    * by (ub, term) via `aggregate(slice(...))` — the same sequential
+    * left fold the DuckDB twin spells with `list_reduce(list_slice)` —
+    * and every score sum is the pinned x123 fold.
+    */
+  def maxscoreFromIndex(ix: Bm25Index, bounds: DataFrame, qterms: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      seedTerms: Int = 3): (DataFrame, DataFrame) = {
+    val qt = qterms.join(ix.df, Seq("term")).join(bounds, Seq("term"))
+      .select(col("query_id"), col("term"), col("df"), col("ub"))
+      .localCheckpoint(true) // queries × query-vocab: tiny by definition
+    val seedWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val seed = qt.withColumn("srn", row_number().over(seedWin))
+      .filter(col("srn") <= seedTerms).select(col("query_id"), col("term"))
+    val seedCand = ix.tf.join(broadcast(seed), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .localCheckpoint(true) // bounded by the rare terms' postings
+    val partial = ix.tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(seedCand, Seq("query_id", "doc_id"), "left_semi")
+      .join(ix.df, Seq("term")).join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), okapiTsc(k1, b).as("tsc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+        .as("pscore"))
+    val thetaRows = topkPerQuery(partial, "pscore", k)
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("pscore").as("theta"))
+    val theta = qt.select(col("query_id")).distinct()
+      .join(thetaRows, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("theta"), lit(0.0)).as("theta"))
+    // ascending-(ub, term) term array per query; the non-essential count
+    // is the length of the strict-< prefix of its running-ub-sum array
+    val qarr = qt.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("ub"), col("term")))).as("terms"))
+      .join(broadcast(theta), Seq("query_id"))
+      .withColumn("noness", size(filter(
+        transform(sequence(lit(1), size(col("terms"))),
+          i => aggregate(slice(col("terms"), lit(1), i), lit(0.0),
+            (a, v) => a + v.getField("ub"))),
+        c => c < col("theta"))))
+      .localCheckpoint(true)
+    val essential = qarr
+      .select(col("query_id"),
+        explode(slice(col("terms"), col("noness") + 1,
+          size(col("terms")) - col("noness"))).as("t"))
+      .select(col("query_id"), col("t").getField("term").as("term"))
+    val cand = ix.tf.join(broadcast(essential), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val scoredPairs = ix.tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(cand, Seq("query_id", "doc_id"), "left_semi")
+      .join(ix.df, Seq("term")).join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), okapiTsc(k1, b).as("tsc"))
+    val perDoc = scoredPairs.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(array_sort(collect_list(col("tsc"))), lit(0.0), (a, v) => a + v)
+          .as("score"))
+    val result = topkPerQuery(perDoc, "score", k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    // audit: how much work the partition excused, per query
+    val perQueryTerms = qt.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("postings_total"))
+    val seedCounts = seed.groupBy(col("query_id")).agg(count(lit(1)).as("n_seed"))
+    val seedDocCounts = seedCand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_seed_docs"))
+    val essAgg = essential.join(ix.df, Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_essential"), sum(col("df")).as("postings_essential"))
+    val candCounts = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    val pairCounts = scoredPairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_scored_pairs"))
+    val stats = perQueryTerms
+      .join(seedCounts, Seq("query_id"))
+      .join(seedDocCounts, Seq("query_id"))
+      .join(broadcast(theta), Seq("query_id"))
+      .join(essAgg, Seq("query_id"))
+      .join(candCounts, Seq("query_id"))
+      .join(pairCounts, Seq("query_id"))
+      .select(col("query_id"), col("n_terms"), col("n_seed"), col("n_seed_docs"),
+        col("theta"), col("n_essential"), col("postings_total"),
+        col("postings_essential"), col("n_candidates"), col("n_scored_pairs"))
+      .orderBy(col("query_id"))
+    (result, stats)
+  }
+
+  /** x168/x169 share one evaluation per (session, dataset); both outputs
+    * are a handful of rows, materialized once (the ivfpqModelCache
+    * discipline).
+    */
+  private val msCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def maxscoreCached(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    msCache.computeIfAbsent((s, dir), _ => {
+      val (res, st) = maxscoreFromIndex(fullIndex(s, dir), fullBounds(s, dir),
+        queryTerms(s, dir, 3), 10)
+      (res.localCheckpoint(true), st.localCheckpoint(true))
+    })
+
+  /** x168: MaxScore-pruned BM25 top-k. The oracle is x123's full-scoring
+    * SQL VERBATIM — the gate proves the pruned evaluation returns the
+    * exact full ranking, which is the entire point of a safe-pruning
+    * algorithm.
+    */
+  def maxscoreTopk(s: SparkSession, dir: String): DataFrame = maxscoreCached(s, dir)._1
+
+  /** x169: the MaxScore pruning audit — θ, the essential/non-essential
+    * term split, and the posting-entry counts the partition excused,
+    * per query. Gated against a DuckDB twin that recomputes the whole
+    * partition arithmetic independently.
+    */
+  def maxscoreStats(s: SparkSession, dir: String): DataFrame = maxscoreCached(s, dir)._2
+
   /** The lexical leg for fusion: BM25 ranking to a candidate pool of
     * `poolK` per query.
     */
@@ -420,7 +599,9 @@ object Retrieval {
     "x123_bm25_topk" -> ((s: SparkSession, dir: String) => bm25Topk(s, dir)),
     "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)),
     "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)),
-    "x129_mmr_rerank" -> ((s: SparkSession, dir: String) => mmrRerank(s, dir)))
+    "x129_mmr_rerank" -> ((s: SparkSession, dir: String) => mmrRerank(s, dir)),
+    "x168_maxscore_topk" -> ((s: SparkSession, dir: String) => maxscoreTopk(s, dir)),
+    "x169_maxscore_stats" -> ((s: SparkSession, dir: String) => maxscoreStats(s, dir)))
 
   /** x129's DuckDB twin: greedy MMR UNROLLED — step 1 is the plain
     * relevance argmax, and each later step is a generated CTE computing
@@ -510,7 +691,128 @@ object Retrieval {
       |    list_reduce(list_prepend(0.0, list(tsc ORDER BY tsc)), (a, v) -> a + v) AS score
       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
 
+  /** The full-scoring ranked top-k SQL — x123's gate, x128's (the merge
+    * must equal the rebuild) and x168's (the pruned evaluation must
+    * equal the full one): one text, three invariants.
+    */
+  private val FullTopkOracle: String =
+    s"""WITH $Bm25Cte,
+       |ranked AS (
+       |  SELECT query_id, doc_id, n_hit_terms, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM perdoc)
+       |SELECT query_id, doc_id, n_hit_terms, score, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The Okapi per-(doc, term) contribution text the x169 twin re-uses
+    * for the upper-bound and seed-partial CTEs — identical to the
+    * expression inside [[Bm25Cte]]'s `scored`.
+    */
+  private def okapiSql(tf: String, df: String, dl: String): String =
+    s"""(CAST(n_docs AS DOUBLE) - CAST($df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / (CAST($df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      * (CAST($tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |      / (CAST($tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST($dl AS DOUBLE)
+       |            / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+
+  /** x169's twin: the ENTIRE MaxScore partition recomputed in SQL — ub
+    * per term, the rarest-3 seed pool fully scored with the pinned
+    * ascending fold, θ as its 10th-best score (0 when absent), the
+    * (ub asc, term) running-sum prefix via the same sequential
+    * list-fold, and the candidate/pair counts. Every double travels the
+    * identical expression tree; counts are integers.
+    */
+  private val MaxscoreStatsOracle: String =
+    s"""WITH $Bm25Cte,
+       |ub AS (
+       |  SELECT tf.term, max(${okapiSql("tf.tf", "df.df", "dl.dl")}) AS ub
+       |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats GROUP BY tf.term),
+       |qt AS (
+       |  SELECT q.query_id, q.term, df.df, ub.ub
+       |  FROM qterms q JOIN df USING (term) JOIN ub USING (term)),
+       |seed AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY df ASC, term ASC) AS srn
+       |    FROM qt) WHERE srn <= 3),
+       |seedcand AS (
+       |  SELECT DISTINCT sd.query_id, tf.doc_id
+       |  FROM tf JOIN seed sd ON sd.term = tf.term
+       |  WHERE tf.doc_id <> sd.query_id),
+       |pscored AS (
+       |  SELECT q.query_id, tf.doc_id, ${okapiSql("tf.tf", "df.df", "dl.dl")} AS tsc
+       |  FROM tf JOIN qterms q ON q.term = tf.term
+       |  JOIN seedcand c ON c.query_id = q.query_id AND c.doc_id = tf.doc_id
+       |  JOIN df ON df.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id <> q.query_id),
+       |partial AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(0.0, list(tsc ORDER BY tsc)), (a, v) -> a + v) AS pscore
+       |  FROM pscored GROUP BY query_id, doc_id),
+       |th AS (
+       |  SELECT query_id, pscore AS theta FROM (
+       |    SELECT query_id, pscore,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY pscore DESC, doc_id) AS rn
+       |    FROM partial) WHERE rn = 10),
+       |thq AS (
+       |  SELECT q.query_id, coalesce(th.theta, CAST(0 AS DOUBLE)) AS theta
+       |  FROM (SELECT DISTINCT query_id FROM qt) q LEFT JOIN th USING (query_id)),
+       |qarr AS (
+       |  SELECT qt.query_id, thq.theta,
+       |    list(struct_pack(ub := qt.ub, term := qt.term) ORDER BY qt.ub, qt.term) AS terms
+       |  FROM qt JOIN thq USING (query_id)
+       |  GROUP BY qt.query_id, thq.theta),
+       |parted AS (
+       |  SELECT query_id, theta, terms,
+       |    len(list_filter(
+       |      list_transform(generate_series(1, len(terms)),
+       |        i -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               list_transform(list_slice(terms, 1, i), x -> x.ub)),
+       |             (a, v) -> a + v)),
+       |      c -> c < theta)) AS noness
+       |  FROM qarr),
+       |ess AS (
+       |  SELECT query_id,
+       |    unnest(list_transform(list_slice(terms, noness + 1, len(terms)),
+       |      x -> x.term)) AS term
+       |  FROM parted),
+       |cand AS (
+       |  SELECT DISTINCT e.query_id, tf.doc_id
+       |  FROM tf JOIN ess e ON e.term = tf.term
+       |  WHERE tf.doc_id <> e.query_id),
+       |spairs AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term
+       |  FROM tf JOIN qterms q ON q.term = tf.term
+       |  JOIN cand c ON c.query_id = q.query_id AND c.doc_id = tf.doc_id
+       |  WHERE tf.doc_id <> q.query_id),
+       |pq AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(df) AS BIGINT) AS postings_total
+       |  FROM qt GROUP BY query_id),
+       |sc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_seed FROM seed GROUP BY query_id),
+       |sdc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_seed_docs FROM seedcand GROUP BY query_id),
+       |ea AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_essential,
+       |    CAST(sum(df.df) AS BIGINT) AS postings_essential
+       |  FROM ess e JOIN df ON df.term = e.term GROUP BY e.query_id),
+       |cc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY query_id),
+       |pc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_scored_pairs FROM spairs GROUP BY query_id)
+       |SELECT pq.query_id, n_terms, n_seed, n_seed_docs, theta, n_essential,
+       |  postings_total, postings_essential, n_candidates, n_scored_pairs
+       |FROM pq JOIN sc USING (query_id) JOIN sdc USING (query_id)
+       |JOIN thq USING (query_id)
+       |JOIN ea USING (query_id) JOIN cc USING (query_id) JOIN pc USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // x168: FullTopkOracle — the pruned evaluation must return the full
+    // ranking bit for bit; x169: the partition arithmetic itself.
+    "x168_maxscore_topk" -> FullTopkOracle,
+    "x169_maxscore_stats" -> MaxscoreStatsOracle,
     // x143: the Bm25Cte base ranking feeds the feedback top-5, the
     // anti-joined tf/dl relevance-model weights, the top-5 expansion
     // terms at 0.4, and the weighted re-score (identical Okapi text,
@@ -581,23 +883,9 @@ object Retrieval {
          |  h.first_hit_rank
          |FROM hits h JOIN cs ON cs.label = h.qlabel ORDER BY query_id""".stripMargin,
     "x129_mmr_rerank" -> mmrOracle(3, 20, 5),
-    "x123_bm25_topk" ->
-      s"""WITH $Bm25Cte,
-         |ranked AS (
-         |  SELECT query_id, doc_id, n_hit_terms, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-         |  FROM perdoc)
-         |SELECT query_id, doc_id, n_hit_terms, score, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x123_bm25_topk" -> FullTopkOracle,
     // x128's oracle IS the full rebuild: merge-equals-rebuild is the gate.
-    "x128_incr_bm25" ->
-      s"""WITH $Bm25Cte,
-         |ranked AS (
-         |  SELECT query_id, doc_id, n_hit_terms, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-         |  FROM perdoc)
-         |SELECT query_id, doc_id, n_hit_terms, score, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x128_incr_bm25" -> FullTopkOracle,
     "x124_hybrid_rrf" ->
       s"""WITH $Bm25Cte,
          |lex AS (

@@ -206,7 +206,119 @@ object Sketches {
       .orderBy(col("i"))
   }
 
+  // -------------------------------------------------------------------
+  // x171: KMV (bottom-k) sketch set algebra for cross-source overlap
+  // -------------------------------------------------------------------
+
+  /** Per-(source, pair) KMV set algebra over pre-hashed elements
+    * (source, h): per-source bottom-k sketches (two-phase: partition-
+    * local k-smallest prune, then the global rank — no all-elements
+    * single-reducer sort), then for every source pair the classic KMV
+    * estimators (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07):
+    *
+    *   - union sketch = bottom-k of the two sketches' union (a k-sized
+    *     merge — sketch algebra never touches the corpus again);
+    *   - `est_union` = (k-1)·2^60/τ with τ the k-th smallest (the
+    *     unbiased KMV cardinality estimator over the 60-bit md5 hash
+    *     space), degraded to the EXACT count when the union sketch
+    *     holds fewer than k elements (the sketch then IS the set);
+    *   - ρ = union-sketch members present in BOTH sketches (exact for
+    *     bottom-k members: x ∈ K(A∪B) ∧ x ∈ A ⇒ x ∈ K_A, since x
+    *     ranks ≤ k in any containing set);
+    *   - `est_jaccard` = ρ/|K(A∪B)|, `est_intersection` = est_jaccard ·
+    *     est_union.
+    *
+    * The exact union/intersection legs ride along as the audit anchors
+    * (the q81 discipline: the expensive truth the sketch replaces,
+    * affordable at gate scale). Everything is deterministic — the md5
+    * tokenHash is the cross-engine 60-bit integer — so the whole row
+    * hash-gates, estimates included.
+    *
+    * 100 TB shape: one pass builds all per-source sketches (k longs per
+    * source in the aggregate state); pair algebra is O(pairs·k) on
+    * broadcast-sized frames. Cross-source content overlap without ever
+    * joining corpora.
+    */
+  def bottomkPairs(el: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val localW = Window.partitionBy(col("source"), col("part")).orderBy(col("h").asc)
+    val globalW = Window.partitionBy(col("source")).orderBy(col("h").asc)
+    val sk = el.withColumn("part", spark_partition_id())
+      .withColumn("lrank", row_number().over(localW)).filter(col("lrank") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+      .localCheckpoint(true) // k rows per source: the published sketches
+    val nExact = el.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val srcs = sk.select(col("source")).distinct()
+    val prs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val ua = prs.join(sk, col("source") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"))
+    val ub = prs.join(sk, col("source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("h"))
+    val u = ua.unionByName(ub).distinct()
+    val unionW = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("h").asc)
+    // ≤ 2k rows per pair by construction — the window is sketch-sized
+    val kk = u.withColumn("rn", row_number().over(unionW)).filter(col("rn") <= k)
+      .select(col("source_a"), col("source_b"), col("h"))
+    val skA = sk.select(col("source").as("source_a"), col("h"), lit(1).as("in_a"))
+    val skB = sk.select(col("source").as("source_b"), col("h"), lit(1).as("in_b"))
+    val mem = kk.join(skA, Seq("source_a", "h"), "left")
+      .join(skB, Seq("source_b", "h"), "left")
+    val agg = mem.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_union_sketch"), max(col("h")).as("tau_union"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+          .as("rho"))
+    val exi = el.select(col("source").as("source_a"), col("h"))
+      .join(el.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    val base = prs
+      .join(nExact.select(col("source").as("source_a"), col("n_exact").as("n_a")),
+        Seq("source_a"))
+      .join(nExact.select(col("source").as("source_b"), col("n_exact").as("n_b")),
+        Seq("source_b"))
+      .join(agg, Seq("source_a", "source_b"))
+      .join(exi, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_intersection",
+        coalesce(col("exact_intersection"), lit(0L)))
+      .withColumn("est_union",
+        when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+            / col("tau_union").cast("double")))
+      .withColumn("est_jaccard",
+        col("rho").cast("double") / col("n_union_sketch").cast("double"))
+    base.select(col("source_a"), col("source_b"), lit(k).as("k"),
+      col("n_a"), col("n_b"), col("n_union_sketch"), col("tau_union"), col("rho"),
+      col("est_union"), col("est_jaccard"),
+      (col("est_jaccard") * col("est_union")).as("est_intersection"),
+      (col("n_a") + col("n_b") - col("exact_intersection")).as("exact_union"),
+      col("exact_intersection"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** x171: cross-source 3-gram-content overlap via KMV sketches over the
+    * first `numSources` document sources — elements are the distinct
+    * (source, md5-60-bit shingle hash) pairs.
+    */
+  def bottomkOverlap(s: SparkSession, dir: String, numSources: Int = 6,
+      k: Int = 128): DataFrame = {
+    val srcs = (0 until numSources).map("src" + _)
+    val el = Tables(s, dir, "documents")
+      .filter(col("source").isin(srcs: _*))
+      .select(col("source"),
+        explode(graft.ext.Dedup.wordShingles(
+          graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
+      .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
+      .distinct()
+    bottomkPairs(el, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x171_bottomk_overlap" -> ((s: SparkSession, dir: String) => bottomkOverlap(s, dir)),
     "q29_sketches" -> (eventSketches _),
     "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHittersGated(s, dir)),
     "q49_exact_percentiles" -> (exactPercentiles _),
@@ -220,6 +332,71 @@ object Sketches {
     * q49 is exact by construction and fully oracle-gated.
     */
   val oracles: Map[String, String] = Map(
+    // x171: the full KMV algebra recomputed — same 60-bit md5 element
+    // hash, same bottom-k ranks, same τ/ρ estimators, same exact anchors.
+    "x171_bottomk_overlap" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3','src4','src5'))
+        |  WHERE len(w) >= 3),
+        |el AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(sh) AS g FROM d)),
+        |nexact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM el GROUP BY source),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |    FROM el) WHERE rn <= 128),
+        |prs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        |u AS (
+        |  SELECT DISTINCT p.source_a, p.source_b, s.h
+        |  FROM prs p JOIN sk s ON s.source = p.source_a OR s.source = p.source_b),
+        |kk AS (
+        |  SELECT source_a, source_b, h FROM (
+        |    SELECT source_a, source_b, h,
+        |      row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rn
+        |    FROM u) WHERE rn <= 128),
+        |mem AS (
+        |  SELECT k.source_a, k.source_b, k.h,
+        |    (EXISTS(SELECT 1 FROM sk sa WHERE sa.source = k.source_a AND sa.h = k.h)
+        |     AND EXISTS(SELECT 1 FROM sk sb WHERE sb.source = k.source_b AND sb.h = k.h))
+        |      AS in_both
+        |  FROM kk k),
+        |agg AS (
+        |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+        |    max(h) AS tau_union,
+        |    CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS rho
+        |  FROM mem GROUP BY source_a, source_b),
+        |exi AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS exact_intersection
+        |  FROM el a JOIN el b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |base AS (
+        |  SELECT p.source_a, p.source_b, na.n_exact AS n_a, nb.n_exact AS n_b,
+        |    g.n_union_sketch, g.tau_union, g.rho,
+        |    coalesce(e.exact_intersection, CAST(0 AS BIGINT)) AS exact_intersection,
+        |    CASE WHEN g.n_union_sketch < 128 THEN CAST(g.n_union_sketch AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |              / CAST(g.tau_union AS DOUBLE) END AS est_union,
+        |    CAST(g.rho AS DOUBLE) / CAST(g.n_union_sketch AS DOUBLE) AS est_jaccard
+        |  FROM prs p
+        |  JOIN nexact na ON na.source = p.source_a
+        |  JOIN nexact nb ON nb.source = p.source_b
+        |  JOIN agg g ON g.source_a = p.source_a AND g.source_b = p.source_b
+        |  LEFT JOIN exi e ON e.source_a = p.source_a AND e.source_b = p.source_b)
+        |SELECT source_a, source_b, CAST(128 AS INT) AS k, n_a, n_b,
+        |  n_union_sketch, tau_union, rho, est_union, est_jaccard,
+        |  est_jaccard * est_union AS est_intersection,
+        |  n_a + n_b - exact_intersection AS exact_union, exact_intersection
+        |FROM base ORDER BY source_a, source_b""".stripMargin,
     "q41_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

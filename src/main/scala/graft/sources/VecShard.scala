@@ -12,7 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -141,6 +143,12 @@ object VecShard {
          LessThanOrEqual("vec_id", _: Long) => true
     case _ => false
   }
+
+  /** Which sidecar statistic answers a pushed aggregate column. */
+  private[sources] sealed trait AggTag extends Serializable
+  private[sources] case object AggCount extends AggTag
+  private[sources] case object AggMin extends AggTag
+  private[sources] case object AggMax extends AggTag
 }
 
 private[sources] class VecShardTable(path: String) extends Table
@@ -159,9 +167,11 @@ private[sources] class VecShardTable(path: String) extends Table
 }
 
 private[sources] class VecShardScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = VecShard.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggTags: Option[Seq[VecShard.AggTag]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(VecShard.supported)
@@ -170,8 +180,41 @@ private[sources] class VecShardScanBuilder(path: String) extends ScanBuilder
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`, partial mode):
+    * COUNT(*)/COUNT(vec_id)/MIN(vec_id)/MAX(vec_id) with no GROUP BY are
+    * answered from the sidecar footers alone — one partial row per
+    * shard, ZERO data-file opens (the parquet row-group-statistics
+    * aggregate shortcut, on our own format). Spark plans the final
+    * combine on top (count → sum of partials, min/max → min/max), so
+    * correctness never rests on a single shard. Anything else — a
+    * grouped aggregate, DISTINCT, an embedding aggregate, or any pushed
+    * id filter (the footer cannot count a filtered subset) — declines,
+    * and the scan falls back to the row path.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def isVecId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("vec_id"))
+        case _ => false
+      }
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(VecShard.AggCount)
+      case c: Count if !c.isDistinct && isVecId(c.column) => Some(VecShard.AggCount)
+      case m: Min if isVecId(m.column) => Some(VecShard.AggMin)
+      case m: Max if isVecId(m.column) => Some(VecShard.AggMax)
+      case _ => None
+    }
+    if (tags.exists(_.isEmpty)) false
+    else { aggTags = Some(tags.map(_.get)); true }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new VecShardScan(path, required, pushed)
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new VecShardAggScan(path, tags)
+    case None => new VecShardScan(path, required, pushed)
+  }
 }
 
 private[sources] class VecShardScan(path: String, required: StructType,
@@ -195,6 +238,53 @@ private[sources] class VecShardScan(path: String, required: StructType,
 
 private[sources] final case class VecShardPartition(file: String, count: Int,
     dim: Int, lo: Long, hi: Long) extends InputPartition
+
+/** The pushed-aggregate scan: one input partition PER SHARD carrying the
+  * sidecar statistics, a reader that never opens a data file. Planning
+  * reads only the `.meta` footers; the emitted rows are the PARTIAL
+  * aggregates Spark's final combine folds — so a directory of a million
+  * shards answers COUNT/MIN/MAX from a million sidecar lines, in
+  * parallel, touching zero vector bytes.
+  */
+private[sources] class VecShardAggScan(path: String, tags: Seq[VecShard.AggTag])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(tags.zipWithIndex.map {
+    case (t, i) => StructField(s"agg_$i" + (t match {
+      case VecShard.AggCount => "_count"
+      case VecShard.AggMin => "_min"
+      case VecShard.AggMax => "_max"
+    }), LongType, nullable = false)
+  })
+  override def description(): String =
+    s"VecShardAggScan path=$path, PushedAggregation: [${tags.mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    VecShard.listShards(path)
+      .map(m => VecShardAggPartition(m.count, m.minId, m.maxId): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VecShardAggReaderFactory(tags)
+}
+
+private[sources] final case class VecShardAggPartition(count: Int, minId: Long,
+    maxId: Long) extends InputPartition
+
+private[sources] class VecShardAggReaderFactory(tags: Seq[VecShard.AggTag])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VecShardAggPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(tags.map {
+        case VecShard.AggCount => p.count.toLong
+        case VecShard.AggMin => p.minId
+        case VecShard.AggMax => p.maxId
+      }.toArray[Any])
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** The DSv2 write path: tasks stream records to invisible `.tmp` files
   * and report (file, count, dim, min, max) upward; the driver-side

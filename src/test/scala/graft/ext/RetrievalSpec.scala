@@ -108,6 +108,49 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("x168: MaxScore pruned ranking equals the full x123 ranking bitwise") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(4), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val full = Retrieval.bm25Topk(spark, Sf, numQueries = 3, k = 10).collect().map(key)
+    val pruned = Retrieval.maxscoreTopk(spark, Sf).collect().map(key)
+    assert(pruned.toSeq === full.toSeq,
+      "safe pruning must reproduce the full ranking exactly")
+    val st = Retrieval.maxscoreStats(spark, Sf).collect()
+    assert(st.map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    st.foreach { r =>
+      assert(r.getLong(2) >= 1L, "seed set non-empty")          // n_seed
+      assert(r.getDouble(4) >= 0.0)                             // theta
+      assert(r.getLong(5) >= 1L, "last term is always essential") // n_essential
+      assert(r.getLong(5) <= r.getLong(1))                      // <= n_terms
+      assert(r.getLong(7) <= r.getLong(6),
+        "essential postings are a subset of the query's postings")
+    }
+  }
+
+  test("x168: a planted stopword-heavy corpus prunes the stopword's posting list") {
+    import spark.implicits._
+    // docs 1-12 carry the rare high-tf term; every doc carries the
+    // stopword. With k=3 the rarest-term seed yields a threshold far
+    // above the stopword's upper bound, so its corpus-wide posting
+    // list must drop out of the candidate join.
+    val docs = ((1L to 12L).map(i => (i, "alpha alpha alpha alpha alpha beta")) ++
+      (13L to 39L).map(i => (i, "beta")) :+ (0L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val ix = Retrieval.bm25Build(docs)
+    val qterms = Seq((0L, "alpha"), (0L, "beta")).toDF("query_id", "term")
+    val (res, st) = Retrieval.maxscoreFromIndex(ix, Retrieval.termBounds(ix),
+      qterms, k = 3, seedTerms = 1)
+    val full = Retrieval.bm25TopkFromIndex(ix, qterms, 3).collect()
+    assert(res.collect().map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    val s0 = st.collect().head
+    assert(s0.getLong(1) === 2L, "n_terms")
+    assert(s0.getLong(5) === 1L, "the stopword must be non-essential")
+    // the candidate set is the rare term's posting list, not the corpus
+    assert(s0.getLong(8) === 12L, "n_candidates = rare-term postings")
+    assert(s0.getLong(7) < s0.getLong(6),
+      "pruning must excuse the stopword's posting entries")
+  }
+
   test("x129: MMR selection matches a driver-side greedy reference") {
     val rows = Retrieval.mmrRerank(spark, Sf, numQueries = 3, poolN = 20, k = 5)
       .collect()

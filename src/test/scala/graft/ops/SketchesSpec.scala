@@ -127,4 +127,52 @@ class SketchesSpec extends SparkSpec {
     // the one-sided CMS guarantee, asserted independently of the flag
     assert(estI.forall(_ >= exact))
   }
+
+  test("x171: KMV pair algebra degrades to exact when k covers the union") {
+    import spark.implicits._
+    // A = {1..1000}, B = {501..1500}: union 1500, intersection 500
+    val el = ((1L to 1000L).map(("a", _)) ++ (501L to 1500L).map(("b", _)))
+      .toDF("source", "h")
+    val row = Sketches.bottomkPairs(el, k = 2048).collect().head
+    assert(row.getAs[Long]("n_a") === 1000L)
+    assert(row.getAs[Long]("n_b") === 1000L)
+    assert(row.getAs[Long]("exact_union") === 1500L)
+    assert(row.getAs[Long]("exact_intersection") === 500L)
+    // union sketch < k → the sketch IS the set: estimates are exact
+    assert(row.getAs[Long]("n_union_sketch") === 1500L)
+    assert(row.getAs[Double]("est_union") === 1500.0)
+    assert(row.getAs[Long]("rho") === 500L)
+    assert(row.getAs[Double]("est_jaccard") === 500.0 / 1500.0)
+    assert(row.getAs[Double]("est_intersection") === (500.0 / 1500.0) * 1500.0)
+  }
+
+  test("x171: KMV estimates track planted truth under the real 60-bit hash") {
+    import spark.implicits._
+    // uniform hashes via tokenHash: A = e1..e2000, B = e1001..e3000
+    val el = ((1 to 2000).map(i => ("a", s"e$i")) ++
+      (1001 to 3000).map(i => ("b", s"e$i"))).toDF("source", "g")
+      .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
+    val row = Sketches.bottomkPairs(el, k = 256).collect().head
+    assert(row.getAs[Long]("exact_union") === 3000L)
+    assert(row.getAs[Long]("exact_intersection") === 1000L)
+    assert(row.getAs[Long]("n_union_sketch") === 256L)
+    assert(row.getAs[Long]("rho") <= 256L)
+    val estU = row.getAs[Double]("est_union")
+    assert(math.abs(estU - 3000.0) / 3000.0 < 0.35,
+      s"KMV union estimate $estU too far from 3000 (k=256 ⇒ σ≈6%)")
+    val estJ = row.getAs[Double]("est_jaccard")
+    assert(math.abs(estJ - 1.0 / 3.0) < 0.15, s"jaccard estimate $estJ vs 1/3")
+    // the corpus query end-to-end: every row's invariants hold
+    val corpus = Sketches.bottomkOverlap(spark, Sf, numSources = 6, k = 64).collect()
+    assert(corpus.length === 15, "6 sources → 15 ordered pairs")
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("rho") <= r.getAs[Long]("n_union_sketch"))
+      assert(r.getAs[Long]("exact_intersection") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      // exact branch or hash branch, the estimator must stay sane
+      assert(r.getAs[Double]("est_union") > 0.0)
+    }
+  }
 }

@@ -68,6 +68,65 @@ class VecShardSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("vec_id"))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answer from sidecars with zero file opens") {
+    val agg = VecShard.read(spark, dir)
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("VecShardAggScan"), s"stats-only scan missing in:\n$plan")
+    VecShard.filesOpened.set(0L)
+    VecShard.vectorBytesDecoded.set(0L)
+    val row = agg.collect().head
+    assert(VecShard.filesOpened.get() == 0L, "aggregate scan must open no data file")
+    assert(VecShard.vectorBytesDecoded.get() == 0L)
+    val ref = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).collect().head
+    assert(row.getLong(0) == ref.getLong(0))
+    assert(row.getLong(1) == ref.getLong(1))
+    assert(row.getLong(2) == ref.getLong(2))
+  }
+
+  test("aggregate pushdown is metadata-only: correct even when payloads are unreadable") {
+    // copy the sidecars but truncate every data file to zero bytes: a scan
+    // that touched ANY vector byte would fail, so a correct COUNT/MIN/MAX
+    // proves the aggregate path reads footers alone
+    val gutted = java.nio.file.Files.createTempDirectory("vecshard_gutted").toString
+    new java.io.File(dir).listFiles().foreach { f =>
+      val dst = new java.io.File(gutted, f.getName)
+      if (f.getName.endsWith(".meta"))
+        java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+      else { dst.createNewFile(): Unit } // 0-byte .vec stub
+    }
+    val row = VecShard.read(spark, gutted)
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .collect().head
+    val ref = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).collect().head
+    assert(row.getLong(0) == ref.getLong(0) && row.getLong(1) == ref.getLong(1) &&
+      row.getLong(2) == ref.getLong(2))
+    // and the row path genuinely needs the payload: a full read must fail
+    intercept[Throwable] { VecShard.read(spark, gutted).collect() }
+  }
+
+  test("aggregate pushdown declines filters, grouping, and embedding aggregates") {
+    // a residual filter between scan and aggregate → row path, still correct
+    val filtered = VecShard.read(spark, dir).filter(col("vec_id") >= 10L)
+      .agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("VecShardAggScan"))
+    val refN = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .filter(col("vec_id") >= 10L).count()
+    assert(filtered.collect().head.getLong(0) == refN)
+    // grouped aggregate → row path
+    val grouped = VecShard.read(spark, dir).groupBy(col("vec_id") % 2)
+      .agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("VecShardAggScan"))
+    assert(grouped.collect().map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$Sf/embeddings.parquet").count())
+    // an aggregate the sidecar cannot answer → row path
+    val sizes = VecShard.read(spark, dir).agg(min(size(col("embedding"))))
+    assert(!sizes.queryExecution.executedPlan.toString.contains("VecShardAggScan"))
+    assert(sizes.collect().head.getInt(0) > 0)
+  }
+
   test("the shortName registration resolves: format(\"vecshard\") works") {
     val n = spark.read.format("vecshard").option("path", dir).load().count()
     assert(n == spark.read.parquet(s"$Sf/embeddings.parquet").count())
