@@ -31,7 +31,7 @@ object SparkEntry {
       sources.VecShardQueries.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
-      streaming.TrendingTokens.queries
+      streaming.TrendingTokens.queries ++ streaming.SuffixScrubIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +49,5 @@ object SparkEntry {
       sources.VecShardQueries.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
-      streaming.TrendingTokens.oracles
+      streaming.TrendingTokens.oracles ++ streaming.SuffixScrubIngest.oracles
 }

@@ -92,12 +92,18 @@ object SuffixDedup {
         Window.partitionBy(keys: _*)))
       .drop("__lbl")
 
-  /** (doc_id, pos, tok) for every token of every document, 0-based. */
-  private[ext] def tokenPositions(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** (doc_id, pos, tok) for every token of a (doc_id, text) frame,
+    * 0-based — shared with the streaming scrub lane.
+    */
+  private[graft] def tokenPositionsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+
+  /** (doc_id, pos, tok) for every token of every document, 0-based. */
+  private[ext] def tokenPositions(s: SparkSession, dir: String): DataFrame =
+    tokenPositionsOf(t(s, dir, "documents"))
 
   /** Per-(session, dataset) final suffix ranks — shared by x161/x162/x163. */
   private val rankCache = new java.util.concurrent.ConcurrentHashMap[
@@ -219,8 +225,8 @@ object SuffixDedup {
     * xxhash64 it and accept the 2^-64 collision odds): (doc_id, pos,
     * gram), positions with fewer than L tokens left get no row.
     */
-  private[ext] def gramAt(s: SparkSession, dir: String, L: Int): DataFrame =
-    t(s, dir, "documents")
+  private[graft] def gramsOf(docs: DataFrame, L: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("w"))
       .filter(size(col("w")) >= L)
       .select(col("doc_id"), posexplode(
@@ -228,6 +234,9 @@ object SuffixDedup {
           i => concat_ws(" ", slice(col("w"), i + 1, lit(L)))))
         .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("gram"))
+
+  private[ext] def gramAt(s: SparkSession, dir: String, L: Int): DataFrame =
+    gramsOf(t(s, dir, "documents"), L)
 
   private val coveredCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]()
@@ -296,13 +305,24 @@ object SuffixDedup {
     * entirely duplicated material).
     */
   def exactSubstrScrub(s: SparkSession, dir: String,
-      L: Int = MinMatchTokens): DataFrame = {
-    val cut = coveredPositions(s, dir, L)
+      L: Int = MinMatchTokens): DataFrame =
+    scrubReport(tokenPositions(s, dir),
+      coveredPositions(s, dir, L).select(col("doc_id"), col("pos")), L)
+      .orderBy(col("doc_id"))
+
+  /** The scrub aggregation shared by x163 and the streaming lane: given
+    * token positions and duplicated WINDOW-START positions, cut every
+    * token inside a window, re-join survivors in position order, report
+    * exact counts + the md5 of the scrubbed text per document.
+    */
+  private[graft] def scrubReport(tokens: DataFrame, coveredStarts: DataFrame,
+      L: Int): DataFrame = {
+    val cut = coveredStarts
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (L - 1)))
         .as("pos"))
       .distinct()
       .withColumn("covered", lit(true))
-    tokenPositions(s, dir)
+    tokens
       .join(cut, Seq("doc_id", "pos"), "left")
       .withColumn("covered", coalesce(col("covered"), lit(false)))
       .groupBy(col("doc_id"))
@@ -315,7 +335,6 @@ object SuffixDedup {
             x => x.getField("tok")), " ")).as("scrubbed_md5"))
       .select(col("doc_id"), col("n_tokens"), col("n_cut"), col("n_kept"),
         col("scrubbed_md5"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.{Tables, VersionedTable}
+import graft.ext.SuffixDedup
+
+/** Streaming exact-substring scrub — the continuous form of the
+  * ExactSubstr lane (x161-x163): arriving documents are scrubbed of any
+  * `L`-token window that already occurs in the standing corpus (the
+  * batch table plus every committed arrival snapshot) or at least twice
+  * within the arrival batch itself. That is exactly x163's "window
+  * occurs >= 2 times in the combined corpus" rule restricted to the
+  * ARRIVALS: history is immutable (a serving pipeline cannot rewrite
+  * yesterday's shards), so only the new documents are cut — the honest
+  * streaming contract, stated rather than hidden.
+  *
+  * The standing state is the L-GRAM SET of the corpus — the index
+  * artifact the batch lane derives from suffix-array adjacency and a
+  * 100 TB deployment persists bucketed by gram hash (the x98
+  * discipline); here it is re-derived from the committed snapshots'
+  * raw text, which the snapshot schema retains for exactly this reason.
+  * Batch-vs-standing matching needs only a hash-join of the batch's
+  * grams against that set — no suffix array rebuild per micro-batch.
+  *
+  * Exactly-once: one [[VersionedTable]] snapshot per batchId via
+  * `commitIfAbsent` — a replayed batch is a skipped commit, and because
+  * the standing grams derive from committed snapshots, its documents
+  * are not double-counted as duplicates of themselves.
+  */
+object SuffixScrubIngest {
+
+  /** One micro-batch through the scrub: coverage = (gram in standing)
+    * OR (gram occurs >= 2 times within the batch). Public so the spec
+    * pins batch semantics without a stream. Output: (doc_id, text,
+    * n_tokens, n_cut, n_kept, scrubbed_md5) — raw text retained so the
+    * snapshot can serve as future standing state.
+    */
+  def scrubBatch(batch: DataFrame, standingGrams: DataFrame,
+      L: Int = SuffixDedup.MinMatchTokens): DataFrame = {
+    val grams = SuffixDedup.gramsOf(batch, L).localCheckpoint(true)
+    val batchDups = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2L)
+      .select(col("gram"))
+    val dupGrams = standingGrams.select(col("gram")).distinct()
+      .unionByName(batchDups).distinct()
+    val covered = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    SuffixDedup.scrubReport(SuffixDedup.tokenPositionsOf(batch), covered, L)
+      .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("n_cut"),
+        col("n_kept"), col("scrubbed_md5"))
+  }
+
+  /** The standing gram set at a point in time: the batch corpus plus
+    * every committed arrival snapshot (raw text — duplicates match
+    * against what actually arrived, not its scrubbed residue).
+    */
+  def standingGrams(s: SparkSession, dir: String, root: String,
+      L: Int = SuffixDedup.MinMatchTokens): DataFrame = {
+    val corpus = SuffixDedup
+      .gramsOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")), L)
+      .select(col("gram"))
+    VersionedTable.versions(s, root)
+      .map(v => SuffixDedup
+        .gramsOf(VersionedTable.read(s, root, Some(v))
+          .select(col("doc_id"), col("text")), L)
+        .select(col("gram")))
+      .foldLeft(corpus)(_.unionByName(_))
+      .distinct()
+  }
+
+  def streamingSuffixScrub(s: SparkSession, docs: DataFrame, dir: String,
+      root: String, checkpoint: String,
+      L: Int = SuffixDedup.MinMatchTokens): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        VersionedTable.commitIfAbsent(
+          scrubBatch(batch.toDF(), standingGrams(s, dir, root, L), L),
+          root, batchId): Unit
+      }
+      .start()
+
+  /** x172: the scrub gate as a graded batch twin (the x120 discipline —
+    * the streaming lane's core is HASH-GATED, not just spec-gated):
+    * documents with doc_id >= `splitAt` play one arriving micro-batch,
+    * the rest play the standing corpus, and the scrub report must match
+    * DuckDB computing the same coverage rule relationally.
+    */
+  def scrubIngestTwin(s: SparkSession, dir: String,
+      splitAt: Long = 300L): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val standing = SuffixDedup
+      .gramsOf(docs.filter(col("doc_id") < splitAt), SuffixDedup.MinMatchTokens)
+      .select(col("gram"))
+    scrubBatch(docs.filter(col("doc_id") >= splitAt), standing)
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x172_suffix_scrub_ingest" ->
+      ((s: SparkSession, dir: String) => scrubIngestTwin(s, dir)))
+
+  private val L = SuffixDedup.MinMatchTokens
+
+  val oracles: Map[String, String] = Map(
+    // same coverage rule relationally: batch window covered iff its gram
+    // occurs in the standing half or >= 2 times within the batch; then
+    // x163's cut/report text verbatim, restricted to the batch docs.
+    "x172_suffix_scrub_ingest" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |        array_to_string(list_slice(w, i, i + $L - 1), ' ') AS gram
+         |      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - $L + 1)) AS i)),
+         |bg AS (SELECT * FROM g WHERE doc_id >= 300),
+         |sg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 300),
+         |bc AS (SELECT gram FROM bg GROUP BY gram HAVING count(*) >= 2),
+         |dup AS (SELECT gram FROM sg UNION SELECT gram FROM bc),
+         |cov AS (SELECT bg.doc_id, bg.pos FROM bg JOIN dup USING (gram)),
+         |cut AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(unnest(generate_series(pos, pos + ${L - 1})) AS BIGINT) AS pos
+         |  FROM cov),
+         |tok AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+         |  WHERE doc_id >= 300),
+         |m AS (
+         |  SELECT t.doc_id, t.pos, t.tok, cut.pos IS NOT NULL AS covered
+         |  FROM tok t LEFT JOIN cut ON t.doc_id = cut.doc_id AND t.pos = cut.pos),
+         |r AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |    CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    md5(coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '')) AS scrubbed_md5
+         |  FROM m GROUP BY doc_id)
+         |SELECT r.doc_id, dd.text, r.n_tokens, r.n_cut, r.n_kept, r.scrubbed_md5
+         |FROM r JOIN documents dd ON dd.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin)
+}
