@@ -337,12 +337,50 @@ object SuffixDedup {
         col("scrubbed_md5"))
   }
 
+  /** The curve's L grid: the graded default (8) plus two octaves up —
+    * the datasheet a dedup operator reads to PICK L (Lee et al. fix 50
+    * BPE tokens at web scale; the right L is corpus-dependent and this
+    * measures exactly how much each choice would cut).
+    */
+  val CurveLs: Seq[Int] = Seq(8, 16, 32)
+
+  /** x174: corpus duplication-rate curve vs the match threshold L — for
+    * each L: total token positions, eligible window starts, duplicated
+    * starts (and how many span >= 2 documents), tokens that scrubbing
+    * at that L would cut, and the resulting cut rate. One suffix-array
+    * build (cached) serves every L; each curve point is one gram pass +
+    * one SA adjacency join — the marginal cost of a POINT is the x162
+    * cost, not a new SA.
+    */
+  def dupRateCurve(s: SparkSession, dir: String,
+      ls: Seq[Int] = CurveLs): DataFrame =
+    ls.map { l =>
+      val cov = coveredPositions(s, dir, l)
+      val covAgg = cov.agg(count(lit(1)).as("n_covered_starts"),
+        coalesce(sum(when(col("cross_doc"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_doc_starts"))
+      val cut = cov
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (l - 1)))
+          .as("pos"))
+        .distinct()
+        .agg(count(lit(1)).as("n_cut_tokens"))
+      val starts = gramAt(s, dir, l).agg(count(lit(1)).as("n_window_starts"))
+      val positions = tokenPositions(s, dir).agg(count(lit(1)).as("n_positions"))
+      positions.crossJoin(starts).crossJoin(covAgg).crossJoin(cut)
+        .select(lit(l).as("l_tokens"), col("n_positions"), col("n_window_starts"),
+          col("n_covered_starts"), col("n_cross_doc_starts"), col("n_cut_tokens"),
+          (col("n_cut_tokens").cast("double") / col("n_positions").cast("double"))
+            .as("cut_rate"))
+    }.reduce(_ unionByName _).orderBy(col("l_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x161_suffix_array" -> ((s: SparkSession, dir: String) => suffixArrayDump(s, dir)),
     "x162_exact_substr_spans" ->
       ((s: SparkSession, dir: String) => exactSubstrSpans(s, dir)),
     "x163_exact_substr_scrub" ->
-      ((s: SparkSession, dir: String) => exactSubstrScrub(s, dir)))
+      ((s: SparkSession, dir: String) => exactSubstrScrub(s, dir)),
+    "x174_dup_rate_curve" ->
+      ((s: SparkSession, dir: String) => dupRateCurve(s, dir)))
 
   /** Shared DuckDB CTEs: tokenized docs and the brute-force covered
     * window starts (gram occurs >= 2 times corpus-wide; the twin of the
@@ -412,5 +450,25 @@ object SuffixDedup {
          |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
          |  CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  md5(coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '')) AS scrubbed_md5
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x174: one brute-force coverage block per curve point, same CTEs as
+    // x162/x163, unioned.
+    "x174_dup_rate_curve" -> CurveLs.map { l =>
+      s"""SELECT * FROM (
+         |WITH ${coveredCtes(l)},
+         |cut AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(unnest(generate_series(pos, pos + ${l - 1})) AS BIGINT) AS pos
+         |  FROM cov)
+         |SELECT CAST($l AS INT) AS l_tokens,
+         |  (SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM d) AS n_positions,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_window_starts,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cov) AS n_covered_starts,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN cross_doc THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |   FROM cov) AS n_cross_doc_starts,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cut) AS n_cut_tokens,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM cut)
+         |    / (SELECT CAST(coalesce(sum(len(w)), 0) AS DOUBLE) FROM d) AS cut_rate
+         |)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY l_tokens"))
 }

@@ -153,4 +153,34 @@ class SuffixDedupSpec extends SparkSpec {
     val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
     assert(got.toSeq === Seq((40L, 12L, 0L, emptyMd5), (41L, 12L, 0L, emptyMd5)))
   }
+
+  test("x174: dup-rate curve is exact on a planted run and monotone in L") {
+    val run = (0 until 20).map(i => s"r$i").mkString(" ")
+    val dir = plant(Seq(
+      (50L, s"${(0 until 6).map(i => s"a$i").mkString(" ")} $run"),
+      (51L, s"$run ${(0 until 6).map(i => s"b$i").mkString(" ")}"),
+      (52L, (0 until 15).map(i => s"c$i").mkString(" "))))
+    val rows = SuffixDedup.dupRateCurve(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet === Set(8, 16, 32))
+    assert(rows(8).getAs[Long]("n_positions") === 67L)
+    // the 20-token cross-doc run: 13 window starts per doc at L=8,
+    // 5 at L=16, none at L=32 (no 32-window fits any document)
+    assert(rows(8).getAs[Long]("n_covered_starts") === 26L)
+    assert(rows(8).getAs[Long]("n_cross_doc_starts") === 26L)
+    assert(rows(8).getAs[Long]("n_cut_tokens") === 40L)
+    assert(rows(16).getAs[Long]("n_covered_starts") === 10L)
+    assert(rows(16).getAs[Long]("n_cut_tokens") === 40L)
+    assert(rows(32).getAs[Long]("n_window_starts") === 0L)
+    assert(rows(32).getAs[Long]("n_cut_tokens") === 0L)
+    assert(rows(8).getAs[Double]("cut_rate") === 40.0 / 67.0)
+    // the fixture corpus: covered starts and cut tokens can only shrink
+    // as L doubles (an L-covered position is 2L-covered's subwindow)
+    val fx = SuffixDedup.dupRateCurve(spark, Sf).collect()
+      .sortBy(_.getInt(0))
+    fx.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_covered_starts") <= a.getAs[Long]("n_covered_starts"))
+      assert(b.getAs[Long]("n_cut_tokens") <= a.getAs[Long]("n_cut_tokens"))
+    }
+  }
 }
