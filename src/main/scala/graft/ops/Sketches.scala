@@ -317,7 +317,67 @@ object Sketches {
     bottomkPairs(el, k)
   }
 
+  /** x175: daily q-digest quantile partials, merged — the quantile
+    * counterpart of q50's HLL daily merge, on OUR OWN mergeable summary
+    * ([[graft.functions.QDigest]]): per-day byte-blob partials (the
+    * artifact a daily pipeline persists next to its day partition), a
+    * count-addition union across days, and running p50/p90/p99 read
+    * from the union — history is never re-read. Values quantize to
+    * integer cents (floor(v·100 + 0.5), the identical expression on
+    * both engines).
+    *
+    * Gate shape (the q29 discipline): the exact order-statistic legs —
+    * computed here as ONE global rank window, the verification anchor a
+    * 100 TB run drops in favor of the digest — hash-compare outright,
+    * and each digest estimate rides as a bound-check boolean the twin
+    * pins TRUE: the estimate must land inside the exact ±5%-rank value
+    * window, a ≥5× margin over the digest's bits·n/σ ≈ 0.9% guarantee
+    * (kept wide so the gate is a theorem, not a fixture fit). The spec
+    * measures the raw error and the merge-grouping invariance.
+    */
+  def qdigestDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{QDigest, QDigestAgg, QDigestMergeAgg}
+    val build = udaf(new QDigestAgg(), org.apache.spark.sql.Encoders.scalaLong)
+    val merge = udaf(new QDigestMergeAgg(),
+      org.apache.spark.sql.Encoders.BINARY)
+    val ev = Tables(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("qv"),
+        col("event_id"))
+    val partials = ev.groupBy(col("day")).agg(build(col("qv")).as("sk"))
+    val blob = partials.agg(merge(col("sk"))).head().getAs[Array[Byte]](0)
+    val digest = QDigest.fromBytes(blob)
+    val targets = Seq(
+      (0.50, 0.45, 0.55, digest.quantile(0.50)),
+      (0.90, 0.85, 0.95, digest.quantile(0.90)),
+      (0.99, 0.94, 1.00, digest.quantile(0.99)))
+    val w = Window.orderBy(col("qv"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_events"))))
+      .localCheckpoint(true)
+    import s.implicits._
+    val tdf = targets.toDF("q", "q_lo", "q_hi", "est")
+    tdf.join(ranked,
+      col("rn") === ceil(col("q") * col("n_events")).cast(LongType))
+      .select(col("q"), col("n_events"), col("qv").as("exact_value"),
+        col("q_lo"), col("q_hi"), col("est"))
+      .join(ranked.select(col("rn").as("rn_lo"), col("qv").as("exact_lo")),
+        ceil(col("q_lo") * col("n_events")).cast(LongType) === col("rn_lo"))
+      .join(ranked.select(col("rn").as("rn_hi"), col("qv").as("exact_hi")),
+        ceil(col("q_hi") * col("n_events")).cast(LongType) === col("rn_hi"))
+      .select(col("q"), col("n_events"), col("exact_lo"), col("exact_value"),
+        col("exact_hi"),
+        (col("est") >= col("exact_lo") && col("est") <= col("exact_hi"))
+          .as("est_ok"))
+      .orderBy(col("q"))
+  }
+
+  private val LongType = org.apache.spark.sql.types.LongType
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x175_qdigest_daily" -> ((s: SparkSession, dir: String) => qdigestDaily(s, dir)),
     "x171_bottomk_overlap" -> ((s: SparkSession, dir: String) => bottomkOverlap(s, dir)),
     "q29_sketches" -> (eventSketches _),
     "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHittersGated(s, dir)),
@@ -332,6 +392,28 @@ object Sketches {
     * q49 is exact by construction and fully oracle-gated.
     */
   val oracles: Map[String, String] = Map(
+    // x175: exact order-statistic legs outright; the digest estimates
+    // ride as bound booleans pinned TRUE (the q29 discipline — the
+    // ±5%-rank window is a ≥5x margin over the digest's guarantee).
+    "x175_qdigest_daily" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS qv, event_id
+        |  FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM ev),
+        |r AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY qv, event_id) AS BIGINT) AS rn
+        |  FROM ev),
+        |t(q, q_lo, q_hi) AS (VALUES
+        |  (CAST(0.50 AS DOUBLE), CAST(0.45 AS DOUBLE), CAST(0.55 AS DOUBLE)),
+        |  (CAST(0.90 AS DOUBLE), CAST(0.85 AS DOUBLE), CAST(0.95 AS DOUBLE)),
+        |  (CAST(0.99 AS DOUBLE), CAST(0.94 AS DOUBLE), CAST(1.00 AS DOUBLE)))
+        |SELECT t.q, n.n_events, rl.qv AS exact_lo, rv.qv AS exact_value,
+        |  rh.qv AS exact_hi, TRUE AS est_ok
+        |FROM t CROSS JOIN n
+        |JOIN r rv ON rv.rn = CAST(ceil(t.q * n.n_events) AS BIGINT)
+        |JOIN r rl ON rl.rn = CAST(ceil(t.q_lo * n.n_events) AS BIGINT)
+        |JOIN r rh ON rh.rn = CAST(ceil(t.q_hi * n.n_events) AS BIGINT)
+        |ORDER BY t.q""".stripMargin,
     // x171: the full KMV algebra recomputed — same 60-bit md5 element
     // hash, same bottom-k ranks, same τ/ρ estimators, same exact anchors.
     "x171_bottomk_overlap" ->

@@ -128,6 +128,18 @@ class SketchesSpec extends SparkSpec {
     assert(estI.forall(_ >= exact))
   }
 
+  test("x175: daily q-digest merge answers inside the ±5%-rank windows") {
+    val rows = Sketches.qdigestDaily(spark, Sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.50, 0.90, 0.99))
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"q=${r.getDouble(0)}: digest estimate out of window")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        "exact legs must be ordered lo <= value <= hi")
+    }
+    val n = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(rows.forall(_.getLong(1) === n))
+  }
+
   test("x171: KMV pair algebra degrades to exact when k covers the union") {
     import spark.implicits._
     // A = {1..1000}, B = {501..1500}: union 1500, intersection 500
