@@ -242,6 +242,35 @@ object Retrieval {
   def maxscoreFromIndex(ix: Bm25Index, bounds: DataFrame, qterms: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       seedTerms: Int = 3): (DataFrame, DataFrame) = {
+    val core = msPartition(ix, bounds, qterms, k, k1, b, seedTerms)
+    val cand = ix.tf.join(broadcast(core.essential), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val (result, scoredPairs) = scoreCandidates(ix, qterms, cand, k, k1, b)
+    // audit: how much work the partition excused, per query
+    val essAgg = core.essential.join(ix.df, Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_essential"), sum(col("df")).as("postings_essential"))
+    val candCounts = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    val pairCounts = scoredPairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_scored_pairs"))
+    val stats = msBaseStats(core)
+      .join(essAgg, Seq("query_id"))
+      .join(candCounts, Seq("query_id"))
+      .join(pairCounts, Seq("query_id"))
+      .select(col("query_id"), col("n_terms"), col("n_seed"), col("n_seed_docs"),
+        col("theta"), col("n_essential"), col("postings_total"),
+        col("postings_essential"), col("n_candidates"), col("n_scored_pairs"))
+      .orderBy(col("query_id"))
+    (result, stats)
+  }
+
+  /** The shared threshold/partition intermediates of the MaxScore family. */
+  private final case class MsCore(qt: DataFrame, seed: DataFrame,
+      seedCand: DataFrame, theta: DataFrame, essential: DataFrame)
+
+  private def msPartition(ix: Bm25Index, bounds: DataFrame, qterms: DataFrame,
+      k: Int, k1: Double, b: Double, seedTerms: Int): MsCore = {
     val qt = qterms.join(ix.df, Seq("term")).join(bounds, Seq("term"))
       .select(col("query_id"), col("term"), col("df"), col("ub"))
       .localCheckpoint(true) // queries × query-vocab: tiny by definition
@@ -284,9 +313,14 @@ object Retrieval {
         explode(slice(col("terms"), col("noness") + 1,
           size(col("terms")) - col("noness"))).as("t"))
       .select(col("query_id"), col("t").getField("term").as("term"))
-    val cand = ix.tf.join(broadcast(essential), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id")).distinct()
+    MsCore(qt, seed, seedCand, theta, essential)
+  }
+
+  /** Full scoring restricted to a (query_id, doc_id) candidate frame —
+    * the exact x123 pipeline — returning (ranked top-k, scored pairs).
+    */
+  private def scoreCandidates(ix: Bm25Index, qterms: DataFrame, cand: DataFrame,
+      k: Int, k1: Double, b: Double): (DataFrame, DataFrame) = {
     val scoredPairs = ix.tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(cand, Seq("query_id", "doc_id"), "left_semi")
@@ -301,30 +335,20 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("score"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
-    // audit: how much work the partition excused, per query
-    val perQueryTerms = qt.groupBy(col("query_id"))
+    (result, scoredPairs)
+  }
+
+  private def msBaseStats(core: MsCore): DataFrame = {
+    val perQueryTerms = core.qt.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("postings_total"))
-    val seedCounts = seed.groupBy(col("query_id")).agg(count(lit(1)).as("n_seed"))
-    val seedDocCounts = seedCand.groupBy(col("query_id"))
+    val seedCounts = core.seed.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_seed"))
+    val seedDocCounts = core.seedCand.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_seed_docs"))
-    val essAgg = essential.join(ix.df, Seq("term"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_essential"), sum(col("df")).as("postings_essential"))
-    val candCounts = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
-    val pairCounts = scoredPairs.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_scored_pairs"))
-    val stats = perQueryTerms
+    perQueryTerms
       .join(seedCounts, Seq("query_id"))
       .join(seedDocCounts, Seq("query_id"))
-      .join(broadcast(theta), Seq("query_id"))
-      .join(essAgg, Seq("query_id"))
-      .join(candCounts, Seq("query_id"))
-      .join(pairCounts, Seq("query_id"))
-      .select(col("query_id"), col("n_terms"), col("n_seed"), col("n_seed_docs"),
-        col("theta"), col("n_essential"), col("postings_total"),
-        col("postings_essential"), col("n_candidates"), col("n_scored_pairs"))
-      .orderBy(col("query_id"))
-    (result, stats)
+      .join(broadcast(core.theta), Seq("query_id"))
   }
 
   /** x168/x169 share one evaluation per (session, dataset); both outputs
@@ -354,6 +378,102 @@ object Retrieval {
     * partition arithmetic independently.
     */
   def maxscoreStats(s: SparkSession, dir: String): DataFrame = maxscoreCached(s, dir)._2
+
+  // ---------------------------------------------------------------------
+  // Block-Max refinement (x176/x177)
+  // ---------------------------------------------------------------------
+
+  /** Posting blocks: 64 consecutive doc_ids (a stand-in for the
+    * physical posting block of a disk index — at cluster scale the
+    * block is the shard/row-group and this metadata is its footer).
+    */
+  val BlockShift: Int = 6
+
+  /** Per-(term, block) score upper bounds — the Block-Max metadata of
+    * Ding & Suel SIGIR'11 (BMW): the same index-build aggregate as
+    * [[termBounds]], one level finer.
+    */
+  def blockBounds(ix: Bm25Index, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    ix.tf.join(ix.df, Seq("term")).join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .groupBy(col("term"), shiftright(col("doc_id"), BlockShift).as("blk"))
+      .agg(max(okapiTsc(k1, b)).as("bub"))
+
+  private val blockBoundsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def fullBlockBounds(s: SparkSession, dir: String): DataFrame =
+    blockBoundsCache.computeIfAbsent((s, dir), _ =>
+      blockBounds(fullIndex(s, dir)).localCheckpoint(true))
+
+  /** Block-Max pruned evaluation: the x168 MaxScore partition PLUS a
+    * block-grain filter — a block survives only if the sum of its
+    * per-term block bounds over the query's vocabulary reaches θ
+    * (pinned ascending fold). Any document of a pruned block scores
+    * ≤ Σ_t bub(t, block) < θ ≤ the true k-th best, so dropping the
+    * block is safe even though it may hold essential-term postings —
+    * the refinement that prunes WHERE the essential terms' lists are
+    * locally weak, which whole-list bounds cannot see. Candidates =
+    * essential-term postings ∩ surviving blocks; scoring is the exact
+    * x123 pipeline, so the oracle is again the full ranking verbatim.
+    */
+  def blockmaxFromIndex(ix: Bm25Index, bounds: DataFrame, blkBounds: DataFrame,
+      qterms: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      seedTerms: Int = 3): (DataFrame, DataFrame) = {
+    val core = msPartition(ix, bounds, qterms, k, k1, b, seedTerms)
+    val qtTerms = core.qt.select(col("query_id"), col("term"))
+    val bsum = blkBounds.join(broadcast(qtTerms), Seq("term"))
+      .groupBy(col("query_id"), col("blk"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("bub"), col("term")))),
+        lit(0.0), (a, v) => a + v.getField("bub")).as("bub_sum"))
+      .localCheckpoint(true) // queries × touched blocks: block-count sized
+    val surviving = bsum.join(broadcast(core.theta), Seq("query_id"))
+      .filter(col("bub_sum") >= col("theta"))
+      .select(col("query_id"), col("blk"))
+    val cand = ix.tf.join(broadcast(core.essential), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("blk", shiftright(col("doc_id"), BlockShift))
+      .join(surviving, Seq("query_id", "blk"), "left_semi")
+      .select(col("query_id"), col("doc_id")).distinct()
+    val (result, scoredPairs) = scoreCandidates(ix, qterms, cand, k, k1, b)
+    val blocksTotal = bsum.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_blocks_total"))
+    val blocksSurv = surviving.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_blocks_survived"))
+    val candCounts = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    val pairCounts = scoredPairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_scored_pairs"))
+    val stats = core.theta
+      .join(blocksTotal, Seq("query_id"))
+      .join(blocksSurv, Seq("query_id"))
+      .join(candCounts, Seq("query_id"))
+      .join(pairCounts, Seq("query_id"))
+      .select(col("query_id"), col("theta"), col("n_blocks_total"),
+        col("n_blocks_survived"), col("n_candidates"), col("n_scored_pairs"))
+      .orderBy(col("query_id"))
+    (result, stats)
+  }
+
+  private val bmCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def blockmaxCached(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bmCache.computeIfAbsent((s, dir), _ => {
+      val (res, st) = blockmaxFromIndex(fullIndex(s, dir), fullBounds(s, dir),
+        fullBlockBounds(s, dir), queryTerms(s, dir, 3), 10)
+      (res.localCheckpoint(true), st.localCheckpoint(true))
+    })
+
+  /** x176: Block-Max pruned BM25 top-k — oracle: the full ranking SQL
+    * verbatim, the same exactness gate as x168.
+    */
+  def blockmaxTopk(s: SparkSession, dir: String): DataFrame = blockmaxCached(s, dir)._1
+
+  /** x177: the Block-Max audit — blocks touched vs blocks surviving the
+    * θ filter, candidates and scored pairs under the combined pruning.
+    */
+  def blockmaxStats(s: SparkSession, dir: String): DataFrame = blockmaxCached(s, dir)._2
 
   /** The lexical leg for fusion: BM25 ranking to a candidate pool of
     * `poolK` per query.
@@ -601,7 +721,9 @@ object Retrieval {
     "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)),
     "x129_mmr_rerank" -> ((s: SparkSession, dir: String) => mmrRerank(s, dir)),
     "x168_maxscore_topk" -> ((s: SparkSession, dir: String) => maxscoreTopk(s, dir)),
-    "x169_maxscore_stats" -> ((s: SparkSession, dir: String) => maxscoreStats(s, dir)))
+    "x169_maxscore_stats" -> ((s: SparkSession, dir: String) => maxscoreStats(s, dir)),
+    "x176_blockmax_topk" -> ((s: SparkSession, dir: String) => blockmaxTopk(s, dir)),
+    "x177_blockmax_stats" -> ((s: SparkSession, dir: String) => blockmaxStats(s, dir)))
 
   /** x129's DuckDB twin: greedy MMR UNROLLED — step 1 is the plain
     * relevance argmax, and each later step is a generated CTE computing
@@ -723,9 +845,12 @@ object Retrieval {
     * list-fold, and the candidate/pair counts. Every double travels the
     * identical expression tree; counts are integers.
     */
-  private val MaxscoreStatsOracle: String =
-    s"""WITH $Bm25Cte,
-       |ub AS (
+  /** The shared twin CTE chain of the MaxScore family — ub, qt, seed,
+    * the fully-scored seed pool, θ, the prefix partition, and the
+    * essential set; x169 and x177 both splice it.
+    */
+  private val MsCtes: String =
+    s"""ub AS (
        |  SELECT tf.term, max(${okapiSql("tf.tf", "df.df", "dl.dl")}) AS ub
        |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
        |  CROSS JOIN stats GROUP BY tf.term),
@@ -779,7 +904,11 @@ object Retrieval {
        |  SELECT query_id,
        |    unnest(list_transform(list_slice(terms, noness + 1, len(terms)),
        |      x -> x.term)) AS term
-       |  FROM parted),
+       |  FROM parted)""".stripMargin
+
+  private val MaxscoreStatsOracle: String =
+    s"""WITH $Bm25Cte,
+       |$MsCtes,
        |cand AS (
        |  SELECT DISTINCT e.query_id, tf.doc_id
        |  FROM tf JOIN ess e ON e.term = tf.term
@@ -808,11 +937,58 @@ object Retrieval {
        |JOIN ea USING (query_id) JOIN cc USING (query_id) JOIN pc USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** x177's twin: the MsCtes chain plus the block layer — per-(term,
+    * block-of-64-doc_ids) bounds, the pinned-fold per-(query, block) ub
+    * sum, the θ survival filter, and the combined-pruning candidate and
+    * pair counts.
+    */
+  private val BlockmaxStatsOracle: String =
+    s"""WITH $Bm25Cte,
+       |$MsCtes,
+       |tb AS (
+       |  SELECT tf.term, tf.doc_id // 64 AS blk,
+       |    max(${okapiSql("tf.tf", "df.df", "dl.dl")}) AS bub
+       |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats GROUP BY tf.term, tf.doc_id // 64),
+       |qb AS (
+       |  SELECT q.query_id, t.blk,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(
+       |        list(struct_pack(bub := t.bub, term := t.term) ORDER BY t.bub, t.term),
+       |        x -> x.bub)),
+       |      (a, v) -> a + v) AS bub_sum
+       |  FROM tb t JOIN (SELECT DISTINCT query_id, term FROM qt) q ON q.term = t.term
+       |  GROUP BY q.query_id, t.blk),
+       |surv AS (
+       |  SELECT qb.query_id, qb.blk
+       |  FROM qb JOIN thq USING (query_id) WHERE qb.bub_sum >= thq.theta),
+       |cand2 AS (
+       |  SELECT DISTINCT e.query_id, tf.doc_id
+       |  FROM tf JOIN ess e ON e.term = tf.term
+       |  JOIN surv s ON s.query_id = e.query_id AND s.blk = tf.doc_id // 64
+       |  WHERE tf.doc_id <> e.query_id),
+       |spairs2 AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term
+       |  FROM tf JOIN qterms q ON q.term = tf.term
+       |  JOIN cand2 c ON c.query_id = q.query_id AND c.doc_id = tf.doc_id
+       |  WHERE tf.doc_id <> q.query_id),
+       |bt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_blocks_total FROM qb GROUP BY query_id),
+       |bs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_blocks_survived FROM surv GROUP BY query_id),
+       |cc2 AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates FROM cand2 GROUP BY query_id),
+       |pc2 AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_scored_pairs FROM spairs2 GROUP BY query_id)
+       |SELECT thq.query_id, theta, n_blocks_total, n_blocks_survived,
+       |  n_candidates, n_scored_pairs
+       |FROM thq JOIN bt USING (query_id) JOIN bs USING (query_id)
+       |JOIN cc2 USING (query_id) JOIN pc2 USING (query_id)
+       |ORDER BY thq.query_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // x168: FullTopkOracle — the pruned evaluation must return the full
     // ranking bit for bit; x169: the partition arithmetic itself.
     "x168_maxscore_topk" -> FullTopkOracle,
     "x169_maxscore_stats" -> MaxscoreStatsOracle,
+    "x176_blockmax_topk" -> FullTopkOracle,
+    "x177_blockmax_stats" -> BlockmaxStatsOracle,
     // x143: the Bm25Cte base ranking feeds the feedback top-5, the
     // anti-joined tf/dl relevance-model weights, the top-5 expansion
     // terms at 0.4, and the weighted re-score (identical Okapi text,

@@ -151,6 +151,50 @@ class RetrievalSpec extends SparkSpec {
       "pruning must excuse the stopword's posting entries")
   }
 
+  test("x176: Block-Max pruned ranking equals the full ranking; blocks prune strictly more") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(4), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val full = Retrieval.bm25Topk(spark, Sf, numQueries = 3, k = 10).collect().map(key)
+    val pruned = Retrieval.blockmaxTopk(spark, Sf).collect().map(key)
+    assert(pruned.toSeq === full.toSeq,
+      "block-max pruning must reproduce the full ranking exactly")
+    val bm = Retrieval.blockmaxStats(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ms = Retrieval.maxscoreStats(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(bm.keySet === Set(0L, 1L, 2L))
+    bm.foreach { case (q, r) =>
+      assert(r.getLong(3) <= r.getLong(2), "survived <= total blocks") // n_blocks
+      // the block filter composes with the essential-term filter: the
+      // combined candidate set can only shrink vs plain MaxScore
+      assert(r.getLong(4) <= ms(q).getLong(8), s"query $q: candidates must shrink")
+      assert(r.getLong(5) <= ms(q).getLong(9), s"query $q: scored pairs must shrink")
+    }
+  }
+
+  test("x176: a planted block-local run prunes blocks whole-list bounds cannot") {
+    import spark.implicits._
+    // the rare term 'alpha' appears corpus-wide (essential, high whole-list
+    // ub) but scores HIGH only in block 0 (doc_ids < 64, tf=5) and LOW
+    // elsewhere (tf=1 in docs 64-319, separate blocks): block-max must
+    // keep block 0 and drop the weak blocks, while plain MaxScore keeps
+    // every alpha posting.
+    val docs = ((1L to 12L).map(i => (i, "alpha alpha alpha alpha alpha beta")) ++
+      (64L until 320L by 8L).map(i => (i, "alpha beta")) :+ (0L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val ix = Retrieval.bm25Build(docs)
+    val qterms = Seq((0L, "alpha")).toDF("query_id", "term")
+    val (res, st) = Retrieval.blockmaxFromIndex(ix, Retrieval.termBounds(ix),
+      Retrieval.blockBounds(ix), qterms, k = 3, seedTerms = 1)
+    val fullRank = Retrieval.bm25TopkFromIndex(ix, qterms, 3).collect()
+    assert(res.collect().map(_.toSeq).toSeq === fullRank.map(_.toSeq).toSeq)
+    val s0 = st.collect().head
+    assert(s0.getLong(2) > s0.getLong(3),
+      s"weak blocks must be pruned: total=${s0.getLong(2)} survived=${s0.getLong(3)}")
+    // candidates collapse to the strong block's postings
+    assert(s0.getLong(4) === 12L, "candidates = block-0 postings only")
+  }
+
   test("x129: MMR selection matches a driver-side greedy reference") {
     val rows = Retrieval.mmrRerank(spark, Sf, numQueries = 3, poolN = 20, k = 5)
       .collect()
