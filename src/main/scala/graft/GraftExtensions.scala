@@ -41,5 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
     extensions.injectOptimizerRule(_ => BpeCountRewrite)
+    // the (c) extension tier: a custom physical operator's strategy
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -28,7 +28,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
       ext.Clustering.queries ++ ext.UnigramLm.queries ++
-      sources.VecShardQueries.queries ++
+      sources.VecShardQueries.queries ++ plans.TopKPerKey.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
       streaming.TrendingTokens.queries ++ streaming.SuffixScrubIngest.queries
@@ -46,7 +46,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
       ext.Clustering.oracles ++ ext.UnigramLm.oracles ++
-      sources.VecShardQueries.oracles ++
+      sources.VecShardQueries.oracles ++ plans.TopKPerKey.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
       streaming.TrendingTokens.oracles ++ streaming.SuffixScrubIngest.oracles
