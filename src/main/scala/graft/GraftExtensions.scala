@@ -41,7 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
     extensions.injectOptimizerRule(_ => BpeCountRewrite)
-    // the (c) extension tier: a custom physical operator's strategy
+    // the (c) extension tier: a custom physical operator's strategy plus
+    // the rule that rewrites the window top-k idiom onto it
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

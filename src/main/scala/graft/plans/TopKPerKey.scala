@@ -151,15 +151,47 @@ object TopKPerKey {
       .orderBy(col("event_type"), col("value").desc, col("event_id"))
   }
 
+  /** x179: the WINDOW SPELLING, rewritten by [[TopKRewrite]] into the
+    * custom operator — the "users keep their SQL" integration. The rule
+    * is scoped to this materialization (ensured, eagerly checkpointed,
+    * removed); the query REQUIRES the rewrite actually fired, so a
+    * silently-dead rule fails the gate rather than falling back.
+    */
+  def topkRewriteQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    PlanBridge.ensureStrategy(s, TopKPerKeyStrategy)
+    PlanBridge.ensureOptimizerRule(s, TopKRewrite)
+    try {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val df = ev
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy(col("event_type"), col("value").desc, col("event_id"))
+      require(df.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKeyPlan]),
+        s"TopKRewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+      df.localCheckpoint(true) // materialize while the rule is active
+    } finally PlanBridge.removeOptimizerRule(s, TopKRewrite)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x178_topk_exec" -> ((s: SparkSession, dir: String) => topkExecQuery(s, dir)))
+    "x178_topk_exec" -> ((s: SparkSession, dir: String) => topkExecQuery(s, dir)),
+    "x179_topk_rewrite" -> ((s: SparkSession, dir: String) => topkRewriteQuery(s, dir)))
+
+  private val WindowTopkOracle: String =
+    """SELECT event_type, event_id, user_id, value FROM (
+      |  SELECT event_type, event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events) WHERE rn <= 5
+      |ORDER BY event_type, value DESC, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "x178_topk_exec" ->
-      """SELECT event_type, event_id, user_id, value FROM (
-        |  SELECT event_type, event_id, user_id, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value DESC, event_id ASC) AS rn
-        |  FROM events) WHERE rn <= 5
-        |ORDER BY event_type, value DESC, event_id""".stripMargin)
+    "x178_topk_exec" -> WindowTopkOracle,
+    // x179's oracle is the IDENTICAL window SQL: the rewritten plan must
+    // preserve the spelling's semantics exactly
+    "x179_topk_rewrite" -> WindowTopkOracle)
 }

@@ -27,4 +27,21 @@ object PlanBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Runtime counterpart of `injectOptimizerRule`, with removal — a
+    * caller can scope a rewrite to one materialization.
+    */
+  def ensureOptimizerRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
+
+  def removeOptimizerRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.experimental.extraOptimizations =
+      cs.experimental.extraOptimizations.filterNot(_ eq r)
+  }
 }

@@ -77,6 +77,37 @@ class TopKPerKeySpec extends SparkSpec {
     assert(pick.forall(_ === Seq(1L, 2L)), s"tie-break must pick ids 1,2: $pick")
   }
 
+  test("x179: TopKRewrite swaps the window spelling onto the operator, same rows") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val plain = ev.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 5).drop("rn")
+    val rewritten = TopKPerKey.topkRewriteQuery(spark, Sf, 5)
+    assert(rewritten.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+    // the returned frame is the checkpoint; prove the rewrite fires by
+    // optimizing the same shape with the rule active
+    org.apache.spark.sql.graft.PlanBridge.ensureOptimizerRule(spark, TopKRewrite)
+    try {
+      // fresh Dataset: QueryExecution is cached per frame, so the idiom
+      // must be rebuilt AFTER the rule lands
+      val plain2 = ev.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 5).drop("rn")
+      assert(plain2.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[TopKPerKeyPlan]), "rewrite must fire on the idiom")
+      // negative: keeping the rank column blocks the rewrite
+      val keeps = ev.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+      assert(!keeps.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[TopKPerKeyPlan]),
+        "a projection that keeps rn must NOT rewrite")
+      // negative: rank() keeps ties — different semantics, no rewrite
+      val rk = ev.withColumn("rn", rank().over(win)).filter(col("rn") <= 5).drop("rn")
+      assert(!rk.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[TopKPerKeyPlan]), "rank() must NOT rewrite")
+    } finally org.apache.spark.sql.graft.PlanBridge.removeOptimizerRule(spark, TopKRewrite)
+  }
+
   test("SQL-extension path: the strategy injects via GraftExtensions too") {
     import org.apache.spark.sql.SparkSession
     // force the shared session to exist, then build a fresh one with the
