@@ -672,7 +672,90 @@ object Multimodal {
     * pins determinism and partitioning invariance of the full-width
     * lanes.
     */
+  /** Raw grayscale pixel grid of a decoded image (first raster band). */
+  private[ext] def decodeGrayPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val r = im.getRaster
+      val (w, h) = (im.getWidth, im.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** Average-hash of a pixel grid: 8×8 cells (row r → cell r·8/h, col
+    * c → cell c·8/w, integer division — sizes differ by ≤1), bit '1'
+    * when the cell average is ≥ the global average, compared EXACTLY by
+    * cross-multiplication (cellSum·nTotal ≥ totalSum·cellCount — pure
+    * long arithmetic, no division). Empty cells (grids shorter than 8
+    * rows) compare 0 ≥ 0 → '1', deterministically on both engines.
+    */
+  private[ext] def aHashBits(w: Int, h: Int, px: Array[Int]): String = {
+    val cs = Array.ofDim[Long](8, 8)
+    val cc = Array.ofDim[Long](8, 8)
+    var ts = 0L
+    var i = 0
+    while (i < px.length) {
+      val ci = ((i / w) * 8) / h
+      val cj = ((i % w) * 8) / w
+      cs(ci)(cj) += px(i)
+      cc(ci)(cj) += 1L
+      ts += px(i)
+      i += 1
+    }
+    val tc = px.length.toLong
+    val sb = new java.lang.StringBuilder(64)
+    var ci = 0
+    while (ci < 8) {
+      var cj = 0
+      while (cj < 8) {
+        sb.append(if (cs(ci)(cj) * tc >= ts * cc(ci)(cj)) '1' else '0')
+        cj += 1
+      }
+      ci += 1
+    }
+    sb.toString
+  }
+
+  /** x180: perceptual (average-hash) media near-dup over the image slice
+    * — the aHash of each REAL-decoded grayscale grid (the x111 codec
+    * path: encode to PNG, decode with the JDK reader, hash the pixels)
+    * plus the count of images sharing the hash. Complements x66's exact
+    * byte-digest dedup with the perceptual layer a media pipeline
+    * actually dedups on; the PNG round-trip losslessness makes the
+    * DuckDB twin pure byte arithmetic, so the REAL codec path stays
+    * inside the hash gate.
+    */
+  def ahashNearDup(s: SparkSession, dir: String, width: Int = 32): DataFrame = {
+    import s.implicits._
+    val hashes = Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, px) = decodeGrayPixels(encodeGrayPng(bytes, width)).getOrElse(
+          throw new IllegalStateException(s"JDK PNG decoder failed on media $id"))
+        (id, w, h, aHashBits(w, h, px))
+      })
+      .toDF("media_id", "width", "height", "ahash")
+    val groups = hashes.groupBy(col("ahash")).agg(count(lit(1)).as("n_same_hash"))
+    hashes.join(groups, Seq("ahash"))
+      .select(col("media_id"), col("width"), col("height"), col("ahash"),
+        col("n_same_hash"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x180_ahash_neardup" -> ((s: SparkSession, dir: String) => ahashNearDup(s, dir)),
     "x119_video_decode" -> ((s: SparkSession, dir: String) => videoDecodeStats(s, dir)),
     "x115_audio_decode" -> ((s: SparkSession, dir: String) => audioDecodeStats(s, dir)),
     "x111_image_decode" -> ((s: SparkSession, dir: String) => imageDecodeStats(s, dir)),
@@ -698,6 +781,51 @@ object Multimodal {
     * numbers 0, 4, 8, … below bytelen/256).
     */
   val oracles: Map[String, String] = Map(
+    // x180: the PNG round-trip is lossless, so the aHash cells are byte
+    // arithmetic — same integer-division cell mapping, same
+    // cross-multiplied average comparison, same zero padding; the empty
+    // (h < 8) cells coalesce to 0 >= 0 -> '1' on both sides.
+    "x180_ahash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (
+        |  SELECT media_id, text, n, CAST(32 AS BIGINT) AS w,
+        |    greatest((n + 31) // 32, 1) AS h
+        |  FROM img),
+        |px AS (
+        |  SELECT media_id, w, h, CAST(i - 1 AS BIGINT) AS pos,
+        |    CASE WHEN i <= n THEN ord(substr(text, CAST(i AS BIGINT), 1)) ELSE 0 END AS v
+        |  FROM dims, LATERAL (SELECT unnest(generate_series(1, CAST(w * h AS BIGINT))) AS i)),
+        |cagg AS (
+        |  SELECT media_id, ((pos // w) * 8) // h AS ci, ((pos % w) * 8) // w AS cj,
+        |    CAST(sum(v) AS BIGINT) AS cs, CAST(count(*) AS BIGINT) AS cc
+        |  FROM px GROUP BY media_id, ((pos // w) * 8) // h, ((pos % w) * 8) // w),
+        |tot AS (
+        |  SELECT media_id, CAST(sum(cs) AS BIGINT) AS ts, CAST(sum(cc) AS BIGINT) AS tc
+        |  FROM cagg GROUP BY media_id),
+        |grid AS (
+        |  SELECT m.media_id, a.ci, b.cj
+        |  FROM (SELECT DISTINCT media_id FROM img) m,
+        |       (SELECT unnest(generate_series(0, 7)) AS ci) a,
+        |       (SELECT unnest(generate_series(0, 7)) AS cj) b),
+        |bits AS (
+        |  SELECT g.media_id, g.ci, g.cj,
+        |    CASE WHEN coalesce(c.cs, 0) * t.tc >= t.ts * coalesce(c.cc, 0)
+        |    THEN '1' ELSE '0' END AS b
+        |  FROM grid g
+        |  JOIN tot t ON t.media_id = g.media_id
+        |  LEFT JOIN cagg c ON c.media_id = g.media_id AND c.ci = g.ci AND c.cj = g.cj),
+        |hashes AS (
+        |  SELECT media_id, string_agg(b, '' ORDER BY ci, cj) AS ahash
+        |  FROM bits GROUP BY media_id),
+        |grp AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same_hash
+        |        FROM hashes GROUP BY ahash)
+        |SELECT hs.media_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  hs.ahash, grp.n_same_hash
+        |FROM hashes hs JOIN dims d ON d.media_id = hs.media_id
+        |JOIN grp ON grp.ahash = hs.ahash
+        |ORDER BY hs.media_id""".stripMargin,
     // x119: GIF frames are lossless at the index level, so per-frame
     // pixel sum/max equal byte arithmetic over that frame's 256-byte
     // slice; zero padding changes neither (bytes are unsigned).

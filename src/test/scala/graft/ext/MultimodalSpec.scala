@@ -284,4 +284,26 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("doc_id") === 1).select("text").head().getString(0)
     assert(new String(row.getAs[Array[Byte]](0), "UTF-8") == text)
   }
+
+  test("x180: aHash bits follow the cell-average law and survive the PNG round-trip") {
+    // constant grid: every cell average equals the global average → all '1'
+    assert(Multimodal.aHashBits(16, 16, Array.fill(256)(7)) === "1" * 64)
+    // top half dark, bottom half bright → rows 0-3 of cells '0', rows 4-7 '1'
+    val grad = Array.tabulate(16 * 16)(i => if (i / 16 < 8) 0 else 255)
+    assert(Multimodal.aHashBits(16, 16, grad) === "0" * 32 + "1" * 32)
+    // perceptual robustness: one flipped pixel leaves the hash unchanged
+    // (the property that separates aHash from x66's exact md5 dedup)
+    val base = Array.tabulate(32 * 32)(i => if (i / 32 < 16) 0 else 200)
+    val tweaked = base.clone(); tweaked(5) = 10
+    assert(Multimodal.aHashBits(32, 32, base) === Multimodal.aHashBits(32, 32, tweaked))
+    // end-to-end: the REAL PNG round-trip hashes identically to the raw grid
+    val bytes = Array.tabulate(300)(i => ((i * 37) % 251).toByte)
+    val (w, h, px) = Multimodal.decodeGrayPixels(
+      Multimodal.encodeGrayPng(bytes, 32)).get
+    assert(w === 32 && h === 10)
+    val raw = Array.tabulate(w * h)(i =>
+      if (i < bytes.length) bytes(i) & 0xff else 0)
+    assert(px.toSeq === raw.toSeq, "PNG round-trip must be lossless")
+    assert(Multimodal.aHashBits(w, h, px) === Multimodal.aHashBits(w, h, raw))
+  }
 }
