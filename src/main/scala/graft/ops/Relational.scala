@@ -300,6 +300,29 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** x181: RECURSIVE CTE (Spark 4's `WITH RECURSIVE` / UnionLoop
+    * execution) — synthetic halving ancestry over the real customer
+    * keys: anchor = every custkey >= 2, step = anc -> anc DIV 2 while
+    * anc >= 2, so each key contributes its full chain down to 1
+    * (depth <= log2(maxKey)). Exercises the iterative-plan surface the
+    * engine otherwise expresses with unrolled checkpoint loops (x82's
+    * discipline) — here the PLANNER owns the loop. Integer-only
+    * arithmetic (`DIV`, floor for nonnegatives) so the twin's `//`
+    * matches exactly.
+    */
+  def recursiveAncestry(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_rc_v")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS custkey, c_custkey DIV 2 AS anc, 1 AS depth
+        |  FROM customer_rc_v WHERE c_custkey >= 2
+        |  UNION ALL
+        |  SELECT custkey, anc DIV 2 AS anc, depth + 1 FROM anc WHERE anc >= 2)
+        |SELECT custkey, CAST(count(*) AS BIGINT) AS n_anc,
+        |  CAST(sum(anc) AS BIGINT) AS anc_sum, max(depth) AS max_depth
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)
+  }
+
   /** Arbitrary GROUPING SETS — the general form rollup (q20) and cube
     * (q30) are shorthands of: here (flag, status), (flag) and the grand
     * total, skipping the (status)-only set a cube would add. Spark
@@ -588,6 +611,7 @@ object Relational {
     "q30_cube_counts" -> (cubeCounts _),
     "q31_moving_window" -> (movingWindow _),
     "q32_sql_exists" -> (sqlExistsSubquery _),
+    "x181_recursive_cte" -> (recursiveAncestry _),
     "q33_null_semantics" -> (nullSemantics _),
     "q54_grouping_sets" -> (groupingSets _),
     "q55_scalar_subquery" -> (scalarSubqueries _),
@@ -756,6 +780,17 @@ object Relational {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
         |FROM lineitem WHERE l_suppkey < 5
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    // x181: the identical recursion in DuckDB's WITH RECURSIVE; DIV ↔ //
+    // (both floor nonnegative integer division)
+    "x181_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS custkey, c_custkey // 2 AS anc, 1 AS depth
+        |  FROM customer WHERE c_custkey >= 2
+        |  UNION ALL
+        |  SELECT custkey, anc // 2 AS anc, depth + 1 FROM anc WHERE anc >= 2)
+        |SELECT custkey, CAST(count(*) AS BIGINT) AS n_anc,
+        |  CAST(sum(anc) AS BIGINT) AS anc_sum, CAST(max(depth) AS INT) AS max_depth
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin,
     "q32_sql_exists" ->
       """SELECT c_custkey, c_name
         |FROM customer c

@@ -42,6 +42,32 @@ object Scalars {
         to_json(struct(col("event_id"), col("event_type"), col("user_id"))).as("payload"))
       .orderBy(col("event_id"))
 
+  /** x182: the VARIANT path (Spark 4's semi-structured type) — the
+    * q22 extraction upgraded from string-probing `get_json_object` to a
+    * PARSED open type: `parse_json` once per row, typed `variant_get`
+    * probes after (at scale the parse is paid once and every probe is a
+    * binary-encoded field walk, not a re-parse — the reason the type
+    * exists). Probes a present field as long, the same field as string
+    * (VARIANT's cast-on-read), and a MISSING path (null without error —
+    * `try_variant_get` semantics via the non-throwing default); the
+    * twin does the identical arithmetic with DuckDB's JSON probes.
+    */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "long"))
+      .withColumn("k_str", variant_get(col("v"), "$.k", "string"))
+      .withColumn("missing", variant_get(col("v"), "$.not_there", "long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(length(col("k_str"))).as("k_str_len_sum"),
+        sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy(col("event_type"))
+
   /** String functions: case, substring (1-based), length, concat. */
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -908,6 +934,7 @@ object Scalars {
     "q43_quantile_binning" -> (quantileBinning _),
     "q44_time_range_window" -> (slidingHourCounts _),
     "q22_json_extract" -> (jsonExtract _),
+    "x182_variant_extract" -> (variantExtract _),
     "q23_json_construct" -> (jsonConstruct _),
     "q24_string_funcs" -> (stringFuncs _),
     "q25_case_when_buckets" -> (caseWhenBuckets _),
@@ -1369,6 +1396,16 @@ object Scalars {
         |  count(*) OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
         |FROM events ORDER BY event_id""".stripMargin,
+    // x182: DuckDB probes the same JSON with json_extract; the string
+    // form of an integer field renders identically ("42" both engines)
+    "x182_variant_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(sum(strlen(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR))) AS BIGINT) AS k_str_len_sum,
+        |  CAST(sum(CASE WHEN json_extract(props, '$.not_there') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q22_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

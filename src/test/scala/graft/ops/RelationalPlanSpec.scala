@@ -68,4 +68,33 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the pre-filter alone must not introduce an exchange:\n$p")
   }
+
+  test("x181: recursive CTE chains obey the halving-depth law and plan as UnionLoop") {
+    val df = Relational.recursiveAncestry(spark, Sf)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (ck, nAnc, depth) = (r.getLong(0), r.getLong(1), r.getInt(3))
+      // the chain c -> c/2 -> ... -> 1 has floor(log2(c)) steps
+      val expect = 63 - java.lang.Long.numberOfLeadingZeros(ck)
+      assert(depth === expect, s"custkey $ck depth")
+      assert(nAnc === expect.toLong, s"custkey $ck chain length")
+    }
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "the recursion must plan through Spark's UnionLoop, not an unrolled union")
+  }
+
+  test("x182: variant probes type correctly and miss without error") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k": 7, "s": "x"}"""), (2L, """{"k": 40}"""))
+      .toDF("id", "props")
+      .selectExpr("id", "parse_json(props) AS v")
+      .selectExpr("id",
+        "variant_get(v, '$.k', 'long') AS k",
+        "variant_get(v, '$.k', 'string') AS ks",
+        "variant_get(v, '$.nope', 'long') AS missing")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.isNullAt(3))).toMap
+    assert(rows(1L) === ((7L, "7", true)))
+    assert(rows(2L) === ((40L, "40", true)))
+  }
 }
