@@ -89,11 +89,77 @@ object DataQuality {
       .orderBy(col("source"))
   }
 
+  /** x183: CUSUM change detection over the daily event-count series,
+    * per event type — the SEQUENTIAL drift detector next to the
+    * distributional gates (x107/x108/x135 compare snapshots; CUSUM
+    * accumulates small sustained shifts that no single snapshot
+    * comparison sees): s_t = max(0, s_{t-1} + (x_t − mean − slack)),
+    * alarm when s_t > h, with slack = mean/4 and h = mean (declared
+    * parameters, rational in the day counts — no libm).
+    *
+    * Shape: one date-grain aggregate, then the per-type day series
+    * folds as an ARRAY (a type's day count is bounded — ~weeks, not
+    * corpus-sized); each day's s_t is the pinned sequential
+    * `aggregate(slice(...))` left fold, the same `list_reduce` tree the
+    * twin runs, with the clamp spelled `greatest(..., 0.0)` on both
+    * engines.
+    */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("days"),
+        sum(col("x")).as("total"), count(lit(1)).as("nd"))
+      .withColumn("mean", col("total").cast("double") / col("nd").cast("double"))
+      .withColumn("slack", col("mean") * lit(0.25))
+    series
+      .select(col("event_type"), col("mean"), col("slack"),
+        posexplode(col("days")).as(Seq("pos", "d")), col("days"))
+      .select(col("event_type"), col("d.day").as("day"), col("d.x").as("x"),
+        aggregate(
+          transform(slice(col("days"), lit(1), col("pos") + 1),
+            e => e.getField("x").cast("double")),
+          lit(0.0),
+          (acc, v) => greatest(acc + v - col("mean") - col("slack"), lit(0.0)))
+          .as("cusum"),
+        col("mean"))
+      .select(col("event_type"), col("day"), col("x"), col("cusum"),
+        (col("cusum") > col("mean")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x183_cusum_drift" -> ((s: SparkSession, dir: String) => cusumDrift(s, dir)),
     "q42_data_quality" -> (standardChecks _),
     "x107_source_drift" -> (sourceDrift _))
 
   val oracles: Map[String, String] = Map(
+    // x183: the same clamped sequential fold via list_reduce over the
+    // day-ordered prefix — identical greatest(...) tree, same mean/slack
+    // rationals.
+    "x183_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |series AS (
+        |  SELECT event_type,
+        |    list(struct_pack(day := day, x := x) ORDER BY day) AS days,
+        |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM daily GROUP BY event_type),
+        |expanded AS (
+        |  SELECT event_type, mean, mean * 0.25 AS slack, days,
+        |    unnest(generate_series(1, len(days))) AS pos
+        |  FROM series)
+        |SELECT event_type, days[pos].day AS day, days[pos].x AS x,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_slice(days, 1, pos), e -> CAST(e.x AS DOUBLE))),
+        |    (acc, v) -> greatest(acc + v - mean - slack, CAST(0 AS DOUBLE))) AS cusum,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_slice(days, 1, pos), e -> CAST(e.x AS DOUBLE))),
+        |    (acc, v) -> greatest(acc + v - mean - slack, CAST(0 AS DOUBLE))) > mean AS alarm
+        |FROM expanded ORDER BY event_type, day""".stripMargin,
     "x107_source_drift" ->
       """WITH b AS (
         |  SELECT CAST((min(doc_id) + max(doc_id) + 1) // 2 AS BIGINT) AS mid

@@ -272,7 +272,51 @@ object Graph {
       .orderBy(col("l_partkey"))
   }
 
+  /** x184: k-core peeling over the co-order graph — `rounds` unrolled
+    * delete-below-degree-k passes (Matula & Beck's peeling, in its
+    * synchronous distributed form): each round keeps only nodes whose
+    * degree COUNTED OVER SURVIVING NEIGHBORS is >= k; dropped nodes
+    * record their round. A fixed round count (the x82/x84 unrolled
+    * discipline — the twin unrolls the same CTEs) rather than a
+    * fixpoint loop: the audit column says who fell when, and a
+    * production run raises `rounds` until a round drops nobody. Each
+    * round is one semi-join pair + one degree aggregate on the
+    * shrinking active set; per-round localCheckpoint keeps plans
+    * linear.
+    */
+  def kcorePeel(s: SparkSession, dir: String, k: Int = 3, rounds: Int = 4,
+      minSupport: Long = 2L): DataFrame =
+    peel(coOrderEdges(s, dir, minSupport), k, rounds)
+
+  /** The peeling core over a symmetric (src, dst) edge list — public to
+    * the spec for planted graphs.
+    */
+  private[ops] def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val nodes0 = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var active = nodes0
+    var removed = nodes0.limit(0).withColumn("removed_round", lit(0))
+    for (r <- 1 to rounds) {
+      val e = edges
+        .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val surv = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("src").as("node"))
+        .localCheckpoint(true)
+      val dropped = active.join(surv, Seq("node"), "left_anti")
+        .withColumn("removed_round", lit(r))
+      removed = removed.unionByName(dropped).localCheckpoint(true)
+      active = surv
+    }
+    nodes0
+      .join(active.withColumn("in_core", lit(true)), Seq("node"), "left")
+      .join(removed, Seq("node"), "left")
+      .select(col("node"), coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("removed_round"), lit(0)).as("removed_round"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x184_kcore_peel" -> ((s: SparkSession, dir: String) => kcorePeel(s, dir)),
     "x82_part_pagerank" -> ((s: SparkSession, dir: String) => partPagerank(s, dir)),
     "x83_bfs_hops" -> ((s: SparkSession, dir: String) => bfsHops(s, dir)),
     "x84_label_propagation" -> ((s: SparkSession, dir: String) => labelPropagation(s, dir)),
@@ -445,7 +489,53 @@ object Graph {
        |FROM deg d LEFT JOIN pn ON pn.node = d.src
        |ORDER BY l_partkey""".stripMargin
 
+  /** x184's twin: the same capped-basket edge CTEs as pagerank, then
+    * the peeling rounds unrolled — per round, edges restricted to the
+    * surviving set, a degree count, the >= k filter, and the dropped
+    * nodes stamped with their round.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = s"a${r - 1}"
+      s"""e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM edges e
+         |  JOIN $prev s ON s.node = e.src JOIN $prev t ON t.node = e.dst),
+         |a$r AS MATERIALIZED (
+         |  SELECT src AS node FROM (SELECT src, count(*) AS dg FROM e$r GROUP BY src)
+         |  WHERE dg >= $k),
+         |r$r AS MATERIALIZED (
+         |  SELECT node, $r AS rr FROM $prev
+         |  WHERE node NOT IN (SELECT node FROM a$r))""".stripMargin
+    }.mkString(",\n")
+    val unionRemoved = (1 to rounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+    s"""WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |freq AS (SELECT l_partkey, count(*) AS pf FROM items0 GROUP BY 1),
+       |items AS (
+       |  SELECT l_orderkey, l_partkey FROM (
+       |    SELECT i.l_orderkey, i.l_partkey,
+       |      row_number() OVER (PARTITION BY i.l_orderkey
+       |        ORDER BY f.pf DESC, i.l_partkey) AS rn
+       |    FROM items0 i JOIN freq f USING (l_partkey))
+       |  WHERE rn <= $MaxBasket),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+       |          UNION ALL SELECT pb, pa FROM pairs),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |$steps,
+       |removed AS ($unionRemoved)
+       |SELECT n.node,
+       |  n.node IN (SELECT node FROM a$rounds) AS in_core,
+       |  CAST(coalesce(rm.rr, 0) AS INT) AS removed_round
+       |FROM a0 n LEFT JOIN removed rm ON rm.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x184_kcore_peel" -> kcoreOracle(3, 4),
     "x82_part_pagerank" -> pagerankOracle(5),
     "x83_bfs_hops" -> bfsOracle(4),
     "x84_label_propagation" -> lpaOracle(3),

@@ -109,4 +109,22 @@ class GraphSpec extends SparkSpec {
     assert(drops == Seq((9999L, 200L, 150L)),
       s"drop audit must report exactly the truncated order, got $drops")
   }
+
+  test("x184: peeling finds the planted 3-core and cascades removals") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (a true 3-core) + a tail 4-5-6: 5 has degree 2
+    // (drops round 1), after which 6 is isolated... 6's only neighbor
+    // is 5, degree 1 -> round 1; then 4 still has K4 degree 3 -> stays
+    val undirected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val got = Graph.peel(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2))).toMap
+    assert(got(1L) === ((true, 0)) && got(2L) === ((true, 0)) &&
+      got(3L) === ((true, 0)))
+    // node 4 has degree 4 initially; after 5 drops it keeps the K4 core
+    assert(got(4L) === ((true, 0)))
+    assert(got(5L) === ((false, 1)), "degree-2 tail node drops in round 1")
+    assert(got(6L) === ((false, 1)), "degree-1 leaf drops in round 1")
+  }
 }
