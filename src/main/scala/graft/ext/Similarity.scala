@@ -1792,6 +1792,71 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** x185: top principal direction by POWER ITERATION over the exact
+    * integer Gram — the first concrete step of the PCA/whitening
+    * pipeline x130's Gram pass exists for. The Gram (all d² cells,
+    * diagonal included) is the same one map-side outer-product pass on
+    * the 2^-20 grid, so every cell is an ORDER-FREE integer sum both
+    * engines agree on bitwise; the d²-cell matrix (64×64 here — a
+    * SKETCH, not data) collects to the driver (the q41 CMS discipline)
+    * and `iters` fixed iterations run with PINNED arithmetic: each
+    * w_i folds G_ij·v_j in ascending j, the norm folds w_i² in
+    * ascending i, sqrt is IEEE-correctly-rounded — the DuckDB twin
+    * unrolls the identical folds per iteration, so loadings and the
+    * eigenvalue estimate hash-compare exactly. λ is reported on the
+    * grid scale (÷2^40) per x130's cov convention.
+    *
+    * At 100 TB: the Gram pass is the only corpus-touching stage (one
+    * shuffle of ≤d² keyed partials per partition); iteration cost is
+    * d²·iters driver flops, independent of n. Integer cells hold to
+    * ~2^63/q² rows (~10^15 here); past that the x108 DECIMAL(38,0)
+    * spelling drops in.
+    */
+  def powerIteration(s: SparkSession, dir: String, iters: Int = 60): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "embeddings")
+      .select(transform(col("embedding"),
+        v => floor(v.cast(DoubleType) * lit(1048576.0))).as("qa"))
+      .select(size(col("qa")).as("w"),
+        posexplode(flatten(transform(col("qa"),
+          x => transform(col("qa"), y => x * y)))).as(Seq("idx", "qq")))
+      .select(floor(col("idx") / col("w")).cast(LongType).as("i0"),
+        pmod(col("idx"), col("w")).cast(LongType).as("j0"), col("qq"))
+      .groupBy(col("i0"), col("j0")).agg(sum(col("qq")).as("g"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+      .toMap
+    val nvec = t(s, dir, "embeddings").count()
+    val d = math.sqrt(cells.size.toDouble).round.toInt
+    val gd = Array.tabulate(d, d)((i, j) => cells((i, j)).toDouble)
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += gd(i)(j) * v(j); j += 1 } // ascending-j fold
+        w(i) = acc
+        i += 1
+      }
+      var n2 = 0.0
+      i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 } // ascending-i fold
+      val nrm = math.sqrt(n2)
+      i = 0
+      while (i < d) { w(i) = w(i) / nrm; i += 1 }
+      v = w
+      lambda = nrm
+      it += 1
+    }
+    v.zipWithIndex
+      .map { case (x, i) => (i + 1, x, lambda / 1099511627776.0, nvec) }
+      .toSeq.toDF("dim", "loading", "lambda_grid", "n_vectors")
+      .orderBy(col("dim"))
+  }
+
   /** The per-label drift of an arriving vector batch against the STANDING
     * reference corpus: cosine between the batch's label centroid and the
     * reference's, on the 2^-20 fixed-point grid (sums order-free integer,
@@ -1915,6 +1980,7 @@ object Similarity {
     "x137_jl_distortion" -> ((s: SparkSession, dir: String) => jlDistortion(s, dir)),
     "x135_drift_probe" -> (driftProbe _),
     "x130_embedding_gram" -> ((s: SparkSession, dir: String) => embeddingGramTopk(s, dir)),
+    "x185_power_iteration" -> ((s: SparkSession, dir: String) => powerIteration(s, dir)),
     "x127_embedding_dim_stats" -> (embeddingDimStats _),
     "x112_hard_negatives" -> ((s: SparkSession, dir: String) => hardNegatives(s, dir)),
     "x113_dim_ablation" -> ((s: SparkSession, dir: String) => dimAblationRecall(s, dir)),
@@ -2221,7 +2287,44 @@ object Similarity {
        |FROM r GROUP BY k ORDER BY k""".stripMargin
   }
 
+  /** x185's twin: the full integer Gram by vec_id self-join, then the
+    * iterations UNROLLED — per round one pinned ascending-j matrix-
+    * vector fold, one pinned ascending-i norm fold, one normalize.
+    */
+  private def powerOracle(iters: Int): String = {
+    val steps = (1 to iters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (
+         |  SELECT g.i AS dim,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(g.gij AS DOUBLE) * v.x ORDER BY g.j)), (a, b) -> a + b) AS wx
+         |  FROM g JOIN $prev v ON v.dim = g.j GROUP BY g.i),
+         |n$r AS MATERIALIZED (
+         |  SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(wx * wx ORDER BY dim)), (a, b) -> a + b)) AS nrm FROM w$r),
+         |v$r AS MATERIALIZED (SELECT w$r.dim, w$r.wx / n$r.nrm AS x FROM w$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qd AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+       |g AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gij
+       |  FROM qd a JOIN qd b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim),
+       |v0 AS (
+       |  SELECT i AS dim,
+       |    CASE WHEN i = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS x
+       |  FROM (SELECT DISTINCT i FROM g)),
+       |$steps
+       |SELECT CAST(v$iters.dim + 1 AS INT) AS dim, v$iters.x AS loading,
+       |  n$iters.nrm / 1099511627776.0 AS lambda_grid,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors
+       |FROM v$iters, n$iters ORDER BY dim""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x185_power_iteration" -> powerOracle(60),
     "x137_jl_distortion" -> jlOracle(Seq(8, 16, 32)),
     // x130: same grid snap; the twin forms Σq_i·q_j by self-joining the
     // exploded grid on vec_id (the brute-force spelling of the map-side

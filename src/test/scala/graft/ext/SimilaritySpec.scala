@@ -612,4 +612,41 @@ class SimilaritySpec extends SparkSpec {
     // mass conservation: the k-occurrence distribution sums to n*k
     assert(full.map(_._2).sum === rows.length.toLong * 10L)
   }
+
+  test("x185: power iteration converges to a unit eigendirection of the exact Gram") {
+    val rows = Similarity.powerIteration(spark, Sf, iters = 60).collect()
+    assert(rows.length === 64)
+    val v = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "loadings unit norm")
+    val lambdaGrid = rows.head.getDouble(2)
+    assert(lambdaGrid > 0.0)
+    // eigen-residual: rebuild the same integer Gram independently and
+    // check ||Gv - lambda*v|| << lambda (60 iterations close the
+    // fixture's eigengap)
+    import org.apache.spark.sql.functions._
+    val cells = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0))).as("qa"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val d = 64
+    val g = Array.ofDim[Double](d, d)
+    cells.foreach { q =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { g(i)(j) += (q(i) * q(j)).toDouble; j += 1 }
+        i += 1
+      }
+    }
+    val lambda = lambdaGrid * 1099511627776.0
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val resid = math.sqrt(gv.zip(v).map { case (a, b) =>
+      val e = a - lambda * b; e * e }.sum)
+    assert(resid / lambda < 0.005,
+      s"residual ${resid / lambda} — not an eigendirection")
+    // determinism: a second run is bitwise identical
+    val again = Similarity.powerIteration(spark, Sf, iters = 60).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(again.toSeq === v.toSeq)
+  }
 }
