@@ -36,6 +36,14 @@ import graft.engine.Tables
   * The TopKAgg typed Aggregator gets the same shuffle bound but returns
   * packed structs through an aggregate; this operator streams plain
   * rows and needs no struct packing/unpacking.
+  *
+  * Memory contract: state is one k-heap per DISTINCT KEY per partition
+  * (k·|keys| rows), like an in-memory hash aggregate WITHOUT spill —
+  * right for the grouped-top-k shapes this engine uses (bounded key
+  * domains: event types, query ids, sources). A key domain that does
+  * not fit executor memory needs the window spelling (sort-based,
+  * spillable) — the rewrite rule deliberately stays opt-in rather than
+  * session-global for exactly this reason.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
