@@ -1814,47 +1814,96 @@ object Similarity {
     */
   def powerIteration(s: SparkSession, dir: String, iters: Int = 60): DataFrame = {
     import s.implicits._
-    val cells = t(s, dir, "embeddings")
-      .select(transform(col("embedding"),
-        v => floor(v.cast(DoubleType) * lit(1048576.0))).as("qa"))
-      .select(size(col("qa")).as("w"),
-        posexplode(flatten(transform(col("qa"),
-          x => transform(col("qa"), y => x * y)))).as(Seq("idx", "qq")))
-      .select(floor(col("idx") / col("w")).cast(LongType).as("i0"),
-        pmod(col("idx"), col("w")).cast(LongType).as("j0"), col("qq"))
-      .groupBy(col("i0"), col("j0")).agg(sum(col("qq")).as("g"))
-      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
-      .toMap
+    val (v, lambda, _) = pcCore(s, dir, iters)
     val nvec = t(s, dir, "embeddings").count()
-    val d = math.sqrt(cells.size.toDouble).round.toInt
-    val gd = Array.tabulate(d, d)((i, j) => cells((i, j)).toDouble)
-    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
-    var lambda = 0.0
-    var it = 0
-    while (it < iters) {
-      val w = new Array[Double](d)
-      var i = 0
-      while (i < d) {
-        var acc = 0.0
-        var j = 0
-        while (j < d) { acc += gd(i)(j) * v(j); j += 1 } // ascending-j fold
-        w(i) = acc
-        i += 1
-      }
-      var n2 = 0.0
-      i = 0
-      while (i < d) { n2 += w(i) * w(i); i += 1 } // ascending-i fold
-      val nrm = math.sqrt(n2)
-      i = 0
-      while (i < d) { w(i) = w(i) / nrm; i += 1 }
-      v = w
-      lambda = nrm
-      it += 1
-    }
     v.zipWithIndex
       .map { case (x, i) => (i + 1, x, lambda / 1099511627776.0, nvec) }
       .toSeq.toDF("dim", "loading", "lambda_grid", "n_vectors")
       .orderBy(col("dim"))
+  }
+
+  /** The shared grid-Gram build + pinned power loop: (unit loadings,
+    * grid-scale λ, grid-scale trace). Cached per (session, dataset,
+    * iters) — x185 and x186 read one computation.
+    */
+  private val pcCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (Array[Double], Double, Long)]()
+
+  private def pcCore(s: SparkSession, dir: String,
+      iters: Int): (Array[Double], Double, Long) =
+    pcCache.computeIfAbsent((s, dir, iters), _ => {
+      val cells = t(s, dir, "embeddings")
+        .select(transform(col("embedding"),
+          v => floor(v.cast(DoubleType) * lit(1048576.0))).as("qa"))
+        .select(size(col("qa")).as("w"),
+          posexplode(flatten(transform(col("qa"),
+            x => transform(col("qa"), y => x * y)))).as(Seq("idx", "qq")))
+        .select(floor(col("idx") / col("w")).cast(LongType).as("i0"),
+          pmod(col("idx"), col("w")).cast(LongType).as("j0"), col("qq"))
+        .groupBy(col("i0"), col("j0")).agg(sum(col("qq")).as("g"))
+        .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+        .toMap
+      val d = math.sqrt(cells.size.toDouble).round.toInt
+      val gd = Array.tabulate(d, d)((i, j) => cells((i, j)).toDouble)
+      val trace = (0 until d).map(i => cells((i, i))).sum
+      var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+      var lambda = 0.0
+      var it = 0
+      while (it < iters) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += gd(i)(j) * v(j); j += 1 } // ascending-j fold
+          w(i) = acc
+          i += 1
+        }
+        var n2 = 0.0
+        i = 0
+        while (i < d) { n2 += w(i) * w(i); i += 1 } // ascending-i fold
+        val nrm = math.sqrt(n2)
+        i = 0
+        while (i < d) { w(i) = w(i) / nrm; i += 1 }
+        v = w
+        lambda = nrm
+        it += 1
+      }
+      (v, lambda, trace)
+    })
+
+  /** x186: the projection the component exists FOR — every vector's
+    * coordinate along the top principal direction (the 1-D embedding a
+    * curation pipeline bins or ablates on), plus λ and the variance-
+    * explained ratio λ/trace(G), both exact functions of the grid Gram.
+    * Per-vector work is one exploded join against the broadcast
+    * 64-value loading table and a pinned ascending-dim fold — linear,
+    * one shuffle. The twin re-derives the same loadings through its own
+    * 60 unrolled rounds and folds the same products, so every
+    * projection hash-compares bitwise.
+    */
+  def pcProjection(s: SparkSession, dir: String, iters: Int = 60): DataFrame = {
+    import s.implicits._
+    val (v, lambda, trace) = pcCore(s, dir, iters)
+    val loadings = v.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toSeq.toDF("dim", "x")
+    val varExplained = lambda / trace.toDouble
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+        floor(col("e").cast(DoubleType) * lit(1048576.0)).as("q"))
+      .join(broadcast(loadings), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        (col("q").cast(DoubleType) * col("x")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("dim"), col("p")))),
+          e => e.getField("p")),
+        lit(0.0), (a, b) => a + b) / lit(1048576.0)).as("proj"))
+      .select(col("vec_id"), col("proj"),
+        lit(lambda / 1099511627776.0).as("lambda_grid"),
+        lit(varExplained).as("var_explained"))
+      .orderBy(col("vec_id"))
   }
 
   /** The per-label drift of an arriving vector batch against the STANDING
@@ -1981,6 +2030,7 @@ object Similarity {
     "x135_drift_probe" -> (driftProbe _),
     "x130_embedding_gram" -> ((s: SparkSession, dir: String) => embeddingGramTopk(s, dir)),
     "x185_power_iteration" -> ((s: SparkSession, dir: String) => powerIteration(s, dir)),
+    "x186_pc_projection" -> ((s: SparkSession, dir: String) => pcProjection(s, dir)),
     "x127_embedding_dim_stats" -> (embeddingDimStats _),
     "x112_hard_negatives" -> ((s: SparkSession, dir: String) => hardNegatives(s, dir)),
     "x113_dim_ablation" -> ((s: SparkSession, dir: String) => dimAblationRecall(s, dir)),
@@ -2291,7 +2341,7 @@ object Similarity {
     * iterations UNROLLED — per round one pinned ascending-j matrix-
     * vector fold, one pinned ascending-i norm fold, one normalize.
     */
-  private def powerOracle(iters: Int): String = {
+  private def powerCtes(iters: Int): String = {
     val steps = (1 to iters).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""w$r AS MATERIALIZED (
@@ -2304,7 +2354,7 @@ object Similarity {
          |    list(wx * wx ORDER BY dim)), (a, b) -> a + b)) AS nrm FROM w$r),
          |v$r AS MATERIALIZED (SELECT w$r.dim, w$r.wx / n$r.nrm AS x FROM w$r, n$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qd AS MATERIALIZED (
+    s"""qd AS MATERIALIZED (
        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
        |  FROM embeddings,
@@ -2316,15 +2366,37 @@ object Similarity {
        |  SELECT i AS dim,
        |    CASE WHEN i = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS x
        |  FROM (SELECT DISTINCT i FROM g)),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def powerOracle(iters: Int): String =
+    s"""WITH ${powerCtes(iters)}
        |SELECT CAST(v$iters.dim + 1 AS INT) AS dim, v$iters.x AS loading,
        |  n$iters.nrm / 1099511627776.0 AS lambda_grid,
        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors
        |FROM v$iters, n$iters ORDER BY dim""".stripMargin
-  }
+
+  /** x186's twin: the same 60 rounds, then each vector's pinned
+    * ascending-dim product fold against the final loadings, λ and the
+    * λ/trace ratio from the same frames.
+    */
+  private def pcProjOracle(iters: Int): String =
+    s"""WITH ${powerCtes(iters)},
+       |tr AS (SELECT CAST(sum(gij) AS BIGINT) AS trace FROM g WHERE i = j),
+       |proj AS (
+       |  SELECT q.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(q.q AS DOUBLE) * p.x ORDER BY q.dim)), (a, b) -> a + b)
+       |      / 1048576.0 AS proj
+       |  FROM qd q JOIN v$iters p ON p.dim = q.dim GROUP BY q.vec_id)
+       |SELECT proj.vec_id, proj.proj,
+       |  n$iters.nrm / 1099511627776.0 AS lambda_grid,
+       |  n$iters.nrm / CAST(tr.trace AS DOUBLE) AS var_explained
+       |FROM proj, n$iters, tr ORDER BY proj.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x185_power_iteration" -> powerOracle(60),
+    "x186_pc_projection" -> pcProjOracle(60),
     "x137_jl_distortion" -> jlOracle(Seq(8, 16, 32)),
     // x130: same grid snap; the twin forms Σq_i·q_j by self-joining the
     // exploded grid on vec_id (the brute-force spelling of the map-side

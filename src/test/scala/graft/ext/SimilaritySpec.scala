@@ -648,5 +648,23 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.powerIteration(spark, Sf, iters = 60).collect()
       .sortBy(_.getInt(0)).map(_.getDouble(1))
     assert(again.toSeq === v.toSeq)
+    // x186: every projection reconstructs from the loadings and the
+    // quantized vector (same pinned ascending-dim fold), and the
+    // variance-explained ratio is sane
+    val projs = Similarity.pcProjection(spark, Sf, iters = 60).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(projs.size === cells.length)
+    val q0 = cells.head // vec_id 0 is the first row of the fixture read? recompute:
+    val byId = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    byId.take(5).foreach { case (id, e) =>
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += math.floor(e(j).toDouble * 1048576.0) * v(j); j += 1 }
+      assert(projs(id)._1 === acc / 1048576.0, s"projection mismatch for vec $id")
+    }
+    val ve = projs.values.head._2
+    assert(ve > 0.0 && ve <= 1.0, s"variance explained $ve out of range")
   }
 }
