@@ -1,0 +1,274 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.Tables
+
+/** NN-descent k-NN graph construction over the `embeddings` table — the
+  * build step of graph-based ANN serving (HNSW/NSG families all start
+  * from an approximate k-NN graph) and of graph-distance curation
+  * audits. The reference has no vector surface at all (its readable
+  * core is `dags/flights_data_pipeline.py:1-253`); this lane is part of
+  * the builder brief's similarity-search mandate, next to the
+  * LSH/IVF/PQ serving paths in `Similarity`/`Clustering`.
+  *
+  * Algorithm (Dong, Moses & Li, WWW'11 "Efficient k-nearest neighbor
+  * graph construction for generic similarity measures", re-derived
+  * here in DataFrame form): start from a cheap candidate seed, then
+  * repeat "compare each point against its neighbors' neighbors and
+  * keep the best k". Every usually-randomized choice is pinned:
+  *
+  *  - coordinates snap to the 2^-20 grid (the x127/x130 rule) so every
+  *    distance is order-free BIGINT arithmetic via the codegen'd
+  *    `SqDistL` kernel — bit-identical across engines and replays;
+  *  - the seed is two independent md5-salted hash bucketings (the
+  *    cross-engine analog of NN-descent's random init): same-bucket
+  *    points are seed candidates, each point keeps its best k;
+  *  - the per-round neighbor pool is degree-capped at 2k by a
+  *    round-salted md5 order (the paper's reverse-neighbor SAMPLING,
+  *    made deterministic) so hub nodes cannot quadratically blow up
+  *    the join;
+  *  - ties everywhere break by (distance, neighbor id).
+  *
+  * Scale shape: the seed is a bucket equi-join (bucket count is the
+  * production knob — scale B with n to hold bucket size constant; it
+  * is PINNED here so the DuckDB twin is a fixed string). Each round is
+  * two self-joins on node id plus one distance pass over ~n·(2k)²
+  * candidate pairs and one per-node top-k — all key-partitioned, no
+  * global structure, no driver state. Per-round localCheckpoint keeps
+  * the unrolled plan linear (the x82/x83 discipline). Monotone by
+  * construction: round r's candidate set includes round r-1's edges,
+  * so each node's k-th distance never regresses (NnGraphSpec gates
+  * this invariant).
+  */
+object NnGraph {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** The corpus on the 2^-20 grid: (vec_id, qa: array<bigint>). */
+  private def qvecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qa"))
+
+  /** Integer squared L2 on the grid — native codegen'd kernel. */
+  private def sqDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SqDistL(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** md5-derived 60-bit pinned pseudo-random order (TextAnalysis rule). */
+  private def h(c: Column): Column = TextAnalysis.tokenHash(c)
+
+  /** Distances for a (src, nbr) pair frame: two id-keyed joins against
+    * the grid corpus, one kernel pass. The pair frame never widens.
+    */
+  private def withDist(pairs: DataFrame, q: DataFrame): DataFrame =
+    pairs
+      .join(q.select(col("vec_id").as("src"), col("qa").as("sa")), Seq("src"))
+      .join(q.select(col("vec_id").as("nbr"), col("qa").as("na")), Seq("nbr"))
+      .select(col("src"), col("nbr"), sqDist(col("sa"), col("na")).as("dist"))
+
+  /** Per-src best-k by pinned (dist, nbr) order. */
+  private def topK(d: DataFrame, k: Int): DataFrame =
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dist"), col("nbr"))))
+      .filter(col("rk") <= k).drop("rk")
+
+  /** The converged edge frame (src, nbr, dist), cached per
+    * (session, dir, k, rounds, buckets) — x187 and x188 read one build.
+    */
+  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int), DataFrame]()
+
+  private[ext] def nnEdges(s: SparkSession, dir: String, k: Int,
+      rounds: Int, buckets: Int): DataFrame =
+    graphCache.computeIfAbsent((s, dir, k, rounds, buckets), _ => {
+      val q = qvecs(s, dir).localCheckpoint(true)
+      // seed: two salted bucketings over disjoint bucket spaces
+      val bkt = q.select(col("vec_id"), explode(array(
+          pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(buckets.toLong)),
+          pmod(h(concat(lit("nnd2:"), col("vec_id"))), lit(buckets.toLong))
+            + lit(buckets.toLong))).as("b"))
+      val p0 = bkt.as("l").join(bkt.as("r"), Seq("b"))
+        .filter(col("l.vec_id") =!= col("r.vec_id"))
+        .select(col("l.vec_id").as("src"), col("r.vec_id").as("nbr"))
+        .distinct()
+      var e = topK(withDist(p0, q), k).localCheckpoint(true)
+      (1 to rounds).foreach { r =>
+        // undirected pool, degree-capped at 2k by a round-salted order
+        // (the paper's reverse-neighbor sampling, pinned)
+        val u = e.select(col("src"), col("nbr"))
+          .union(e.select(col("nbr").as("src"), col("src").as("nbr")))
+          .distinct()
+          .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+            .orderBy(h(concat(lit(s"nndu:$r:"), col("src"), lit(":"), col("nbr"))),
+              col("nbr"))))
+          .filter(col("rk") <= 2 * k).drop("rk")
+          .localCheckpoint(true)
+        // neighbors-of-neighbors ∪ pool ∪ current edges (the last term
+        // makes per-node k-th distance monotone non-increasing)
+        val cand = u.as("a").join(u.as("b"), col("a.nbr") === col("b.src"))
+          .filter(col("a.src") =!= col("b.nbr"))
+          .select(col("a.src").as("src"), col("b.nbr").as("nbr"))
+          .union(u.select(col("src"), col("nbr")))
+          .union(e.select(col("src"), col("nbr")))
+          .distinct()
+        e = topK(withDist(cand, q), k).localCheckpoint(true)
+      }
+      e
+    })
+
+  /** x187: the NN-descent k-NN graph — per point its k approximate
+    * nearest neighbors after `rounds` descent rounds, with grid-exact
+    * squared distances. Columns: vec_id, rank (1 = nearest), nbr_id,
+    * dist_grid, plus the L2 distance back on the unit scale.
+    */
+  def nnDescent(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
+      buckets: Int = 32): DataFrame =
+    nnEdges(s, dir, k, rounds, buckets)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dist"), col("nbr"))))
+      .select(col("src").as("vec_id"), col("rank"), col("nbr").as("nbr_id"),
+        col("dist").as("dist_grid"),
+        (sqrt(col("dist").cast(DoubleType)) / 1048576.0).as("l2"))
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** x188: sampled recall audit of the x187 graph — the 64 pinned-hash
+    * sample nodes get EXACT top-k by brute force (64·n distance pairs:
+    * linear in the corpus, the x160 bounded-audit discipline), and the
+    * graph's hit rate against that truth is the recall. One summary
+    * row: sample size, hits, possible, recall.
+    */
+  def nnDescentRecall(s: SparkSession, dir: String, k: Int = 6,
+      rounds: Int = 4, buckets: Int = 32, sample: Int = 64): DataFrame = {
+    val q = qvecs(s, dir)
+    val probes = q.select(col("vec_id"))
+      .orderBy(h(concat(lit("nndq:"), col("vec_id"))), col("vec_id"))
+      .limit(sample)
+    val exactPairs = broadcast(probes.select(col("vec_id").as("src")))
+      .join(q.select(col("vec_id").as("nbr")), col("src") =!= col("nbr"))
+    val truth = topK(withDist(exactPairs, q), k)
+      .select(col("src"), col("nbr"))
+    val approx = nnEdges(s, dir, k, rounds, buckets)
+      .select(col("src"), col("nbr"))
+    val hits = truth.join(approx, Seq("src", "nbr"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("hits"))
+    val possible = truth.groupBy().agg(count(lit(1)).as("possible"),
+      countDistinct(col("src")).as("n_queries"))
+    possible.crossJoin(hits)
+      .select(col("n_queries"), col("hits"), col("possible"),
+        (col("hits").cast(DoubleType) / col("possible").cast(DoubleType))
+          .as("recall"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x187_nndescent_graph" -> ((s: SparkSession, dir: String) => nnDescent(s, dir)),
+    "x188_nndescent_recall" -> ((s: SparkSession, dir: String) => nnDescentRecall(s, dir)))
+
+  /** The shared twin prefix: grid dims, the two-salt bucket seed, and
+    * `rounds` descent rounds unrolled — ends at e`rounds` (src, nbr,
+    * dist). Distances spell the same Σ(qᵢ−qⱼ)² by exploding dims and
+    * joining on d (the kmCte discipline).
+    */
+  private def nndCtes(k: Int, rounds: Int, buckets: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""u$r AS MATERIALIZED (
+         |  SELECT src, nbr FROM (
+         |    SELECT src, nbr, row_number() OVER (PARTITION BY src ORDER BY
+         |        ('0x' || substr(md5('nndu:$r:' || CAST(src AS VARCHAR) || ':' ||
+         |          CAST(nbr AS VARCHAR)), 1, 15))::BIGINT, nbr) AS rk
+         |    FROM (SELECT DISTINCT src, nbr FROM (
+         |      SELECT src, nbr FROM $prev
+         |      UNION ALL SELECT nbr AS src, src AS nbr FROM $prev)))
+         |  WHERE rk <= ${2 * k}),
+         |c$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, nbr FROM (
+         |    SELECT a.src AS src, b.nbr AS nbr
+         |    FROM u$r a JOIN u$r b ON a.nbr = b.src WHERE a.src <> b.nbr
+         |    UNION ALL SELECT src, nbr FROM u$r
+         |    UNION ALL SELECT src, nbr FROM $prev)),
+         |d$r AS MATERIALIZED (
+         |  SELECT c.src, c.nbr, sum((a.q - b.q) * (a.q - b.q)) AS dist
+         |  FROM c$r c JOIN dims a ON a.vec_id = c.src
+         |  JOIN dims b ON b.vec_id = c.nbr AND b.d = a.d
+         |  GROUP BY c.src, c.nbr),
+         |e$r AS MATERIALIZED (
+         |  SELECT src, nbr, dist FROM (
+         |    SELECT src, nbr, dist,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, nbr) AS rk
+         |    FROM d$r) WHERE rk <= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""dims AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id, ('0x' || substr(md5('nnd1:' || CAST(vec_id AS VARCHAR)),
+       |      1, 15))::BIGINT % $buckets AS b FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id, $buckets + ('0x' || substr(md5('nnd2:' ||
+       |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $buckets FROM embeddings),
+       |p0 AS MATERIALIZED (
+       |  SELECT DISTINCT l.vec_id AS src, r.vec_id AS nbr
+       |  FROM bkt l JOIN bkt r USING (b) WHERE l.vec_id <> r.vec_id),
+       |d0 AS MATERIALIZED (
+       |  SELECT p.src, p.nbr, sum((a.q - b.q) * (a.q - b.q)) AS dist
+       |  FROM p0 p JOIN dims a ON a.vec_id = p.src
+       |  JOIN dims b ON b.vec_id = p.nbr AND b.d = a.d
+       |  GROUP BY p.src, p.nbr),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, nbr, dist FROM (
+       |    SELECT src, nbr, dist,
+       |      row_number() OVER (PARTITION BY src ORDER BY dist, nbr) AS rk
+       |    FROM d0) WHERE rk <= $k),
+       |$roundCtes""".stripMargin
+  }
+
+  private def nndOracle(k: Int, rounds: Int, buckets: Int): String =
+    s"""WITH ${nndCtes(k, rounds, buckets)}
+       |SELECT src AS vec_id,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dist, nbr) AS INT)
+       |    AS rank,
+       |  nbr AS nbr_id, CAST(dist AS BIGINT) AS dist_grid,
+       |  sqrt(CAST(dist AS DOUBLE)) / 1048576.0 AS l2
+       |FROM e$rounds ORDER BY vec_id, rank""".stripMargin
+
+  private def recallOracle(k: Int, rounds: Int, buckets: Int,
+      sample: Int): String =
+    s"""WITH ${nndCtes(k, rounds, buckets)},
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('nndq:' || CAST(vec_id AS VARCHAR)),
+       |    1, 15))::BIGINT, vec_id LIMIT $sample),
+       |xd AS MATERIALIZED (
+       |  SELECT p.vec_id AS src, e.vec_id AS nbr,
+       |    sum((a.q - b.q) * (a.q - b.q)) AS dist
+       |  FROM probes p JOIN embeddings e ON e.vec_id <> p.vec_id
+       |  JOIN dims a ON a.vec_id = p.vec_id
+       |  JOIN dims b ON b.vec_id = e.vec_id AND b.d = a.d
+       |  GROUP BY p.vec_id, e.vec_id),
+       |truth AS MATERIALIZED (
+       |  SELECT src, nbr FROM (
+       |    SELECT src, nbr, row_number() OVER (PARTITION BY src
+       |      ORDER BY dist, nbr) AS rk FROM xd) WHERE rk <= $k),
+       |hits AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM e$rounds g
+       |                WHERE g.src = t.src AND g.nbr = t.nbr))
+       |SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_queries,
+       |  hits.hits AS hits, CAST(count(*) AS BIGINT) AS possible,
+       |  CAST(hits.hits AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM truth, hits GROUP BY hits.hits""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x187_nndescent_graph" -> nndOracle(6, 4, 32),
+    "x188_nndescent_recall" -> recallOracle(6, 4, 32, 64))
+}
