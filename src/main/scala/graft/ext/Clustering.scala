@@ -849,7 +849,62 @@ object Clustering {
       .orderBy(col("nprobe"))
   }
 
+  /** x189: greedy k-center coreset selection (Gonzalez 1985 farthest-
+    * point traversal — the 2-approximation that underpins coreset-based
+    * data selection and k-center seeding). Start from a pinned
+    * md5-minimal seed, then k−1 rounds of "select the point farthest
+    * from everything selected so far", ties to the smallest vec_id.
+    * Exact on the 2^-20 grid, so both engines agree bitwise.
+    *
+    * Output: one row per selected center — round, center_id,
+    * sel_dist_grid (squared grid distance to the nearest earlier
+    * center at selection time; NULL for the seed), sel_l2 (unit
+    * scale), and cov_radius_grid = max over the corpus of the
+    * nearest-center distance after all k selections (the coreset's
+    * covering radius; identical on every row).
+    *
+    * Scale shape: per round one id-keyed join to re-attach grid
+    * vectors, one broadcast of the single new center, one kernel
+    * distance pass, one global argmax (TakeOrderedAndProject — k
+    * single-row reductions total, never a wide state). The running
+    * (vec_id, dm) frame is the only per-round checkpoint — 2 columns,
+    * not the vectors. k corpus passes total, the algorithm's bound.
+    */
+  def kcenterCoreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val q = qvecs(s, dir).localCheckpoint(true)
+    val seed = q
+      .withColumn("h", TextAnalysis.tokenHash(
+        concat(lit("kc:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("c_id"), col("qa").as("ca"))
+      .localCheckpoint(true)
+    var dm = q.crossJoin(broadcast(seed.select(col("ca"))))
+      .select(col("vec_id"), sqDist(col("qa"), col("ca")).as("dm"))
+      .localCheckpoint(true)
+    var picked = Seq(seed.select(col("c_id"), lit(1).as("round"),
+      lit(null).cast(LongType).as("sel_dist_grid")))
+    (2 to k).foreach { r =>
+      val c = dm.orderBy(col("dm").desc, col("vec_id")).limit(1)
+        .join(q, Seq("vec_id"))
+        .select(col("vec_id").as("c_id"), col("qa").as("ca"), col("dm").as("sel"))
+        .localCheckpoint(true)
+      picked :+= c.select(col("c_id"), lit(r).as("round"),
+        col("sel").as("sel_dist_grid"))
+      dm = dm.join(q, Seq("vec_id"))
+        .crossJoin(broadcast(c.select(col("ca"))))
+        .select(col("vec_id"), least(col("dm"), sqDist(col("qa"), col("ca"))).as("dm"))
+        .localCheckpoint(true)
+    }
+    val cov = dm.agg(max(col("dm")).as("cov_radius_grid"))
+    picked.reduce(_ union _).crossJoin(broadcast(cov))
+      .select(col("round"), col("c_id").as("center_id"), col("sel_dist_grid"),
+        (sqrt(col("sel_dist_grid").cast(DoubleType)) / 1048576.0).as("sel_l2"),
+        col("cov_radius_grid"))
+      .orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x189_kcenter_coreset" -> ((s: SparkSession, dir: String) => kcenterCoreset(s, dir)),
     "x140_kmeans_embed" -> ((s: SparkSession, dir: String) => kmeansEmbed(s, dir)),
     "x141_pq_codes" -> (pqCodes _),
     "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)),
@@ -1104,7 +1159,57 @@ object Clustering {
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
        |    FROM e1) WHERE rn = 1)""".stripMargin
 
+  /** x189's twin: the same pinned seed and k−1 unrolled farthest-point
+    * rounds; each round one MATERIALIZED single-row argmax and one
+    * dims-join distance pass (the new center's 64 dims drive the join,
+    * so no n² blowup). Same integer grid, same tie-breaks.
+    */
+  private def kcenterOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = s"dm${r - 1}"
+      s"""s$r AS MATERIALIZED (
+         |  SELECT vec_id AS c_id, dm AS sel FROM $prev
+         |  ORDER BY dm DESC, vec_id LIMIT 1),
+         |nd$r AS MATERIALIZED (
+         |  SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS nd
+         |  FROM s$r JOIN dims b ON b.vec_id = s$r.c_id
+         |  JOIN dims a ON a.d = b.d GROUP BY a.vec_id),
+         |dm$r AS MATERIALIZED (
+         |  SELECT d.vec_id, least(d.dm, n.nd) AS dm
+         |  FROM $prev d JOIN nd$r n USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k).map { r =>
+      s"""UNION ALL SELECT $r AS round, c_id AS center_id,
+         |  CAST(sel AS BIGINT) AS sel_dist_grid,
+         |  sqrt(CAST(sel AS DOUBLE)) / 1048576.0 AS sel_l2 FROM s$r""".stripMargin
+    }.mkString("\n")
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id AS c_id FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('kc:' || CAST(vec_id AS VARCHAR)),
+       |    1, 15))::BIGINT, vec_id LIMIT 1),
+       |dm1 AS MATERIALIZED (
+       |  SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dm
+       |  FROM s1 JOIN dims b ON b.vec_id = s1.c_id
+       |  JOIN dims a ON a.d = b.d GROUP BY a.vec_id),
+       |$rounds,
+       |cov AS (SELECT CAST(max(dm) AS BIGINT) AS cov_radius_grid FROM dm$k)
+       |SELECT p.round, p.center_id, p.sel_dist_grid, p.sel_l2,
+       |  cov.cov_radius_grid
+       |FROM (
+       |  SELECT 1 AS round, c_id AS center_id,
+       |    CAST(NULL AS BIGINT) AS sel_dist_grid,
+       |    CAST(NULL AS DOUBLE) AS sel_l2 FROM s1
+       |$sel) p, cov ORDER BY p.round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x189_kcenter_coreset" -> kcenterOracle(8),
     "x140_kmeans_embed" -> kmeansOracle(8),
     // x150: the x140 CTE chain rebased onto the reference corpus
     // (vec_id % 5 <> 4), one extra frozen-centroid assignment pass for

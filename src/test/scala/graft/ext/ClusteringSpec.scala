@@ -291,4 +291,32 @@ class ClusteringSpec extends SparkSpec {
       "corpus_qerr must equal the x141 histogram's total qerr")
     assert(errs.head > 0L)
   }
+
+  test("x189 k-center equals the driver-side greedy farthest-point reference") {
+    val q = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(v => math.floor(v.toDouble * 1048576.0).toLong).toArray).toMap
+    // reference: same md5 seed, same greedy loop, same (dm desc, id) ties
+    val seed = q.keys.toSeq.minBy(id => (h15(s"kc:$id"), id))
+    var dm = q.map { case (id, v) => id -> d2(v, q(seed)) }
+    var centers = Vector((seed, -1L)) // sel dist unused for the seed
+    (2 to 8).foreach { _ =>
+      val c = dm.toSeq.maxBy { case (id, d) => (d, -id) }._1
+      centers :+= ((c, dm(c)))
+      dm = dm.map { case (id, d) => id -> math.min(d, d2(q(id), q(c))) }
+    }
+    val cov = dm.values.max
+    val rows = Clustering.kcenterCoreset(spark, Sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length === 8)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === centers(i)._1, s"center at round ${i + 1}")
+      if (i > 0) assert(r.getLong(2) === centers(i)._2, s"sel dist round ${i + 1}")
+      assert(r.getLong(4) === cov, "covering radius")
+    }
+    // farthest-point selection distances are non-increasing
+    val sels = rows.drop(1).map(_.getLong(2)).toSeq
+    assert(sels === sels.sorted.reverse)
+  }
 }
