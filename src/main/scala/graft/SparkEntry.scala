@@ -27,7 +27,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.SuffixDedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
-      ext.Clustering.queries ++ ext.UnigramLm.queries ++ ext.NnGraph.queries ++
+      ext.Clustering.queries ++ ext.UnigramLm.queries ++ ext.NnGraph.queries ++ ext.Linkage.queries ++
       sources.VecShardQueries.queries ++ plans.TopKPerKey.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
@@ -45,7 +45,7 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.SuffixDedup.oracles ++
       ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
-      ext.Clustering.oracles ++ ext.UnigramLm.oracles ++ ext.NnGraph.oracles ++
+      ext.Clustering.oracles ++ ext.UnigramLm.oracles ++ ext.NnGraph.oracles ++ ext.Linkage.oracles ++
       sources.VecShardQueries.oracles ++ plans.TopKPerKey.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++

@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.engine.Tables
+
+/** Entity-resolution operators over the `customer` dimension: an exact
+  * edit-distance similarity self-join (x190, the ED-Join shape — Xiao,
+  * Wang & Lin, VLDB'08; Gravano et al., VLDB'01 q-gram counting) and a
+  * Fellegi–Sunter scored record-linkage pass (x191, JASA 1969) with
+  * blocking. The reference pipeline's own dedup is plain DISTINCT over
+  * dimension rows (SURVEY §2.4 A3); these are the fuzzy-identity
+  * operators a warehouse needs when sources disagree on spelling.
+  *
+  * Determinism: both engines run the identical algorithm — `levenshtein`
+  * is the standard unit-cost DP in Spark and DuckDB; every block,
+  * filter and weight is integer arithmetic; money comparisons happen on
+  * floor(bal·100) cents (identical IEEE double ops on both sides).
+  *
+  * Scale shape (x190): candidate generation joins on (position, q-gram)
+  * postings with a df cap (the x11 two-pass df-cut discipline) — the
+  * near-constant prefix region of the names produces huge-df grams that
+  * would degenerate any signature join to all-pairs, and the cap drops
+  * exactly those; soundness is preserved because one edit destroys at
+  * most q·τ grams, so any string with ≥ q·τ+1 RARE grams must share at
+  * least one with every true match (position-shift ±τ absorbed by probe
+  * expansion). Strings with fewer rare grams take the fallback leg — an
+  * equi-join on length±τ buckets, quadratic only in the genuinely
+  * unblockable stratum (empty on this corpus; the honest bound, since
+  * exact ED-join on constant strings IS all-pairs).
+  */
+object Linkage {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private val Q = 2 // q-gram width
+
+  /** x190: all customer-name pairs within Levenshtein distance τ.
+    * Output: a_custkey < b_custkey, dist. Candidates from rare
+    * positional-q-gram postings (df ≤ cap) with ±τ probe-position
+    * expansion, then exact `levenshtein` verification — false
+    * candidates are filtered, so the cap/expansion only ever adds
+    * work, never wrong rows.
+    */
+  def edSimJoin(s: SparkSession, dir: String, tau: Int = 1,
+      cap: Int = 256): DataFrame = {
+    val nm = t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("nm"))
+      .withColumn("len", length(col("nm")))
+    val grams = nm
+      .select(col("key"), col("nm"), col("len"),
+        explode(sequence(lit(1), col("len") - lit(Q - 1))).as("pos"))
+      .select(col("key"), col("pos"),
+        col("nm").substr(col("pos"), lit(Q)).as("g"))
+    val dfreq = grams.groupBy(col("pos"), col("g"))
+      .agg(count(lit(1)).as("df"))
+    val ridx = grams.join(dfreq, Seq("pos", "g"))
+      .filter(col("df") <= cap)
+      .select(col("key").as("i_key"), col("pos"), col("g"))
+      .localCheckpoint(true)
+    // strings with fewer than q·τ+1 rare grams cannot rely on the
+    // pigeonhole argument — route them through the fallback leg
+    val rcnt = ridx.groupBy(col("i_key")).agg(count(lit(1)).as("r"))
+    val few = nm.join(rcnt, nm("key") === rcnt("i_key"), "left")
+      .filter(coalesce(col("r"), lit(0L)) < Q * tau + 1)
+      .select(col("key").as("f_key"), col("len"))
+    val probes = grams
+      .select(col("key").as("p_key"), col("g"),
+        explode(sequence(col("pos") - lit(tau), col("pos") + lit(tau))).as("pos"))
+    val candBlock = ridx.join(probes, Seq("pos", "g"))
+      .filter(col("i_key") =!= col("p_key"))
+      .select(least(col("i_key"), col("p_key")).as("a_custkey"),
+        greatest(col("i_key"), col("p_key")).as("b_custkey"))
+    val candFew = few
+      .select(col("f_key"),
+        explode(sequence(col("len") - lit(tau), col("len") + lit(tau))).as("len"))
+      .join(nm.select(col("key").as("o_key"), col("len")), Seq("len"))
+      .filter(col("f_key") =!= col("o_key"))
+      .select(least(col("f_key"), col("o_key")).as("a_custkey"),
+        greatest(col("f_key"), col("o_key")).as("b_custkey"))
+    val cand = candBlock.union(candFew).distinct()
+    cand
+      .join(nm.select(col("key").as("a_custkey"), col("nm").as("na")), Seq("a_custkey"))
+      .join(nm.select(col("key").as("b_custkey"), col("nm").as("nb")), Seq("b_custkey"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast(IntegerType))
+      .filter(col("dist") <= tau)
+      .select(col("a_custkey"), col("b_custkey"), col("dist"))
+      .orderBy(col("a_custkey"), col("b_custkey"))
+  }
+
+  /** x191: Fellegi–Sunter record linkage with nation blocking. The
+    * incoming batch is a deterministic in-query perturbation of every
+    * 50th customer (same corpus both engines): last name char replaced
+    * by 'X' (one substitution, collides with no real name), balance
+    * nudged 17 cents, clone_id = custkey + 10^9. Candidates = clones ×
+    * customers sharing c_nationkey (the blocking key); each pair gets
+    * an agreement vector — name level 2/1/0 (exact / within ed 2 /
+    * far), cents within 50, segment equal — and the pinned integer
+    * log-odds weights 40/24/−20, 12/−8, 5/−6. status: weight ≥ 40 →
+    * match, ≥ 15 → possible; below 15 is suppressed (bounds the
+    * output like any FS implementation).
+    *
+    * Scale: blocking is one equi-join; agreement and weights are
+    * per-pair projections; no global state. Finer blocks (phone
+    * prefixes, sorted-neighborhood windows) drop in by swapping the
+    * join key.
+    */
+  def fsLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        floor(col("c_acctbal") * lit(100.0)).cast(LongType).as("cents"),
+        col("c_mktsegment"))
+    val clones = cust.filter(pmod(col("c_custkey"), lit(50L)) === lit(7L))
+      .select((col("c_custkey") + lit(1000000000L)).as("clone_id"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X"))
+          .as("q_name"),
+        col("c_nationkey"), (col("cents") + lit(17L)).as("q_cents"),
+        col("c_mktsegment").as("q_seg"))
+    val scored = clones.join(cust, Seq("c_nationkey"))
+      .withColumn("name_lvl",
+        when(col("q_name") === col("c_name"), 2)
+          .when(levenshtein(col("q_name"), col("c_name")) <= 2, 1)
+          .otherwise(0))
+      .withColumn("acct_agree",
+        (abs(col("q_cents") - col("cents")) <= lit(50L)).cast(IntegerType))
+      .withColumn("seg_agree",
+        (col("q_seg") === col("c_mktsegment")).cast(IntegerType))
+      .withColumn("weight",
+        when(col("name_lvl") === 2, 40).when(col("name_lvl") === 1, 24)
+          .otherwise(-20)
+        + when(col("acct_agree") === 1, 12).otherwise(-8)
+        + when(col("seg_agree") === 1, 5).otherwise(-6))
+    scored.filter(col("weight") >= 15)
+      .select(col("clone_id"), col("c_custkey").as("cand_custkey"),
+        col("name_lvl"), col("acct_agree"), col("seg_agree"), col("weight"),
+        when(col("weight") >= 40, lit("match")).otherwise(lit("possible"))
+          .as("status"))
+      .orderBy(col("clone_id"), col("cand_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x190_ed_simjoin" -> ((s: SparkSession, dir: String) => edSimJoin(s, dir)),
+    "x191_fs_linkage" -> ((s: SparkSession, dir: String) => fsLinkage(s, dir)))
+
+  private def edOracle(tau: Int, cap: Int): String =
+    s"""WITH nm AS MATERIALIZED (
+       |  SELECT c_custkey AS key, c_name AS nm, length(c_name) AS len
+       |  FROM customer),
+       |grams AS MATERIALIZED (
+       |  SELECT key, p.pos, substr(nm, p.pos, $Q) AS g
+       |  FROM nm, LATERAL (SELECT unnest(generate_series(1, len - ${Q - 1}))
+       |    AS pos) p),
+       |dfreq AS MATERIALIZED (
+       |  SELECT pos, g, count(*) AS df FROM grams GROUP BY pos, g),
+       |ridx AS MATERIALIZED (
+       |  SELECT gr.key AS i_key, gr.pos, gr.g
+       |  FROM grams gr JOIN dfreq USING (pos, g) WHERE df <= $cap),
+       |rcnt AS (SELECT i_key, count(*) AS r FROM ridx GROUP BY i_key),
+       |few AS MATERIALIZED (
+       |  SELECT nm.key AS f_key, nm.len FROM nm
+       |  LEFT JOIN rcnt ON rcnt.i_key = nm.key
+       |  WHERE coalesce(r, 0) < ${Q * tau + 1}),
+       |probes AS MATERIALIZED (
+       |  SELECT key AS p_key, g, pos + d.d AS pos
+       |  FROM grams, (SELECT unnest(generate_series(-$tau, $tau)) AS d) d),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a_custkey, b_custkey FROM (
+       |    SELECT least(i_key, p_key) AS a_custkey,
+       |      greatest(i_key, p_key) AS b_custkey
+       |    FROM ridx JOIN probes USING (pos, g) WHERE i_key <> p_key
+       |    UNION ALL
+       |    SELECT least(f.f_key, o.key), greatest(f.f_key, o.key)
+       |    FROM few f, (SELECT unnest(generate_series(-$tau, $tau)) AS d) d
+       |    JOIN nm o ON o.len = f.len + d.d
+       |    WHERE f.f_key <> o.key))
+       |SELECT c.a_custkey, c.b_custkey,
+       |  CAST(levenshtein(na.nm, nb.nm) AS INT) AS dist
+       |FROM cand c JOIN nm na ON na.key = c.a_custkey
+       |JOIN nm nb ON nb.key = c.b_custkey
+       |WHERE levenshtein(na.nm, nb.nm) <= $tau
+       |ORDER BY a_custkey, b_custkey""".stripMargin
+
+  private val fsOracle: String =
+    """WITH cust AS MATERIALIZED (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents, c_mktsegment
+      |  FROM customer),
+      |clones AS MATERIALIZED (
+      |  SELECT c_custkey + 1000000000 AS clone_id,
+      |    substr(c_name, 1, length(c_name) - 1) || 'X' AS q_name,
+      |    c_nationkey, cents + 17 AS q_cents, c_mktsegment AS q_seg
+      |  FROM cust WHERE c_custkey % 50 = 7),
+      |scored AS (
+      |  SELECT cl.clone_id, c.c_custkey AS cand_custkey,
+      |    CASE WHEN cl.q_name = c.c_name THEN 2
+      |         WHEN levenshtein(cl.q_name, c.c_name) <= 2 THEN 1
+      |         ELSE 0 END AS name_lvl,
+      |    CAST(abs(cl.q_cents - c.cents) <= 50 AS INT) AS acct_agree,
+      |    CAST(cl.q_seg = c.c_mktsegment AS INT) AS seg_agree
+      |  FROM clones cl JOIN cust c USING (c_nationkey))
+      |SELECT clone_id, cand_custkey, name_lvl, acct_agree, seg_agree,
+      |  (CASE name_lvl WHEN 2 THEN 40 WHEN 1 THEN 24 ELSE -20 END
+      |   + CASE acct_agree WHEN 1 THEN 12 ELSE -8 END
+      |   + CASE seg_agree WHEN 1 THEN 5 ELSE -6 END) AS weight,
+      |  CASE WHEN (CASE name_lvl WHEN 2 THEN 40 WHEN 1 THEN 24 ELSE -20 END
+      |   + CASE acct_agree WHEN 1 THEN 12 ELSE -8 END
+      |   + CASE seg_agree WHEN 1 THEN 5 ELSE -6 END) >= 40
+      |    THEN 'match' ELSE 'possible' END AS status
+      |FROM scored
+      |WHERE (CASE name_lvl WHEN 2 THEN 40 WHEN 1 THEN 24 ELSE -20 END
+      |   + CASE acct_agree WHEN 1 THEN 12 ELSE -8 END
+      |   + CASE seg_agree WHEN 1 THEN 5 ELSE -6 END) >= 15
+      |ORDER BY clone_id, cand_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x190_ed_simjoin" -> edOracle(1, 256),
+    "x191_fs_linkage" -> fsOracle)
+}

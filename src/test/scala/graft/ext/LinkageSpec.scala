@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** x190/x191 entity-resolution lane: the similarity join must equal a
+  * driver-side brute-force all-pairs Levenshtein (completeness of the
+  * df-capped candidate scheme is exactly what that checks), and the
+  * Fellegi–Sunter pass must classify every planted clone↔source pair
+  * as a match with the recomputed weight.
+  */
+class LinkageSpec extends SparkSpec {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("x190 equals the brute-force all-pairs Levenshtein join") {
+    val names = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val truth = (for {
+      (ka, na) <- names; (kb, nb) <- names if ka < kb
+      d = lev(na, nb) if d <= 1
+    } yield (ka, kb, d)).toSet
+    val got = Linkage.edSimJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "fixture should contain distance-1 name pairs")
+  }
+
+  test("x191 classifies every planted clone/source pair as a match") {
+    val rows = Linkage.fsLinkage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getString(6)))
+    val planted = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(k => ((k % 50) + 50) % 50 == 7)
+    assert(planted.nonEmpty)
+    planted.foreach { k =>
+      val hit = rows.find(r => r._1 == k + 1000000000L && r._2 == k)
+      assert(hit.isDefined, s"planted pair for $k missing")
+      val (_, _, nameLvl, acct, seg, w, status) = hit.get
+      // clone = 1 substitution + 17 cents + same segment
+      assert(nameLvl === 1 && acct === 1 && seg === 1)
+      assert(w === 24 + 12 + 5)
+      assert(status === "match")
+    }
+    // weights are always consistent with the agreement vector
+    rows.foreach { case (_, _, n, a, g, w, st) =>
+      val expect = (if (n == 2) 40 else if (n == 1) 24 else -20) +
+        (if (a == 1) 12 else -8) + (if (g == 1) 5 else -6)
+      assert(w === expect)
+      assert(st === (if (w >= 40) "match" else "possible"))
+      assert(w >= 15)
+    }
+  }
+}
