@@ -166,9 +166,52 @@ object NnGraph {
           .as("recall"))
   }
 
+  /** x192: relative-neighborhood pruning of the x187 graph — the edge
+    * diversification heuristic of the HNSW/NSG serving families
+    * (Malkov & Yashunin 2016 §4; the order-free RNG form): drop edge
+    * (u,v) when some other neighbor w of u is BOTH closer to u than v
+    * is (lexicographic (dist, id), matching the graph's own tie rule)
+    * and strictly closer to v than u is — w then dominates v, and a
+    * greedy search that reaches w no longer needs the direct edge.
+    * Output: every x187 edge with its verdict — vec_id, nbr_id,
+    * dist_grid, kept, and the surviving edges' re-rank (NULL when
+    * pruned), so the consumer reads one frame for both the pruned
+    * graph and the audit.
+    *
+    * Scale shape: the domination test is one self-join of the edge
+    * frame on src (≤ k² rows per node) plus one kernel distance pass
+    * over the distinct (w,v) pairs — no corpus-sized state; reads the
+    * x187 session cache.
+    */
+  def rngPrune(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
+      buckets: Int = 32): DataFrame = {
+    val q = qvecs(s, dir)
+    val e = nnEdges(s, dir, k, rounds, buckets)
+    val tri = e.as("uv").join(e.as("uw"), col("uv.src") === col("uw.src"))
+      .filter(struct(col("uw.dist"), col("uw.nbr")) <
+        struct(col("uv.dist"), col("uv.nbr")))
+      .select(col("uv.src").as("src"), col("uv.nbr").as("v"),
+        col("uv.dist").as("dv"), col("uw.nbr").as("w"))
+    val pruned = tri
+      .join(q.select(col("vec_id").as("w"), col("qa").as("wa")), Seq("w"))
+      .join(q.select(col("vec_id").as("v"), col("qa").as("va")), Seq("v"))
+      .filter(sqDist(col("wa"), col("va")) < col("dv"))
+      .select(col("src"), col("v").as("nbr")).distinct()
+      .withColumn("pr", lit(1))
+    e.join(pruned, Seq("src", "nbr"), "left")
+      .withColumn("kept", col("pr").isNull)
+      .withColumn("kept_rank",
+        when(col("kept"), row_number().over(Window.partitionBy(col("src"),
+          col("pr")).orderBy(col("dist"), col("nbr")))).cast(LongType))
+      .select(col("src").as("vec_id"), col("nbr").as("nbr_id"),
+        col("dist").as("dist_grid"), col("kept"), col("kept_rank"))
+      .orderBy(col("vec_id"), col("dist_grid"), col("nbr_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x187_nndescent_graph" -> ((s: SparkSession, dir: String) => nnDescent(s, dir)),
-    "x188_nndescent_recall" -> ((s: SparkSession, dir: String) => nnDescentRecall(s, dir)))
+    "x188_nndescent_recall" -> ((s: SparkSession, dir: String) => nnDescentRecall(s, dir)),
+    "x192_rng_prune" -> ((s: SparkSession, dir: String) => rngPrune(s, dir)))
 
   /** The shared twin prefix: grid dims, the two-salt bucket seed, and
     * `rounds` descent rounds unrolled — ends at e`rounds` (src, nbr,
@@ -268,7 +311,35 @@ object NnGraph {
        |  CAST(hits.hits AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM truth, hits GROUP BY hits.hits""".stripMargin
 
+  /** x192's twin: the same graph chain, the same (dist, id)-ordered
+    * domination triples, the same strict d(w,v) < d(u,v) test.
+    */
+  private def rngOracle(k: Int, rounds: Int, buckets: Int): String =
+    s"""WITH ${nndCtes(k, rounds, buckets)},
+       |tri AS MATERIALIZED (
+       |  SELECT uv.src, uv.nbr AS v, uv.dist AS dv, uw.nbr AS w
+       |  FROM e$rounds uv JOIN e$rounds uw ON uw.src = uv.src
+       |  WHERE (uw.dist, uw.nbr) < (uv.dist, uv.nbr)),
+       |wv AS MATERIALIZED (
+       |  SELECT t.src, t.v, t.dv, t.w,
+       |    sum((a.q - b.q) * (a.q - b.q)) AS dwv
+       |  FROM tri t JOIN dims a ON a.vec_id = t.w
+       |  JOIN dims b ON b.vec_id = t.v AND b.d = a.d
+       |  GROUP BY t.src, t.v, t.dv, t.w),
+       |pruned AS MATERIALIZED (
+       |  SELECT DISTINCT src, v AS nbr FROM wv WHERE dwv < dv)
+       |SELECT e.src AS vec_id, e.nbr AS nbr_id,
+       |  CAST(e.dist AS BIGINT) AS dist_grid,
+       |  p.src IS NULL AS kept,
+       |  CASE WHEN p.src IS NULL THEN CAST(row_number() OVER (
+       |    PARTITION BY e.src, (p.src IS NULL)
+       |    ORDER BY e.dist, e.nbr) AS BIGINT) END AS kept_rank
+       |FROM e$rounds e
+       |LEFT JOIN pruned p ON p.src = e.src AND p.nbr = e.nbr
+       |ORDER BY vec_id, dist_grid, nbr_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x187_nndescent_graph" -> nndOracle(6, 4, 32),
-    "x188_nndescent_recall" -> recallOracle(6, 4, 32, 64))
+    "x188_nndescent_recall" -> recallOracle(6, 4, 32, 64),
+    "x192_rng_prune" -> rngOracle(6, 4, 32))
 }

@@ -82,4 +82,34 @@ class NnGraphSpec extends SparkSpec {
     // better than 10x the random baseline k/(n-1) on this fixture
     assert(recall > 10.0 * K / (q.size - 1))
   }
+
+  test("x192 prune verdicts equal the driver-side domination test") {
+    val q = grid(spark)
+    val edges = NnGraph.nnEdges(spark, Sf, K, 4, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySrc = edges.groupBy(_._1)
+    val rows = NnGraph.rngPrune(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getBoolean(3), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(rows.size === edges.length)
+    var prunedCount = 0
+    bySrc.foreach { case (src, es) =>
+      es.foreach { case (_, v, dv) =>
+        val dominated = es.exists { case (_, w, dw) =>
+          (dw < dv || (dw == dv && w < v)) && d2(q(w), q(v)) < dv
+        }
+        val (kept, _) = rows((src, v))
+        assert(kept === !dominated, s"verdict for ($src,$v)")
+        if (dominated) prunedCount += 1
+      }
+      // surviving ranks are contiguous from 1 and the nearest edge survives
+      val keptRanks = es.filter(e => rows((src, e._2))._1)
+        .map(e => rows((src, e._2))._2).sorted.toSeq
+      assert(keptRanks === (1L to keptRanks.length).toSeq)
+      val nearest = es.minBy { case (_, v, d) => (d, v) }
+      assert(rows((src, nearest._2))._1, s"rank-1 edge of $src must survive")
+    }
+    assert(prunedCount > 0, "fixture should exercise the prune path")
+  }
 }
