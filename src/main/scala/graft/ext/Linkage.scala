@@ -140,9 +140,40 @@ object Linkage {
       .orderBy(col("clone_id"), col("cand_custkey"))
   }
 
+  /** x193: one-to-one match resolution over the x191 scores by
+    * reciprocal best match — a clone and a customer are assigned to
+    * each other iff each is the other's highest-weight candidate
+    * (ties by the partner's id), the standard symmetric-best rule that
+    * turns pairwise ER scores into an assignment without a global
+    * sequential pass. Output: the assigned pairs with their weight and
+    * status.
+    *
+    * Scale: two per-key rank windows over the already-bounded
+    * candidate frame + one equi-join of the two rank-1 sets — never
+    * wider than the x191 output.
+    */
+  def mutualBestMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = fsLinkage(s, dir)
+    val bestOfClone = scored.withColumn("r1", row_number().over(
+        Window.partitionBy(col("clone_id"))
+          .orderBy(col("weight").desc, col("cand_custkey"))))
+      .filter(col("r1") === 1).drop("r1")
+    val bestOfCand = scored.withColumn("r2", row_number().over(
+        Window.partitionBy(col("cand_custkey"))
+          .orderBy(col("weight").desc, col("clone_id"))))
+      .filter(col("r2") === 1)
+      .select(col("clone_id"), col("cand_custkey"))
+    bestOfClone.join(bestOfCand, Seq("clone_id", "cand_custkey"))
+      .select(col("clone_id"), col("cand_custkey").as("matched_custkey"),
+        col("weight"), col("status"))
+      .orderBy(col("clone_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x190_ed_simjoin" -> ((s: SparkSession, dir: String) => edSimJoin(s, dir)),
-    "x191_fs_linkage" -> ((s: SparkSession, dir: String) => fsLinkage(s, dir)))
+    "x191_fs_linkage" -> ((s: SparkSession, dir: String) => fsLinkage(s, dir)),
+    "x193_mutual_best_match" -> ((s: SparkSession, dir: String) => mutualBestMatch(s, dir)))
 
   private def edOracle(tau: Int, cap: Int): String =
     s"""WITH nm AS MATERIALIZED (
@@ -214,7 +245,25 @@ object Linkage {
       |   + CASE seg_agree WHEN 1 THEN 5 ELSE -6 END) >= 15
       |ORDER BY clone_id, cand_custkey""".stripMargin
 
+  /** x193's twin: the x191 scored frame (as a CTE) + the same two
+    * rank-1 windows joined on both keys.
+    */
+  private val mutualOracle: String = {
+    val base = fsOracle.replace("ORDER BY clone_id, cand_custkey", "")
+    s"""WITH fs AS MATERIALIZED ($base)
+       |SELECT a.clone_id, a.cand_custkey AS matched_custkey, a.weight, a.status
+       |FROM (SELECT *, row_number() OVER (PARTITION BY clone_id
+       |        ORDER BY weight DESC, cand_custkey) AS r1 FROM fs) a
+       |JOIN (SELECT clone_id, cand_custkey,
+       |        row_number() OVER (PARTITION BY cand_custkey
+       |          ORDER BY weight DESC, clone_id) AS r2 FROM fs) b
+       |  ON b.clone_id = a.clone_id AND b.cand_custkey = a.cand_custkey
+       |WHERE a.r1 = 1 AND b.r2 = 1
+       |ORDER BY a.clone_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x190_ed_simjoin" -> edOracle(1, 256),
-    "x191_fs_linkage" -> fsOracle)
+    "x191_fs_linkage" -> fsOracle,
+    "x193_mutual_best_match" -> mutualOracle)
 }

@@ -61,4 +61,26 @@ class LinkageSpec extends SparkSpec {
       assert(w >= 15)
     }
   }
+
+  test("x193 mutual-best assignment is one-to-one and equals the reference") {
+    val scored = Linkage.fsLinkage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(5)))
+    val bestOfClone = scored.groupBy(_._1).map { case (c, es) =>
+      c -> es.minBy { case (_, k, w) => (-w, k) }._2
+    }
+    val bestOfCand = scored.groupBy(_._2).map { case (k, es) =>
+      k -> es.minBy { case (c, _, w) => (-w, c) }._1
+    }
+    val truth = bestOfClone.collect {
+      case (c, k) if bestOfCand(k) == c => (c, k)
+    }.toSet
+    val got = Linkage.mutualBestMatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === truth)
+    // one-to-one on both sides
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.map(_._2).distinct.length === got.length)
+    // every planted clone resolves to its source on this fixture
+    got.foreach { case (c, k) => assert(c - 1000000000L === k) }
+  }
 }
