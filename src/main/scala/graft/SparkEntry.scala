@@ -31,7 +31,8 @@ object SparkEntry {
       sources.VecShardQueries.queries ++ plans.TopKPerKey.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
-      streaming.TrendingTokens.queries ++ streaming.SuffixScrubIngest.queries
+      streaming.TrendingTokens.queries ++ streaming.SuffixScrubIngest.queries ++
+      streaming.GraphIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       sources.VecShardQueries.oracles ++ plans.TopKPerKey.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
-      streaming.TrendingTokens.oracles ++ streaming.SuffixScrubIngest.oracles
+      streaming.TrendingTokens.oracles ++ streaming.SuffixScrubIngest.oracles ++
+      streaming.GraphIngest.oracles
 }

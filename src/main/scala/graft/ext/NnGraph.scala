@@ -50,9 +50,20 @@ object NnGraph {
 
   /** The corpus on the 2^-20 grid: (vec_id, qa: array<bigint>). */
   private def qvecs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"),
+    quantized(t(s, dir, "embeddings"))
+
+  /** (vec_id, embedding) -> (vec_id, qa) on the 2^-20 grid — shared
+    * with the streaming ingest, which quantizes arriving batches the
+    * same way.
+    */
+  private[graft] def quantized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
       transform(col("embedding"),
         v => floor(v.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qa"))
+
+  /** The standing-corpus grid frame of the incremental lane. */
+  private[graft] def standingQ(s: SparkSession, dir: String): DataFrame =
+    qvecs(s, dir).filter(!isArrival(col("vec_id")))
 
   /** Integer squared L2 on the grid — native codegen'd kernel. */
   private def sqDist(a: Column, b: Column): Column = {
@@ -79,16 +90,28 @@ object NnGraph {
         Window.partitionBy(col("src")).orderBy(col("dist"), col("nbr"))))
       .filter(col("rk") <= k).drop("rk")
 
+  /** The standing-corpus predicate of the incremental lane (the x150
+    * split convention): vec_id % 10 == 9 rows are the arrivals.
+    */
+  private[graft] def isArrival(c: Column): Column =
+    pmod(c, lit(10L)) === lit(9L)
+
   /** The converged edge frame (src, nbr, dist), cached per
-    * (session, dir, k, rounds, buckets) — x187 and x188 read one build.
+    * (session, dir, k, rounds, buckets, corpus tag) — x187/x188/x192
+    * read one "all"-corpus build; the incremental lane (x194) reads
+    * one "standing" build.
     */
   private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int), DataFrame]()
+    (SparkSession, String, Int, Int, Int, String), DataFrame]()
 
-  private[ext] def nnEdges(s: SparkSession, dir: String, k: Int,
-      rounds: Int, buckets: Int): DataFrame =
-    graphCache.computeIfAbsent((s, dir, k, rounds, buckets), _ => {
-      val q = qvecs(s, dir).localCheckpoint(true)
+  private[graft] def nnEdges(s: SparkSession, dir: String, k: Int,
+      rounds: Int, buckets: Int, tag: String = "all"): DataFrame =
+    graphCache.computeIfAbsent((s, dir, k, rounds, buckets, tag), _ => {
+      val base = qvecs(s, dir)
+      val q = (tag match {
+        case "standing" => base.filter(!isArrival(col("vec_id")))
+        case _ => base
+      }).localCheckpoint(true)
       // seed: two salted bucketings over disjoint bucket spaces
       val bkt = q.select(col("vec_id"), explode(array(
           pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(buckets.toLong)),
@@ -208,17 +231,72 @@ object NnGraph {
       .orderBy(col("vec_id"), col("dist_grid"), col("nbr_id"))
   }
 
+  /** The per-arrival insertion probe against a standing graph — shared
+    * by the x194 batch query and the streaming ingest
+    * (`streaming/GraphIngest`): candidates = the arrival's bucket
+    * mates in the standing corpus (same two salted bucketings) plus
+    * ONE graph expansion (the mates' standing-graph neighbors — the
+    * descent step of a graph-ANN insert), then best-k by the pinned
+    * (dist, id) order. Read-only on the graph, so any batch split of
+    * the arrivals yields the same edges — the property GraphIngestSpec
+    * gates across micro-batches.
+    */
+  private[graft] def insertEdges(arrivals: DataFrame, standingQ: DataFrame,
+      g: DataFrame, k: Int, buckets: Int): DataFrame = {
+    def bkts(df: DataFrame) = df.select(col("vec_id"), explode(array(
+      pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(buckets.toLong)),
+      pmod(h(concat(lit("nnd2:"), col("vec_id"))), lit(buckets.toLong))
+        + lit(buckets.toLong))).as("b"))
+    val mates = bkts(arrivals).as("a")
+      .join(bkts(standingQ).as("s"), Seq("b"))
+      .select(col("a.vec_id").as("src"), col("s.vec_id").as("nbr"))
+      .distinct()
+    val expanded = mates.as("m")
+      .join(g.as("g"), col("m.nbr") === col("g.src"))
+      .select(col("m.src").as("src"), col("g.nbr").as("nbr"))
+    val cand = mates.union(expanded).distinct()
+    val d = cand
+      .join(arrivals.select(col("vec_id").as("src"), col("qa").as("sa")), Seq("src"))
+      .join(standingQ.select(col("vec_id").as("nbr"), col("qa").as("na")), Seq("nbr"))
+      .select(col("src"), col("nbr"), sqDist(col("sa"), col("na")).as("dist"))
+    topK(d, k)
+  }
+
+  /** x194: incremental graph insertion — the arrivals (vec_id % 10 == 9,
+    * the x150 split) get k-NN edges into the STANDING corpus's x187
+    * graph by bucket probe + one graph expansion, without rebuilding
+    * anything. Columns mirror x187. The streaming form commits each
+    * micro-batch's edges as a snapshot (GraphIngest); this query is its
+    * hash-gated batch twin.
+    */
+  def graphInsert(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
+      buckets: Int = 32): DataFrame = {
+    val all = qvecs(s, dir)
+    val arrivals = all.filter(isArrival(col("vec_id")))
+    val standingQ = all.filter(!isArrival(col("vec_id")))
+    val g = nnEdges(s, dir, k, rounds, buckets, "standing")
+    insertEdges(arrivals, standingQ, g, k, buckets)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dist"), col("nbr"))))
+      .select(col("src").as("vec_id"), col("rank"), col("nbr").as("nbr_id"),
+        col("dist").as("dist_grid"),
+        (sqrt(col("dist").cast(DoubleType)) / 1048576.0).as("l2"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x187_nndescent_graph" -> ((s: SparkSession, dir: String) => nnDescent(s, dir)),
     "x188_nndescent_recall" -> ((s: SparkSession, dir: String) => nnDescentRecall(s, dir)),
-    "x192_rng_prune" -> ((s: SparkSession, dir: String) => rngPrune(s, dir)))
+    "x192_rng_prune" -> ((s: SparkSession, dir: String) => rngPrune(s, dir)),
+    "x194_graph_insert" -> ((s: SparkSession, dir: String) => graphInsert(s, dir)))
 
   /** The shared twin prefix: grid dims, the two-salt bucket seed, and
     * `rounds` descent rounds unrolled — ends at e`rounds` (src, nbr,
     * dist). Distances spell the same Σ(qᵢ−qⱼ)² by exploding dims and
     * joining on d (the kmCte discipline).
     */
-  private def nndCtes(k: Int, rounds: Int, buckets: Int): String = {
+  private def nndCtes(k: Int, rounds: Int, buckets: Int,
+      src: String = "embeddings"): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"e${r - 1}"
       s"""u$r AS MATERIALIZED (
@@ -250,15 +328,15 @@ object NnGraph {
     s"""dims AS MATERIALIZED (
        |  SELECT vec_id, i - 1 AS d,
        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
-       |  FROM embeddings,
+       |  FROM $src,
        |       LATERAL (SELECT unnest(embedding) AS v,
        |                       unnest(generate_series(1, len(embedding))) AS i)),
        |bkt AS MATERIALIZED (
        |  SELECT vec_id, ('0x' || substr(md5('nnd1:' || CAST(vec_id AS VARCHAR)),
-       |      1, 15))::BIGINT % $buckets AS b FROM embeddings
+       |      1, 15))::BIGINT % $buckets AS b FROM $src
        |  UNION ALL
        |  SELECT vec_id, $buckets + ('0x' || substr(md5('nnd2:' ||
-       |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $buckets FROM embeddings),
+       |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $buckets FROM $src),
        |p0 AS MATERIALIZED (
        |  SELECT DISTINCT l.vec_id AS src, r.vec_id AS nbr
        |  FROM bkt l JOIN bkt r USING (b) WHERE l.vec_id <> r.vec_id),
@@ -338,8 +416,53 @@ object NnGraph {
        |LEFT JOIN pruned p ON p.src = e.src AND p.nbr = e.nbr
        |ORDER BY vec_id, dist_grid, nbr_id""".stripMargin
 
+  /** x194's twin: the standing-corpus graph chain (the same CTEs with
+    * the arrival rows filtered out of the source), the arrival dims and
+    * buckets, the same mate + one-expansion candidate set, the same
+    * pinned top-k.
+    */
+  private def insertOracle(k: Int, rounds: Int, buckets: Int): String =
+    s"""WITH ${nndCtes(k, rounds, buckets,
+         "(SELECT * FROM embeddings WHERE vec_id % 10 <> 9)")},
+       |arr AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 10 = 9),
+       |adims AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM arr,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |abkt AS MATERIALIZED (
+       |  SELECT vec_id, ('0x' || substr(md5('nnd1:' || CAST(vec_id AS VARCHAR)),
+       |      1, 15))::BIGINT % $buckets AS b FROM arr
+       |  UNION ALL
+       |  SELECT vec_id, $buckets + ('0x' || substr(md5('nnd2:' ||
+       |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $buckets FROM arr),
+       |mates AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, st.vec_id AS nbr
+       |  FROM abkt a JOIN bkt st USING (b)),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT src, nbr FROM (
+       |    SELECT src, nbr FROM mates
+       |    UNION ALL
+       |    SELECT m.src, g.nbr FROM mates m JOIN e$rounds g ON g.src = m.nbr)),
+       |dd AS MATERIALIZED (
+       |  SELECT c.src, c.nbr, sum((a.q - b.q) * (a.q - b.q)) AS dist
+       |  FROM cands c JOIN adims a ON a.vec_id = c.src
+       |  JOIN dims b ON b.vec_id = c.nbr AND b.d = a.d
+       |  GROUP BY c.src, c.nbr)
+       |SELECT src AS vec_id,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dist, nbr) AS INT)
+       |    AS rank,
+       |  nbr AS nbr_id, CAST(dist AS BIGINT) AS dist_grid,
+       |  sqrt(CAST(dist AS DOUBLE)) / 1048576.0 AS l2
+       |FROM (SELECT src, nbr, dist,
+       |        row_number() OVER (PARTITION BY src ORDER BY dist, nbr) AS rk
+       |      FROM dd) WHERE rk <= $k
+       |ORDER BY vec_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x187_nndescent_graph" -> nndOracle(6, 4, 32),
     "x188_nndescent_recall" -> recallOracle(6, 4, 32, 64),
-    "x192_rng_prune" -> rngOracle(6, 4, 32))
+    "x192_rng_prune" -> rngOracle(6, 4, 32),
+    "x194_graph_insert" -> insertOracle(6, 4, 32))
 }
