@@ -206,21 +206,28 @@ object NnGraph {
     * over the distinct (w,v) pairs — no corpus-sized state; reads the
     * x187 session cache.
     */
-  def rngPrune(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
-      buckets: Int = 32): DataFrame = {
-    val q = qvecs(s, dir)
-    val e = nnEdges(s, dir, k, rounds, buckets)
+  /** The dominated (src, nbr) pairs of an edge frame under the RNG
+    * test — shared by the x192 audit and the x195 search's pruned
+    * standing graph.
+    */
+  private def prunedPairs(q: DataFrame, e: DataFrame): DataFrame = {
     val tri = e.as("uv").join(e.as("uw"), col("uv.src") === col("uw.src"))
       .filter(struct(col("uw.dist"), col("uw.nbr")) <
         struct(col("uv.dist"), col("uv.nbr")))
       .select(col("uv.src").as("src"), col("uv.nbr").as("v"),
         col("uv.dist").as("dv"), col("uw.nbr").as("w"))
-    val pruned = tri
+    tri
       .join(q.select(col("vec_id").as("w"), col("qa").as("wa")), Seq("w"))
       .join(q.select(col("vec_id").as("v"), col("qa").as("va")), Seq("v"))
       .filter(sqDist(col("wa"), col("va")) < col("dv"))
       .select(col("src"), col("v").as("nbr")).distinct()
-      .withColumn("pr", lit(1))
+  }
+
+  def rngPrune(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
+      buckets: Int = 32): DataFrame = {
+    val q = qvecs(s, dir)
+    val e = nnEdges(s, dir, k, rounds, buckets)
+    val pruned = prunedPairs(q, e).withColumn("pr", lit(1))
     e.join(pruned, Seq("src", "nbr"), "left")
       .withColumn("kept", col("pr").isNull)
       .withColumn("kept_rank",
@@ -284,11 +291,69 @@ object NnGraph {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** x195: greedy beam search over the PRUNED standing graph — the
+    * serving walk of the HNSW/NSG families (single layer, fixed-depth
+    * form): every arrival query starts at one pinned entry node
+    * (md5-minimal, the cross-engine analog of HNSW's fixed entry
+    * point) and repeats `hops` times "score the frontier plus its
+    * out-neighbors against the query, keep the best `beam`" — the
+    * frontier is monotone because it is always included in its own
+    * expansion. Final answer: best k of the last frontier. Columns
+    * mirror x187/x194 (query_id, rank, node_id, dist_grid, l2).
+    *
+    * Scale shape: per hop one equi-join of the (query, node) frontier
+    * against the kept-edge frame (≤ beam·deg rows per query), one
+    * kernel distance pass, one per-query top-beam window; queries
+    * never interact, so the walk parallelizes per query; the graph is
+    * the x187 session cache pruned once per call. hops·beam·deg
+    * distance evaluations per query — the graph-ANN serving bound.
+    */
+  def beamSearch(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
+      buckets: Int = 32, beam: Int = 8, hops: Int = 4): DataFrame = {
+    val all = qvecs(s, dir)
+    val standing = all.filter(!isArrival(col("vec_id"))).localCheckpoint(true)
+    val queries = all.filter(isArrival(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("qa").as("qqa"))
+      .localCheckpoint(true)
+    val g = nnEdges(s, dir, k, rounds, buckets, "standing")
+    val kept = g.join(prunedPairs(standing, g), Seq("src", "nbr"), "left_anti")
+      .localCheckpoint(true)
+    val entry = standing
+      .withColumn("eh", h(concat(lit("gse:"), col("vec_id").cast("string"))))
+      .orderBy(col("eh"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("node"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(queries, Seq("qid"))
+      .join(standing.select(col("vec_id").as("node"), col("qa").as("na")),
+        Seq("node"))
+      .select(col("qid"), col("node"), sqDist(col("qqa"), col("na")).as("dist"))
+    var frontier = queries.select(col("qid")).crossJoin(broadcast(entry))
+    (1 to hops).foreach { _ =>
+      val exp = frontier.as("f").join(kept.as("g"), col("f.node") === col("g.src"))
+        .select(col("f.qid").as("qid"), col("g.nbr").as("node"))
+      val cand = frontier.union(exp).distinct()
+      frontier = score(cand)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dist"), col("node"))))
+        .filter(col("rk") <= beam).select(col("qid"), col("node"))
+        .localCheckpoint(true)
+    }
+    score(frontier)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("node"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("node").as("node_id"),
+        col("dist").as("dist_grid"),
+        (sqrt(col("dist").cast(DoubleType)) / 1048576.0).as("l2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x187_nndescent_graph" -> ((s: SparkSession, dir: String) => nnDescent(s, dir)),
     "x188_nndescent_recall" -> ((s: SparkSession, dir: String) => nnDescentRecall(s, dir)),
     "x192_rng_prune" -> ((s: SparkSession, dir: String) => rngPrune(s, dir)),
-    "x194_graph_insert" -> ((s: SparkSession, dir: String) => graphInsert(s, dir)))
+    "x194_graph_insert" -> ((s: SparkSession, dir: String) => graphInsert(s, dir)),
+    "x195_graph_beam_search" -> ((s: SparkSession, dir: String) => beamSearch(s, dir)))
 
   /** The shared twin prefix: grid dims, the two-salt bucket seed, and
     * `rounds` descent rounds unrolled — ends at e`rounds` (src, nbr,
@@ -389,11 +454,13 @@ object NnGraph {
        |  CAST(hits.hits AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM truth, hits GROUP BY hits.hits""".stripMargin
 
-  /** x192's twin: the same graph chain, the same (dist, id)-ordered
-    * domination triples, the same strict d(w,v) < d(u,v) test.
+  /** The shared domination-test chain (tri → wv → pruned → kept) on
+    * top of the graph CTEs — x192's audit and x195's pruned serving
+    * graph read the same spelling.
     */
-  private def rngOracle(k: Int, rounds: Int, buckets: Int): String =
-    s"""WITH ${nndCtes(k, rounds, buckets)},
+  private def keptCtes(k: Int, rounds: Int, buckets: Int,
+      src: String = "embeddings"): String =
+    s"""${nndCtes(k, rounds, buckets, src)},
        |tri AS MATERIALIZED (
        |  SELECT uv.src, uv.nbr AS v, uv.dist AS dv, uw.nbr AS w
        |  FROM e$rounds uv JOIN e$rounds uw ON uw.src = uv.src
@@ -405,7 +472,17 @@ object NnGraph {
        |  JOIN dims b ON b.vec_id = t.v AND b.d = a.d
        |  GROUP BY t.src, t.v, t.dv, t.w),
        |pruned AS MATERIALIZED (
-       |  SELECT DISTINCT src, v AS nbr FROM wv WHERE dwv < dv)
+       |  SELECT DISTINCT src, v AS nbr FROM wv WHERE dwv < dv),
+       |kept AS MATERIALIZED (
+       |  SELECT e.src, e.nbr, e.dist FROM e$rounds e
+       |  LEFT JOIN pruned p ON p.src = e.src AND p.nbr = e.nbr
+       |  WHERE p.src IS NULL)""".stripMargin
+
+  /** x192's twin: the same graph chain, the same (dist, id)-ordered
+    * domination triples, the same strict d(w,v) < d(u,v) test.
+    */
+  private def rngOracle(k: Int, rounds: Int, buckets: Int): String =
+    s"""WITH ${keptCtes(k, rounds, buckets)}
        |SELECT e.src AS vec_id, e.nbr AS nbr_id,
        |  CAST(e.dist AS BIGINT) AS dist_grid,
        |  p.src IS NULL AS kept,
@@ -460,9 +537,62 @@ object NnGraph {
        |      FROM dd) WHERE rk <= $k
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** x195's twin: the standing pruned-graph chain, the arrivals as
+    * queries, the md5-minimal entry node, and `hops` beam rounds
+    * unrolled (bc/bd/bf names — the graph chain already owns c/d/e).
+    */
+  private def beamOracle(k: Int, rounds: Int, buckets: Int, beam: Int,
+      hops: Int): String = {
+    val standingSrc = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 9)"
+    val hopCtes = (1 to hops).map { r =>
+      val prev = if (r == 1) "f0" else s"bf${r - 1}"
+      s"""bc$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, node FROM (
+         |    SELECT qid, node FROM $prev
+         |    UNION ALL
+         |    SELECT f.qid, g.nbr AS node FROM $prev f
+         |    JOIN kept g ON g.src = f.node)),
+         |bd$r AS MATERIALIZED (
+         |  SELECT c.qid, c.node, sum((a.q - b.q) * (a.q - b.q)) AS dist
+         |  FROM bc$r c JOIN adims a ON a.vec_id = c.qid
+         |  JOIN dims b ON b.vec_id = c.node AND b.d = a.d
+         |  GROUP BY c.qid, c.node),
+         |bf$r AS MATERIALIZED (
+         |  SELECT qid, node, dist FROM (
+         |    SELECT qid, node, dist,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS rk
+         |    FROM bd$r) WHERE rk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${keptCtes(k, rounds, buckets, standingSrc)},
+       |arr AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 10 = 9),
+       |adims AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM arr,
+       |       LATERAL (SELECT unnest(embedding) AS v,
+       |                       unnest(generate_series(1, len(embedding))) AS i)),
+       |entry AS MATERIALIZED (
+       |  SELECT vec_id AS node FROM embeddings WHERE vec_id % 10 <> 9
+       |  ORDER BY ('0x' || substr(md5('gse:' || CAST(vec_id AS VARCHAR)),
+       |    1, 15))::BIGINT, vec_id LIMIT 1),
+       |f0 AS MATERIALIZED (
+       |  SELECT a.vec_id AS qid, e.node FROM arr a CROSS JOIN entry e),
+       |$hopCtes
+       |SELECT qid AS query_id,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS INT)
+       |    AS rank,
+       |  node AS node_id, CAST(dist AS BIGINT) AS dist_grid,
+       |  sqrt(CAST(dist AS DOUBLE)) / 1048576.0 AS l2
+       |FROM (SELECT qid, node, dist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS rk
+       |      FROM bf$hops) WHERE rk <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x187_nndescent_graph" -> nndOracle(6, 4, 32),
     "x188_nndescent_recall" -> recallOracle(6, 4, 32, 64),
     "x192_rng_prune" -> rngOracle(6, 4, 32),
-    "x194_graph_insert" -> insertOracle(6, 4, 32))
+    "x194_graph_insert" -> insertOracle(6, 4, 32),
+    "x195_graph_beam_search" -> beamOracle(6, 4, 32, 8, 4))
 }

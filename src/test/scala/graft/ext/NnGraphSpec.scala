@@ -112,4 +112,43 @@ class NnGraphSpec extends SparkSpec {
     }
     assert(prunedCount > 0, "fixture should exercise the prune path")
   }
+
+  test("x195 beam search equals a driver-side walk of the pruned graph") {
+    val q = grid(spark)
+    val standing = q.keys.filter(id => ((id % 10) + 10) % 10 != 9).toSet
+    val arrivals = q.keys.filterNot(standing).toSeq.sorted
+    // kept standing edges, recomputed from x192 semantics on the
+    // standing-tag graph
+    val es = NnGraph.nnEdges(spark, Sf, 6, 4, 32, "standing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySrc = es.groupBy(_._1)
+    val kept = es.filter { case (src, v, dv) =>
+      !bySrc(src).exists { case (_, w, dw) =>
+        (dw < dv || (dw == dv && w < v)) && d2(q(w), q(v)) < dv
+      }
+    }.groupBy(_._1).map { case (s, e) => s -> e.map(_._2).toSeq }
+    val entry = standing.toSeq.minBy(id => (h15(s"gse:$id"), id))
+    val (beam, hops, k) = (8, 4, 6)
+    val truth = arrivals.flatMap { a =>
+      var frontier = Seq(entry)
+      (1 to hops).foreach { _ =>
+        val cand = (frontier ++ frontier.flatMap(n => kept.getOrElse(n, Nil)))
+          .distinct
+        frontier = cand.map(n => (n, d2(q(a), q(n))))
+          .sortBy { case (n, d) => (d, n) }.take(beam).map(_._1)
+      }
+      frontier.map(n => (n, d2(q(a), q(n))))
+        .sortBy { case (n, d) => (d, n) }.take(k)
+        .zipWithIndex.map { case ((n, d), i) => (a, i + 1, n, d) }
+    }.toSet
+    val got = NnGraph.beamSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === truth)
+    // the walk actually descends: every query's best is at least as
+    // close as the shared entry point
+    arrivals.foreach { a =>
+      val best = got.filter(e => e._1 == a && e._2 == 1).head._4
+      assert(best <= d2(q(a), q(entry)), s"query $a did not descend")
+    }
+  }
 }
