@@ -23,7 +23,7 @@ object SparkEntry {
       ops.Sketches.queries ++ ops.Profile.queries ++ ops.BucketedStar.queries ++
       ops.AsofJoin.queries ++ ops.RangeJoin.queries ++ ops.Sampling.queries ++
       ops.DataQuality.queries ++ ops.ZOrder.queries ++ ops.BloomJoin.queries ++
-      ops.Graph.queries ++
+      ops.Graph.queries ++ ops.Privacy.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.SuffixDedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
       ops.Sketches.oracles ++ ops.Profile.oracles ++ ops.BucketedStar.oracles ++
       ops.AsofJoin.oracles ++ ops.RangeJoin.oracles ++ ops.Sampling.oracles ++
       ops.DataQuality.oracles ++ ops.ZOrder.oracles ++ ops.BloomJoin.oracles ++
-      ops.Graph.oracles ++
+      ops.Graph.oracles ++ ops.Privacy.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.SuffixDedup.oracles ++
       ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
