@@ -130,8 +130,66 @@ object DataQuality {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** x198: Holt's linear-trend smoothing (double exponential smoothing,
+    * Holt 1957) over the per-type daily event-count series — the
+    * FORECASTING complement to x183's change detection: CUSUM says "the
+    * series shifted", Holt says "here is tomorrow's expected load".
+    * α = β = 1/4 (declared rationals); init l₁ = y₁, b₁ = 0; update
+    * l_t = (y_t + 3(l+b))/4, b_t = (l_t − l + 3b)/4. Per day:
+    * the running (level, trend), the one-step-ahead fit l+b, its
+    * residual, and the 7-day-ahead projection l + 7b.
+    *
+    * Shape: one date-grain aggregate, then per-type array folds with a
+    * TWO-ELEMENT-ARRAY accumulator [level, trend] — the x183 pattern
+    * with two state components; day counts are bounded (weeks, not
+    * corpus-sized), so the per-day prefix folds stay tiny. The
+    * identical `aggregate`/`list_reduce` expression tree runs on both
+    * engines — same IEEE op order, so doubles hash-compare. (A struct
+    * accumulator would be the natural spelling, but DuckDB 1.0's
+    * list_reduce updates struct fields non-atomically — later fields
+    * see earlier fields' NEW values — so the array form is the
+    * cross-engine-safe one.)
+    */
+  def holtTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("days"))
+    // state = [level, trend] as a 2-array (NOT a struct: DuckDB 1.0's
+    // list_reduce updates struct accumulator fields non-atomically, so
+    // the cross-engine-safe accumulator is an array on both sides)
+    def state(upto: Column): Column = aggregate(
+      transform(slice(col("days"), lit(2), upto),
+        e => e.getField("x").cast("double")),
+      array(element_at(col("days"), 1).getField("x").cast("double"), lit(0.0)),
+      (acc, v) => array(
+        (v + lit(3.0) * (element_at(acc, 1) + element_at(acc, 2))) / lit(4.0),
+        ((v + lit(3.0) * (element_at(acc, 1) + element_at(acc, 2))) / lit(4.0)
+          - element_at(acc, 1) + lit(3.0) * element_at(acc, 2)) / lit(4.0)))
+    series
+      .select(col("event_type"), posexplode(col("days")).as(Seq("pos", "d")),
+        col("days"))
+      .select(col("event_type"), col("d.day").as("day"),
+        col("d.x").cast("double").as("x"),
+        state(col("pos")).as("st"),       // state after day t = pos+1
+        state(greatest(col("pos") - 1, lit(0))).as("prev")) // after day t-1
+      .select(col("event_type"), col("day"), col("x"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("prev"), 1) + element_at(col("prev"), 2)).as("fitted"),
+        (col("x") - element_at(col("prev"), 1) - element_at(col("prev"), 2))
+          .as("resid"),
+        (element_at(col("st"), 1) + lit(7.0) * element_at(col("st"), 2))
+          .as("forecast_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x183_cusum_drift" -> ((s: SparkSession, dir: String) => cusumDrift(s, dir)),
+    "x198_holt_trend" -> ((s: SparkSession, dir: String) => holtTrend(s, dir)),
     "q42_data_quality" -> (standardChecks _),
     "x107_source_drift" -> (sourceDrift _))
 
@@ -139,6 +197,41 @@ object DataQuality {
     // x183: the same clamped sequential fold via list_reduce over the
     // day-ordered prefix — identical greatest(...) tree, same mean/slack
     // rationals.
+    // x198: the same struct-state Holt fold via list_reduce — identical
+    // α=β=1/4 expression tree, same init (y₁, 0), same prefix slices.
+    "x198_holt_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |series AS (
+        |  SELECT event_type,
+        |    list(struct_pack(day := day, x := x) ORDER BY day) AS days
+        |  FROM daily GROUP BY event_type),
+        |expanded AS (
+        |  SELECT event_type, days,
+        |    unnest(generate_series(1, len(days))) AS t
+        |  FROM series),
+        |st AS (
+        |  SELECT event_type, days, t,
+        |    list_reduce(list_prepend(
+        |        [CAST(days[1].x AS DOUBLE), CAST(0 AS DOUBLE)],
+        |        list_transform(list_slice(days, 2, t), e -> [CAST(e.x AS DOUBLE), CAST(0 AS DOUBLE)])),
+        |      (acc, v) -> [(v[1] + 3.0 * (acc[1] + acc[2])) / 4.0,
+        |                   ((v[1] + 3.0 * (acc[1] + acc[2])) / 4.0 - acc[1] + 3.0 * acc[2]) / 4.0])
+        |      AS s,
+        |    list_reduce(list_prepend(
+        |        [CAST(days[1].x AS DOUBLE), CAST(0 AS DOUBLE)],
+        |        list_transform(list_slice(days, 2, t - 1), e -> [CAST(e.x AS DOUBLE), CAST(0 AS DOUBLE)])),
+        |      (acc, v) -> [(v[1] + 3.0 * (acc[1] + acc[2])) / 4.0,
+        |                   ((v[1] + 3.0 * (acc[1] + acc[2])) / 4.0 - acc[1] + 3.0 * acc[2]) / 4.0])
+        |      AS p
+        |  FROM expanded)
+        |SELECT event_type, days[t].day AS day, CAST(days[t].x AS DOUBLE) AS x,
+        |  s[1] AS level, s[2] AS trend,
+        |  p[1] + p[2] AS fitted,
+        |  CAST(days[t].x AS DOUBLE) - p[1] - p[2] AS resid,
+        |  s[1] + 7.0 * s[2] AS forecast_7d
+        |FROM st ORDER BY event_type, day""".stripMargin,
     "x183_cusum_drift" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
