@@ -1298,7 +1298,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x199: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    * PageRank over the word co-occurrence graph: adjacent-token pairs
+    * (window 2) co-occurring ≥ 2 times form symmetric edges; 5
+    * integer-grid PageRank rounds (the x82 discipline: rank_q on the
+    * 10^9 grid, floor-div contributions, 15/85 damping in integer
+    * percent) rank the vocabulary; top 20 by (rank, word). The
+    * unsupervised keyword surface next to the frequency (x06) and
+    * tf-idf (x07) views — TextRank promotes words that sit in many
+    * distinct contexts, not merely frequent ones.
+    *
+    * Shape: tokenization is one projection; the adjacency self-join is
+    * keyed on (doc_id, pos) — never wider than the token stream; each
+    * PageRank round is one edge join + one dst aggregate over the
+    * ≥2-count pruned graph (vocabulary-sized, tiny vs the corpus);
+    * per-round localCheckpoint keeps plans linear. Final top-20 is a
+    * TakeOrderedAndProject.
+    */
+  def textrankKeywords(s: SparkSession, dir: String, iters: Int = 5,
+      minCo: Long = 2L, topN: Int = 20): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val adj = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .filter(col("a.w") =!= col("b.w"))
+      .select(least(col("a.w"), col("b.w")).as("pa"),
+        greatest(col("a.w"), col("b.w")).as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCo)
+    val edges = adj.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(adj.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    var pr = deg.select(col("src").as("word"), lit(1000000000L).as("rank_q"))
+    (1 to iters).foreach { _ =>
+      val contrib = pr
+        .join(deg, pr("word") === deg("src"))
+        .select(col("word"), expr("rank_q DIV degree").as("cq"))
+        .join(edges, col("word") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("cq")).as("contrib"))
+      pr = deg.select(col("src").as("word"))
+        .join(contrib.select(col("dst").as("word"), col("contrib")),
+          Seq("word"), "left")
+        .select(col("word"), (lit(150000000L) +
+          expr("(85 * coalesce(contrib, 0)) DIV 100")).as("rank_q"))
+        .localCheckpoint(true)
+    }
+    val top = pr.join(deg.select(col("src").as("word"), col("degree")), Seq("word"))
+      .orderBy(col("rank_q").desc, col("word")).limit(topN)
+    top.withColumn("pos", row_number().over(
+        Window.orderBy(col("rank_q").desc, col("word"))).cast("int"))
+      .select(col("pos"), col("word"), col("degree"), col("rank_q"),
+        (col("rank_q").cast("double") / 1e9).as("rank"))
+      .orderBy(col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x199_textrank_keywords" -> ((s: SparkSession, dir: String) => textrankKeywords(s, dir)),
     "x139_kn_lm" -> ((s: SparkSession, dir: String) => knLmScore(s, dir)),
     "x136_filter_agreement" -> (filterAgreement _),
     "x131_ccnet_buckets" -> (ccnetBuckets _),
@@ -1522,7 +1581,49 @@ object TextAnalysis {
          |FROM src s JOIN w$rounds t ON t.w = s.w
          |GROUP BY s.source ORDER BY s.source""".stripMargin
 
+  /** x199's twin: the same tokenization, windowed adjacency, ≥2 pruning,
+    * and 5 unrolled integer PageRank rounds (the x82 oracle idioms).
+    */
+  private def textrankOracle(iters: Int, topN: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT d.src AS word,
+         |    150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_q
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(p.rank_q // dg.degree) AS BIGINT) AS contrib
+         |    FROM $prev p
+         |    JOIN deg dg ON dg.src = p.word
+         |    JOIN edges e ON e.src = p.word
+         |    GROUP BY e.dst) c ON c.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (
+       |    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |    FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+       |adj AS MATERIALIZED (
+       |  SELECT least(a.w, b.w) AS pa, greatest(a.w, b.w) AS pb
+       |  FROM toks a JOIN toks b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.w <> b.w
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM adj
+       |  UNION ALL SELECT pb, pa FROM adj),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS degree FROM edges GROUP BY 1),
+       |pr0 AS (SELECT src AS word, CAST(1000000000 AS BIGINT) AS rank_q FROM deg),
+       |$steps
+       |SELECT CAST(row_number() OVER (ORDER BY p.rank_q DESC, p.word) AS INT)
+       |    AS pos,
+       |  p.word, d.degree, p.rank_q,
+       |  CAST(p.rank_q AS DOUBLE) / 1e9 AS rank
+       |FROM pr$iters p JOIN deg d ON d.src = p.word
+       |ORDER BY p.rank_q DESC, p.word LIMIT $topN""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles +
+    ("x199_textrank_keywords" -> textrankOracle(5, 20)) +
     // x136: the three filters' own oracle CTEs spliced verbatim (Gopher,
     // LM-quartile) plus the x02 predicate; unscoreable docs coalesce to
     // dropped in both engines.

@@ -379,4 +379,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4)
     assert(n0 > 0)
   }
+  test("x199 TextRank equals a driver-side integer PageRank on the co-occurrence graph") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0))
+    val adj = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { t =>
+      val ws = t.trim.toLowerCase.split("\\s+")
+      ws.sliding(2).foreach {
+        case Array(a, b) if a != b =>
+          val k = if (a < b) (a, b) else (b, a)
+          adj(k) = adj.getOrElse(k, 0L) + 1
+        case _ =>
+      }
+    }
+    val pruned = adj.filter(_._2 >= 2).keys.toSeq
+    val edges = pruned.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (w, es) => w -> es.length.toLong }
+    var pr = deg.map { case (w, _) => w -> 1000000000L }
+    (1 to 5).foreach { _ =>
+      val contrib = scala.collection.mutable.Map[String, Long]()
+      edges.foreach { case (src, dst) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + pr(src) / deg(src)
+      }
+      pr = deg.map { case (w, _) =>
+        w -> (150000000L + 85L * contrib.getOrElse(w, 0L) / 100L)
+      }
+    }
+    val truth = pr.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+    val got = TextAnalysis.textrankKeywords(spark, Sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getLong(3)))
+    assert(got.toSeq === truth)
+  }
 }
