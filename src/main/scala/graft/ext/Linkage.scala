@@ -164,7 +164,13 @@ object Linkage {
           .otherwise(-20)
         + when(col("acct_agree") === 1, 12).otherwise(-8)
         + when(col("seg_agree") === 1, 5).otherwise(-6))
-    scored.filter(col("weight") >= 15)
+    // materialize the scored pairs BEFORE the threshold filter:
+    // Catalyst otherwise pushes the weight predicate into the blocking
+    // join's condition, where the levenshtein DP re-evaluates up to 3x
+    // per candidate pair (measured 24 s vs 8 s at the 10x corpus). The
+    // checkpoint pins one DP per pair; the frame is block-join-sized,
+    // never corpus-squared.
+    scored.localCheckpoint(true).filter(col("weight") >= 15)
       .select(col("clone_id"), col("c_custkey").as("cand_custkey"),
         col("name_lvl"), col("acct_agree"), col("seg_agree"), col("weight"),
         when(col("weight") >= 40, lit("match")).otherwise(lit("possible"))
