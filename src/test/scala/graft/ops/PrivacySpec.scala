@@ -48,4 +48,32 @@ class PrivacySpec extends SparkSpec {
     }
     assert(got.exists(_._5 > 0), "some rows need generalizing on this fixture")
   }
+
+  test("x200 masked extract is consistent with the x197 lattice and leaks nothing") {
+    def h15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val levels = Privacy.generalizationLevels(spark, Sf).collect()
+      .map(r => h15(s"pseud:${r.getLong(0)}") -> r.getInt(4)).toMap
+    val rows = Privacy.maskedExtract(spark, Sf).collect()
+    assert(rows.length === levels.size)
+    // pseudonyms are unique (a joinable tokenization, not a hash bucket)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val (p, lvl, geo) = (r.getLong(0), r.getInt(1), r.getString(2))
+      assert(lvl === levels(p), s"level of $p must match x197")
+      if (lvl <= 1) assert(geo.startsWith("NATION:"))
+      else if (lvl == 2) assert(geo.startsWith("REGION:"))
+      else { assert(geo === "SUPPRESSED"); assert(r.isNullAt(3) && r.isNullAt(4)) }
+      if (lvl <= 2) {
+        assert(!r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getLong(4) === Seq(1000L, 5000L, 25000L)(lvl))
+      }
+    }
+    // nothing key- or name-shaped survives in the schema
+    val cols = Privacy.maskedExtract(spark, Sf).columns.toSet
+    assert(!cols.exists(c => c.contains("custkey") || c.contains("name")))
+  }
 }
