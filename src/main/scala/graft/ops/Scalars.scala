@@ -906,7 +906,75 @@ object Scalars {
       .orderBy(col("purchase_id"))
   }
 
+  /** x201: windowed sequential-pattern (episode) mining over per-user
+    * event streams (Mannila, Toivonen & Verkamo 1997; the gap-bounded
+    * serial-episode form of PrefixSpan): a length-2 pattern a→b is
+    * supported by a user who has SOME a-event followed by a b-event
+    * within `windowUs`; length-3 a→b→c chains two such steps through a
+    * shared middle event. Patterns (lengths 1–3) with ≥ `minSup`
+    * distinct supporting users are reported — the behavioral-motif
+    * complement to q71's adjacent-only transition matrix (episodes
+    * allow intervening events; transitions do not).
+    *
+    * Shape: occurrence joins are (user, time-bucket) equi-joins —
+    * bucket = floor(ts/W), each event probes buckets {b, b+1}, so the
+    * join never compares events farther than one window apart (the
+    * banded time join, not a per-user cross). Existence, not counting:
+    * occurrences dedup to (user, pattern) and to the minimal
+    * extension state (user, middle-ts, prefix) before growing, so the
+    * L3 stage is bounded by distinct states, not occurrence
+    * multiplicity. Supports are one distinct-user aggregate per level.
+    */
+  def seqPatterns(s: SparkSession, dir: String, windowUs: Long = 3600000000L,
+      minSup: Long = 30L): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        unix_micros(col("ts")).as("ts"))
+      .withColumn("bkt", floor(col("ts").cast(DoubleType) / lit(windowUs.toDouble))
+        .cast(LongType))
+      .localCheckpoint(true)
+    // probe side: each event offered at its own bucket and the previous
+    // one, so (b, b) and (b, b+1) pairs meet on an equi key
+    val probe = ev.select(col("u"), col("t"), col("ts"),
+      explode(array(col("bkt"), col("bkt") - 1)).as("bkt"))
+    def step(state: DataFrame, tsCol: String): DataFrame =
+      state.join(probe.select(col("u"), col("t").as("nt"),
+          col("ts").as("nts"), col("bkt")),
+        Seq("u", "bkt"))
+        .filter(col("nts") > col(tsCol) && col("nts") - col(tsCol) <= windowUs)
+    val l1 = ev.select(col("u"), col("t")).distinct()
+    val l1sup = l1.groupBy(col("t")).agg(countDistinct(col("u")).as("support"))
+      .filter(col("support") >= minSup)
+      .select(col("t").as("pattern"), lit(1).as("len"), col("support"))
+    // L2 states: (u, a, tb) — the minimal b-anchored occurrence state
+    val occ2 = step(ev.select(col("u"), col("t").as("a"), col("ts"), col("bkt")), "ts")
+      .select(col("u"), col("a"), col("nt").as("b"), col("nts").as("tb"))
+      .distinct()
+      .localCheckpoint(true)
+    val l2sup = occ2.select(col("u"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(countDistinct(col("u")).as("support"))
+      .filter(col("support") >= minSup)
+    val l2 = l2sup.select(concat(col("a"), lit(">"), col("b")).as("pattern"),
+      lit(2).as("len"), col("support"))
+    // L3: extend only L2-frequent prefixes (Apriori prune) through the
+    // shared middle event
+    val occ3 = step(
+      occ2.join(l2sup.select(col("a"), col("b")), Seq("a", "b"), "left_semi")
+        .withColumn("bkt", floor(col("tb").cast(DoubleType) / lit(windowUs.toDouble))
+          .cast(LongType)),
+      "tb")
+      .select(col("u"), col("a"), col("b"), col("nt").as("c")).distinct()
+    val l3 = occ3.groupBy(col("a"), col("b"), col("c"))
+      .agg(countDistinct(col("u")).as("support"))
+      .filter(col("support") >= minSup)
+      .select(concat(col("a"), lit(">"), col("b"), lit(">"), col("c")).as("pattern"),
+        lit(3).as("len"), col("support"))
+    l1sup.union(l2).union(l3)
+      .orderBy(col("len"), col("support").desc, col("pattern"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x201_seq_patterns" -> ((s: SparkSession, dir: String) => seqPatterns(s, dir)),
     "q82_attribution" -> ((s: SparkSession, dir: String) => attribution(s, dir)),
     "q78_audience_overlap" -> (audienceOverlap _),
     "q77_ship_latency" -> (shipLatency _),
@@ -942,6 +1010,45 @@ object Scalars {
     "q27_event_day_window" -> (eventDayWindow _))
 
   val oracles: Map[String, String] = Map(
+    // x201: the same bucketed occurrence joins, dedup-to-state rule,
+    // Apriori prune and distinct-user supports.
+    "x201_seq_patterns" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+        |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bkt
+        |  FROM events),
+        |probe AS MATERIALIZED (
+        |  SELECT u, t AS nt, ts AS nts, bkt FROM ev
+        |  UNION ALL SELECT u, t, ts, bkt - 1 FROM ev),
+        |l1 AS (
+        |  SELECT t AS pattern, 1 AS len,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS support
+        |  FROM (SELECT DISTINCT u, t FROM ev) GROUP BY t
+        |  HAVING count(DISTINCT u) >= 30),
+        |occ2 AS MATERIALIZED (
+        |  SELECT DISTINCT e.u, e.t AS a, p.nt AS b, p.nts AS tb
+        |  FROM ev e JOIN probe p ON p.u = e.u AND p.bkt = e.bkt
+        |  WHERE p.nts > e.ts AND p.nts - e.ts <= 3600000000),
+        |l2sup AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(DISTINCT u) AS BIGINT) AS support
+        |  FROM (SELECT DISTINCT u, a, b FROM occ2) GROUP BY a, b
+        |  HAVING count(DISTINCT u) >= 30),
+        |occ3 AS MATERIALIZED (
+        |  SELECT DISTINCT o.u, o.a, o.b, p.nt AS c
+        |  FROM occ2 o
+        |  JOIN l2sup l ON l.a = o.a AND l.b = o.b
+        |  JOIN probe p ON p.u = o.u
+        |    AND p.bkt = CAST(floor(o.tb / 3600000000.0) AS BIGINT)
+        |  WHERE p.nts > o.tb AND p.nts - o.tb <= 3600000000),
+        |l3 AS (
+        |  SELECT a || '>' || b || '>' || c AS pattern, 3 AS len,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS support
+        |  FROM occ3 GROUP BY a, b, c HAVING count(DISTINCT u) >= 30)
+        |SELECT pattern, CAST(len AS INT) AS len, support FROM (
+        |  SELECT * FROM l1
+        |  UNION ALL SELECT a || '>' || b, 2, support FROM l2sup
+        |  UNION ALL SELECT * FROM l3)
+        |ORDER BY len, support DESC, pattern""".stripMargin,
     // q82: the brute-force relational spelling — per purchase, the
     // argmax touch under (epoch, event_id) among strictly-earlier
     // touches of the same user, then the lookback test on that row.
