@@ -586,7 +586,34 @@ object Relational {
 
   // -------------------------------------------------------------- registry
 
+  /** x202: insert-only incremental maintenance of the lineitem⋈orders
+    * view ([[graft.engine.IncrementalView]]) — both tables arrive as 3
+    * deterministic batches (pinned hash splits), each batch contributes
+    * ΔV = ΔL⋈O_old ∪ L_old⋈ΔO ∪ ΔL⋈ΔO, and the union of the deltas is
+    * the view. The DuckDB oracle is the MONOLITHIC join, so the gate
+    * proves maintained == rebuilt bit-for-bit (every row must appear
+    * exactly once — a duplicate or missed delta term hash-fails).
+    */
+  def ivmJoin(s: SparkSession, dir: String, batches: Int = 3): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(batches.toLong))
+          .as("bt"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+        pmod(col("o_orderkey"), lit(batches.toLong)).as("bt"))
+    val steps = (0 until batches).map { bt =>
+      (l.filter(col("bt") === bt).drop("bt"),
+        o.filter(col("bt") === bt).drop("bt"))
+    }
+    graft.engine.IncrementalView.maintain(steps, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_orderpriority"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x202_ivm_join" -> ((s: SparkSession, dir: String) => ivmJoin(s, dir)),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_incr_window_scan" -> (incrWindowScan _),
     "q03_scan_project" -> (scanProject _),
@@ -626,6 +653,12 @@ object Relational {
     "q60_unpivot_long" -> (unpivotLong _))
 
   val oracles: Map[String, String] = Map(
+    // x202: the oracle IS the monolithic rebuild — the strongest
+    // possible gate for view maintenance.
+    "x202_ivm_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
