@@ -187,9 +187,67 @@ object DataQuality {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** x203: Kaplan–Meier product-limit survival estimate (Kaplan &
+    * Meier, JASA 1958) over user LIFETIMES in the event stream — the
+    * churn curve: a user's duration is days from first to last event;
+    * users still active in the final day are right-CENSORED at the
+    * corpus end (their lifetime is only known to exceed what we saw —
+    * dropping them would bias survival down, the mistake KM exists to
+    * fix). Per distinct event day t: n_risk (lifetimes ≥ t), n_churn
+    * (uncensored lifetimes = t), n_censored, and
+    * S(t) = Π_{u ≤ t} (1 − d_u/n_u).
+    *
+    * Shape: two per-user aggregates (first/last ts), one per-duration
+    * aggregate, then the at-risk suffix sums and the product-limit
+    * fold run over the DAY-GRAIN frame — day-count-bounded (the
+    * x183/x198 rule), never user- or event-sized. The product folds in
+    * pinned ascending-day order, the identical expression tree on both
+    * engines.
+    */
+  def kaplanMeier(s: SparkSession, dir: String,
+      censorDays: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val horizon = ev.agg(max(col("us")).as("end_us"))
+    val DayUs = 86400000000L
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((col("last_us") - col("first_us")).cast("double") / lit(DayUs.toDouble))
+          .cast("long").as("dur"),
+        (col("last_us") >= col("end_us") - lit(censorDays * DayUs)).as("censored"))
+    val byDay = users.groupBy(col("dur"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      // at-risk suffix sum: a global window, but over the DAY-GRAIN
+      // frame only (≤ corpus-span rows — the q49/x175 bounded-window
+      // precedent)
+      .withColumn("n_risk", sum(col("d") + col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val series = byDay.groupBy()
+      .agg(array_sort(collect_list(struct(col("dur"), col("d"), col("c"),
+        col("n_risk")))).as("days"))
+    series
+      .select(posexplode(col("days")).as(Seq("pos", "r")), col("days"))
+      .select(col("r.dur").as("day"), col("r.d").as("n_churn"),
+        col("r.c").as("n_censored"), col("r.n_risk").as("n_risk"),
+        // product-limit over the prefix INCLUDING this day, pinned
+        // ascending-day factor order
+        aggregate(slice(col("days"), lit(1), col("pos") + 1), lit(1.0),
+          (acc, e) => acc * (lit(1.0) -
+            e.getField("d").cast("double") / e.getField("n_risk").cast("double")))
+          .as("survival"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x183_cusum_drift" -> ((s: SparkSession, dir: String) => cusumDrift(s, dir)),
     "x198_holt_trend" -> ((s: SparkSession, dir: String) => holtTrend(s, dir)),
+    "x203_kaplan_meier" -> ((s: SparkSession, dir: String) => kaplanMeier(s, dir)),
     "q42_data_quality" -> (standardChecks _),
     "x107_source_drift" -> (sourceDrift _))
 
@@ -197,6 +255,40 @@ object DataQuality {
     // x183: the same clamped sequential fold via list_reduce over the
     // day-ordered prefix — identical greatest(...) tree, same mean/slack
     // rationals.
+    // x203: the same lifetimes, censoring rule, suffix-sum at-risk
+    // counts and pinned ascending-day product fold.
+    "x203_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |hz AS (SELECT max(us) AS end_us FROM ev),
+        |users AS (
+        |  SELECT CAST(floor((max(us) - min(us)) / 86400000000.0) AS BIGINT)
+        |      AS dur,
+        |    max(us) >= (SELECT end_us FROM hz) - 1 * 86400000000 AS censored
+        |  FROM ev GROUP BY user_id),
+        |byday AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM users GROUP BY dur),
+        |risk AS (
+        |  SELECT dur, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_risk
+        |  FROM byday),
+        |series AS (
+        |  SELECT list(struct_pack(dur := dur, d := d, c := c,
+        |    n_risk := n_risk) ORDER BY dur) AS days FROM risk),
+        |expanded AS (
+        |  SELECT days, unnest(generate_series(1, len(days))) AS t FROM series)
+        |SELECT days[t].dur AS day, days[t].d AS n_churn,
+        |  days[t].c AS n_censored, days[t].n_risk AS n_risk,
+        |  list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |    list_transform(list_slice(days, 1, t), e ->
+        |      CAST(e.d AS DOUBLE) / CAST(e.n_risk AS DOUBLE))),
+        |    (acc, v) -> acc * (CAST(1 AS DOUBLE) - v)) AS survival
+        |FROM expanded ORDER BY day""".stripMargin,
     // x198: the same struct-state Holt fold via list_reduce — identical
     // α=β=1/4 expression tree, same init (y₁, 0), same prefix slices.
     "x198_holt_trend" ->
