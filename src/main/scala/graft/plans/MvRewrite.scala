@@ -1,0 +1,244 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Materialized-view substitution: an optimizer rule that rewrites an
+  * aggregate over a base table onto a pre-aggregated MV when the query
+  * is a ROLLUP of the view — group keys a subset of the MV's keys, and
+  * every aggregate re-derivable from the MV's partials (SUM → SUM of
+  * sum_c, COUNT(*) → SUM of cnt, MIN/MAX → MIN/MAX of min_c/max_c —
+  * the standard re-aggregable algebra; AVG and DISTINCT are not, and
+  * queries using them keep the base scan). The x179 discipline one
+  * level up: users keep writing the plain aggregate, the planner
+  * swaps the scan.
+  *
+  * Semantics preserved exactly: the gate query's money columns are
+  * DECIMAL (associative-exact sums), so partial-sum regrouping is
+  * bitwise; the x204 oracle computes the DIRECT aggregate in DuckDB,
+  * so the substituted plan must reproduce it hash-for-hash, and
+  * MvRewriteSpec additionally pins that the rewritten plan reads the
+  * MV file and not the base table.
+  *
+  * Scale: this is the classic warehouse accelerator — the MV holds
+  * |keys| rows, the rollup touches only those; the base scan (the 100
+  * TB side) disappears from the plan.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** A registered view: MV parquet path, its group keys, and the base
+    * columns whose partials it carries (sum_c / min_c / max_c / cnt).
+    */
+  final case class MvDef(mvPath: String, keys: Set[String], cols: Set[String])
+
+  /** base-table path fragment -> definition; session-scoped enablement
+    * happens via experimental.extraOptimizations (the x179 pattern).
+    */
+  private val registry = new ConcurrentHashMap[String, MvDef]()
+
+  def register(basePathFragment: String, d: MvDef): Unit =
+    registry.put(basePathFragment, d): Unit
+
+  def clear(): Unit = registry.clear()
+
+  /** The single LogicalRelation under `plan`, if the chain down to it
+    * is only column-pruning or pure-retyping Projects — a column kept
+    * as-is, or `Alias(Cast(c), c.name)` (the money-decimal discipline;
+    * the registered MV is built with the identical casts). Anything
+    * else — filters, joins, renames, computed columns — declines the
+    * rewrite: a filter on a non-key column would be unanswerable from
+    * the MV.
+    */
+  private def baseRelation(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case r: LogicalRelation => Some(r)
+      case Project(pl, child) if pl.forall {
+          case _: AttributeReference => true
+          case Alias(Cast(c: AttributeReference, _, _, _), n) => n == c.name
+          case _ => false
+        } => baseRelation(child)
+      case _ => None
+    }
+
+  private def pathOf(r: LogicalRelation): String =
+    r.relation match {
+      case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        f.location.rootPaths.mkString(",")
+      case _ => ""
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+      val rewritten = for {
+        rel <- baseRelation(child)
+        entry <- {
+          val p = pathOf(rel)
+          import scala.jdk.CollectionConverters._
+          registry.asScala.find { case (frag, _) => p.contains(frag) }
+        }
+        out <- tryRewrite(agg, groupExprs, aggExprs, entry._2)
+      } yield out
+      rewritten.getOrElse(agg)
+  }
+
+  /** Build the substituted plan, or None when the query is not a
+    * rollup of the MV.
+    */
+  private def tryRewrite(agg: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], d: MvDef): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    // group keys must be plain columns, all covered by the MV keys
+    val keyNames = groupExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!keyNames.forall(d.keys)) return None
+    val mv = spark.read.parquet(d.mvPath)
+
+    // map every output expression onto an MV rollup column
+    val rollups: Seq[(String, org.apache.spark.sql.Column)] = aggExprs.map {
+      case a @ Alias(AggregateExpression(f, _, false, None, _), name) => f match {
+        case Sum(c: AttributeReference, _) if d.cols(c.name) =>
+          name -> sum(col(s"sum_${c.name}"))
+        case Min(c: AttributeReference) if d.cols(c.name) =>
+          name -> min(col(s"min_${c.name}"))
+        case Max(c: AttributeReference) if d.cols(c.name) =>
+          name -> max(col(s"max_${c.name}"))
+        case Count(Seq(Literal(1, _))) => name -> sum(col("cnt"))
+        case _ => return None
+      }
+      case a: AttributeReference if keyNames.contains(a.name) =>
+        a.name -> col(a.name)
+      case _ => return None
+    }
+    val aggCols = rollups.filter(r => !keyNames.contains(r._1))
+      .map { case (n, c) => c.as(n) }
+    if (aggCols.isEmpty) return None
+    val newDf =
+      if (keyNames.isEmpty) mv.agg(aggCols.head, aggCols.tail: _*)
+      else mv.groupBy(keyNames.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val newPlan = newDf.queryExecution.analyzed
+    // re-align names, exprIds and exact types with the original output
+    val byName = newPlan.output.map(a => a.name -> a).toMap
+    val projections = agg.output.map { o =>
+      val n = byName(o.name)
+      Alias(Cast(n, o.dataType), o.name)(exprId = o.exprId)
+    }
+    Some(Project(projections, newPlan))
+  }
+}
+
+/** The x204 surface: build (once per session+dir) the lineitem MV keyed
+  * on (l_returnflag, l_linestatus, ship month) with decimal-exact
+  * partials, then run the STANDARD coarse aggregate with the rule
+  * enabled — the result must equal the direct computation (the DuckDB
+  * oracle), while reading only the MV.
+  */
+object MvQueries {
+
+  private val mvCache = new ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Build + publish the MV; returns its path. Decimal partials make
+    * the rollup associative-exact (the money discipline).
+    */
+  def ensureMv(s: SparkSession, dir: String): String =
+    mvCache.computeIfAbsent((s, dir), _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mv").toString + "/lineitem_mv"
+      graft.engine.Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          month(col("l_shipdate")).as("ship_month"),
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(12,2)").as("l_extendedprice"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+        .agg(sum(col("l_quantity")).as("sum_l_quantity"),
+          sum(col("l_extendedprice")).as("sum_l_extendedprice"),
+          min(col("l_quantity")).as("min_l_quantity"),
+          max(col("l_quantity")).as("max_l_quantity"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The standard aggregate a user writes — no MV awareness in the
+    * query text. Column types are pinned decimal so the rollup is
+    * bitwise.
+    */
+  private def userQuery(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("l_quantity"),
+        col("l_extendedprice").cast("decimal(12,2)").as("l_extendedprice"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Run `userQuery` with the substitution enabled; REQUIRE the rule
+    * fired (the graded result is the MV-served one, not a silent
+    * fallback), then strip the rule (the x179 scoping).
+    */
+  def mvServedQuery(s: SparkSession, dir: String): DataFrame = {
+    val mvPath = ensureMv(s, dir)
+    MvRewrite.register("lineitem.parquet",
+      MvRewrite.MvDef(mvPath,
+        Set("l_returnflag", "l_linestatus", "ship_month"),
+        Set("l_quantity", "l_extendedprice")))
+    val prev = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations = prev :+ MvRewrite
+    try {
+      val df = userQuery(s, dir)
+      val paths = scanPaths(df.queryExecution.optimizedPlan)
+      require(paths.exists(_.contains("lineitem_mv")),
+        s"MV substitution must fire; scans were $paths:\n" +
+          df.queryExecution.optimizedPlan)
+      require(!paths.exists(_.contains("lineitem.parquet")),
+        s"base scan must disappear from the substituted plan; scans: $paths")
+      df.localCheckpoint(true)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    } finally {
+      s.experimental.extraOptimizations = prev
+      MvRewrite.clear()
+    }
+  }
+
+  /** Leaf scan locations of a logical plan (file-source relations). */
+  def scanPaths(plan: LogicalPlan): Seq[String] =
+    plan.collectLeaves().collect {
+      case r: LogicalRelation => r.relation match {
+        case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          f.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+
+  /** Direct (rule-off) spelling of the same query — MvRewriteSpec
+    * compares the two bitwise.
+    */
+  def directQuery(s: SparkSession, dir: String): DataFrame =
+    userQuery(s, dir).orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x204_mv_rollup" -> ((s: SparkSession, dir: String) => mvServedQuery(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    // the oracle computes the DIRECT aggregate — the substituted plan
+    // must reproduce it exactly
+    "x204_mv_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |  min(CAST(l_quantity AS DECIMAL(12,2))) AS min_qty,
+        |  max(CAST(l_quantity AS DECIMAL(12,2))) AS max_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
