@@ -244,10 +244,63 @@ object DataQuality {
       .orderBy(col("day"))
   }
 
+  /** Benford's-law expected share of leading digit d: log10(1 + 1/d),
+    * computed ONCE on the driver and embedded as the identical literal
+    * in both engines (libm log10 is not guaranteed correctly rounded
+    * cross-engine; a shared literal is).
+    */
+  private[ops] val benfordExp: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** x205: Benford first-digit audit over o_totalprice — the classic
+    * fabricated-data screen (Benford 1938; Nigrini's forensic use):
+    * per leading digit, observed count/share vs the log10(1+1/d)
+    * expectation and the per-digit Pearson residual contribution
+    * (obs − n·exp)²/(n·exp); the chi² total repeats on every row (the
+    * x107 tvd_total convention). The leading digit comes from the
+    * CENTS integer rendered as a string — integer formatting is
+    * identical across engines, double formatting is not.
+    *
+    * Shape: one projection + one 9-group aggregate; the chi² total is
+    * a 9-row second aggregate broadcast back.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val digits = Tables(s, dir, "orders")
+      .select(floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expCol = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("digit") === d, lit(benfordExp(d))).otherwise(acc)
+    }
+    val scored = digits.crossJoin(broadcast(
+        digits.agg(sum(col("n")).as("total"))))
+      .withColumn("expected", expCol)
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("chi_term",
+        (col("n").cast("double") - col("total").cast("double") * col("expected"))
+          * (col("n").cast("double") - col("total").cast("double") * col("expected"))
+          / (col("total").cast("double") * col("expected")))
+      .localCheckpoint(true)
+    // chi² total: fold the 9 terms in pinned ascending-digit order
+    // (a double SUM would be partition-order-dependent)
+    val chi = scored.groupBy()
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("digit"), col("chi_term")))),
+          e => e.getField("chi_term")),
+        lit(0.0), (a, v) => a + v).as("chi2"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        col("chi_term"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x183_cusum_drift" -> ((s: SparkSession, dir: String) => cusumDrift(s, dir)),
     "x198_holt_trend" -> ((s: SparkSession, dir: String) => holtTrend(s, dir)),
     "x203_kaplan_meier" -> ((s: SparkSession, dir: String) => kaplanMeier(s, dir)),
+    "x205_benford_audit" -> ((s: SparkSession, dir: String) => benfordAudit(s, dir)),
     "q42_data_quality" -> (standardChecks _),
     "x107_source_drift" -> (sourceDrift _))
 
@@ -255,6 +308,36 @@ object DataQuality {
     // x183: the same clamped sequential fold via list_reduce over the
     // day-ordered prefix — identical greatest(...) tree, same mean/slack
     // rationals.
+    // x205: identical embedded expectation literals, same cents-string
+    // digit rule, same pinned ascending-digit chi² fold.
+    "x205_benford_audit" -> {
+      // e-notation literals parse directly as DOUBLE in DuckDB (a
+      // plain decimal literal routes through DECIMAL and can lose the
+      // last ULP in the cast)
+      val expCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${benfordExp(d)}e0").mkString(" ")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+         |        FROM orders) o
+         |  WHERE cents > 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits),
+         |scored AS (
+         |  SELECT digit, n,
+         |    CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |    CAST(CASE digit $expCase END AS DOUBLE) AS expected,
+         |    (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (CASE digit $expCase END))
+         |      * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (CASE digit $expCase END))
+         |      / (CAST(total AS DOUBLE) * (CASE digit $expCase END)) AS chi_term
+         |  FROM digits, tot),
+         |chi AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(chi_term ORDER BY digit)), (a, v) -> a + v) AS chi2
+         |  FROM scored)
+         |SELECT digit, n, share, expected, chi_term, chi.chi2
+         |FROM scored, chi ORDER BY digit""".stripMargin
+    },
     // x203: the same lifetimes, censoring rule, suffix-sum at-risk
     // counts and pinned ascending-day product fold.
     "x203_kaplan_meier" ->
