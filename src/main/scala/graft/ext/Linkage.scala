@@ -38,11 +38,12 @@ object Linkage {
   private val Q = 2 // q-gram width
 
   /** x190: all customer-name pairs within Levenshtein distance τ.
-    * Output: a_custkey < b_custkey, dist. Candidates from rare
-    * positional-q-gram postings (df ≤ cap) with ±τ probe-position
-    * expansion and the Gravano count filter (a pair must share ≥
-    * max(r(s) − q·τ, 1) DISTINCT rare grams of its indexed side before
-    * the DP verifier runs), then exact `levenshtein` verification.
+    * Output: a_custkey < b_custkey, dist. Exact duplicates collapse to
+    * a representative first (see below), candidates come from rare
+    * positional-q-gram postings (df ≤ cap) with length-aware ±τ
+    * probe-position expansion, and exact `levenshtein` verifies every
+    * candidate; representative pairs then expand back through the
+    * duplicate groups.
     *
     * THE OUTPUT IS CAP-INDEPENDENT: the cap only routes work between
     * the posting leg and the fallback leg (both exact). The honest
