@@ -206,6 +206,52 @@ object Sketches {
       .orderBy(col("i"))
   }
 
+  /** x206: histogram-based join-cardinality estimation (the System-R
+    * / Selinger 1979 statistic, the planner's OTHER classic next to
+    * q81's CMS): both join sides bucket into B equi-width slots over
+    * the shared key range (min/max only — two exact aggregates, the
+    * scale-safe build), and each bucket contributes
+    * nₐ·n_b / max(ndvₐ, ndv_b) under the uniform-within-bucket
+    * assumption. Output: per bucket the counts, exact NDVs and
+    * contribution, plus the total estimate, the exact anchor
+    * |orders ⋈ customer| (the verification leg the estimate replaces
+    * at scale) and the ratio.
+    *
+    * Shape: two bucket-grain aggregates (count + exact NDV per
+    * bucket), one B-row join, the total as a pinned ascending-bucket
+    * fold (double sum order matters); the exact anchor is one key
+    * join + count.
+    */
+  def histJoinEst(s: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val a = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+    val b = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+    val bounds = a.unionByName(b)
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    def side(df: DataFrame, n: String, v: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(floor(((col("k") - col("lo")) * buckets).cast("double")
+          / (col("hi") - col("lo") + 1L).cast("double")).cast("long").as("bucket"),
+          col("k"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(n), countDistinct(col("k")).as(v))
+    val joined = side(a, "na", "ndva").join(side(b, "nb", "ndvb"), Seq("bucket"))
+      .withColumn("contrib",
+        (col("na") * col("nb")).cast("double") /
+          greatest(col("ndva"), col("ndvb")).cast("double"))
+      .localCheckpoint(true)
+    val total = joined.groupBy()
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+          e => e.getField("contrib")),
+        lit(0.0), (acc, v) => acc + v).as("est_total"))
+    val exact = a.join(b, Seq("k")).agg(count(lit(1)).as("n_exact"))
+    joined.crossJoin(broadcast(total)).crossJoin(broadcast(exact))
+      .select(col("bucket"), col("na"), col("nb"), col("ndva"), col("ndvb"),
+        col("contrib"), col("est_total"), col("n_exact"),
+        (col("est_total") / col("n_exact").cast("double")).as("ratio"))
+      .orderBy(col("bucket"))
+  }
+
   // -------------------------------------------------------------------
   // x171: KMV (bottom-k) sketch set algebra for cross-source overlap
   // -------------------------------------------------------------------
@@ -383,6 +429,7 @@ object Sketches {
     "q41_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHittersGated(s, dir)),
     "q49_exact_percentiles" -> (exactPercentiles _),
     "q81_join_card_est" -> ((s: SparkSession, dir: String) => joinCardEst(s, dir)),
+    "x206_hist_join_est" -> ((s: SparkSession, dir: String) => histJoinEst(s, dir)),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
   /** Every sketch query hash-gates: exact legs compare outright and each
@@ -506,6 +553,42 @@ object Sketches {
     // q81: the identical md5-derived CMS rows — every value is an exact
     // integer, so the estimate itself hash-compares; no bound flag
     // needed beyond the estimator's pinned one-sided guarantee.
+    // x206: same bounds, equi-width bucketing, exact per-bucket NDVs,
+    // pinned ascending-bucket fold for the total.
+    "x206_hist_join_est" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+        |b AS (SELECT c_custkey AS k FROM customer),
+        |bounds AS (
+        |  SELECT min(k) AS lo, max(k) AS hi
+        |  FROM (SELECT k FROM a UNION ALL SELECT k FROM b)),
+        |sa AS (
+        |  SELECT CAST(floor(CAST((k - lo) * 16 AS DOUBLE)
+        |      / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS ndva
+        |  FROM a, bounds GROUP BY 1),
+        |sb AS (
+        |  SELECT CAST(floor(CAST((k - lo) * 16 AS DOUBLE)
+        |      / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS ndvb
+        |  FROM b, bounds GROUP BY 1),
+        |j AS (
+        |  SELECT bucket, na, nb, ndva, ndvb,
+        |    CAST(na * nb AS DOUBLE) / CAST(greatest(ndva, ndvb) AS DOUBLE)
+        |      AS contrib
+        |  FROM sa JOIN sb USING (bucket)),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(contrib ORDER BY bucket)), (acc, v) -> acc + v) AS est_total
+        |  FROM j),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM a JOIN b USING (k))
+        |SELECT j.bucket, j.na, j.nb, j.ndva, j.ndvb, j.contrib,
+        |  tot.est_total, ex.n_exact,
+        |  tot.est_total / CAST(ex.n_exact AS DOUBLE) AS ratio
+        |FROM j, tot, ex ORDER BY j.bucket""".stripMargin,
     "q81_join_card_est" ->
       """WITH ii AS (SELECT unnest(generate_series(0, 2)) AS i),
         |sa AS (

@@ -187,4 +187,32 @@ class SketchesSpec extends SparkSpec {
       assert(r.getAs[Double]("est_union") > 0.0)
     }
   }
+  test("x206 histogram estimate equals the driver reference; PK-FK joins estimate exactly") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val b = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val (lo, hi) = ((a ++ b).min, (a ++ b).max)
+    def bkt(k: Long): Long =
+      math.floor((k - lo).toDouble * 16 / (hi - lo + 1).toDouble).toLong
+    val na = a.groupBy(bkt).map { case (x, g) => x -> g.length.toLong }
+    val va = a.distinct.groupBy(bkt).map { case (x, g) => x -> g.length.toLong }
+    val nb = b.groupBy(bkt).map { case (x, g) => x -> g.length.toLong }
+    val vb = b.distinct.groupBy(bkt).map { case (x, g) => x -> g.length.toLong }
+    val rows = Sketches.histJoinEst(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    rows.foreach { case (bk, gna, gnb, gva, gvb, contrib, _, _) =>
+      assert(gna === na(bk)); assert(gnb === nb(bk))
+      assert(gva === va(bk)); assert(gvb === vb(bk))
+      assert(contrib === gna.toDouble * gnb / math.max(gva, gvb))
+    }
+    // orders -> customer is a PK-FK join whose keys cover every bucket:
+    // per bucket ndvb == nb (customer keys unique), so the histogram
+    // estimate collapses to sum(na) = |orders| = the exact answer
+    val (est, exact) = (rows.head._7, rows.head._8)
+    assert(math.abs(est - exact.toDouble) < 1e-6,
+      s"PK-FK histogram estimate must be exact: $est vs $exact")
+  }
 }
