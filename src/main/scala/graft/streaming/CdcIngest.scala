@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.{Cdc, VersionedTable}
+
+/** Streaming CDC ingest — the streaming form of x207's [[Cdc]]: each
+  * micro-batch of I/U/D events commits as a [[VersionedTable]] log
+  * snapshot keyed by batchId (`commitIfAbsent` → replay is a skipped
+  * commit), and SERVING applies the union of committed log snapshots
+  * to the base in one pass. Because apply is a per-key argmax over the
+  * whole log, the batch boundaries are invisible: any split of the
+  * events yields the same served table (CdcIngestSpec pins
+  * streamed == x207's batch twin bitwise, plus replay).
+  *
+  * At cluster scale the served state is periodically COMPACTED — apply
+  * once, commit the applied snapshot as the new base, truncate the log
+  * (the standard log-structured pattern); `compact` below is that
+  * fold, and compact-then-serve equals serve (also spec-pinned).
+  */
+object CdcIngest {
+
+  /** Start the ingest: events stream (payload + seq + op) → one
+    * committed log snapshot per batchId.
+    */
+  def streamingCdcIngest(events: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        VersionedTable.commitIfAbsent(batch.toDF(), root, batchId): Unit
+      }
+      .start()
+
+  /** The committed log at a point in time. */
+  def logFromSnapshots(s: SparkSession, root: String): DataFrame =
+    VersionedTable.versions(s, root)
+      .map(v => VersionedTable.read(s, root, Some(v)))
+      .reduce(_ unionByName _)
+
+  /** Serve: apply the committed log to the base. */
+  def serve(s: SparkSession, base: DataFrame, root: String,
+      key: String): DataFrame =
+    Cdc.applyCdc(base, logFromSnapshots(s, root), key)
+
+  /** Compaction: fold the log into the base once; the result is the
+    * new base and the log can truncate. Idempotent with serve by
+    * construction (apply is an argmax — CdcIngestSpec pins it).
+    */
+  def compact(s: SparkSession, base: DataFrame, root: String,
+      key: String): DataFrame =
+    serve(s, base, root, key).localCheckpoint(true)
+
+  // streaming-only lane: correctness pinned by CdcIngestSpec
+  // (served == x207 batch twin; replay no-op; compact-then-serve ==
+  // serve); the merge algebra is hash-gated via x207.
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  val oracles: Map[String, String] = Map.empty
+}
