@@ -180,6 +180,25 @@ object Sketches {
     */
   def joinCardEst(s: SparkSession, dir: String,
       depth: Int = 3, width: Int = 256): DataFrame = {
+    val ests = cmsJoinSketch(s, dir, depth, width)
+    val minEst = ests.agg(min(col("est_i")).as("est"))
+    // the verification anchor — at scale this leg is what the estimate
+    // REPLACES; 1-row frames, lazy, never a driver collect
+    val exact = Tables(s, dir, "orders").select(col("o_orderkey"))
+      .join(Tables(s, dir, "lineitem").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_exact"))
+    ests.crossJoin(minEst).crossJoin(exact)
+      .select(col("i"), col("est_i"), col("est"), col("n_exact"),
+        (col("est_i") >= col("n_exact")).as("overestimate_ok"))
+      .orderBy(col("i"))
+  }
+
+  /** The CMS inner-product rows both q81 forms share: one scan per
+    * side, depth·width keyed counts on the shuffle, a 768-row join.
+    */
+  private def cmsJoinSketch(s: SparkSession, dir: String,
+      depth: Int, width: Int): DataFrame = {
     def sketch(df: DataFrame, key: org.apache.spark.sql.Column,
         cnt: String): DataFrame =
       df.select(key.cast("string").as("k"))
@@ -191,18 +210,25 @@ object Sketches {
         .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as(cnt))
     val sa = sketch(Tables(s, dir, "orders"), col("o_orderkey"), "ca")
     val sb = sketch(Tables(s, dir, "lineitem"), col("l_orderkey"), "cb")
-    val ests = sa.join(sb, Seq("i", "bucket"))
+    // `depth` rows total — checkpoint so the min-over-rows leg reuses
+    // them instead of re-scanning both sides for a 3-row aggregate
+    sa.join(sb, Seq("i", "bucket"))
       .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("est_i"))
+      .localCheckpoint(true)
+  }
+
+  /** q81's SERVING form: the estimate alone — what a planner actually
+    * runs at 100 TB. No exact anchor leg: each side is scanned exactly
+    * once (the sketch build), and SketchPlanSpec gates that scan count.
+    * The audit form (`joinCardEst`, unchanged) keeps the exact leg for
+    * the correctness story; this one is the production cost.
+    */
+  def joinCardServed(s: SparkSession, dir: String,
+      depth: Int = 3, width: Int = 256): DataFrame = {
+    val ests = cmsJoinSketch(s, dir, depth, width)
     val minEst = ests.agg(min(col("est_i")).as("est"))
-    // the verification anchor — at scale this leg is what the estimate
-    // REPLACES; 1-row frames, lazy, never a driver collect
-    val exact = Tables(s, dir, "orders").select(col("o_orderkey"))
-      .join(Tables(s, dir, "lineitem").select(col("l_orderkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .agg(count(lit(1)).as("n_exact"))
-    ests.crossJoin(minEst).crossJoin(exact)
-      .select(col("i"), col("est_i"), col("est"), col("n_exact"),
-        (col("est_i") >= col("n_exact")).as("overestimate_ok"))
+    ests.crossJoin(broadcast(minEst))
+      .select(col("i"), col("est_i"), col("est"))
       .orderBy(col("i"))
   }
 
@@ -225,6 +251,18 @@ object Sketches {
   def histJoinEst(s: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
     val a = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
     val b = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+    val (joined, total) = histBuckets(a, b, buckets)
+    val exact = a.join(b, Seq("k")).agg(count(lit(1)).as("n_exact"))
+    joined.crossJoin(broadcast(total)).crossJoin(broadcast(exact))
+      .select(col("bucket"), col("na"), col("nb"), col("ndva"), col("ndvb"),
+        col("contrib"), col("est_total"), col("n_exact"),
+        (col("est_total") / col("n_exact").cast("double")).as("ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The per-bucket rows + pinned-fold total both x206 forms share. */
+  private def histBuckets(a: DataFrame, b: DataFrame,
+      buckets: Int): (DataFrame, DataFrame) = {
     val bounds = a.unionByName(b)
       .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
     def side(df: DataFrame, n: String, v: String): DataFrame =
@@ -244,11 +282,22 @@ object Sketches {
         transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
           e => e.getField("contrib")),
         lit(0.0), (acc, v) => acc + v).as("est_total"))
-    val exact = a.join(b, Seq("k")).agg(count(lit(1)).as("n_exact"))
-    joined.crossJoin(broadcast(total)).crossJoin(broadcast(exact))
+    (joined, total)
+  }
+
+  /** x206's SERVING form: histogram estimate without the exact join
+    * anchor — each side is scanned exactly twice (bounds + bucketing;
+    * the audit form adds a third scan for the anchor). At 100 TB the
+    * anchor IS the join being estimated, so the serving plan must not
+    * contain it; SketchPlanSpec gates the scan counts.
+    */
+  def histJoinServed(s: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val a = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+    val b = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+    val (joined, total) = histBuckets(a, b, buckets)
+    joined.crossJoin(broadcast(total))
       .select(col("bucket"), col("na"), col("nb"), col("ndva"), col("ndvb"),
-        col("contrib"), col("est_total"), col("n_exact"),
-        (col("est_total") / col("n_exact").cast("double")).as("ratio"))
+        col("contrib"), col("est_total"))
       .orderBy(col("bucket"))
   }
 
@@ -285,7 +334,17 @@ object Sketches {
     * broadcast-sized frames. Cross-source content overlap without ever
     * joining corpora.
     */
-  def bottomkPairs(el: DataFrame, k: Int): DataFrame = {
+  def bottomkPairs(el: DataFrame, k: Int): DataFrame =
+    bottomkPairs(el, k, withAnchor = true)
+
+  /** `withAnchor = false` is the SERVING form: the sketch algebra and
+    * the linear per-source counts only — the corpus-sized self-join on
+    * `h` (exact_intersection / exact_union, the audit anchor) is
+    * omitted, so the element frame is read exactly twice (sketch build
+    * + per-source counts) instead of four times. At 100 TB the anchor
+    * is the overlap join the sketch exists to avoid.
+    */
+  def bottomkPairs(el: DataFrame, k: Int, withAnchor: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val localW = Window.partitionBy(col("source"), col("part")).orderBy(col("h").asc)
     val globalW = Window.partitionBy(col("source")).orderBy(col("h").asc)
@@ -294,7 +353,10 @@ object Sketches {
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select(col("source"), col("h"))
       .localCheckpoint(true) // k rows per source: the published sketches
+    // one row per source — checkpoint so the twin n_a/n_b joins don't
+    // each re-scan the element frame
     val nExact = el.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint(true)
     val srcs = sk.select(col("source")).distinct()
     val prs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
@@ -317,33 +379,38 @@ object Sketches {
       .agg(count(lit(1)).as("n_union_sketch"), max(col("h")).as("tau_union"),
         sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
           .as("rho"))
-    val exi = el.select(col("source").as("source_a"), col("h"))
-      .join(el.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("exact_intersection"))
-    val base = prs
+    val core = prs
       .join(nExact.select(col("source").as("source_a"), col("n_exact").as("n_a")),
         Seq("source_a"))
       .join(nExact.select(col("source").as("source_b"), col("n_exact").as("n_b")),
         Seq("source_b"))
       .join(agg, Seq("source_a", "source_b"))
-      .join(exi, Seq("source_a", "source_b"), "left")
-      .withColumn("exact_intersection",
-        coalesce(col("exact_intersection"), lit(0L)))
       .withColumn("est_union",
         when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
             / col("tau_union").cast("double")))
       .withColumn("est_jaccard",
         col("rho").cast("double") / col("n_union_sketch").cast("double"))
-    base.select(col("source_a"), col("source_b"), lit(k).as("k"),
+    val estCols = Seq(col("source_a"), col("source_b"), lit(k).as("k"),
       col("n_a"), col("n_b"), col("n_union_sketch"), col("tau_union"), col("rho"),
       col("est_union"), col("est_jaccard"),
-      (col("est_jaccard") * col("est_union")).as("est_intersection"),
-      (col("n_a") + col("n_b") - col("exact_intersection")).as("exact_union"),
-      col("exact_intersection"))
-      .orderBy(col("source_a"), col("source_b"))
+      (col("est_jaccard") * col("est_union")).as("est_intersection"))
+    if (!withAnchor)
+      core.select(estCols: _*).orderBy(col("source_a"), col("source_b"))
+    else {
+      val exi = el.select(col("source").as("source_a"), col("h"))
+        .join(el.select(col("source").as("source_b"), col("h")), Seq("h"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      core.join(exi, Seq("source_a", "source_b"), "left")
+        .withColumn("exact_intersection",
+          coalesce(col("exact_intersection"), lit(0L)))
+        .select(estCols ++ Seq(
+          (col("n_a") + col("n_b") - col("exact_intersection")).as("exact_union"),
+          col("exact_intersection")): _*)
+        .orderBy(col("source_a"), col("source_b"))
+    }
   }
 
   /** x171: cross-source 3-gram-content overlap via KMV sketches over the
@@ -351,7 +418,7 @@ object Sketches {
     * (source, md5-60-bit shingle hash) pairs.
     */
   def bottomkOverlap(s: SparkSession, dir: String, numSources: Int = 6,
-      k: Int = 128): DataFrame = {
+      k: Int = 128, withAnchor: Boolean = true): DataFrame = {
     val srcs = (0 until numSources).map("src" + _)
     val el = Tables(s, dir, "documents")
       .filter(col("source").isin(srcs: _*))
@@ -360,7 +427,7 @@ object Sketches {
           graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
       .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
       .distinct()
-    bottomkPairs(el, k)
+    bottomkPairs(el, k, withAnchor)
   }
 
   /** x175: daily q-digest quantile partials, merged — the quantile
@@ -430,6 +497,10 @@ object Sketches {
     "q49_exact_percentiles" -> (exactPercentiles _),
     "q81_join_card_est" -> ((s: SparkSession, dir: String) => joinCardEst(s, dir)),
     "x206_hist_join_est" -> ((s: SparkSession, dir: String) => histJoinEst(s, dir)),
+    "q81_join_card_served" -> ((s: SparkSession, dir: String) => joinCardServed(s, dir)),
+    "x206_hist_join_served" -> ((s: SparkSession, dir: String) => histJoinServed(s, dir)),
+    "x171_bottomk_served" ->
+      ((s: SparkSession, dir: String) => bottomkOverlap(s, dir, withAnchor = false)),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
   /** Every sketch query hash-gates: exact legs compare outright and each
@@ -612,6 +683,113 @@ object Sketches {
         |SELECT CAST(i AS INT) AS i, est_i, est, n_exact,
         |  est_i >= n_exact AS overestimate_ok
         |FROM est CROSS JOIN m CROSS JOIN x ORDER BY i""".stripMargin,
+    // served twins: identical estimator algebra, anchor legs absent —
+    // the DuckDB side drops the same exact joins, so the oracle still
+    // hash-gates every estimate value.
+    "q81_join_card_served" ->
+      """WITH ii AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |sa AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('cms:' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM orders CROSS JOIN ii GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('cms:' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem CROSS JOIN ii GROUP BY 1, 2),
+        |est AS (
+        |  SELECT i, CAST(sum(ca * cb) AS BIGINT) AS est_i
+        |  FROM sa JOIN sb USING (i, bucket) GROUP BY i),
+        |m AS (SELECT CAST(min(est_i) AS BIGINT) AS est FROM est)
+        |SELECT CAST(i AS INT) AS i, est_i, est
+        |FROM est CROSS JOIN m ORDER BY i""".stripMargin,
+    "x206_hist_join_served" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+        |b AS (SELECT c_custkey AS k FROM customer),
+        |bounds AS (
+        |  SELECT min(k) AS lo, max(k) AS hi
+        |  FROM (SELECT k FROM a UNION ALL SELECT k FROM b)),
+        |sa AS (
+        |  SELECT CAST(floor(CAST((k - lo) * 16 AS DOUBLE)
+        |      / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS ndva
+        |  FROM a, bounds GROUP BY 1),
+        |sb AS (
+        |  SELECT CAST(floor(CAST((k - lo) * 16 AS DOUBLE)
+        |      / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS ndvb
+        |  FROM b, bounds GROUP BY 1),
+        |j AS (
+        |  SELECT bucket, na, nb, ndva, ndvb,
+        |    CAST(na * nb AS DOUBLE) / CAST(greatest(ndva, ndvb) AS DOUBLE)
+        |      AS contrib
+        |  FROM sa JOIN sb USING (bucket)),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(contrib ORDER BY bucket)), (acc, v) -> acc + v) AS est_total
+        |  FROM j)
+        |SELECT j.bucket, j.na, j.nb, j.ndva, j.ndvb, j.contrib, tot.est_total
+        |FROM j, tot ORDER BY j.bucket""".stripMargin,
+    "x171_bottomk_served" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3','src4','src5'))
+        |  WHERE len(w) >= 3),
+        |el AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(sh) AS g FROM d)),
+        |nexact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM el GROUP BY source),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |    FROM el) WHERE rn <= 128),
+        |prs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        |u AS (
+        |  SELECT DISTINCT p.source_a, p.source_b, s.h
+        |  FROM prs p JOIN sk s ON s.source = p.source_a OR s.source = p.source_b),
+        |kk AS (
+        |  SELECT source_a, source_b, h FROM (
+        |    SELECT source_a, source_b, h,
+        |      row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rn
+        |    FROM u) WHERE rn <= 128),
+        |mem AS (
+        |  SELECT k.source_a, k.source_b, k.h,
+        |    (EXISTS(SELECT 1 FROM sk sa WHERE sa.source = k.source_a AND sa.h = k.h)
+        |     AND EXISTS(SELECT 1 FROM sk sb WHERE sb.source = k.source_b AND sb.h = k.h))
+        |      AS in_both
+        |  FROM kk k),
+        |agg AS (
+        |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+        |    max(h) AS tau_union,
+        |    CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS rho
+        |  FROM mem GROUP BY source_a, source_b),
+        |base AS (
+        |  SELECT p.source_a, p.source_b, na.n_exact AS n_a, nb.n_exact AS n_b,
+        |    g.n_union_sketch, g.tau_union, g.rho,
+        |    CASE WHEN g.n_union_sketch < 128 THEN CAST(g.n_union_sketch AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |              / CAST(g.tau_union AS DOUBLE) END AS est_union,
+        |    CAST(g.rho AS DOUBLE) / CAST(g.n_union_sketch AS DOUBLE) AS est_jaccard
+        |  FROM prs p
+        |  JOIN nexact na ON na.source = p.source_a
+        |  JOIN nexact nb ON nb.source = p.source_b
+        |  JOIN agg g ON g.source_a = p.source_a AND g.source_b = p.source_b)
+        |SELECT source_a, source_b, CAST(128 AS INT) AS k, n_a, n_b,
+        |  n_union_sketch, tau_union, rho, est_union, est_jaccard,
+        |  est_jaccard * est_union AS est_intersection
+        |FROM base ORDER BY source_a, source_b""".stripMargin,
     "q49_exact_percentiles" ->
       """WITH r AS (
         |  SELECT event_type, value, event_id,

@@ -182,6 +182,23 @@ object MvQueries {
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Final graded projection: decimal aggregates cast to DOUBLE so the
+    * driver's cross-engine hash sees one rendering (DuckDB widens
+    * sum(DECIMAL(12,2)) to DECIMAL(38,2)/HUGEINT, Spark emits
+    * DECIMAL(22,2) — the x76 bridge failure mode). Applied AFTER the
+    * substitution check + checkpoint, so the internal rollup stays
+    * decimal-exact and the rule still sees the plain Aggregate.
+    * Unscaled sums stay far below 2^53 at test SFs, so both engines'
+    * decimal→double casts are the identical correctly-rounded value.
+    */
+  private def gradedOut(df: DataFrame): DataFrame =
+    df.select(col("l_returnflag"), col("l_linestatus"),
+      col("sum_qty").cast("double").as("sum_qty"),
+      col("sum_price").cast("double").as("sum_price"),
+      col("min_qty").cast("double").as("min_qty"),
+      col("max_qty").cast("double").as("max_qty"),
+      col("n_rows"))
+
   /** Run `userQuery` with the substitution enabled; REQUIRE the rule
     * fired (the graded result is the MV-served one, not a silent
     * fallback), then strip the rule (the x179 scoping).
@@ -202,8 +219,8 @@ object MvQueries {
           df.queryExecution.optimizedPlan)
       require(!paths.exists(_.contains("lineitem.parquet")),
         s"base scan must disappear from the substituted plan; scans: $paths")
-      df.localCheckpoint(true)
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+      gradedOut(df.localCheckpoint(true)
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
     } finally {
       s.experimental.extraOptimizations = prev
       MvRewrite.clear()
@@ -224,7 +241,8 @@ object MvQueries {
     * compares the two bitwise.
     */
   def directQuery(s: SparkSession, dir: String): DataFrame =
-    userQuery(s, dir).orderBy(col("l_returnflag"), col("l_linestatus"))
+    gradedOut(userQuery(s, dir)
+      .orderBy(col("l_returnflag"), col("l_linestatus")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x204_mv_rollup" -> ((s: SparkSession, dir: String) => mvServedQuery(s, dir)))
@@ -234,10 +252,10 @@ object MvQueries {
     // must reproduce it exactly
     "x204_mv_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
-        |  min(CAST(l_quantity AS DECIMAL(12,2))) AS min_qty,
-        |  max(CAST(l_quantity AS DECIMAL(12,2))) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
