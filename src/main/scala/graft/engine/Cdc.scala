@@ -42,6 +42,64 @@ object Cdc {
         .select(payload.map(col): _*))
   }
 
+  // -------------------------------------------------------------------
+  // Stateful apply: correct under ANY batch decomposition of the log
+  // -------------------------------------------------------------------
+
+  /** Lift a plain snapshot into CDC state: per-key applied provenance
+    * `_seq`/`_op` (below any real sequence) and `_tombstone = false`.
+    * Plain [[applyCdc]] is only safe when each batch carries a key's
+    * FULL history-so-far; once batches are folded (compaction), a late
+    * event older than the applied one has nothing to lose against —
+    * it would wrongly win, and a stale insert could resurrect a
+    * deleted key. State keeps exactly the two fields that decide both.
+    */
+  def initState(base: DataFrame): DataFrame =
+    base.withColumn("_seq", lit(Long.MinValue))
+      .withColumn("_op", lit(""))
+      .withColumn("_tombstone", lit(false))
+
+  /** Apply one log batch to CDC state. A log event wins only if its
+    * (seq, op) is strictly above the applied (_seq, _op) — so replay,
+    * duplicate delivery, out-of-order delivery across batches, and
+    * equal-seq ties all resolve to the same result as a one-shot apply
+    * of the whole log (CdcSpec folds random splits; x208 hash-gates
+    * one). Deletes persist as tombstone rows: the key's seq watermark
+    * must survive the delete or a late stale insert would resurrect it.
+    *
+    * Scale shape: per-batch argmax on the (small) batch, one full-outer
+    * join against state on the key — state bucketed on the key never
+    * re-shuffles, and tombstones compact away once the feed's lateness
+    * horizon passes (the retention knob real CDC systems expose).
+    */
+  def applyCdcStateful(state: DataFrame, log: DataFrame, key: String): DataFrame = {
+    val payload = state.columns.toSeq.filterNot(Set("_seq", "_op", "_tombstone"))
+    val latest = log
+      .withColumn("rk", row_number().over(Window.partitionBy(col(key))
+        .orderBy(col("seq").desc, col("op").desc)))
+      .filter(col("rk") === 1).drop("rk")
+    val lw = latest.select(struct(payload.map(col): _*).as("_lrow"),
+      col(key).as("_lk"), col("seq").as("_lseq"), col("op").as("_lop"))
+    val sw = state.select(struct(payload.map(col): _*).as("_srow"),
+      col(key).as("_sk"), col("_seq"), col("_op"), col("_tombstone"))
+    val takeLog = col("_lk").isNotNull && (col("_sk").isNull ||
+      col("_lseq") > col("_seq") ||
+      (col("_lseq") === col("_seq") && col("_lop") > col("_op")))
+    sw.join(lw, col("_sk") === col("_lk"), "full_outer")
+      .select(
+        when(takeLog, col("_lrow")).otherwise(col("_srow")).as("_r"),
+        when(takeLog, col("_lseq")).otherwise(col("_seq")).as("_seq"),
+        when(takeLog, col("_lop")).otherwise(col("_op")).as("_op"),
+        when(takeLog, col("_lop") === "D").otherwise(col("_tombstone"))
+          .as("_tombstone"))
+      .select((payload.map(p => col("_r").getField(p).as(p)) ++
+        Seq(col("_seq"), col("_op"), col("_tombstone"))): _*)
+  }
+
+  /** The readable table behind CDC state. */
+  def snapshot(state: DataFrame): DataFrame =
+    state.filter(!col("_tombstone")).drop("_seq", "_op", "_tombstone")
+
   /** x207: CDC apply over a deterministic log derived from `orders` —
     * base = keys ≡ 0 (mod 3); the log inserts the ≡ 1 keys (seq k·10+1),
     * updates every 5th base key with a 1.17-bumped price (seq k·10+2)
@@ -52,6 +110,13 @@ object Cdc {
     * stale-event wins all hash-fail.
     */
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (base, log) = ordersBaseAndLog(s, dir)
+    applyCdc(base, log, "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The x207 synthetic base + I/U/D log. */
+  private def ordersBaseAndLog(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val orders = Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
@@ -70,14 +135,39 @@ object Cdc {
     val deletes = base.filter(pmod(col("o_orderkey"), lit(15L)) === 0L)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
         (col("o_orderkey") * 10 + 9).as("seq"), lit("D").as("op"))
-    val log = inserts.unionByName(stale).unionByName(updates)
-      .unionByName(deletes)
-    applyCdc(base, log, "o_orderkey")
-      .orderBy(col("o_orderkey"))
+    (base, inserts.unionByName(stale).unionByName(updates)
+      .unionByName(deletes))
+  }
+
+  /** x208: the stateful apply under adversarial delivery — the x207
+    * log PLUS an equal-seq tie (a delete sharing the update's seq,
+    * losing to it by op-desc order) is split into three batches by
+    * seq mod 3, which scatters each key's events across batches out
+    * of chronological order (the %5 keys' stale insert at seq k·10
+    * lands in a LATER batch than the update at k·10+2 whenever the
+    * mods land that way — the exact post-compaction hazard). Folding
+    * the batches through [[applyCdcStateful]] must reproduce the
+    * one-shot whole-log argmax, which is what the DuckDB twin
+    * computes; any seq-watermark regression, tie misresolution, or
+    * tombstone resurrection hash-fails.
+    */
+  def cdcOutOfOrder(s: SparkSession, dir: String): DataFrame = {
+    val (base, log0) = ordersBaseAndLog(s, dir)
+    val tieDeletes = base.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        (col("o_orderkey") * 10 + 2).as("seq"), lit("D").as("op"))
+    val log = log0.unionByName(tieDeletes)
+    val batches = (0 until 3).map(i =>
+      log.filter(pmod(col("seq"), lit(3L)) === i.toLong))
+    val fin = batches.foldLeft(initState(base)) {
+      (st, b) => applyCdcStateful(st, b, "o_orderkey").localCheckpoint(true)
+    }
+    snapshot(fin).orderBy(col("o_orderkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x207_cdc_apply" -> ((s: SparkSession, dir: String) => cdcApply(s, dir)))
+    "x207_cdc_apply" -> ((s: SparkSession, dir: String) => cdcApply(s, dir)),
+    "x208_cdc_out_of_order" -> ((s: SparkSession, dir: String) => cdcOutOfOrder(s, dir)))
 
   val oracles: Map[String, String] = Map(
     // the same base/log derivation, per-key argmax by (seq, op) desc,
@@ -100,6 +190,39 @@ object Cdc {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, cents, o_orderkey * 10 + 9, 'D'
         |  FROM base WHERE o_orderkey % 15 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC) AS rk FROM log) WHERE rk = 1)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.cents FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                  WHERE l.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, cents FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // x208: the one-shot whole-log argmax over the tie-extended log —
+    // the truth ANY batch decomposition of the stateful fold must hit
+    "x208_cdc_out_of_order" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
+        |log AS (
+        |  SELECT o_orderkey, o_orderstatus, cents,
+        |    o_orderkey * 10 + 1 AS seq, 'I' AS op FROM o WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'S', 0, o_orderkey * 10, 'I'
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents + 117,
+        |    o_orderkey * 10 + 2, 'U' FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents, o_orderkey * 10 + 9, 'D'
+        |  FROM base WHERE o_orderkey % 15 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents, o_orderkey * 10 + 2, 'D'
+        |  FROM base WHERE o_orderkey % 5 = 0),
         |latest AS (
         |  SELECT * FROM (
         |    SELECT *, row_number() OVER (PARTITION BY o_orderkey

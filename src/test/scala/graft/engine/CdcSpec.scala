@@ -31,6 +31,52 @@ class CdcSpec extends SparkSpec {
     assert(again === got, "CDC apply must be idempotent under replay")
   }
 
+  test("stateful apply: any batch decomposition equals the one-shot apply") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val events = Seq(
+      (2L, "b2", 7L, "U"),     // the winner for key 2
+      (2L, "stale", 1L, "U"),  // must lose even if delivered LAST
+      (3L, "x", 5L, "D"),      // delete key 3
+      (3L, "zombie", 2L, "I"), // late stale insert — must NOT resurrect
+      (4L, "new", 10L, "I"),
+      (4L, "old", 4L, "U"))    // late event below the applied insert
+    val oneShot = Cdc.applyCdc(base, events.toDF("k", "v", "seq", "op"), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // adversarial decompositions, including fully reversed delivery
+    val splits = Seq(
+      events.map(Seq(_)),                       // one event per batch, in order
+      events.reverse.map(Seq(_)),               // one per batch, reversed
+      Seq(events.take(3), events.drop(3)),      // two halves
+      Seq(events.drop(3), events.take(3)))      // two halves, swapped
+    splits.foreach { batches =>
+      val fin = batches.foldLeft(Cdc.initState(base)) { (st, b) =>
+        Cdc.applyCdcStateful(st, b.toDF("k", "v", "seq", "op"), "k")
+          .localCheckpoint(true)
+      }
+      val got = Cdc.snapshot(fin).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === oneShot, s"decomposition $batches diverged")
+    }
+  }
+
+  test("stateful apply: equal-seq ties resolve by op order in any delivery order") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val u = (1L, "up", 5L, "U")
+    val d = (1L, "del", 5L, "D")
+    // same seq: U outranks D whichever batch arrives first
+    for (order <- Seq(Seq(u, d), Seq(d, u))) {
+      val fin = order.foldLeft(Cdc.initState(base)) { (st, e) =>
+        Cdc.applyCdcStateful(st, Seq(e).toDF("k", "v", "seq", "op"), "k")
+          .localCheckpoint(true)
+      }
+      val got = Cdc.snapshot(fin).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "up")), s"order $order misresolved the tie")
+    }
+  }
+
   test("x207 equals a driver-side replay of the derived log") {
     val orders = spark.read.parquet(s"$Sf/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
