@@ -28,7 +28,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Multimodal.queries ++ ext.Corpus.queries ++ ext.Retrieval.queries ++
       ext.Clustering.queries ++ ext.UnigramLm.queries ++ ext.NnGraph.queries ++ ext.Linkage.queries ++
-      sources.VecShardQueries.queries ++ plans.TopKPerKey.queries ++ plans.MvQueries.queries ++ engine.Cdc.queries ++
+      sources.VecShardQueries.queries ++ plans.TopKPerKey.queries ++ plans.MvQueries.queries ++ engine.Cdc.queries ++ engine.SnapshotSet.queries ++
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
       streaming.TrendingTokens.queries ++ streaming.SuffixScrubIngest.queries ++
@@ -47,7 +47,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.Corpus.oracles ++ ext.Multimodal.oracles ++ ext.Retrieval.oracles ++
       ext.Clustering.oracles ++ ext.UnigramLm.oracles ++ ext.NnGraph.oracles ++ ext.Linkage.oracles ++
-      sources.VecShardQueries.oracles ++ plans.TopKPerKey.oracles ++ plans.MvQueries.oracles ++ engine.Cdc.oracles ++
+      sources.VecShardQueries.oracles ++ plans.TopKPerKey.oracles ++ plans.MvQueries.oracles ++ engine.Cdc.oracles ++ engine.SnapshotSet.oracles ++
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
       streaming.TrendingTokens.oracles ++ streaming.SuffixScrubIngest.oracles ++

@@ -1,0 +1,177 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Cross-table atomic publish — the manifest level above
+  * [[VersionedTable]]: N tables commit as ONE consistent version set.
+  *
+  * The reference's transform chain loads its 8 dims/facts sequentially
+  * (`dags/flights_data_pipeline.py:229-251`), so a mid-run failure
+  * leaves a half-updated warehouse: new dims joined by old facts until
+  * someone reruns it. Per-table [[VersionedTable]] alone doesn't fix
+  * that — each table is crash-safe, but the SET isn't.
+  *
+  * Protocol:
+  *   1. every table's snapshot commits to its own VersionedTable root
+  *     `<root>/tables/<name>` — durable but INVISIBLE, because set
+  *     readers never list table roots;
+  *   2. ONE manifest commit (itself a VersionedTable at
+  *     `<root>/manifest`, rows `(table, version)`) publishes the whole
+  *     mapping atomically.
+  *
+  * A writer that dies after k of N table commits leaves the previous
+  * manifest fully readable — the orphaned table versions are invisible
+  * garbage a later `vacuumSet` retires. Readers pin ONE manifest
+  * version for a whole job, giving snapshot isolation across the
+  * entire star, not just one table. Replayed publishes dedupe through
+  * `publishIfAbsent` (manifest keyed by an external id — the streaming
+  * batchId discipline).
+  *
+  * At scale: the manifest is N rows; its commit cost is one rename.
+  * Everything heavy (the table writes) happens before the atomic
+  * point, exactly like a two-phase commit whose prepare is idempotent
+  * re-writable parquet.
+  */
+object SnapshotSet {
+
+  private def manifestRoot(root: String) = s"$root/manifest"
+  private def tableRoot(root: String, table: String) = s"$root/tables/$table"
+
+  private val ManifestSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  private def manifestDf(s: SparkSession, m: Map[String, Long]): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(m.toSeq.sortBy(_._1)
+        .map { case (t, v) => Row(t, v) }: _*),
+      ManifestSchema).coalesce(1)
+
+  /** Commit every table, then publish the set in one manifest commit.
+    * Returns the manifest version. Crash before the final commit ⇒ the
+    * previous set stays served; nothing partial is ever readable.
+    */
+  def publish(s: SparkSession, root: String,
+      tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "SnapshotSet.publish: empty table set")
+    val committed = tables.map { case (name, df) =>
+      name -> VersionedTable.commit(df, tableRoot(root, name))
+    }
+    VersionedTable.commit(manifestDf(s, committed), manifestRoot(root))
+  }
+
+  /** Publish the set at EXACTLY manifest version `setId` if absent —
+    * the exactly-once hook for replayed orchestrations (key `setId` by
+    * run/batch id). A replay whose manifest already exists skips the
+    * table writes entirely; a replay racing the original commits its
+    * table versions (invisible garbage) and loses the manifest rename.
+    */
+  def publishIfAbsent(s: SparkSession, root: String,
+      tables: Map[String, DataFrame], setId: Long): Boolean = {
+    require(tables.nonEmpty, "SnapshotSet.publishIfAbsent: empty table set")
+    if (VersionedTable.versions(s, manifestRoot(root)).contains(setId))
+      return false
+    val committed = tables.map { case (name, df) =>
+      name -> VersionedTable.commit(df, tableRoot(root, name))
+    }
+    VersionedTable.commitIfAbsent(manifestDf(s, committed),
+      manifestRoot(root), setId)
+  }
+
+  /** Committed set versions, ascending. */
+  def setVersions(s: SparkSession, root: String): Seq[Long] =
+    VersionedTable.versions(s, manifestRoot(root))
+
+  def latestSet(s: SparkSession, root: String): Option[Long] =
+    setVersions(s, root).lastOption
+
+  /** The (table -> version) mapping of a committed set. */
+  def manifest(s: SparkSession, root: String,
+      asOf: Option[Long] = None): Map[String, Long] =
+    VersionedTable.read(s, manifestRoot(root), asOf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Read one table THROUGH the manifest — never the table's own
+    * latest, which may be a half-published orphan.
+    */
+  def readTable(s: SparkSession, root: String, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val m = manifest(s, root, asOf)
+    require(m.contains(table),
+      s"SnapshotSet: table $table not in manifest (have ${m.keys.mkString(",")})")
+    VersionedTable.read(s, tableRoot(root, table), Some(m(table)))
+  }
+
+  /** Retire everything not reachable from the newest `keepLast`
+    * manifests: old manifests first, then every table version no kept
+    * manifest references — including half-published orphans. Returns
+    * (manifest versions dropped, table versions dropped).
+    */
+  def vacuumSet(s: SparkSession, root: String,
+      keepLast: Int): (Seq[Long], Map[String, Seq[Long]]) = {
+    val droppedManifests = VersionedTable.vacuum(s, manifestRoot(root), keepLast)
+    val live: Map[String, Set[Long]] = setVersions(s, root)
+      .flatMap(v => manifest(s, root, Some(v)).toSeq)
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val droppedTables = live.map { case (t, keep) =>
+      val r = tableRoot(root, t)
+      val doomed = VersionedTable.versions(s, r).filterNot(keep)
+      doomed.foreach { v =>
+        if (!fs.delete(new org.apache.hadoop.fs.Path(s"$r/v=$v"), true))
+          throw new java.io.IOException(s"SnapshotSet: cannot vacuum $r/v=$v")
+      }
+      t -> doomed
+    }
+    (droppedManifests, droppedTables)
+  }
+
+  /** x209: the atomic-set semantics as a graded twin. Set v: the
+    * {nation, region} pair published together; then a CRASHED second
+    * publish is simulated by committing a poisoned nation snapshot
+    * directly to the table root WITHOUT a manifest commit (exactly
+    * what a writer dying between steps leaves behind). The graded read
+    * goes through the manifest, so it must serve the intact pair —
+    * the DuckDB twin computes the same join from the base tables, and
+    * any read that leaks the orphan version hash-fails.
+    */
+  private val twinRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def atomicPublishTwin(s: SparkSession, dir: String): DataFrame = {
+    // one published root per (session, dir) — repeat invocations reuse
+    // it (the x157 no-temp-leak discipline); publish + crash simulation
+    // happen once
+    val root = twinRoots.computeIfAbsent((s, dir), _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_set").toString
+      val nation = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val region = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      publish(s, r, Map("nation" -> nation, "region" -> region))
+      // the crashed half-publish: a new nation version, no manifest
+      VersionedTable.commit(
+        nation.withColumn("n_name", lit("ORPHAN")),
+        s"$r/tables/nation")
+      r
+    })
+    readTable(s, root, "nation")
+      .join(readTable(s, root, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x209_atomic_publish" -> ((s: SparkSession, dir: String) => atomicPublishTwin(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    // the intact pre-crash pair: any orphan leak changes n_name rows
+    "x209_atomic_publish" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)
+}

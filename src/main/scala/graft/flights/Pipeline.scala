@@ -129,6 +129,27 @@ object Pipeline {
     }
   }
 
+  /** The star rebuild as ONE atomic version set: all 8 dims/facts
+    * commit to per-table [[graft.engine.SnapshotSet]] roots, then one
+    * manifest commit publishes them together — a crash mid-rebuild
+    * leaves readers on the previous CONSISTENT set (the reference's
+    * sequential transform chain, and `transform` above, both expose a
+    * half-updated warehouse in that window). Readers go through
+    * `SnapshotSet.readTable(spark, s"$warehouseDir/star", name)`.
+    * Returns the published set version, or None when staging is
+    * incomplete (the same partial-run skip as `transform`).
+    */
+  def transformAtomic(spark: SparkSession, warehouseDir: String): Option[Long] = {
+    val fs = new Path(warehouseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stg: Map[String, DataFrame] = FkOrder.flatMap { t =>
+      val p = stgPath(warehouseDir, t)
+      if (fs.exists(new Path(p))) Some(t -> spark.read.parquet(p)) else None
+    }.toMap
+    if (!FkOrder.forall(stg.contains)) None
+    else Some(graft.engine.SnapshotSet.publish(spark, s"$warehouseDir/star",
+      StarSchema.transforms.map { case (name, fn) => name -> fn(stg) }.toMap))
+  }
+
   /** The reference's `catchup=True` backfill: ordered daily runs
     * (`max_active_runs=1`).
     */

@@ -1,0 +1,89 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SnapshotSet: N tables publish as one atomic version set through a
+  * manifest commit — a crash between table commits leaves readers on
+  * the previous consistent set; replays dedupe; vacuum retires
+  * orphans.
+  */
+class SnapshotSetSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("snapset").toString
+
+  test("publish is atomic: a crash between table commits never surfaces") {
+    import spark.implicits._
+    val root = tmp()
+    val dimsV0 = Seq((1L, "a")).toDF("k", "v")
+    val factV0 = Seq((1L, 10L)).toDF("k", "n")
+    val s0 = SnapshotSet.publish(spark, root,
+      Map("dim" -> dimsV0, "fact" -> factV0))
+    // crashed second publish: dim committed, fact (and manifest) never
+    VersionedTable.commit(Seq((1L, "a2")).toDF("k", "v"), s"$root/tables/dim")
+    // set readers still serve the s0 pair
+    assert(SnapshotSet.latestSet(spark, root) === Some(s0))
+    assert(SnapshotSet.readTable(spark, root, "dim")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a")))
+    assert(SnapshotSet.readTable(spark, root, "fact")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L)))
+    // the next successful publish supersedes the orphan
+    val s1 = SnapshotSet.publish(spark, root,
+      Map("dim" -> Seq((1L, "a3")).toDF("k", "v"),
+        "fact" -> Seq((1L, 30L)).toDF("k", "n")))
+    assert(SnapshotSet.readTable(spark, root, "dim")
+      .collect().map(_.getString(1)).toSet === Set("a3"))
+    // time travel: the OLD set stays readable as a pair
+    assert(SnapshotSet.readTable(spark, root, "dim", Some(s0))
+      .collect().map(_.getString(1)).toSet === Set("a"))
+    assert(SnapshotSet.readTable(spark, root, "fact", Some(s0))
+      .collect().map(_.getLong(1)).toSet === Set(10L))
+    assert(s1 > s0)
+  }
+
+  test("publishIfAbsent: replayed set ids are skipped commits") {
+    import spark.implicits._
+    val root = tmp()
+    val t = Map("only" -> Seq((1L, "x")).toDF("k", "v"))
+    assert(SnapshotSet.publishIfAbsent(spark, root, t, setId = 7L))
+    assert(!SnapshotSet.publishIfAbsent(spark, root,
+      Map("only" -> Seq((1L, "SHOULD_NOT_WIN")).toDF("k", "v")), setId = 7L))
+    assert(SnapshotSet.readTable(spark, root, "only")
+      .collect().map(_.getString(1)).toSet === Set("x"))
+    assert(SnapshotSet.setVersions(spark, root) === Seq(7L))
+  }
+
+  test("vacuumSet retires unreachable manifests, table versions and orphans") {
+    import spark.implicits._
+    val root = tmp()
+    (0 until 3).foreach { i =>
+      SnapshotSet.publish(spark, root,
+        Map("t" -> Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    }
+    // plus one orphan (crashed publish)
+    VersionedTable.commit(Seq((9L, "orphan")).toDF("k", "v"), s"$root/tables/t")
+    val (mDropped, tDropped) = SnapshotSet.vacuumSet(spark, root, keepLast = 1)
+    assert(mDropped.size === 2)
+    assert(tDropped("t").size === 3) // two superseded + one orphan
+    assert(SnapshotSet.readTable(spark, root, "t")
+      .collect().map(_.getString(1)).toSet === Set("v2"))
+  }
+
+  test("transformAtomic publishes the 8 star tables as one set") {
+    val wh = tmp()
+    val fixture = graft.flights.Fixtures.stg(spark)
+    graft.flights.Pipeline.runFor(spark, fixture, wh, "ignored",
+      graft.flights.PipelineConfig(incremental = false))
+    val v = graft.flights.Pipeline.transformAtomic(spark, wh)
+    assert(v.nonEmpty)
+    val m = SnapshotSet.manifest(spark, s"$wh/star")
+    assert(m.keySet === graft.flights.StarSchema.transforms.map(_._1).toSet)
+    // the set read matches the truncate-load transform outputs
+    graft.flights.StarSchema.transforms.foreach { case (name, _) =>
+      val viaSet = SnapshotSet.readTable(spark, s"$wh/star", name).count()
+      val viaLoad = spark.read.parquet(s"$wh/$name").count()
+      assert(viaSet === viaLoad, s"$name: set read diverges from load")
+    }
+  }
+}
