@@ -26,13 +26,7 @@ object CdcIngest {
     */
   def streamingCdcIngest(events: DataFrame, root: String,
       checkpoint: String): StreamingQuery =
-    events.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        VersionedTable.commitIfAbsent(batch.toDF(), root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(events, root, checkpoint)((batch, _) => batch)
 
   /** The committed log at a point in time. */
   def logFromSnapshots(s: SparkSession, root: String): DataFrame =

@@ -111,13 +111,6 @@ object CorpusIngest {
 
   def streamingCorpusIngest(s: SparkSession, docs: DataFrame, dir: String,
       root: String, checkpoint: String): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        VersionedTable.commitIfAbsent(
-          acceptBatch(batch.toDF(), standingFps(s, dir, root)),
-          root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(docs, root, checkpoint)(
+      (batch, _) => acceptBatch(batch, standingFps(s, dir, root)))
 }

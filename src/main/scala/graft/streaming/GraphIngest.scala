@@ -29,18 +29,13 @@ object GraphIngest {
   def streamingGraphInsert(arrivals: DataFrame, dir: String, root: String,
       checkpoint: String, k: Int = 6, rounds: Int = 4,
       buckets: Int = 32): StreamingQuery =
-    arrivals.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        val s = batch.sparkSession
-        val edges = NnGraph.insertEdges(
-          NnGraph.quantized(batch.toDF()), NnGraph.standingQ(s, dir),
-          NnGraph.nnEdges(s, dir, k, rounds, buckets, "standing"),
-          k, buckets)
-        VersionedTable.commitIfAbsent(edges, root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(arrivals, root, checkpoint) { (batch, _) =>
+      val s = batch.sparkSession
+      NnGraph.insertEdges(
+        NnGraph.quantized(batch), NnGraph.standingQ(s, dir),
+        NnGraph.nnEdges(s, dir, k, rounds, buckets, "standing"),
+        k, buckets)
+    }
 
   /** The accumulated insertion edges at a point in time: the union of
     * every committed snapshot.

@@ -30,14 +30,8 @@ object RetrievalIngest {
     */
   def streamingIndexIngest(docs: DataFrame, root: String,
       checkpoint: String): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        VersionedTable.commitIfAbsent(
-          Retrieval.tfPartial(batch.toDF()), root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(docs, root, checkpoint)(
+      (batch, _) => Retrieval.tfPartial(batch))
 
   /** The serving index at a point in time: derived from every committed
     * tf snapshot.

@@ -79,17 +79,13 @@ object ServingIngest {
     */
   def streamingIvfpqEncode(s: SparkSession, arrivals: DataFrame, root: String,
       checkpoint: String): StreamingQuery =
-    arrivals.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        val (c, b, _, _) = loadIndex(s, root)
-        val vecs = Clustering.gridVecs(batch.toDF())
-        VersionedTable.commitIfAbsent(
-          Clustering.ivfpqEncodeWith(vecs, c, b), arrivalCodes(root), batchId)
-        VersionedTable.commitIfAbsent(vecs, arrivalVecs(root), batchId): Unit
-      }
-      .start()
+    SnapshotIngest.run(arrivals, checkpoint) { (batch, batchId) =>
+      val (c, b, _, _) = loadIndex(s, root)
+      val vecs = Clustering.gridVecs(batch)
+      VersionedTable.commitIfAbsent(
+        Clustering.ivfpqEncodeWith(vecs, c, b), arrivalCodes(root), batchId)
+      VersionedTable.commitIfAbsent(vecs, arrivalVecs(root), batchId): Unit
+    }
 
   /** The served code set: the latest codes snapshot (fold watermark w)
     * plus arrival snapshots with batchId >= w — folded batches are

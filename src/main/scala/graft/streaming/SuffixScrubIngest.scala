@@ -77,15 +77,8 @@ object SuffixScrubIngest {
   def streamingSuffixScrub(s: SparkSession, docs: DataFrame, dir: String,
       root: String, checkpoint: String,
       L: Int = SuffixDedup.MinMatchTokens): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        VersionedTable.commitIfAbsent(
-          scrubBatch(batch.toDF(), standingGrams(s, dir, root, L), L),
-          root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(docs, root, checkpoint)(
+      (batch, _) => scrubBatch(batch, standingGrams(s, dir, root, L), L))
 
   /** x172: the scrub gate as a graded batch twin (the x120 discipline —
     * the streaming lane's core is HASH-GATED, not just spec-gated):

@@ -67,22 +67,12 @@ object SummaryIngest {
   /** Events-shaped stream → per-batch digest partial snapshots. */
   def streamingDigestIngest(s: SparkSession, events: DataFrame,
       root: String, checkpoint: String): StreamingQuery =
-    events.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        VersionedTable.commitIfAbsent(digestBatch(batch.toDF()), root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(events, root, checkpoint)(
+      (batch, _) => digestBatch(batch))
 
   /** (source, h) element stream → per-batch KMV partial snapshots. */
   def streamingKmvIngest(s: SparkSession, elems: DataFrame,
       root: String, checkpoint: String, k: Int = 128): StreamingQuery =
-    elems.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        VersionedTable.commitIfAbsent(kmvBatch(batch.toDF(), k), root, batchId): Unit
-      }
-      .start()
+    SnapshotIngest.toVersioned(elems, root, checkpoint)(
+      (batch, _) => kmvBatch(batch, k))
 }

@@ -95,18 +95,13 @@ object TrendingTokens {
     */
   def streamingTrendingTokens(s: SparkSession, docs: DataFrame, dir: String,
       root: String, checkpoint: String): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        val standing = VersionedTable.latestVersion(s, root) match {
-          case Some(v) => VersionedTable.read(s, root, Some(v))
-            .select(col("token"), col("n"))
-          case None => tokenCounts(
-            Tables(s, dir, "documents").select(col("doc_id"), col("text")))
-        }
-        VersionedTable.commitIfAbsent(
-          mergeCounts(standing, tokenCounts(batch.toDF())), root, batchId): Unit
+    SnapshotIngest.toVersioned(docs, root, checkpoint) { (batch, _) =>
+      val standing = VersionedTable.latestVersion(s, root) match {
+        case Some(v) => VersionedTable.read(s, root, Some(v))
+          .select(col("token"), col("n"))
+        case None => tokenCounts(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       }
-      .start()
+      mergeCounts(standing, tokenCounts(batch))
+    }
 }

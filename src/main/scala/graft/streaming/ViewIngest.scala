@@ -38,12 +38,9 @@ object ViewIngest {
     */
   def streamingViewMaintain(tagged: DataFrame, root: String,
       checkpoint: String): StreamingQuery =
-    tagged.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
+    SnapshotIngest.run(tagged, checkpoint) { (batch, batchId) =>
         val s = batch.sparkSession
-        val b = batch.toDF().localCheckpoint(true)
+        val b = batch.localCheckpoint(true)
         val l = b.filter(col("side") === "L")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val o = b.filter(col("side") === "O")
@@ -55,8 +52,7 @@ object ViewIngest {
         VersionedTable.commitIfAbsent(l, s"$root/L", batchId)
         VersionedTable.commitIfAbsent(o, s"$root/O", batchId)
         VersionedTable.commitIfAbsent(dv, s"$root/V", batchId): Unit
-      }
-      .start()
+    }
 
   /** The maintained view at a point in time: the union of committed
     * view deltas.
