@@ -18,9 +18,13 @@ import graft.engine.Tables
   * suffix; round k refines an order-preserving integer rank of each
   * suffix's first k symbols into one over 2k symbols by pairing
   * `(rank(p), rank(p+k))` and re-ranking. The seed rank already orders
-  * the first FOUR tokens (one sort over the 4-gram strings — string
-  * order equals token order because tokens are space-free and ' ' sorts
-  * below them), so log2(maxDocTokens) - 2 rounds remain, each ONE
+  * the first `SeedWidth` (8) tokens via INTEGER vocabulary ranks —
+  * distinct tokens get order-preserving labels in one vocabulary-sized
+  * sort, each position takes its own + the next 7 labels by per-doc
+  * lead windows, and the seed sort compares 8 longs per row (profiled
+  * 10x: the former 4-token gram-STRING seed alone cost 16.3 s; the
+  * whole int-seeded build runs in 24 s — see BASELINE.md's r13 table)
+  * — so log2(maxDocTokens) - 3 rounds remain, each ONE
   * per-document `lead` window plus ONE range-partitioned sort. Suffixes
   * never compare past their own document (`lead` is per-doc; a missing
   * symbol ranks below every real rank, which is exactly the
@@ -65,7 +69,7 @@ object SuffixDedup {
   /** Seed-rank width: the base sort orders this many leading tokens at
     * once, cutting two doubling rounds vs token-grain seeding.
     */
-  private val SeedWidth = 4
+  private val SeedWidth = 8
 
   /** Order-preserving integer labels for lexicographic `keys` order,
     * with equal keys receiving equal labels — the distributed re-rank
@@ -109,6 +113,21 @@ object SuffixDedup {
   private val rankCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Opt-in build profiling (-Dgraft.sa.profile): per-phase wall times
+    * to stdout, used to produce the BASELINE.md scaling table. Zero
+    * cost when unset.
+    */
+  private def saTimed[T](phase: => String)(body: => T): T =
+    if (!sys.props.contains("graft.sa.profile")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      val t1 = System.nanoTime()
+      println(f"[sa-profile] $phase%-18s ${(t1 - t0) / 1e9}%8.2f s" +
+        f"  [abs ${t0 / 1e9}%.2f -> ${t1 / 1e9}%.2f]")
+      r
+    }
+
   /** Prefix-doubling suffix ranking over the whole corpus: one row per
     * token position, `rank` ordered by suffix content — suffixes with
     * IDENTICAL full content (cross-document exact dups) share a rank
@@ -125,20 +144,42 @@ object SuffixDedup {
     */
   private[ext] def suffixRanks(s: SparkSession, dir: String): DataFrame =
     rankCache.computeIfAbsent((s, dir), _ => {
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("w"))
-        .filter(size(col("w")) > 0)
-        .select(col("doc_id"), size(col("w")).cast(LongType).as("n"),
-          posexplode(transform(sequence(lit(0), size(col("w")) - 1),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(SeedWidth)))))
-            .as(Seq("pos", "g")))
-        .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("g"),
-          when(col("n") - col("pos") < SeedWidth, col("doc_id"))
-            .otherwise(lit(-1L)).as("e"))
-      var ranks = orderLabel(base, Seq(col("g"), col("e")))
-        .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
-          col("grp_n"))
-        .localCheckpoint(true)
+      // Seed via INTEGER vocabulary ranks, not gram strings: distinct
+      // tokens get order-preserving labels (vocabulary-sized sort),
+      // each position takes its own + the next SeedWidth-1 labels by
+      // per-doc lead windows, and the seed sort compares 4 longs
+      // instead of ~25-byte UTF8 grams. Profiled at 10x: the string
+      // seed was 16.3 s — the dominant build phase, 2.7 M gram strings
+      // through the range sampler + exchange + sort; the int spelling
+      // removes the string materialization entirely. -1 = "suffix ends
+      // before this slot", sorting below every real label = the
+      // shorter-suffix-first rule (a short suffix's key is a strict
+      // prefix of any extension's). Cross-doc content-identical short
+      // suffixes stay tied here and break by doc_id at densification,
+      // like every other content tie.
+      // one tokenize+explode pass, reused by the vocab build, the seed
+      // join, and the maxLen bound (was three separate corpus scans)
+      val toks = saTimed("tokenize") {
+        tokenPositions(s, dir).localCheckpoint(true)
+      }
+      val vocab = saTimed("vocab-rank") {
+        orderLabel(toks.select(col("tok")).distinct(), Seq(col("tok")))
+          .select(col("tok"), col("rank_new").as("vr"))
+          .localCheckpoint(true)
+      }
+      val byDocSeed = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val seeded = toks.join(vocab, Seq("tok"))
+        .select(col("doc_id"), col("pos"), col("vr").as("r1"))
+        .select(Seq(col("doc_id"), col("pos"), col("r1")) ++
+          (1 until SeedWidth).map(i =>
+            coalesce(lead(col("r1"), i).over(byDocSeed), lit(-1L))
+              .as(s"r${i + 1}")): _*)
+      var ranks = saTimed("seed-sort") {
+        orderLabel(seeded, (1 to SeedWidth).map(i => col(s"r$i")))
+          .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
+            col("grp_n"))
+          .localCheckpoint(true)
+      }
       // after the round with shift k, ranks order the first 2k tokens;
       // stop once that covers the longest document OR all ranks are
       // already distinct — real text can disambiguate in
@@ -146,9 +187,7 @@ object SuffixDedup {
       // (the sf0.1 fixture does NOT stop early: it contains
       // near-duplicate documents with 64+-token repeats, so every
       // round runs; prose corpora without full-doc dups stop sooner)
-      val maxLen = t(s, dir, "documents")
-        .agg(max(size(TextAnalysis.wsTokens(lower(col("text"))))))
-        .head().getInt(0).toLong
+      val maxLen = toks.agg(max(col("pos"))).head().getLong(0) + 1L
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       var k = SeedWidth.toLong
       var distinct = false
@@ -162,19 +201,20 @@ object SuffixDedup {
         // partitioner's sampling job is the pass that materializes it,
         // and the shuffle then reads stored rows — one execution of the
         // window, not two, and no dedicated materialization pass.
-        val paired = ranks
-          .withColumn("rank2",
-            coalesce(lead(col("rank"), k.toInt).over(byDoc), lit(-1L)))
-          .localCheckpoint(false)
-        ranks = orderLabel(paired, Seq(col("rank"), col("rank2")))
-          .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
-            col("grp_n"))
-          .localCheckpoint(false)
+        saTimed(s"round k=$k") {
+          val paired = ranks
+            .withColumn("rank2",
+              coalesce(lead(col("rank"), k.toInt).over(byDoc), lit(-1L)))
+            .localCheckpoint(false)
+          ranks = orderLabel(paired, Seq(col("rank"), col("rank2")))
+            .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
+              col("grp_n"))
+            .localCheckpoint(true)
+          // the all-distinct test reads the grp_n the labeling window
+          // already computed — a filter on the checkpointed frame
+          distinct = ranks.filter(col("grp_n") > 1L).isEmpty
+        }
         k *= 2
-        // the all-distinct test reads the grp_n the labeling window
-        // already computed: filter + take(1) — and as the round's first
-        // action it doubles as the lazy checkpoint's materializer
-        distinct = ranks.filter(col("grp_n") > 1L).isEmpty
       }
       ranks.drop("grp_n")
     })
@@ -192,11 +232,14 @@ object SuffixDedup {
     */
   private[ext] def suffixArray(s: SparkSession, dir: String): DataFrame =
     saCache.computeIfAbsent((s, dir), _ => {
-      val real = suffixRanks(s, dir)
-        .repartitionByRange(col("rank"), col("doc_id"))
-        .sortWithinPartitions(col("rank"), col("doc_id"))
-        .withColumn("part", spark_partition_id())
-        .localCheckpoint(true)
+      val ranks = suffixRanks(s, dir)
+      val real = saTimed("densify-sort") {
+        ranks
+          .repartitionByRange(col("rank"), col("doc_id"))
+          .sortWithinPartitions(col("rank"), col("doc_id"))
+          .withColumn("part", spark_partition_id())
+          .localCheckpoint(true)
+      }
       val counts = real.groupBy(col("part")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val pids = counts.keys.toSeq.sorted
@@ -204,13 +247,15 @@ object SuffixDedup {
         p -> pids.filter(_ < p).map(counts).sum).toMap
       val offCol = offsets.foldLeft(lit(0L)) {
         case (acc, (p, off)) => when(col("part") === p, lit(off)).otherwise(acc) }
-      real
-        .withColumn("sa",
-          row_number().over(Window.partitionBy(col("part"))
-            .orderBy(col("rank"), col("doc_id")))
-            .cast(LongType) + offCol - 1L)
-        .select(col("doc_id"), col("pos"), col("sa"))
-        .localCheckpoint(true)
+      saTimed("densify-label") {
+        real
+          .withColumn("sa",
+            row_number().over(Window.partitionBy(col("part"))
+              .orderBy(col("rank"), col("doc_id")))
+              .cast(LongType) + offCol - 1L)
+          .select(col("doc_id"), col("pos"), col("sa"))
+          .localCheckpoint(true)
+      }
     })
 
   /** x161: the suffix array itself, hash-gated position by position
