@@ -209,6 +209,33 @@ object VersionedTable {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Small-file compaction: publish a NEW version equal to the latest,
+    * rewritten into ~`targetBytes`-sized files (the bin-packing rewrite
+    * every snapshot store needs once streaming ingest has committed
+    * thousands of per-batch snapshots whose union is million-file
+    * metadata). Data is untouched — same rows, fewer files; readers
+    * pinned to old versions are undisturbed and `vacuum` retires the
+    * fragmented history. Returns (new version, files before, files
+    * after). File count = ceil(current bytes / targetBytes), computed
+    * from the snapshot's own listing — no data pass before the rewrite.
+    */
+  def compactFiles(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Int, Int) = {
+    val fs = fsOf(spark, root)
+    val v = latestVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"VersionedTable: nothing to compact at $root"))
+    val dir = new Path(s"$root/v=$v")
+    val parts = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val newV = commit(read(spark, root).coalesce(nOut), root)
+    val after = fs.listStatus(new Path(s"$root/v=$newV")).toSeq
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (newV, parts.size, after)
+  }
+
   /** Drop all but the newest `keepLast` versions; returns the versions
     * removed. The latest version is never removed.
     */

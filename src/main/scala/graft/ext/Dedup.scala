@@ -1128,6 +1128,51 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** x210: benchmark-contamination detection — the GPT-3 appendix-C /
+    * C4-analysis audit: which EVAL documents' n-grams appear anywhere
+    * in the TRAINING corpus. `evalSource` plays the held-out benchmark;
+    * every eval doc reports its distinct n-gram count, how many of
+    * those grams exist in the train side's distinct gram set, the
+    * collision fraction, and a threshold verdict. Grain n=4 on this
+    * fixture gives a discriminative spread (16/25 docs hit, max 12.5%);
+    * real runs use 8-13-gram grains per the papers.
+    *
+    * Scale shape: the train side reduces to DISTINCT 60-bit gram
+    * hashes (one shuffle, the same map-side-combinable fingerprint
+    * discipline as dedupExact); the probe is a left-semi-style join of
+    * the (tiny) eval gram set against it — eval benchmarks are
+    * megabytes, so the join shuffles the eval side and streams train.
+    * Nothing ever pairs documents.
+    */
+  def contaminationReport(s: SparkSession, dir: String, n: Int = 4,
+      evalSource: String = "src19", threshold: Double = 0.05): DataFrame =
+    contaminationOf(t(s, dir, "documents"), n, evalSource, threshold)
+
+  /** The frame-level form (docs: doc_id, source, text) — DedupSpec
+    * drives the semantics on hand-built corpora.
+    */
+  def contaminationOf(docs: DataFrame, n: Int,
+      evalSource: String, threshold: Double): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))
+      .select(col("doc_id"), TextAnalysis.tokenHash(col("g")).as("h"))
+      .distinct()
+    val train = grams(docs.filter(col("source") =!= evalSource))
+      .select(col("h")).distinct()
+    val ev = grams(docs.filter(col("source") === evalSource))
+    val hits = ev.join(train, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("frac",
+        col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("frac"),
+        (col("frac") >= threshold).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x12 is registered with verification-grade banding (32 bands x 2
     * rows — same 64-hash signature as the 16x4 default, but per-pair
     * miss probability (1-J^2)^32 <= 1e-4 at the 0.5 threshold), so the
@@ -1136,6 +1181,7 @@ object Dedup {
     * choice; DedupSpec separately bounds the default's recall.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x210_contamination" -> ((s: SparkSession, dir: String) => contaminationReport(s, dir)),
     "x70_winnowing_topk" -> ((s: SparkSession, dir: String) => winnowingTopk(s, dir)),
     "x75_canonical_selection" -> (canonicalSelection _),
     "x85_overlap_spans" -> ((s: SparkSession, dir: String) => overlapSpans(s, dir)),
@@ -1199,6 +1245,30 @@ object Dedup {
     * entirely by making the twin replicate the CANDIDATE set.
     */
   lazy val oracles: Map[String, String] = Map(
+    // x210: identical shingle derivation, the same md5 60-bit gram
+    // hash, distinct-per-doc counting, left-join hit test
+    "x210_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_transform(generate_series(1, greatest(len(w)-3, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 4),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(gg), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, source, unnest(sh) AS gg FROM d)),
+        |tr AS (SELECT DISTINCT h FROM g WHERE source <> 'src19'),
+        |ev AS (SELECT doc_id, h FROM g WHERE source = 'src19'),
+        |r AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM ev e LEFT JOIN tr ON e.h = tr.h GROUP BY e.doc_id)
+        |SELECT doc_id, n_grams, n_hit,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS frac,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.05 AS contaminated
+        |FROM r ORDER BY doc_id""".stripMargin,
     // the indexed path emits the identical pair set as x86 (cross-band
     // 64-bit bucket collisions die in exact verification) — same twin
     "x98_incremental_neardup_indexed" -> oraclesBase("x86_incremental_neardup"),

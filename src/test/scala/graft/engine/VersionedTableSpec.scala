@@ -117,6 +117,27 @@ class VersionedTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("compactFiles rewrites the latest snapshot into fewer files, data identical") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    VersionedTable.commit(df.repartition(16), root)
+    val before = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (newV, nBefore, nAfter) =
+      VersionedTable.compactFiles(spark, root) // tiny bytes -> 1 file
+    assert(nBefore === 16)
+    assert(nAfter === 1)
+    assert(newV === 1L)
+    val after = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before)
+    // the fragmented version is still time-travelable until vacuumed
+    assert(VersionedTable.read(spark, root, Some(0L)).count() === 1000L)
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(VersionedTable.versions(spark, root) === Seq(1L))
+  }
+
   test("deleteWhere publishes a new version; the forget completes at vacuum") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

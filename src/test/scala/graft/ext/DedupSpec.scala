@@ -428,4 +428,22 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === got.map(_._2).sorted.reverse.toSeq)
     assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse.toSeq)
   }
+
+  test("x210 contamination: a copied eval doc flags, a fresh one does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "train", "alpha beta gamma delta epsilon zeta"),
+      (2L, "train", "one two three four five six seven"),
+      // eval doc 10 copies train doc 1's opening — every 4-gram hits
+      (10L, "eval", "alpha beta gamma delta epsilon"),
+      // eval doc 11 shares no 4-gram with any train doc
+      (11L, "eval", "red orange yellow green blue indigo")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.contaminationOf(docs, n = 4,
+      evalSource = "eval", threshold = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(10L) === ((2L, 2L, true)))  // both distinct 4-grams hit
+    assert(got(11L) === ((3L, 0L, false)))
+  }
 }
