@@ -32,7 +32,7 @@ object SparkEntry {
       flights.StarSchema.queries ++ streaming.EventStream.queries ++
       streaming.CorpusIngest.queries ++ streaming.RetrievalIngest.queries ++
       streaming.TrendingTokens.queries ++ streaming.SuffixScrubIngest.queries ++
-      streaming.GraphIngest.queries ++ streaming.ViewIngest.queries ++ streaming.CdcIngest.queries
+      streaming.GraphIngest.queries ++ streaming.ViewIngest.queries ++ streaming.CdcIngest.queries ++ streaming.ContaminationIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +51,5 @@ object SparkEntry {
       flights.StarSchema.oracles ++ streaming.EventStream.oracles ++
       streaming.CorpusIngest.oracles ++ streaming.RetrievalIngest.oracles ++
       streaming.TrendingTokens.oracles ++ streaming.SuffixScrubIngest.oracles ++
-      streaming.GraphIngest.oracles ++ streaming.ViewIngest.oracles ++ streaming.CdcIngest.oracles
+      streaming.GraphIngest.oracles ++ streaming.ViewIngest.oracles ++ streaming.CdcIngest.oracles ++ streaming.ContaminationIngest.oracles
 }

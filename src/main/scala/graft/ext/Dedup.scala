@@ -1152,15 +1152,26 @@ object Dedup {
     * drives the semantics on hand-built corpora.
     */
   def contaminationOf(docs: DataFrame, n: Int,
-      evalSource: String, threshold: Double): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))
-      .select(col("doc_id"), TextAnalysis.tokenHash(col("g")).as("h"))
-      .distinct()
-    val train = grams(docs.filter(col("source") =!= evalSource))
-      .select(col("h")).distinct()
-    val ev = grams(docs.filter(col("source") === evalSource))
+      evalSource: String, threshold: Double): DataFrame =
+    contaminationProbe(
+      gramSet(docs.filter(col("source") === evalSource), n),
+      gramSet(docs.filter(col("source") =!= evalSource), n)
+        .select(col("h")).distinct(),
+      threshold)
+
+  /** Distinct (doc_id, 60-bit n-gram hash) of a (doc_id, text) frame —
+    * the unit both contamination sides and the streaming gram index
+    * share.
+    */
+  def gramSet(docs: DataFrame, n: Int): DataFrame = docs
+    .select(col("doc_id"),
+      explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))
+    .select(col("doc_id"), TextAnalysis.tokenHash(col("g")).as("h"))
+    .distinct()
+
+  /** Probe eval grams (doc_id, h) against a distinct train gram set. */
+  def contaminationProbe(ev: DataFrame, train: DataFrame,
+      threshold: Double): DataFrame = {
     val hits = ev.join(train, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

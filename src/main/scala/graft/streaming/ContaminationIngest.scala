@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.{Tables, VersionedTable}
+import graft.ext.Dedup
+
+/** Streaming contamination guard — the x210 audit as a continuously
+  * maintained index: arriving TRAIN documents commit their distinct
+  * n-gram hashes as one [[VersionedTable]] version per batch (the
+  * [[SnapshotIngest]] exactly-once discipline), and an eval set probes
+  * the STANDING union at any time. This is the production shape of the
+  * benchmark-leak check: the corpus is ingested once, grams are
+  * per-batch distinct partials (merge = union ∪ distinct, associative
+  * — the merge-equals-rebuild invariant), and a probe never touches
+  * the corpus, only the gram index.
+  */
+object ContaminationIngest {
+
+  val GramN = 4
+
+  /** One train batch's distinct gram hashes. */
+  def gramBatch(docs: DataFrame): DataFrame =
+    Dedup.gramSet(docs, GramN).select(col("h")).distinct()
+
+  /** Start the index maintenance: (doc_id, text) stream → one gram
+    * snapshot per batchId.
+    */
+  def streamingGramIngest(docs: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    SnapshotIngest.toVersioned(docs, root, checkpoint)(
+      (batch, _) => gramBatch(batch))
+
+  /** The standing train gram set: the distinct union of every
+    * committed snapshot.
+    */
+  def standingGrams(s: SparkSession, root: String): DataFrame =
+    VersionedTable.versions(s, root)
+      .map(v => VersionedTable.read(s, root, Some(v)))
+      .reduce(_ unionByName _)
+      .distinct()
+
+  /** Probe an eval frame against the standing index. */
+  def probe(evalDocs: DataFrame, standing: DataFrame,
+      threshold: Double = 0.05): DataFrame =
+    Dedup.contaminationProbe(Dedup.gramSet(evalDocs, GramN), standing, threshold)
+
+  /** x211: the maintained-index core as a graded batch twin (the
+    * x152/x172 discipline) — train documents arrive as TWO batches
+    * split at `splitAt`, gram partials merge by union∪distinct, and
+    * the src19 eval probe of the merged index must equal the
+    * whole-corpus x210 report, which is exactly what the DuckDB twin
+    * rebuilds. A dropped batch, a non-distinct merge, or a probe that
+    * misses the second batch's grams all hash-fail.
+    */
+  def contaminationTwin(s: SparkSession, dir: String,
+      splitAt: Long = 250L): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val train = docs.filter(col("source") =!= "src19")
+    val merged = gramBatch(train.filter(col("doc_id") < splitAt))
+      .unionByName(gramBatch(train.filter(col("doc_id") >= splitAt)))
+      .distinct()
+    probe(docs.filter(col("source") === "src19"), merged)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x211_contamination_ingest" ->
+      ((s: SparkSession, dir: String) => contaminationTwin(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    // merge-equals-rebuild: the oracle IS the whole-corpus x210 twin
+    "x211_contamination_ingest" -> Dedup.oracles("x210_contamination"))
+}
