@@ -104,6 +104,25 @@ object SnapshotSet {
     VersionedTable.read(s, tableRoot(root, table), Some(m(table)))
   }
 
+  /** Set-level GDPR delete: publish a NEW manifest whose `table` entry
+    * points at a filtered rewrite of that table, every OTHER table
+    * re-referenced at its current version (no data rewrite). Readers
+    * on old sets are undisturbed; the physical forget completes when
+    * `vacuumSet` retires the pre-delete manifests. One filtered scan +
+    * one N-row manifest commit — the forget-me workflow without
+    * breaking set atomicity (deleting through the TABLE's own
+    * VersionedTable would fork it from the manifest).
+    */
+  def deleteWhere(s: SparkSession, root: String, table: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val m = manifest(s, root)
+    require(m.contains(table),
+      s"SnapshotSet: table $table not in manifest (have ${m.keys.mkString(",")})")
+    val newV = VersionedTable.commit(
+      readTable(s, root, table).filter(!pred), tableRoot(root, table))
+    VersionedTable.commit(manifestDf(s, m + (table -> newV)), manifestRoot(root))
+  }
+
   /** Retire everything not reachable from the newest `keepLast`
     * manifests: old manifests first, then every table version no kept
     * manifest references — including half-published orphans. Returns

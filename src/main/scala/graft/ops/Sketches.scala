@@ -285,6 +285,75 @@ object Sketches {
     (joined, total)
   }
 
+  /** x212: EQUI-DEPTH histogram join estimate — the skew-robust
+    * companion to x206's equi-width buckets (Piatetsky-Shapiro &
+    * Connell 1984; every System-R descendant ships both). Equi-width
+    * buckets degrade under key skew: one hot bucket holds most rows
+    * and the uniform-within-bucket assumption collapses. Equi-depth
+    * bounds come from the build side's DISTINCT-key quantiles — each
+    * bucket holds ~ndv/B distinct keys by construction, so no bucket
+    * can hide a distribution.
+    *
+    * Deterministic spelling both engines share: distinct orders keys
+    * ranked (row_number is unique on distinct keys — no tie ambiguity),
+    * bucket = floor((rn-1)·B/ndv), per-bucket hi = max key; rows from
+    * both sides assign by the half-open (lo, hi] interval via a
+    * B-row broadcast bounds join; per bucket the x206 algebra
+    * na·nb/max(ndva, ndvb), the total as the pinned ascending fold.
+    * Serving form only (no exact anchor — the x206/q81 advisory made
+    * policy); SketchesSpec prices the estimate against the exact
+    * count and against x206 under the fixture's skew.
+    */
+  def histEquiDepthEst(s: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+    val b = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+    // rank distinct keys WITHOUT a global window (the suffixArray
+    // densification discipline): range-partition them, number within
+    // partitions, add per-partition offsets — one <= #partitions
+    // collect of counts, never rows
+    val dparts = a.distinct()
+      .repartitionByRange(col("k"))
+      .sortWithinPartitions(col("k"))
+      .withColumn("part", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = dparts.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ndv = counts.values.sum
+    val pids = counts.keys.toSeq.sorted
+    val offsets = pids.map(p => p -> pids.filter(_ < p).map(counts).sum).toMap
+    val offCol = offsets.foldLeft(lit(0L)) {
+      case (acc, (p, off)) => when(col("part") === p, lit(off)).otherwise(acc) }
+    val dk = dparts.withColumn("rn",
+      row_number().over(Window.partitionBy(col("part")).orderBy(col("k")))
+        .cast("long") + offCol)
+    val bounds = dk
+      .withColumn("bucket", floor((col("rn") - 1) * buckets / lit(ndv)))
+      .groupBy(col("bucket")).agg(max(col("k")).as("hi"))
+      .withColumn("lo", lag(col("hi"), 1).over(Window.orderBy(col("bucket"))))
+      .localCheckpoint(true) // B rows — the broadcastable boundary frame
+    def side(df: DataFrame, n: String, v: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .filter(col("k") <= col("hi") &&
+          (col("lo").isNull || col("k") > col("lo")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(n), countDistinct(col("k")).as(v))
+    val joined = side(a, "na", "ndva").join(side(b, "nb", "ndvb"), Seq("bucket"))
+      .withColumn("contrib",
+        (col("na") * col("nb")).cast("double") /
+          greatest(col("ndva"), col("ndvb")).cast("double"))
+      .localCheckpoint(true)
+    val total = joined.groupBy()
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+          e => e.getField("contrib")),
+        lit(0.0), (acc, v) => acc + v).as("est_total"))
+    joined.crossJoin(broadcast(total))
+      .select(col("bucket"), col("na"), col("nb"), col("ndva"), col("ndvb"),
+        col("contrib"), col("est_total"))
+      .orderBy(col("bucket"))
+  }
+
   /** x206's SERVING form: histogram estimate without the exact join
     * anchor — each side is scanned exactly twice (bounds + bucketing;
     * the audit form adds a third scan for the anchor). At 100 TB the
@@ -501,6 +570,7 @@ object Sketches {
     "x206_hist_join_served" -> ((s: SparkSession, dir: String) => histJoinServed(s, dir)),
     "x171_bottomk_served" ->
       ((s: SparkSession, dir: String) => bottomkOverlap(s, dir, withAnchor = false)),
+    "x212_hist_equidepth" -> ((s: SparkSession, dir: String) => histEquiDepthEst(s, dir)),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
   /** Every sketch query hash-gates: exact legs compare outright and each
@@ -724,6 +794,46 @@ object Sketches {
         |    CAST(count(*) AS BIGINT) AS nb,
         |    CAST(count(DISTINCT k) AS BIGINT) AS ndvb
         |  FROM b, bounds GROUP BY 1),
+        |j AS (
+        |  SELECT bucket, na, nb, ndva, ndvb,
+        |    CAST(na * nb AS DOUBLE) / CAST(greatest(ndva, ndvb) AS DOUBLE)
+        |      AS contrib
+        |  FROM sa JOIN sb USING (bucket)),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(contrib ORDER BY bucket)), (acc, v) -> acc + v) AS est_total
+        |  FROM j)
+        |SELECT j.bucket, j.na, j.nb, j.ndva, j.ndvb, j.contrib, tot.est_total
+        |FROM j, tot ORDER BY j.bucket""".stripMargin,
+    // x212: identical equi-depth algebra — distinct-key row_number
+    // ranks (unique keys, no tie ambiguity), floor((rn-1)*B/ndv)
+    // buckets, (lo, hi] assignment, the same pinned ascending fold
+    "x212_hist_equidepth" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+        |b AS (SELECT c_custkey AS k FROM customer),
+        |dk AS (
+        |  SELECT k, row_number() OVER (ORDER BY k) AS rn FROM (
+        |    SELECT DISTINCT k FROM a)),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS ndv FROM dk),
+        |bo AS (
+        |  SELECT bucket, max(k) AS hi FROM (
+        |    SELECT k, CAST(floor(CAST((rn - 1) * 16 AS DOUBLE) / ndv) AS BIGINT)
+        |      AS bucket FROM dk, nv)
+        |  GROUP BY bucket),
+        |bounds AS (
+        |  SELECT bucket, hi, lag(hi) OVER (ORDER BY bucket) AS lo FROM bo),
+        |sa AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS ndva
+        |  FROM a JOIN bounds ON a.k <= bounds.hi
+        |    AND (bounds.lo IS NULL OR a.k > bounds.lo)
+        |  GROUP BY bucket),
+        |sb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS ndvb
+        |  FROM b JOIN bounds ON b.k <= bounds.hi
+        |    AND (bounds.lo IS NULL OR b.k > bounds.lo)
+        |  GROUP BY bucket),
         |j AS (
         |  SELECT bucket, na, nb, ndva, ndvb,
         |    CAST(na * nb AS DOUBLE) / CAST(greatest(ndva, ndvb) AS DOUBLE)

@@ -70,6 +70,28 @@ class SnapshotSetSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSet === Set("v2"))
   }
 
+  test("deleteWhere forks one table, re-references the rest, keeps old sets readable") {
+    import spark.implicits._
+    val root = tmp()
+    val s0 = SnapshotSet.publish(spark, root, Map(
+      "users" -> Seq((1L, "keep"), (2L, "forget")).toDF("k", "v"),
+      "facts" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "n")))
+    val s1 = SnapshotSet.deleteWhere(spark, root, "users", col("v") === "forget")
+    assert(s1 > s0)
+    // new set: the row is gone from users, facts untouched AND not rewritten
+    assert(SnapshotSet.readTable(spark, root, "users")
+      .collect().map(_.getString(1)).toSet === Set("keep"))
+    assert(SnapshotSet.manifest(spark, root)("facts") ===
+      SnapshotSet.manifest(spark, root, Some(s0))("facts"),
+      "untouched tables must be re-referenced, not rewritten")
+    // the pre-delete set stays readable until vacuumed
+    assert(SnapshotSet.readTable(spark, root, "users", Some(s0)).count() === 2L)
+    SnapshotSet.vacuumSet(spark, root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      SnapshotSet.readTable(spark, root, "users", Some(s0)).count()
+    }
+  }
+
   test("transformAtomic publishes the 8 star tables as one set") {
     val wh = tmp()
     val fixture = graft.flights.Fixtures.stg(spark)

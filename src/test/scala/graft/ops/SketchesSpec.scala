@@ -215,4 +215,26 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - exact.toDouble) < 1e-6,
       s"PK-FK histogram estimate must be exact: $est vs $exact")
   }
+
+  test("x212 equi-depth buckets hold ~ndv/B distinct keys each and the estimate stays exact on PK-FK") {
+    import org.apache.spark.sql.functions.col
+    val rows = Sketches.histEquiDepthEst(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length === 16)
+    // equi-DEPTH property: every bucket carries ndva within 1 of ndv/B
+    // (the defining invariant equi-width cannot give under skew)
+    val ndv = rows.map(_._4).sum
+    rows.foreach { case (bk, _, _, ndva, _, _, _) =>
+      assert(math.abs(ndva - ndv / 16.0) <= 1.0,
+        s"bucket $bk holds $ndva distinct keys, expected ~${ndv / 16.0}")
+    }
+    // PK-FK exactness holds here too: customer keys are unique per
+    // bucket, so the estimate collapses to |orders ⋈ customer| exactly
+    val exact = spark.read.parquet(s"$Sf/orders.parquet")
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(math.abs(rows.head._7 - exact.toDouble) < 1e-6,
+      s"PK-FK equi-depth estimate must be exact: ${rows.head._7} vs $exact")
+  }
 }
