@@ -194,10 +194,21 @@ object Sketches {
       .orderBy(col("i"))
   }
 
+  private val cmsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
   /** The CMS inner-product rows both q81 forms share: one scan per
-    * side, depth·width keyed counts on the shuffle, a 768-row join.
+    * side, depth·width keyed counts on the shuffle, a 768-row join —
+    * checkpointed and memoized per (session, dir, depth, width) so the
+    * audit and served registrations build it once (the mvCache
+    * discipline for immutable per-dataset artifacts).
     */
   private def cmsJoinSketch(s: SparkSession, dir: String,
+      depth: Int, width: Int): DataFrame =
+    cmsCache.computeIfAbsent((s, dir, depth, width),
+      _ => cmsJoinSketchBuild(s, dir, depth, width))
+
+  private def cmsJoinSketchBuild(s: SparkSession, dir: String,
       depth: Int, width: Int): DataFrame = {
     def sketch(df: DataFrame, key: org.apache.spark.sql.Column,
         cnt: String): DataFrame =
@@ -486,16 +497,25 @@ object Sketches {
     * first `numSources` document sources — elements are the distinct
     * (source, md5-60-bit shingle hash) pairs.
     */
+  private val elCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
   def bottomkOverlap(s: SparkSession, dir: String, numSources: Int = 6,
       k: Int = 128, withAnchor: Boolean = true): DataFrame = {
-    val srcs = (0 until numSources).map("src" + _)
-    val el = Tables(s, dir, "documents")
-      .filter(col("source").isin(srcs: _*))
-      .select(col("source"),
-        explode(graft.ext.Dedup.wordShingles(
-          graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
-      .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
-      .distinct()
+    // the distinct (source, h) element frame is the expensive build
+    // (corpus scan + shingle + distinct) — checkpoint + memoize it so
+    // the audit and served registrations share one materialization
+    val el = elCache.computeIfAbsent((s, dir, numSources), _ => {
+      val srcs = (0 until numSources).map("src" + _)
+      Tables(s, dir, "documents")
+        .filter(col("source").isin(srcs: _*))
+        .select(col("source"),
+          explode(graft.ext.Dedup.wordShingles(
+            graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
+        .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+    })
     bottomkPairs(el, k, withAnchor)
   }
 

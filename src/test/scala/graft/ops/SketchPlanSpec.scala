@@ -34,11 +34,24 @@ class SketchPlanSpec extends SparkSpec {
     assert(scans(audit, "customer.parquet") === 1)
   }
 
-  test("x171 served has no raw rescan; audit's self-join anchor scans documents twice") {
+  test("x171 served carries no self-join anchor; neither form rescans the corpus") {
+    // the element frame is built once per session (checkpointed +
+    // memoized), so NEITHER form's final plan scans documents; the
+    // audit form's anchor is the element-frame self-join on h plus its
+    // left-join merge — exactly two more Join nodes than the served
+    // sketch algebra
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
     val served = Sketches.bottomkOverlap(spark, Sf, withAnchor = false)
-    assert(scans(served, "documents.parquet") === 0)
     val audit = Sketches.bottomkOverlap(spark, Sf)
-    assert(scans(audit, "documents.parquet") === 2)
+    assert(scans(served, "documents.parquet") === 0)
+    assert(scans(audit, "documents.parquet") === 0)
+    assert(!served.columns.contains("exact_intersection"))
+    assert(audit.columns.contains("exact_intersection"))
+    assert(joins(audit) === joins(served) + 2,
+      s"audit=${joins(audit)} served=${joins(served)}")
   }
 
   test("served estimates equal the audit forms' estimate columns") {
