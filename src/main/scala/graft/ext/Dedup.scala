@@ -1155,18 +1155,26 @@ object Dedup {
       evalSource: String, threshold: Double): DataFrame =
     contaminationProbe(
       gramSet(docs.filter(col("source") === evalSource), n),
-      gramSet(docs.filter(col("source") =!= evalSource), n)
-        .select(col("h")).distinct(),
+      corpusGrams(docs.filter(col("source") =!= evalSource), n),
       threshold)
 
   /** Distinct (doc_id, 60-bit n-gram hash) of a (doc_id, text) frame —
-    * the unit both contamination sides and the streaming gram index
-    * share.
+    * the probe-side unit (doc grain matters for the per-doc report).
     */
   def gramSet(docs: DataFrame, n: Int): DataFrame = docs
     .select(col("doc_id"),
       explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))
     .select(col("doc_id"), TextAnalysis.tokenHash(col("g")).as("h"))
+    .distinct()
+
+  /** Distinct gram hashes of a corpus WITHOUT the doc grain — the
+    * train/index side: one distinct over `h` alone (the per-doc
+    * distinct would be a second full-width shuffle the index never
+    * reads).
+    */
+  def corpusGrams(docs: DataFrame, n: Int): DataFrame = docs
+    .select(explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))
+    .select(TextAnalysis.tokenHash(col("g")).as("h"))
     .distinct()
 
   /** Probe eval grams (doc_id, h) against a distinct train gram set. */

@@ -23,7 +23,7 @@ object ContaminationIngest {
 
   /** One train batch's distinct gram hashes. */
   def gramBatch(docs: DataFrame): DataFrame =
-    Dedup.gramSet(docs, GramN).select(col("h")).distinct()
+    Dedup.corpusGrams(docs, GramN)
 
   /** Start the index maintenance: (doc_id, text) stream → one gram
     * snapshot per batchId.

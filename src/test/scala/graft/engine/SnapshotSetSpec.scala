@@ -92,6 +92,37 @@ class SnapshotSetSpec extends SparkSpec {
     }
   }
 
+  test("racing publishes serialize: both sets commit, each internally consistent") {
+    import spark.implicits._
+    val root = tmp()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = (1 to 2).map { w =>
+        scala.concurrent.Future {
+          SnapshotSet.publish(spark, root, Map(
+            "dim" -> Seq((w.toLong, s"w$w")).toDF("k", "v"),
+            "fact" -> Seq((w.toLong, w * 10L)).toDF("k", "n")))
+        }
+      }
+      val got = fs.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf)).sorted
+      // both publishes won distinct manifest versions
+      assert(got.distinct.size === 2)
+      assert(SnapshotSet.setVersions(spark, root).toSet === got.toSet)
+      // every committed set is internally consistent: dim and fact
+      // carry the SAME writer's rows (no cross-writer mixing)
+      got.foreach { v =>
+        val d = SnapshotSet.readTable(spark, root, "dim", Some(v))
+          .collect().map(_.getLong(0)).toSet
+        val f = SnapshotSet.readTable(spark, root, "fact", Some(v))
+          .collect().map(_.getLong(0)).toSet
+        assert(d === f, s"set $v mixes writers: dim=$d fact=$f")
+      }
+    } finally pool.shutdown()
+  }
+
   test("transformAtomic publishes the 8 star tables as one set") {
     val wh = tmp()
     val fixture = graft.flights.Fixtures.stg(spark)
