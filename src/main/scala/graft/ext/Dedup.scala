@@ -1177,6 +1177,50 @@ object Dedup {
     .select(TextAnalysis.tokenHash(col("g")).as("h"))
     .distinct()
 
+  /** x213: DECONTAMINATION — the other direction of x210 and what the
+    * GPT-3/PaLM pipelines actually ship: train documents colliding
+    * with the eval set are REMOVED (the benchmark must stay held-out,
+    * so the training corpus pays, not the eval set). A train doc is
+    * contaminated when >= `threshold` of its distinct n-grams appear
+    * in the eval gram set. Output is the audit a curation run records:
+    * per SOURCE the doc counts kept/dropped and token counts
+    * kept/dropped, plus corpus totals — the datasheet row, not the
+    * (huge) surviving corpus itself.
+    *
+    * Scale shape: eval grams are benchmark-sized → the distinct eval
+    * gram set broadcasts; each train doc's grams probe it map-side
+    * (left-semi), one doc-grain aggregate, one source-grain rollup.
+    * The train corpus is read once and never pairs with itself.
+    */
+  def decontaminateTrain(s: SparkSession, dir: String, n: Int = 4,
+      evalSource: String = "src19", threshold: Double = 0.05): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalGrams = corpusGrams(docs.filter(col("source") === evalSource), n)
+    val train = docs.filter(col("source") =!= evalSource)
+    val trainGrams = gramSet(train, n)
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val perDoc = trainGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("dropped",
+        col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType)
+          >= threshold)
+    train
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wsTokens(lower(col("text")))).cast(LongType)
+          .as("n_tokens"))
+      .join(perDoc.select(col("doc_id"), col("dropped")), Seq("doc_id"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("dropped"), col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+      .orderBy(col("source"))
+  }
+
   /** Probe eval grams (doc_id, h) against a distinct train gram set. */
   def contaminationProbe(ev: DataFrame, train: DataFrame,
       threshold: Double): DataFrame = {
@@ -1201,6 +1245,7 @@ object Dedup {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x210_contamination" -> ((s: SparkSession, dir: String) => contaminationReport(s, dir)),
+    "x213_decontaminate" -> ((s: SparkSession, dir: String) => decontaminateTrain(s, dir)),
     "x70_winnowing_topk" -> ((s: SparkSession, dir: String) => winnowingTopk(s, dir)),
     "x75_canonical_selection" -> (canonicalSelection _),
     "x85_overlap_spans" -> ((s: SparkSession, dir: String) => overlapSpans(s, dir)),
@@ -1288,6 +1333,37 @@ object Dedup {
         |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS frac,
         |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.05 AS contaminated
         |FROM r ORDER BY doc_id""".stripMargin,
+    // x213: same gram derivation, hit test reversed (train probes the
+    // eval gram set), per-source kept/dropped doc + token rollup
+    "x213_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(w) AS n_tokens,
+        |    list_transform(generate_series(1, greatest(len(w)-3, 0), 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(gg), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, source, unnest(sh) AS gg FROM d WHERE n_tokens >= 4)),
+        |ev AS (SELECT DISTINCT h FROM g WHERE source = 'src19'),
+        |pd AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM (SELECT * FROM g WHERE source <> 'src19') t
+        |  LEFT JOIN ev ON t.h = ev.h GROUP BY t.doc_id),
+        |tr AS (
+        |  SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+        |    coalesce(CAST(pd.n_hit AS DOUBLE) / CAST(pd.n_grams AS DOUBLE) >= 0.05,
+        |      FALSE) AS dropped
+        |  FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |  WHERE d.source <> 'src19')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN dropped THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped
+        |FROM tr GROUP BY source ORDER BY source""".stripMargin,
     // the indexed path emits the identical pair set as x86 (cross-band
     // 64-bit bucket collisions die in exact verification) — same twin
     "x98_incremental_neardup_indexed" -> oraclesBase("x86_incremental_neardup"),

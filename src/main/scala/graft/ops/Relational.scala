@@ -612,11 +612,35 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q83: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * SQL-surface row the star joins never exercise because warehouse
+    * keys are NOT NULL. Nullable keys are derived (every 7th key maps
+    * to NULL), both sides pre-aggregate to one row per key (so the
+    * NULL<=>NULL match is one row, not a null-group cross product —
+    * the shape any production null-safe join should take), and the
+    * join keeps the NULL row that a plain `=` would drop.
+    * EqualNullSafe is a valid hash-join key in Spark — no
+    * BroadcastNestedLoop fallback (PlanAuditSpec sweeps this too).
+    */
+  def nullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, key: String, n: String): DataFrame =
+      df.select(when(pmod(col(key), lit(7L)) === 0L, lit(null))
+          .otherwise(col(key)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as(n))
+    val a = side(t(s, dir, "orders"), "o_custkey", "n_orders")
+    val b = side(t(s, dir, "customer"), "c_custkey", "n_customers")
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").isNull.as("k_is_null"), a("k").as("k"),
+        col("n_orders"), col("n_customers"))
+      .orderBy(col("k_is_null").desc, col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x202_ivm_join" -> ((s: SparkSession, dir: String) => ivmJoin(s, dir)),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_incr_window_scan" -> (incrWindowScan _),
     "q03_scan_project" -> (scanProject _),
+    "q83_nullsafe_join" -> (nullsafeJoin _),
     "q04_topk_revenue" -> (topkRevenue _),
     "q05_join_star" -> (joinStar _),
     "q06_left_join_zero_counts" -> (leftJoinZeroCounts _),
@@ -732,6 +756,18 @@ object Relational {
     "q12_group_count" ->
       """SELECT p_brand, count(*) AS n_parts, CAST(sum(p_size) AS BIGINT) AS total_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q83_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer GROUP BY 1)
+        |SELECT a.k IS NULL AS k_is_null, a.k, a.n_orders, b.n_customers
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k_is_null DESC, a.k""".stripMargin,
     "q13_set_union" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION
