@@ -107,7 +107,8 @@ object SuffixDedup {
 
   /** (doc_id, pos, tok) for every token of every document, 0-based. */
   private[ext] def tokenPositions(s: SparkSession, dir: String): DataFrame =
-    tokenPositionsOf(t(s, dir, "documents"))
+    tokenPositionsOf(t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism))
 
   /** Per-(session, dataset) final suffix ranks — shared by x161/x162/x163. */
   private val rankCache = new java.util.concurrent.ConcurrentHashMap[
@@ -281,7 +282,8 @@ object SuffixDedup {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("gram"))
 
   private[ext] def gramAt(s: SparkSession, dir: String, L: Int): DataFrame =
-    gramsOf(t(s, dir, "documents"), L)
+    gramsOf(t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism), L)
 
   private val coveredCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]()
@@ -382,6 +384,49 @@ object SuffixDedup {
         col("scrubbed_md5"))
   }
 
+  /** x214: substring-exact DECONTAMINATION spans — the Lee et al. 2022
+    * decontamination pass at x162's span exactness: maximal train-doc
+    * token intervals covered by L-gram windows that ALSO occur in the
+    * eval set. Where x213 drops whole documents on a collision-rate
+    * threshold, this locates the exact leaked substrings (what you cut
+    * when the document is worth keeping). L = 4 on this fixture (its
+    * cross-source repeats are short; web scale uses ~50 BPE tokens —
+    * the x174 curve is how you'd pick).
+    *
+    * Scale shape: the eval gram set is benchmark-sized and broadcasts;
+    * train grams semi-join it map-side, and the island merge is
+    * per-document windows only. No suffix array needed — the probe set
+    * is tiny, so the gram hash join IS the right plan (the SA earns
+    * its build cost only for corpus-vs-corpus duplication, x161–x163).
+    */
+  def evalSpans(s: SparkSession, dir: String, L: Int = 4,
+      evalSource: String = "src19"): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val split = docs.repartition(s.sparkContext.defaultParallelism)
+    val evalGrams = gramsOf(split.filter(col("source") === evalSource), L)
+      .select(col("gram")).distinct()
+    val covered = gramsOf(split.filter(col("source") =!= evalSource), L)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      .withColumn("end", col("pos") + L)
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** The curve's L grid: the graded default (8) plus two octaves up —
     * the datasheet a dedup operator reads to PICK L (Lee et al. fix 50
     * BPE tokens at web scale; the right L is corpus-dependent and this
@@ -425,7 +470,9 @@ object SuffixDedup {
     "x163_exact_substr_scrub" ->
       ((s: SparkSession, dir: String) => exactSubstrScrub(s, dir)),
     "x174_dup_rate_curve" ->
-      ((s: SparkSession, dir: String) => dupRateCurve(s, dir)))
+      ((s: SparkSession, dir: String) => dupRateCurve(s, dir)),
+    "x214_eval_spans" ->
+      ((s: SparkSession, dir: String) => evalSpans(s, dir)))
 
   /** Shared DuckDB CTEs: tokenized docs and the brute-force covered
     * window starts (gram occurs >= 2 times corpus-wide; the twin of the
@@ -443,6 +490,38 @@ object SuffixDedup {
        |        FROM g JOIN gc USING (gram) WHERE gc.n >= 2)""".stripMargin
 
   lazy val oracles: Map[String, String] = Map(
+    // x214: the same 4-gram derivation, hit test against the eval-side
+    // distinct gram set, the identical island merge per train doc
+    "x214_eval_spans" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
+        |        array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+        |      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src19'),
+        |cov AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+        |        WHERE g.source <> 'src19'),
+        |isl AS (
+        |  SELECT doc_id, pos, pos + 4 AS e,
+        |    CASE WHEN max(pos + 4) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR pos > max(pos + 4) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_span
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, pos, e,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |  max(e) - min(pos) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // x161: brute-force suffix sort. Joining tokens with single spaces
     // makes string order equal token order (every token is [a-z0-9]+,
     // and ' ' sorts below both ranges), the shorter-is-prefix rule

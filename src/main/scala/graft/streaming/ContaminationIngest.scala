@@ -57,12 +57,20 @@ object ContaminationIngest {
     */
   def contaminationTwin(s: SparkSession, dir: String,
       splitAt: Long = 250L): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val train = docs.filter(col("source") =!= "src19")
-    val merged = gramBatch(train.filter(col("doc_id") < splitAt))
-      .unionByName(gramBatch(train.filter(col("doc_id") >= splitAt)))
+    // batch slices come off the shared cached gram frame (per-batch
+    // distinct h of a doc slice == corpusGrams of those docs — the
+    // frame is already doc-grain distinct); the STREAMING path
+    // (gramBatch) keeps the raw per-batch derivation
+    val g = graft.ext.Dedup.allGrams(s, dir, GramN)
+    val train = g.filter(col("source") =!= "src19")
+    def batch(p: org.apache.spark.sql.Column) =
+      train.filter(p).select(col("h")).distinct()
+    val merged = batch(col("doc_id") < splitAt)
+      .unionByName(batch(col("doc_id") >= splitAt))
       .distinct()
-    probe(docs.filter(col("source") === "src19"), merged)
+    graft.ext.Dedup.contaminationProbe(
+      g.filter(col("source") === "src19").select(col("doc_id"), col("h")),
+      merged, 0.05)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
