@@ -67,6 +67,22 @@ object Tables {
       }
     } else spark.read.parquet(path(dir, name))
 
+  /** The table scan split to at least the session's parallelism — for
+    * CPU-AMPLIFYING consumers (token/gram explodes over `documents`
+    * multiply the scanned bytes ~50x in work). Test fixtures arrive as
+    * ONE parquet row group, which is unsplittable however small
+    * `maxPartitionBytes` goes, so the whole explode otherwise runs on
+    * one core (measured 10x: 30+ s single-threaded gram passes).
+    * CONDITIONAL on purpose: a production corpus scan already has
+    * >= cores partitions and must NOT pay a full-text shuffle — this
+    * is then the identity.
+    */
+  def split(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Paths whose INT64 `ts` has been footer-verified as
     * TIMESTAMP(NANOS) — one footer read per path per JVM.
     */

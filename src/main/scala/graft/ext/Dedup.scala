@@ -24,7 +24,12 @@ import graft.engine.Tables
   */
 object Dedup {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    // documents and embeddings are bytes-small single-row-group files
+    // whose consumers amplify CPU (token/gram explodes, d^2 products) —
+    // split to >= cores; identity at production scale (Tables.split)
+    if (n == "documents" || n == "embeddings") Tables.split(s, dir, n)
+    else Tables(s, dir, n)
 
   /** Distinct n-word shingles (joined by single spaces) of a token array.
     * Guarded: fewer than n tokens -> empty array (Spark's `sequence` would
@@ -40,8 +45,14 @@ object Dedup {
     * Array-valued form — used by specs; the query hot paths use the
     * relational `shinglePostings` below (codegen'd, exchange-reusable).
     */
+  /** documents split to >= cores before CPU-amplifying tokenization —
+    * see [[graft.engine.Tables.split]] (identity at production scale).
+    */
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Tables.split(s, dir, "documents")
+
   private[ext] def docShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docsT(s, dir)
       .select(col("doc_id"),
         wordShingles(TextAnalysis.wsTokens(lower(col("text"))), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -76,7 +87,7 @@ object Dedup {
     val ngrams = ColumnBridge.column(
       graft.functions.WordNGrams(
         ColumnBridge.expression(lower(col("text"))), n))
-    t(s, dir, "documents")
+    docsT(s, dir)
       .select(col("doc_id"), ngrams)
       .select(col("doc_id"), xxhash64(col("ngram")).as("h"))
       .dropDuplicates("doc_id", "h")
@@ -87,7 +98,7 @@ object Dedup {
     */
   private[ext] def windowShinglePostings(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    t(s, dir, "documents")
+    docsT(s, dir)
       .select(col("doc_id"),
         posexplode(TextAnalysis.wsTokens(lower(col("text")))))
       .withColumnRenamed("col", "w")
@@ -105,7 +116,7 @@ object Dedup {
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     val byFp = Window.partitionBy(col("fingerprint"))
-    t(s, dir, "documents")
+    docsT(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
       .withColumn("n_copies", count(lit(1)).over(byFp))
       .withColumn("canonical_doc_id", min(col("doc_id")).over(byFp))
@@ -354,7 +365,7 @@ object Dedup {
     * sketch query and the band-bucketed near-dup join.
     */
   private def simhashCore(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val toks = docsT(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
       .select(col("doc_id"), TextAnalysis.tokenHash(col("w")).as("th"))
     val votes = (0 until SimhashBits).map { b =>
@@ -538,7 +549,7 @@ object Dedup {
     * the two-level check every batch-append dedup needs.
     */
   def incrementalDedup(s: SparkSession, dir: String, histMax: Int = 400): DataFrame = {
-    val fp = t(s, dir, "documents")
+    val fp = docsT(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
     val history = fp.filter(col("doc_id") < histMax)
       .select(col("fingerprint")).distinct()
@@ -765,7 +776,7 @@ object Dedup {
 
   private[ext] def gramPostings(s: SparkSession, dir: String, k: Int): DataFrame =
     gramCache.computeIfAbsent((s, dir, k), _ =>
-      t(s, dir, "documents")
+      docsT(s, dir)
         .select(col("doc_id"),
           posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
         .select(col("doc_id"), col("pos"), col("col").as("h"))
@@ -990,7 +1001,7 @@ object Dedup {
     * itself, whose cardinality the dedup is busy shrinking.
     */
   def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val lines = t(s, dir, "documents")
+    val lines = docsT(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
       .withColumn("t", trim(col("line")))
     val nonEmpty = lines.filter(length(col("t")) > 0)
@@ -1174,11 +1185,7 @@ object Dedup {
     */
   private[graft] def allGrams(s: SparkSession, dir: String, n: Int): DataFrame =
     allGramCache.computeIfAbsent((s, dir, n), _ => {
-      // the raw text is bytes-small (one scan partition at 10x) but the
-      // gram explode amplifies it ~50x in CPU — split by cores first or
-      // the whole build runs single-threaded (measured: 35 s -> ~3 s)
-      val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = docsT(s, dir)
       docs
         .select(col("doc_id"), col("source"),
           explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))

@@ -28,7 +28,12 @@ import graft.engine.Tables
   */
 object Retrieval {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    // documents and embeddings are bytes-small single-row-group files
+    // whose consumers amplify CPU (token/gram explodes, d^2 products) —
+    // split to >= cores; identity at production scale (Tables.split)
+    if (n == "documents" || n == "embeddings") Tables.split(s, dir, n)
+    else Tables(s, dir, n)
 
   private def d(c: Column): Column = c.cast(DoubleType)
 

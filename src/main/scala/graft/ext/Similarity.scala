@@ -32,7 +32,12 @@ import graft.engine.Tables
   */
 object Similarity {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    // documents and embeddings are bytes-small single-row-group files
+    // whose consumers amplify CPU (token/gram explodes, d^2 products) —
+    // split to >= cores; identity at production scale (Tables.split)
+    if (n == "documents" || n == "embeddings") Tables.split(s, dir, n)
+    else Tables(s, dir, n)
 
   /** Left-fold double dot product of two float-array columns — the exact
     * shape the DuckDB oracle mirrors (`list_reduce(list_transform(...))`)

@@ -16,7 +16,12 @@ import graft.engine.Tables
   */
 object TextAnalysis {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    // documents and embeddings are bytes-small single-row-group files
+    // whose consumers amplify CPU (token/gram explodes, d^2 products) —
+    // split to >= cores; identity at production scale (Tables.split)
+    if (n == "documents" || n == "embeddings") Tables.split(s, dir, n)
+    else Tables(s, dir, n)
 
   /** Whitespace tokens of `text`. */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
@@ -154,7 +159,10 @@ object TextAnalysis {
     * token array directly, ~6x faster at sf0.1.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    // one scan partition of text, ~50x CPU amplification in the
+    // explode+md5 below — split by cores first (the x210 trap)
     t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         fingerprintCol(col("text")).as("fingerprint"),
         posexplode(wsTokens(col("text"))))
