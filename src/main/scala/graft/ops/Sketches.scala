@@ -365,6 +365,46 @@ object Sketches {
       .orderBy(col("bucket"))
   }
 
+  /** x215: SAMPLE-based join-cardinality estimation — the third
+    * classic next to q81's CMS and x206/x212's histograms (the
+    * end-biased/sample estimators of Haas et al. '96): Bernoulli-
+    * sample both sides at rate p with a DETERMINISTIC hash coin
+    * (md5 of a salted key — both engines flip the same coins, so the
+    * estimate itself hash-gates), join the samples, scale by 1/p².
+    * The correlated-sampling refinement rides along: sampling by a
+    * hash of the JOIN KEY (same coin both sides) keeps matching pairs
+    * together, turning the estimator exact-on-sampled-keys —
+    * est = |join of key-sampled sides| / p (one p, not p²) with far
+    * lower variance on FK joins. Output: both estimators' counts and
+    * scaled estimates. Serving form (no exact anchor, per the r13
+    * policy); SketchesSpec prices both against the exact count.
+    *
+    * Scale shape: the sample filters push to the scans, the joined
+    * samples are p²·|join| and p·|join| rows, and nothing else
+    * shuffles. This is the estimator you run when you can afford a
+    * pass over p of the data but not a CMS build's full scan.
+    */
+  def sampleJoinEst(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val p = pct.toLong
+    def coin(c: org.apache.spark.sql.Column, salt: String) =
+      pmod(graft.ext.TextAnalysis.tokenHash(
+        concat(lit(salt), c.cast("string"))), lit(100L)) < p
+    val a = Tables(s, dir, "orders").select(col("o_orderkey").as("k"))
+    val b = Tables(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+    // independent Bernoulli: each side its own salt
+    val nInd = a.filter(coin(col("k"), "smpA:"))
+      .join(b.filter(coin(col("k"), "smpB:")), Seq("k"))
+      .agg(count(lit(1)).as("n_ind")).select(col("n_ind"))
+    // correlated: ONE coin on the join key, both sides
+    val nCor = a.filter(coin(col("k"), "smpK:"))
+      .join(b.filter(coin(col("k"), "smpK:")), Seq("k"))
+      .agg(count(lit(1)).as("n_cor")).select(col("n_cor"))
+    nInd.crossJoin(nCor)
+      .select(lit(pct).as("pct"), col("n_ind"), col("n_cor"),
+        (col("n_ind") * lit(100L / p) * lit(100L / p)).as("est_independent"),
+        (col("n_cor") * lit(100L / p)).as("est_correlated"))
+  }
+
   /** x206's SERVING form: histogram estimate without the exact join
     * anchor — each side is scanned exactly twice (bounds + bucketing;
     * the audit form adds a third scan for the anchor). At 100 TB the
@@ -591,6 +631,7 @@ object Sketches {
     "x171_bottomk_served" ->
       ((s: SparkSession, dir: String) => bottomkOverlap(s, dir, withAnchor = false)),
     "x212_hist_equidepth" -> ((s: SparkSession, dir: String) => histEquiDepthEst(s, dir)),
+    "x215_sample_join_est" -> ((s: SparkSession, dir: String) => sampleJoinEst(s, dir)),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
   /** Every sketch query hash-gates: exact legs compare outright and each
@@ -825,6 +866,24 @@ object Sketches {
         |  FROM j)
         |SELECT j.bucket, j.na, j.nb, j.ndva, j.ndvb, j.contrib, tot.est_total
         |FROM j, tot ORDER BY j.bucket""".stripMargin,
+    // x215: the identical deterministic hash coins — both engines flip
+    // md5(salt||key) % 100 < p, so sampled sets, join counts and the
+    // scaled estimates all hash-compare exactly
+    "x215_sample_join_est" ->
+      """WITH a AS (SELECT o_orderkey AS k FROM orders
+        |           WHERE ('0x' || substr(md5('smpA:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10),
+        |b AS (SELECT l_orderkey AS k FROM lineitem
+        |      WHERE ('0x' || substr(md5('smpB:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10),
+        |ak AS (SELECT o_orderkey AS k FROM orders
+        |       WHERE ('0x' || substr(md5('smpK:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10),
+        |bk AS (SELECT l_orderkey AS k FROM lineitem
+        |       WHERE ('0x' || substr(md5('smpK:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_ind FROM a JOIN b USING (k)),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cor FROM ak JOIN bk USING (k))
+        |SELECT CAST(10 AS INT) AS pct, ni.n_ind, nc.n_cor,
+        |  ni.n_ind * 10 * 10 AS est_independent,
+        |  nc.n_cor * 10 AS est_correlated
+        |FROM ni CROSS JOIN nc""".stripMargin,
     // x212: identical equi-depth algebra — distinct-key row_number
     // ranks (unique keys, no tie ambiguity), floor((rn-1)*B/ndv)
     // buckets, (lo, hi] assignment, the same pinned ascending fold

@@ -237,4 +237,26 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(rows.head._7 - exact.toDouble) < 1e-6,
       s"PK-FK equi-depth estimate must be exact: ${rows.head._7} vs $exact")
   }
+
+  test("x215 sample estimates track exact; correlated sampling dominates independent on the FK join") {
+    import org.apache.spark.sql.functions.col
+    val r = Sketches.sampleJoinEst(spark, Sf).head()
+    val (estInd, estCor) = (r.getAs[Long]("est_independent"),
+      r.getAs[Long]("est_correlated"))
+    val exact = spark.read.parquet(s"$Sf/orders.parquet").select(col("o_orderkey"))
+      .join(spark.read.parquet(s"$Sf/lineitem.parquet").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey")).count()
+    def relErr(e: Long) = math.abs(e - exact).toDouble / exact
+    // correlated sampling keys both coins on the join key: sampled keys
+    // carry their COMPLETE match lists, so only key-population variance
+    // remains — on a uniform FK join it must land within ~15%
+    assert(relErr(estCor) < 0.15,
+      s"correlated: $estCor vs exact $exact (${relErr(estCor)})")
+    // independent sampling thins pairs to p^2 — the estimate is unbiased
+    // but visibly noisier; accept a wide band, require the ordering
+    assert(relErr(estInd) < 0.8,
+      s"independent: $estInd vs exact $exact (${relErr(estInd)})")
+    assert(relErr(estCor) <= relErr(estInd),
+      "the correlated estimator must not be worse on the FK join")
+  }
 }
