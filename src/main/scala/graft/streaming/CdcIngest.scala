@@ -42,10 +42,30 @@ object CdcIngest {
   /** Compaction: fold the log into the base once; the result is the
     * new base and the log can truncate. Idempotent with serve by
     * construction (apply is an argmax — CdcIngestSpec pins it).
+    * ONLY safe when no event below the folded log's horizon can still
+    * arrive — the fold discards per-key seq state, so a late stale
+    * event applied afterwards would wrongly win (the x208 hazard).
+    * Feeds with out-of-order delivery across the compaction point use
+    * [[compactStateful]].
     */
   def compact(s: SparkSession, base: DataFrame, root: String,
       key: String): DataFrame =
     serve(s, base, root, key).localCheckpoint(true)
+
+  /** Late-safe compaction: fold the committed log into CDC STATE
+    * (per-key applied (seq, op) watermark + tombstones — x208's
+    * [[Cdc.applyCdcStateful]]), keeping the metadata columns in the
+    * compacted result. Events arriving after the fold — including
+    * events OLDER than anything already folded — apply against the
+    * watermark and cannot regress a row or resurrect a delete;
+    * `Cdc.snapshot` is the readable table. CdcIngestSpec pins the
+    * hazard both ways: the stateless fold corrupts under a late stale
+    * event, the stateful fold matches the one-shot whole-log apply.
+    */
+  def compactStateful(s: SparkSession, base: DataFrame, root: String,
+      key: String): DataFrame =
+    Cdc.applyCdcStateful(Cdc.initState(base),
+      logFromSnapshots(s, root), key).localCheckpoint(true)
 
   // streaming-only lane: correctness pinned by CdcIngestSpec
   // (served == x207 batch twin; replay no-op; compact-then-serve ==

@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions._
   */
 class CdcIngestSpec extends SparkSpec {
 
+  test("stateful compaction survives a late stale event; stateless compaction is the documented hazard") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft_cdc_late").toString
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, String)]
+    val q = CdcIngest.streamingCdcIngest(
+      in.toDF().toDF("k", "v", "seq", "op"), s"$dirs/log", s"$dirs/ckpt")
+    try {
+      // batch 1: the NEW values and a delete arrive first
+      in.addData((1L, "a9", 9L, "U"), (2L, "gone", 8L, "D"))
+      q.processAllAvailable()
+      // compact both ways at this point (the log truncation moment)
+      val plain = CdcIngest.compact(spark, base, s"$dirs/log", "k")
+      val stateful = CdcIngest.compactStateful(spark, base, s"$dirs/log", "k")
+      // batch 2: LATE events older than everything already folded —
+      // a stale update for 1 and a stale re-insert for deleted 2
+      val late = Seq((1L, "stale", 3L, "U"), (2L, "zombie", 2L, "I"))
+        .toDF("k", "v", "seq", "op")
+      // stateless fold lost the seq watermark: the stale events win
+      val corrupted = graft.engine.Cdc.applyCdc(plain, late, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(corrupted === Set((1L, "stale"), (2L, "zombie")),
+        "the hazard must actually manifest or the stateful form is untestable")
+      // stateful fold kept it: late events lose, the delete holds
+      val safe = graft.engine.Cdc.snapshot(
+        graft.engine.Cdc.applyCdcStateful(stateful, late, "k"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(safe === Set((1L, "a9")))
+      // and equals the one-shot apply of the WHOLE event history
+      val all = Seq((1L, "a9", 9L, "U"), (2L, "gone", 8L, "D"),
+        (1L, "stale", 3L, "U"), (2L, "zombie", 2L, "I"))
+        .toDF("k", "v", "seq", "op")
+      val oneShot = graft.engine.Cdc.applyCdc(base, all, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(safe === oneShot)
+    } finally q.stop()
+  }
+
   test("streamed CDC serve equals the batch twin; replay and compact hold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
