@@ -118,8 +118,13 @@ object SnapshotSet {
     val m = manifest(s, root)
     require(m.contains(table),
       s"SnapshotSet: table $table not in manifest (have ${m.keys.mkString(",")})")
+    // Delete ONLY rows where pred is definitely true: under SQL
+    // three-valued logic `!pred` is NULL (not true) when pred is NULL,
+    // so filter(!pred) would silently drop every NULL-predicate row —
+    // data loss in a forget-me API. `pred <=> true` maps NULL to false.
     val newV = VersionedTable.commit(
-      readTable(s, root, table).filter(!pred), tableRoot(root, table))
+      readTable(s, root, table).filter(!(pred <=> lit(true))),
+      tableRoot(root, table))
     VersionedTable.commit(manifestDf(s, m + (table -> newV)), manifestRoot(root))
   }
 
@@ -127,24 +132,45 @@ object SnapshotSet {
     * manifests: old manifests first, then every table version no kept
     * manifest references — including half-published orphans. Returns
     * (manifest versions dropped, table versions dropped).
+    *
+    * Race safety: a publish in flight has already committed its table
+    * versions but not yet its manifest — to a concurrent vacuum those
+    * versions look like orphans. Table versions younger than
+    * `graceMillis` (default 1h, mirroring the `.tmp` cleanup window in
+    * [[VersionedTable.commit]]) are therefore NEVER deleted; only a
+    * writer stalled longer than the grace window between table and
+    * manifest commit can still lose, which is the same contract as any
+    * object-store vacuum (Delta's retention check). Table roots absent
+    * from every kept manifest (a table dropped from the set) are swept
+    * too — discovered by listing `<root>/tables/`, not the manifests —
+    * so retired tables don't leak versions forever.
     */
-  def vacuumSet(s: SparkSession, root: String,
-      keepLast: Int): (Seq[Long], Map[String, Seq[Long]]) = {
+  def vacuumSet(s: SparkSession, root: String, keepLast: Int,
+      graceMillis: Long = 3600L * 1000L): (Seq[Long], Map[String, Seq[Long]]) = {
     val droppedManifests = VersionedTable.vacuum(s, manifestRoot(root), keepLast)
     val live: Map[String, Set[Long]] = setVersions(s, root)
       .flatMap(v => manifest(s, root, Some(v)).toSeq)
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val droppedTables = live.map { case (t, keep) =>
+    val tablesDir = new org.apache.hadoop.fs.Path(s"$root/tables")
+    val allTables: Seq[String] =
+      if (!fs.exists(tablesDir)) Seq.empty
+      else fs.listStatus(tablesDir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val droppedTables = allTables.map { t =>
+      val keep = live.getOrElse(t, Set.empty[Long])
       val r = tableRoot(root, t)
-      val doomed = VersionedTable.versions(s, r).filterNot(keep)
+      val doomed = VersionedTable.versions(s, r).filterNot(keep).filter { v =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$r/v=$v"))
+        st.getModificationTime < cutoff // in-flight publish protection
+      }
       doomed.foreach { v =>
         if (!fs.delete(new org.apache.hadoop.fs.Path(s"$r/v=$v"), true))
           throw new java.io.IOException(s"SnapshotSet: cannot vacuum $r/v=$v")
       }
       t -> doomed
-    }
+    }.toMap
     (droppedManifests, droppedTables)
   }
 

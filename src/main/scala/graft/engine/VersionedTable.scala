@@ -177,8 +177,14 @@ object VersionedTable {
     * tombstone support.
     */
   def deleteWhere(spark: SparkSession, root: String,
-      pred: org.apache.spark.sql.Column): Long =
-    commit(read(spark, root).filter(!pred), root)
+      pred: org.apache.spark.sql.Column): Long = {
+    // `pred <=> true` so rows where pred is NULL are RETAINED: plain
+    // filter(!pred) drops them under three-valued logic (NULL is not
+    // true), turning e.g. col("email")===x into "also forget everyone
+    // with no email".
+    import org.apache.spark.sql.functions.lit
+    commit(read(spark, root).filter(!(pred <=> lit(true))), root)
+  }
 
   /** Change-data-capture diff between two committed snapshots: one row
     * per key that was INSERTED, DELETED, or UPDATED going from `vOld`

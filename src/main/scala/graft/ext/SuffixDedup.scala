@@ -148,7 +148,7 @@ object SuffixDedup {
       // Seed via INTEGER vocabulary ranks, not gram strings: distinct
       // tokens get order-preserving labels (vocabulary-sized sort),
       // each position takes its own + the next SeedWidth-1 labels by
-      // per-doc lead windows, and the seed sort compares 4 longs
+      // per-doc lead windows, and the seed sort compares SeedWidth longs
       // instead of ~25-byte UTF8 grams. Profiled at 10x: the string
       // seed was 16.3 s — the dominant build phase, 2.7 M gram strings
       // through the range sampler + exchange + sort; the int spelling

@@ -385,7 +385,12 @@ object Sketches {
     * pass over p of the data but not a CMS build's full scan.
     */
   def sampleJoinEst(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"sampleJoinEst: pct must be in [1,100], got $pct")
     val p = pct.toLong
+    // double scale factor: 100/p in LONG space floors for any pct that
+    // does not divide 100 (e.g. 3 → 33 instead of 33.33…), biasing both
+    // estimators low
+    val scale = 100.0 / pct
     def coin(c: org.apache.spark.sql.Column, salt: String) =
       pmod(graft.ext.TextAnalysis.tokenHash(
         concat(lit(salt), c.cast("string"))), lit(100L)) < p
@@ -401,8 +406,8 @@ object Sketches {
       .agg(count(lit(1)).as("n_cor")).select(col("n_cor"))
     nInd.crossJoin(nCor)
       .select(lit(pct).as("pct"), col("n_ind"), col("n_cor"),
-        (col("n_ind") * lit(100L / p) * lit(100L / p)).as("est_independent"),
-        (col("n_cor") * lit(100L / p)).as("est_correlated"))
+        (col("n_ind").cast("double") * lit(scale) * lit(scale)).as("est_independent"),
+        (col("n_cor").cast("double") * lit(scale)).as("est_correlated"))
   }
 
   /** x206's SERVING form: histogram estimate without the exact join
@@ -881,8 +886,8 @@ object Sketches {
         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_ind FROM a JOIN b USING (k)),
         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cor FROM ak JOIN bk USING (k))
         |SELECT CAST(10 AS INT) AS pct, ni.n_ind, nc.n_cor,
-        |  ni.n_ind * 10 * 10 AS est_independent,
-        |  nc.n_cor * 10 AS est_correlated
+        |  CAST(ni.n_ind AS DOUBLE) * 10.0 * 10.0 AS est_independent,
+        |  CAST(nc.n_cor AS DOUBLE) * 10.0 AS est_correlated
         |FROM ni CROSS JOIN nc""".stripMargin,
     // x212: identical equi-depth algebra — distinct-key row_number
     // ranks (unique keys, no tie ambiguity), floor((rn-1)*B/ndv)

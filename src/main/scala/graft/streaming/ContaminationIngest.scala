@@ -36,11 +36,20 @@ object ContaminationIngest {
   /** The standing train gram set: the distinct union of every
     * committed snapshot.
     */
-  def standingGrams(s: SparkSession, root: String): DataFrame =
-    VersionedTable.versions(s, root)
-      .map(v => VersionedTable.read(s, root, Some(v)))
+  def standingGrams(s: SparkSession, root: String): DataFrame = {
+    val vs = VersionedTable.versions(s, root)
+    // Before the first batch commits (or after a vacuum to zero) the
+    // standing set is EMPTY, not an error: an empty (h) frame keeps
+    // probe() total and avoids reduce's opaque empty.reduceLeft throw.
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else vs.map(v => VersionedTable.read(s, root, Some(v)))
       .reduce(_ unionByName _)
       .distinct()
+  }
 
   /** Probe an eval frame against the standing index. */
   def probe(evalDocs: DataFrame, standing: DataFrame,

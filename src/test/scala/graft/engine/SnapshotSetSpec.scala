@@ -63,11 +63,54 @@ class SnapshotSetSpec extends SparkSpec {
     }
     // plus one orphan (crashed publish)
     VersionedTable.commit(Seq((9L, "orphan")).toDF("k", "v"), s"$root/tables/t")
-    val (mDropped, tDropped) = SnapshotSet.vacuumSet(spark, root, keepLast = 1)
+    val (mDropped, tDropped) =
+      SnapshotSet.vacuumSet(spark, root, keepLast = 1, graceMillis = 0L)
     assert(mDropped.size === 2)
     assert(tDropped("t").size === 3) // two superseded + one orphan
     assert(SnapshotSet.readTable(spark, root, "t")
       .collect().map(_.getString(1)).toSet === Set("v2"))
+  }
+
+  test("vacuumSet grace window protects an in-flight publish's table versions") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root,
+      Map("t" -> Seq((1L, "v0")).toDF("k", "v")))
+    // an in-flight publish: table version committed seconds ago, its
+    // manifest commit not yet landed — the default grace window must
+    // leave it alone so the writer's later manifest can still serve it
+    val inflight = VersionedTable.commit(
+      Seq((2L, "inflight")).toDF("k", "v"), s"$root/tables/t")
+    val (_, tDropped) = SnapshotSet.vacuumSet(spark, root, keepLast = 1)
+    assert(tDropped("t").isEmpty,
+      "fresh unreferenced versions must survive the grace window")
+    assert(VersionedTable.versions(spark, s"$root/tables/t").contains(inflight))
+    // the writer completes: its manifest commit publishes the set
+    SnapshotSet.publish(spark, root,
+      Map("t" -> Seq((3L, "v1")).toDF("k", "v")))
+    // past the grace window the orphan IS collected
+    val (_, tDropped2) =
+      SnapshotSet.vacuumSet(spark, root, keepLast = 1, graceMillis = 0L)
+    assert(tDropped2("t").contains(inflight))
+  }
+
+  test("vacuumSet sweeps table roots dropped from every kept manifest") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root, Map(
+      "keepme" -> Seq((1L, "a")).toDF("k", "v"),
+      "dropme" -> Seq((1L, "b")).toDF("k", "v")))
+    // the next set no longer carries dropme — its versions are now
+    // unreachable once the old manifest is vacuumed
+    SnapshotSet.publish(spark, root,
+      Map("keepme" -> Seq((2L, "a2")).toDF("k", "v")))
+    val (_, tDropped) =
+      SnapshotSet.vacuumSet(spark, root, keepLast = 1, graceMillis = 0L)
+    assert(tDropped("dropme").nonEmpty,
+      "retired tables must not leak versions forever")
+    assert(VersionedTable.versions(spark, s"$root/tables/dropme").isEmpty)
+    assert(SnapshotSet.readTable(spark, root, "keepme")
+      .collect().map(_.getString(1)).toSet === Set("a2"))
   }
 
   test("deleteWhere forks one table, re-references the rest, keeps old sets readable") {
@@ -86,10 +129,31 @@ class SnapshotSetSpec extends SparkSpec {
       "untouched tables must be re-referenced, not rewritten")
     // the pre-delete set stays readable until vacuumed
     assert(SnapshotSet.readTable(spark, root, "users", Some(s0)).count() === 2L)
-    SnapshotSet.vacuumSet(spark, root, keepLast = 1)
+    SnapshotSet.vacuumSet(spark, root, keepLast = 1, graceMillis = 0L)
     intercept[IllegalArgumentException] {
       SnapshotSet.readTable(spark, root, "users", Some(s0)).count()
     }
+  }
+
+  test("deleteWhere retains rows where the predicate is NULL (3VL)") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root, Map(
+      "users" -> Seq((1L, Some("x@y")), (2L, Option.empty[String]),
+        (3L, Some("keep@z"))).toDF("k", "email")))
+    // forget k=1 by email; user 2 has NO email — col === "x@y" is NULL
+    // there, and a naive filter(!pred) would delete them too
+    SnapshotSet.deleteWhere(spark, root, "users", col("email") === "x@y")
+    assert(SnapshotSet.readTable(spark, root, "users")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L),
+      "NULL-predicate rows must be retained by a targeted delete")
+    // same contract on the single-table API
+    val root2 = tmp()
+    VersionedTable.commit(Seq((1L, Some("x@y")), (2L, Option.empty[String]))
+      .toDF("k", "email"), root2)
+    VersionedTable.deleteWhere(spark, root2, col("email") === "x@y")
+    assert(VersionedTable.read(spark, root2)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
   test("racing publishes serialize: both sets commit, each internally consistent") {
