@@ -161,14 +161,10 @@ object SnapshotSet {
     val droppedTables = allTables.map { t =>
       val keep = live.getOrElse(t, Set.empty[Long])
       val r = tableRoot(root, t)
-      val doomed = VersionedTable.versions(s, r).filterNot(keep).filter { v =>
-        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$r/v=$v"))
-        st.getModificationTime < cutoff // in-flight publish protection
-      }
-      doomed.foreach { v =>
-        if (!fs.delete(new org.apache.hadoop.fs.Path(s"$r/v=$v"), true))
-          throw new java.io.IOException(s"SnapshotSet: cannot vacuum $r/v=$v")
-      }
+      val doomed = VersionedTable.versions(s, r).filterNot(keep)
+        // in-flight publish protection (commit-time, mode-aware)
+        .filter(v => VersionedTable.versionModTime(s, r, v) < cutoff)
+      doomed.foreach(v => VersionedTable.dropVersion(s, r, v))
       t -> doomed
     }.toMap
     (droppedManifests, droppedTables)

@@ -3,6 +3,31 @@ package graft.engine
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+/** The commit protocol a [[VersionedTable]] root uses. A root's mode is
+  * decided by its FIRST commit and sticky thereafter (detected from the
+  * on-disk layout); [[VersionedTable.defaultMode]] picks for new roots.
+  */
+sealed trait CommitMode
+object CommitMode {
+  /** Publish-by-atomic-directory-rename: correct on local FS and HDFS,
+    * where `rename` is an atomic metadata operation. WRONG on object
+    * stores (S3/GCS emulate rename as copy-then-delete — a crash midway
+    * leaves a PARTIAL version visible to readers).
+    */
+  case object Rename extends CommitMode
+
+  /** Publish-by-conditional-put manifest log: the data dir is written
+    * under a nonce name no reader ever resolves, and the commit point is
+    * ONE create-if-absent of `_manifests/v=<N>.json` naming it — the
+    * Delta/Iceberg-style protocol that is safe where rename is not
+    * atomic. On S3/GCS the put maps to a conditional PUT
+    * (If-None-Match / generation-0 precondition), which is atomic
+    * whole-object; on HDFS/local, `create(path, overwrite=false)` is an
+    * atomic O_EXCL create and the payload is one short buffered write.
+    */
+  case object ManifestLog extends CommitMode
+}
+
 /** Versioned snapshot table with time travel — a minimal Delta-style
   * commit protocol over plain parquet, giving the warehouse zone what the
   * reference's truncate-load Postgres tables cannot: every load keeps the
@@ -10,10 +35,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * job (snapshot isolation across re-loads), and a bad load is undone by
   * reading `asOf` the prior version instead of restoring a backup.
   *
-  * Layout: `<root>/v=<N>/` one self-contained parquet dir per version.
+  * Two commit modes (see [[CommitMode]]):
   *
-  * Commit protocol (crash-safe, single-writer-atomic):
-  *   1. the snapshot writes to `<root>/.tmp-v<N>-<nonce>` — dot-prefixed,
+  * RENAME mode — layout: `<root>/v=<N>/` one self-contained parquet dir
+  * per version. Protocol (crash-safe, single-writer-atomic):
+  *   1. the snapshot writes to `<root>/.tmp-<nonce>` — dot-prefixed,
   *      so no reader ever lists it;
   *   2. ONE atomic directory rename publishes it as `<root>/v=<N>`.
   *
@@ -33,22 +59,60 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * discipline as [[Sinks.swapWrite]], with nonce-verified arbitration
   * and history retained instead of swapped.
   *
+  * MANIFEST-LOG mode — layout: `<root>/data-<nonce>/` immutable parquet
+  * payloads plus `<root>/_manifests/v=<N>.json`, each one line naming
+  * its payload dir. Protocol:
+  *   1. the snapshot writes DIRECTLY to `<root>/data-<nonce>` — visible
+  *      on the store but unreachable, because readers only resolve dirs
+  *      THROUGH manifests;
+  *   2. ONE conditional put (create-if-absent) of `v=<N>.json` commits.
+  *
+  * No rename ever happens on the publish path, so the protocol is
+  * correct on object stores where rename is copy-then-delete: a writer
+  * crashing mid-"rename" can corrupt nothing readers resolve, and a
+  * writer crashing after the data write leaves an unreferenced data dir
+  * a later commit's opportunistic cleanup (or vacuum) retires. Racing
+  * writers arbitrate on the create-if-absent — the loser's put fails
+  * cleanly and it retries at N+1 (vs rename mode's bury-and-recover
+  * dance). ObjectStoreCommitSpec demonstrates both halves under a
+  * FileSystem whose rename is non-atomic with an injected crash.
+  *
   * At scale the listing is one directory's metadata (versions, not
   * files); snapshots are immutable so caches/bucketing survive; `vacuum`
   * bounds storage by dropping all but the last `keepLast` versions.
   */
 object VersionedTable {
 
+  /** Commit mode for roots that do not exist yet. Existing roots keep
+    * the mode their first commit chose regardless of this default —
+    * mixing protocols within one root would reintroduce the rename
+    * hazard through the back door. Settable process-wide (e.g. a job on
+    * S3 sets ManifestLog once at startup).
+    */
+  @volatile var defaultMode: CommitMode = CommitMode.Rename
+
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val VDir = "^v=(\\d+)$".r
+  private val MFile = "^v=(\\d+)\\.json$".r
+  private val MDirName = "_manifests"
 
-  /** Committed versions at `root`, ascending. Empty if the table does not
-    * exist yet.
+  private def manifestPath(root: String, v: Long) =
+    new Path(s"$root/$MDirName/v=$v.json")
+
+  /** The root's sticky mode: layout wins over the process default (a
+    * root committed in one protocol must never be appended to in the
+    * other — the reader contract differs).
     */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
+  def modeOf(spark: SparkSession, root: String): CommitMode = {
     val fs = fsOf(spark, root)
+    if (fs.exists(new Path(s"$root/$MDirName"))) CommitMode.ManifestLog
+    else if (renameVersions(fs, root).nonEmpty) CommitMode.Rename
+    else defaultMode
+  }
+
+  private def renameVersions(fs: FileSystem, root: String): Seq[Long] = {
     val p = new Path(root)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
@@ -60,14 +124,148 @@ object VersionedTable {
       .sorted
   }
 
+  private def manifestVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(s"$root/$MDirName")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case MFile(n) => Some(n.toLong)
+        case _ => None
+      })
+      .sorted
+  }
+
+  /** Committed versions at `root`, ascending. Empty if the table does not
+    * exist yet. Mode-agnostic (a root is one mode in practice; the union
+    * keeps readers total either way).
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    (renameVersions(fs, root) ++ manifestVersions(fs, root)).distinct.sorted
+  }
+
+  // -- manifest-log primitives ------------------------------------------
+
+  /** The atomic commit point of manifest mode: whole-payload
+    * put-if-absent. Per-filesystem strategy (the Delta LogStore
+    * discipline — each store's one atomic primitive):
+    *
+    *   - LOCAL (incl. test shims extending RawLocalFileSystem): Hadoop's
+    *     `create(overwrite=false)` is check-then-create — NOT atomic, two
+    *     racing writers both pass the check. POSIX `link(2)` is the real
+    *     primitive: write the payload to a hidden sibling, hard-link it
+    *     into place (atomic create-if-absent, payload appears whole).
+    *   - HDFS: `create(overwrite=false)` IS atomic — the NameNode
+    *     arbitrates the create server-side under a lease.
+    *   - object stores: this call maps to a conditional PUT
+    *     (If-None-Match / generation preconditions) — atomic whole-object
+    *     visibility, which is the semantics both branches model.
+    *
+    * Returns false iff someone else holds the path.
+    */
+  private def putIfAbsent(fs: FileSystem, path: Path, body: String): Boolean = {
+    if (fs.exists(path)) return false
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    if (isLocal) {
+      val target = java.nio.file.Paths.get(path.toUri.getPath)
+      val tmp = target.resolveSibling(
+        s".put-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out =
+        try fs.create(path, false)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                     _: java.nio.file.FileAlreadyExistsException => return false }
+      try out.write(bytes)
+      finally out.close()
+      true
+    }
+  }
+
+  private val DirField = """"dir"\s*:\s*"([^"]+)"""".r.unanchored
+
+  /** The payload dir a committed manifest names, relative to root. */
+  private def manifestDataDir(fs: FileSystem, root: String, v: Long): Option[String] = {
+    val p = manifestPath(root, v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        bytes.toString("UTF-8")
+      } finally in.close()
+      body match {
+        case DirField(d) => Some(d)
+        case _ => throw new java.io.IOException(
+          s"VersionedTable: torn or foreign manifest $p: '$body'")
+      }
+    }
+  }
+
+  /** Physical dir of a committed version, whichever protocol wrote it. */
+  private def dataPath(spark: SparkSession, root: String, v: Long): Path = {
+    val fs = fsOf(spark, root)
+    manifestDataDir(fs, root, v) match {
+      case Some(d) => new Path(s"$root/$d")
+      case None => new Path(s"$root/v=$v")
+    }
+  }
+
+  /** When version `v` was committed — the manifest file's mtime in
+    * manifest mode (the actual commit point), the version dir's in
+    * rename mode. Used by vacuum grace windows.
+    */
+  private[engine] def versionModTime(spark: SparkSession, root: String, v: Long): Long = {
+    val fs = fsOf(spark, root)
+    val m = manifestPath(root, v)
+    if (fs.exists(m)) fs.getFileStatus(m).getModificationTime
+    else fs.getFileStatus(new Path(s"$root/v=$v")).getModificationTime
+  }
+
+  /** Physically drop one committed version in either mode: the manifest
+    * goes FIRST (the version disappears atomically for readers), then
+    * its payload dir.
+    */
+  private[engine] def dropVersion(spark: SparkSession, root: String, v: Long): Unit = {
+    val fs = fsOf(spark, root)
+    val m = manifestPath(root, v)
+    if (fs.exists(m)) {
+      val dir = manifestDataDir(fs, root, v)
+      if (!fs.delete(m, false))
+        throw new java.io.IOException(s"VersionedTable: cannot drop manifest $m")
+      dir.foreach { d =>
+        val dp = new Path(s"$root/$d")
+        if (fs.exists(dp) && !fs.delete(dp, true))
+          throw new java.io.IOException(s"VersionedTable: cannot drop payload $dp")
+      }
+    } else {
+      if (!fs.delete(new Path(s"$root/v=$v"), true))
+        throw new java.io.IOException(s"VersionedTable: cannot vacuum v=$v at $root")
+    }
+  }
+
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
   /** Publish `df` as the next version; returns the committed version
-    * number. Optimistic under writer races: loses a rename, retries at
-    * the next number.
+    * number. Optimistic under writer races: loses the commit point
+    * (rename or conditional put, per the root's mode), retries at the
+    * next number.
     */
-  def commit(df: DataFrame, root: String): Long = {
+  def commit(df: DataFrame, root: String): Long =
+    modeOf(df.sparkSession, root) match {
+      case CommitMode.Rename => commitRename(df, root)
+      case CommitMode.ManifestLog => commitManifest(df, root)
+    }
+
+  private def commitRename(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
@@ -111,6 +309,45 @@ object VersionedTable {
     attempt
   }
 
+  /** Test seam: invoked between the data write and the manifest put —
+    * ObjectStoreCommitSpec injects a crash here to prove a writer dying
+    * at the worst moment leaves readers on the previous version.
+    */
+  @volatile private[engine] var beforeManifestPut: () => Unit = () => ()
+
+  private def commitManifest(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(s"$root/$MDirName"))
+    // opportunistic cleanup: data dirs no manifest references and older
+    // than 1h are crashed writers' leftovers (rename mode's .tmp sweep,
+    // manifest-style). Referenced set first so a dir committed between
+    // the two listings can't be misjudged.
+    val referenced = manifestVersions(fs, root)
+      .flatMap(v => manifestDataDir(fs, root, v)).toSet
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-") &&
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < System.currentTimeMillis() - 3600L * 1000L)
+      .foreach(st => fs.delete(st.getPath, true))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"data-$nonce"
+    // the payload goes STRAIGHT to its final name — never renamed, and
+    // unreachable until a manifest names it
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dirName")
+    beforeManifestPut()
+    var attempt = latestVersion(spark, root).map(_ + 1L).getOrElse(0L)
+    val lastAttempt = attempt + 10000L // liveness guard, as in rename mode
+    while (true) {
+      if (attempt > lastAttempt) throw new java.io.IOException(
+        s"VersionedTable: gave up publishing $dirName after 10000 contested versions")
+      if (putIfAbsent(fs, manifestPath(root, attempt),
+          s"""{"version":$attempt,"dir":"$dirName"}""")) return attempt
+      attempt += 1L // lost the conditional put — no recovery dance needed
+    }
+    -1L // unreachable
+  }
+
   /** Read a snapshot: the latest version, or exactly `asOf` (which must
     * be committed — reading an uncommitted/vacuumed version is an error,
     * not silent fallback).
@@ -125,7 +362,7 @@ object VersionedTable {
         n
       case None => vs.last
     }
-    spark.read.parquet(s"$root/v=$v")
+    spark.read.parquet(dataPath(spark, root, v).toString)
   }
 
   /** Publish `df` at EXACTLY `version` if that version does not already
@@ -135,7 +372,35 @@ object VersionedTable {
     * version by batchId turns an at-least-once replay into a skipped
     * commit (the replayed batch finds its version already on disk).
     */
-  def commitIfAbsent(df: DataFrame, root: String, version: Long): Boolean = {
+  def commitIfAbsent(df: DataFrame, root: String, version: Long): Boolean =
+    modeOf(df.sparkSession, root) match {
+      case CommitMode.Rename => commitIfAbsentRename(df, root, version)
+      case CommitMode.ManifestLog => commitIfAbsentManifest(df, root, version)
+    }
+
+  private def commitIfAbsentManifest(df: DataFrame, root: String,
+      version: Long): Boolean = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val m = manifestPath(root, version)
+    if (fs.exists(m)) return false
+    fs.mkdirs(new Path(s"$root/$MDirName"))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"data-$nonce"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dirName")
+    beforeManifestPut()
+    if (putIfAbsent(fs, m, s"""{"version":$version,"dir":"$dirName"}""")) true
+    else {
+      // lost to a racing replay — its commit stands; our payload is
+      // unreferenced garbage, retire it now rather than waiting for the
+      // 1h sweep
+      fs.delete(new Path(s"$root/$dirName"), true)
+      false
+    }
+  }
+
+  private def commitIfAbsentRename(df: DataFrame, root: String,
+      version: Long): Boolean = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val dest = new Path(s"$root/v=$version")
@@ -231,13 +496,12 @@ object VersionedTable {
     val v = latestVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"VersionedTable: nothing to compact at $root"))
-    val dir = new Path(s"$root/v=$v")
-    val parts = fs.listStatus(dir).toSeq
+    val parts = fs.listStatus(dataPath(spark, root, v)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val newV = commit(read(spark, root).coalesce(nOut), root)
-    val after = fs.listStatus(new Path(s"$root/v=$newV")).toSeq
+    val after = fs.listStatus(dataPath(spark, root, newV)).toSeq
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     (newV, parts.size, after)
   }
@@ -247,12 +511,8 @@ object VersionedTable {
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
-    val fs = fsOf(spark, root)
     val doomed = versions(spark, root).dropRight(keepLast)
-    doomed.foreach { v =>
-      if (!fs.delete(new Path(s"$root/v=$v"), true))
-        throw new java.io.IOException(s"VersionedTable: cannot vacuum v=$v at $root")
-    }
+    doomed.foreach(v => dropVersion(spark, root, v))
     doomed
   }
 }
