@@ -38,4 +38,89 @@ object SnapshotIngest {
     run(events, checkpoint) { (batch, batchId) =>
       VersionedTable.commitIfAbsent(derive(batch, batchId), root, batchId): Unit
     }
+
+  // -- self-compacting lanes ---------------------------------------------
+  //
+  // A long-running lane commits one snapshot per micro-batch forever;
+  // after a week that is thousands of tiny versions whose union is
+  // million-file metadata pressure on every standing read. Compaction
+  // folds them — but it must NOT publish into the batchId keyspace: a
+  // compacted snapshot committed at max+1 would occupy a FUTURE batch's
+  // version, and that batch's commitIfAbsent would silently skip — data
+  // loss. So the fold lives in its own VersionedTable at `<root>/_base`,
+  // and the base VERSION NUMBER is the fold HORIZON: base v=H holds the
+  // fold of every log version <= H. That one invariant buys exactness
+  // through every crash window with no extra bookkeeping:
+  //   - crash after base commit, before log drops: the leftovers are
+  //     <= horizon, excluded from every standing read, swept by the next
+  //     trigger;
+  //   - replayed compaction: commitIfAbsent at the same horizon no-ops;
+  //   - replayed BATCH whose version was folded+dropped: the re-commit
+  //     lands <= horizon, so standing reads never double-count it.
+
+  private def baseRoot(root: String) = s"$root/_base"
+
+  /** The fold horizon: every log version <= this is already in the base. */
+  def horizon(s: SparkSession, root: String): Option[Long] =
+    VersionedTable.latestVersion(s, baseRoot(root))
+
+  /** Log versions not yet folded (the versions a standing read unions). */
+  def liveVersions(s: SparkSession, root: String): Seq[Long] = {
+    val h = horizon(s, root)
+    VersionedTable.versions(s, root).filter(v => h.forall(v > _))
+  }
+
+  /** The standing state of a compacting lane: the lane's own merge over
+    * the base (if any fold happened) plus the live log versions. `fold`
+    * is the lane's merge — the same one compaction uses, so
+    * standing-before == standing-after by the merge's associativity.
+    */
+  def standing(s: SparkSession, root: String)(
+      fold: Seq[DataFrame] => DataFrame): DataFrame = {
+    val base = horizon(s, root)
+      .map(h => VersionedTable.read(s, baseRoot(root), Some(h))).toSeq
+    fold(base ++ liveVersions(s, root).map(v => VersionedTable.read(s, root, Some(v))))
+  }
+
+  /** Sweep fold leftovers and, if the live version count crossed
+    * `maxLiveVersions`, fold base+live into a new base snapshot at
+    * horizon = max(live) and truncate the folded log versions. Returns
+    * the new horizon when a fold published. Single-writer per lane (the
+    * streaming query's foreachBatch), like every commit here.
+    */
+  def maybeCompact(s: SparkSession, root: String, maxLiveVersions: Int)(
+      fold: Seq[DataFrame] => DataFrame): Option[Long] = {
+    val h = horizon(s, root)
+    // leftovers of a fold that crashed before its drops: already served
+    // by the base, invisible to standing reads — finish the truncation
+    VersionedTable.versions(s, root).filter(v => h.exists(v <= _))
+      .foreach(v => VersionedTable.dropVersion(s, root, v))
+    val live = liveVersions(s, root)
+    if (live.size < maxLiveVersions) None
+    else {
+      val newH = live.max
+      val folded = fold(
+        h.map(hh => VersionedTable.read(s, baseRoot(root), Some(hh))).toSeq ++
+          live.map(v => VersionedTable.read(s, root, Some(v))))
+      // the base write fully materializes BEFORE any input version drops
+      VersionedTable.commitIfAbsent(folded, baseRoot(root), newH)
+      live.foreach(v => VersionedTable.dropVersion(s, root, v))
+      Some(newH)
+    }
+  }
+
+  /** [[toVersioned]] with the auto-compaction policy: every batch
+    * commits exactly-once as before, and when the live log crosses
+    * `maxLiveVersions` the lane folds itself. `fold` must be the lane's
+    * merge (union∪distinct for gram sets, plain union for CDC logs…) —
+    * associative, so batch boundaries stay invisible.
+    */
+  def toVersionedCompacting(events: DataFrame, root: String,
+      checkpoint: String, maxLiveVersions: Int = 16)(
+      derive: (DataFrame, Long) => DataFrame)(
+      fold: Seq[DataFrame] => DataFrame): StreamingQuery =
+    run(events, checkpoint) { (batch, batchId) =>
+      VersionedTable.commitIfAbsent(derive(batch, batchId), root, batchId)
+      maybeCompact(batch.sparkSession, root, maxLiveVersions)(fold): Unit
+    }
 }
