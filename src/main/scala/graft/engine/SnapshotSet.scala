@@ -53,13 +53,24 @@ object SnapshotSet {
     * Returns the manifest version. Crash before the final commit ⇒ the
     * previous set stays served; nothing partial is ever readable.
     */
+  /** The whole set commits under ONE protocol: the manifest root's
+    * sticky mode (or, for a brand-new set, the process default captured
+    * once here). Threaded explicitly into every table-root commit so a
+    * table added to the set LATER — possibly after the process-wide
+    * default flipped — can never take a different commit mode than the
+    * set it belongs to.
+    */
+  private def setMode(s: SparkSession, root: String): Some[CommitMode] =
+    Some(VersionedTable.modeOf(s, manifestRoot(root)))
+
   def publish(s: SparkSession, root: String,
       tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "SnapshotSet.publish: empty table set")
+    val mode = setMode(s, root)
     val committed = tables.map { case (name, df) =>
-      name -> VersionedTable.commit(df, tableRoot(root, name))
+      name -> VersionedTable.commit(df, tableRoot(root, name), mode)
     }
-    VersionedTable.commit(manifestDf(s, committed), manifestRoot(root))
+    VersionedTable.commit(manifestDf(s, committed), manifestRoot(root), mode)
   }
 
   /** Publish the set at EXACTLY manifest version `setId` if absent —
@@ -73,11 +84,45 @@ object SnapshotSet {
     require(tables.nonEmpty, "SnapshotSet.publishIfAbsent: empty table set")
     if (VersionedTable.versions(s, manifestRoot(root)).contains(setId))
       return false
+    val mode = setMode(s, root)
     val committed = tables.map { case (name, df) =>
-      name -> VersionedTable.commit(df, tableRoot(root, name))
+      name -> VersionedTable.commit(df, tableRoot(root, name), mode)
     }
     VersionedTable.commitIfAbsent(manifestDf(s, committed),
-      manifestRoot(root), setId)
+      manifestRoot(root), setId, mode)
+  }
+
+  /** Multi-writer publish: commit ONLY `tables` and re-reference every
+    * other table of the latest manifest at its current version, so two
+    * writers owning disjoint subsets can publish concurrently without
+    * last-manifest-wins erasing each other's updates ([[publish]]'s
+    * manifest names only its own tables — correct for whole-set loads,
+    * wrong for partitioned ownership). Optimistic concurrency on the
+    * manifest number: losing the commitIfAbsent re-reads the (newer)
+    * manifest and retries, so every writer's tables survive into the
+    * final lineage — the spec pins two concurrent disjoint writers both
+    * visible. Table data commits once, outside the retry loop; only the
+    * N-row manifest re-publishes on contention.
+    */
+  def publishMerged(s: SparkSession, root: String,
+      tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "SnapshotSet.publishMerged: empty table set")
+    val mode = setMode(s, root)
+    val committed = tables.map { case (name, df) =>
+      name -> VersionedTable.commit(df, tableRoot(root, name), mode)
+    }
+    var attempt = latestSet(s, root).map(_ + 1L).getOrElse(0L)
+    val lastAttempt = attempt + 10000L // liveness guard, as in VersionedTable
+    while (true) {
+      if (attempt > lastAttempt) throw new java.io.IOException(
+        s"SnapshotSet: gave up merge-publishing at $root after 10000 contested sets")
+      val base = setVersions(s, root).lastOption
+        .map(v => manifest(s, root, Some(v))).getOrElse(Map.empty[String, Long])
+      if (VersionedTable.commitIfAbsent(manifestDf(s, base ++ committed),
+          manifestRoot(root), attempt, mode)) return attempt
+      attempt += 1L // lost the manifest race — merge against the winner and retry
+    }
+    -1L // unreachable
   }
 
   /** Committed set versions, ascending. */
@@ -122,10 +167,12 @@ object SnapshotSet {
     // three-valued logic `!pred` is NULL (not true) when pred is NULL,
     // so filter(!pred) would silently drop every NULL-predicate row —
     // data loss in a forget-me API. `pred <=> true` maps NULL to false.
+    val mode = setMode(s, root)
     val newV = VersionedTable.commit(
       readTable(s, root, table).filter(!(pred <=> lit(true))),
-      tableRoot(root, table))
-    VersionedTable.commit(manifestDf(s, m + (table -> newV)), manifestRoot(root))
+      tableRoot(root, table), mode)
+    VersionedTable.commit(manifestDf(s, m + (table -> newV)),
+      manifestRoot(root), mode)
   }
 
   /** Retire everything not reachable from the newest `keepLast`

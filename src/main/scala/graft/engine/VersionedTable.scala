@@ -105,12 +105,8 @@ object VersionedTable {
     * root committed in one protocol must never be appended to in the
     * other — the reader contract differs).
     */
-  def modeOf(spark: SparkSession, root: String): CommitMode = {
-    val fs = fsOf(spark, root)
-    if (fs.exists(new Path(s"$root/$MDirName"))) CommitMode.ManifestLog
-    else if (renameVersions(fs, root).nonEmpty) CommitMode.Rename
-    else defaultMode
-  }
+  def modeOf(spark: SparkSession, root: String): CommitMode =
+    resolveMode(spark, root, None)
 
   private def renameVersions(fs: FileSystem, root: String): Seq[Long] = {
     val p = new Path(root)
@@ -128,7 +124,9 @@ object VersionedTable {
     val p = new Path(s"$root/$MDirName")
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(_.isFile)
+      // zero-length = a writer died between create() and close(); such a
+      // manifest is UNCOMMITTED (skipped here, reclaimed by putIfAbsent)
+      .filter(st => st.isFile && isCommittedManifest(st))
       .flatMap(st => st.getPath.getName match {
         case MFile(n) => Some(n.toLong)
         case _ => None
@@ -147,6 +145,33 @@ object VersionedTable {
 
   // -- manifest-log primitives ------------------------------------------
 
+  /** LogStore-style pluggable commit point. The default [[putIfAbsent]]
+    * below is correct on local FS (hard link) and HDFS (atomic
+    * server-side create under a lease), but on STOCK S3A
+    * `create(overwrite=false)` is a client-side HEAD-then-PUT: two
+    * racing writers both pass the check and the later close() silently
+    * overwrites the earlier manifest — both commits "succeed", one
+    * snapshot is lost. This is exactly why Delta requires an external
+    * LogStore on S3. Hadoop only issues a real If-None-Match
+    * conditional create on S3A in 3.4.1+ with the capability explicitly
+    * enabled. Deployments on such stores install their store's true
+    * conditional-PUT (or a DynamoDB/ZK lock) here; receives
+    * (fs, path, body) and must return true iff THIS call created the
+    * file. Without an override, manifest mode must be treated as
+    * SINGLE-WRITER on stock S3A (multi-writer arbitration is only as
+    * strong as the store's create-if-absent).
+    */
+  @volatile var putIfAbsentOverride:
+      Option[(FileSystem, Path, String) => Boolean] = None
+
+  /** A manifest counts as committed only when it has bytes: a writer
+    * dying between create() and close() can leave a zero-length
+    * v=N.json, which must read as UNCOMMITTED (skipped by listings,
+    * reclaimable at commit time) — never as a bricked version.
+    */
+  private def isCommittedManifest(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    st.getLen > 0
+
   /** The atomic commit point of manifest mode: whole-payload
     * put-if-absent. Per-filesystem strategy (the Delta LogStore
     * discipline — each store's one atomic primitive):
@@ -158,14 +183,30 @@ object VersionedTable {
     *     into place (atomic create-if-absent, payload appears whole).
     *   - HDFS: `create(overwrite=false)` IS atomic — the NameNode
     *     arbitrates the create server-side under a lease.
-    *   - object stores: this call maps to a conditional PUT
-    *     (If-None-Match / generation preconditions) — atomic whole-object
-    *     visibility, which is the semantics both branches model.
+    *   - object stores: install [[putIfAbsentOverride]] with the store's
+    *     real conditional PUT (If-None-Match / generation-0
+    *     precondition). Stock S3A's create(overwrite=false) is NOT
+    *     conditional — see the override's docs.
     *
-    * Returns false iff someone else holds the path.
+    * A zero-length file at `path` (a writer that died between create()
+    * and close() on the non-link branch) is reclaimed: deleted and the
+    * put retried, so a torn manifest can never permanently brick the
+    * version — it either stays invisible (listings skip empty
+    * manifests) or is replaced by a whole one.
+    *
+    * Returns false iff someone else holds the path with a committed
+    * (non-empty) manifest.
     */
   private def putIfAbsent(fs: FileSystem, path: Path, body: String): Boolean = {
-    if (fs.exists(path)) return false
+    putIfAbsentOverride match {
+      case Some(put) => return put(fs, path, body)
+      case None =>
+    }
+    if (fs.exists(path)) {
+      if (isCommittedManifest(fs.getFileStatus(path))) return false
+      // torn leftover: uncommitted by contract, reclaim the name
+      fs.delete(path, false)
+    }
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
@@ -203,6 +244,8 @@ object VersionedTable {
       } finally in.close()
       body match {
         case DirField(d) => Some(d)
+        // zero-length = torn leftover of a crashed create(): uncommitted
+        case "" => None
         case _ => throw new java.io.IOException(
           s"VersionedTable: torn or foreign manifest $p: '$body'")
       }
@@ -220,33 +263,46 @@ object VersionedTable {
 
   /** When version `v` was committed — the manifest file's mtime in
     * manifest mode (the actual commit point), the version dir's in
-    * rename mode. Used by vacuum grace windows.
+    * rename mode. Used by vacuum grace windows. TOTAL: a version swept
+    * by a concurrent vacuum between listing and this call reports
+    * Long.MaxValue ("too new to touch"), so the caller's grace filter
+    * skips it instead of aborting the whole sweep on FileNotFound.
     */
-  private[engine] def versionModTime(spark: SparkSession, root: String, v: Long): Long = {
-    val fs = fsOf(spark, root)
-    val m = manifestPath(root, v)
-    if (fs.exists(m)) fs.getFileStatus(m).getModificationTime
-    else fs.getFileStatus(new Path(s"$root/v=$v")).getModificationTime
-  }
+  private[engine] def versionModTime(spark: SparkSession, root: String, v: Long): Long =
+    try {
+      val fs = fsOf(spark, root)
+      val m = manifestPath(root, v)
+      if (fs.exists(m)) fs.getFileStatus(m).getModificationTime
+      else fs.getFileStatus(new Path(s"$root/v=$v")).getModificationTime
+    } catch {
+      case _: java.io.FileNotFoundException => Long.MaxValue
+    }
 
   /** Physically drop one committed version in either mode: the manifest
     * goes FIRST (the version disappears atomically for readers), then
-    * its payload dir.
+    * its payload dir. Dropping a version that is ALREADY gone (a
+    * concurrent vacuum won the race) is a no-op, not an error — the
+    * caller's intent ("this version must not exist") holds either way.
     */
-  private[engine] def dropVersion(spark: SparkSession, root: String, v: Long): Unit = {
+  private[graft] def dropVersion(spark: SparkSession, root: String, v: Long): Unit = {
     val fs = fsOf(spark, root)
     val m = manifestPath(root, v)
+    if (!fs.exists(m) && !fs.exists(new Path(s"$root/v=$v"))) return
+    // a delete that "fails" because someone else already removed the
+    // path is the race above landing mid-drop — success by other means
+    def deleted(p: Path, recursive: Boolean): Boolean =
+      fs.delete(p, recursive) || !fs.exists(p)
     if (fs.exists(m)) {
       val dir = manifestDataDir(fs, root, v)
-      if (!fs.delete(m, false))
+      if (!deleted(m, recursive = false))
         throw new java.io.IOException(s"VersionedTable: cannot drop manifest $m")
       dir.foreach { d =>
         val dp = new Path(s"$root/$d")
-        if (fs.exists(dp) && !fs.delete(dp, true))
+        if (fs.exists(dp) && !deleted(dp, recursive = true))
           throw new java.io.IOException(s"VersionedTable: cannot drop payload $dp")
       }
     } else {
-      if (!fs.delete(new Path(s"$root/v=$v"), true))
+      if (!deleted(new Path(s"$root/v=$v"), recursive = true))
         throw new java.io.IOException(s"VersionedTable: cannot vacuum v=$v at $root")
     }
   }
@@ -260,10 +316,34 @@ object VersionedTable {
     * next number.
     */
   def commit(df: DataFrame, root: String): Long =
-    modeOf(df.sparkSession, root) match {
+    commit(df, root, newRootMode = None)
+
+  /** [[commit]] with the mode a NEW root should take, threaded
+    * explicitly by parents creating child roots (a compacting lane's
+    * `_base`, a SnapshotSet's table roots) so the child inherits the
+    * parent structure's protocol instead of whatever the mutable
+    * process-wide [[defaultMode]] happens to be at child-creation time —
+    * on an object store that drift would silently reintroduce the
+    * torn-rename hazard on the child path. An EXISTING root keeps its
+    * sticky on-disk mode regardless.
+    */
+  def commit(df: DataFrame, root: String,
+      newRootMode: Option[CommitMode]): Long =
+    resolveMode(df.sparkSession, root, newRootMode) match {
       case CommitMode.Rename => commitRename(df, root)
       case CommitMode.ManifestLog => commitManifest(df, root)
     }
+
+  /** The root's sticky layout mode if it exists, else the caller's
+    * explicit choice for a new root, else the process default.
+    */
+  private def resolveMode(spark: SparkSession, root: String,
+      newRootMode: Option[CommitMode]): CommitMode = {
+    val fs = fsOf(spark, root)
+    if (fs.exists(new Path(s"$root/$MDirName"))) CommitMode.ManifestLog
+    else if (renameVersions(fs, root).nonEmpty) CommitMode.Rename
+    else newRootMode.getOrElse(defaultMode)
+  }
 
   private def commitRename(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
@@ -373,7 +453,14 @@ object VersionedTable {
     * commit (the replayed batch finds its version already on disk).
     */
   def commitIfAbsent(df: DataFrame, root: String, version: Long): Boolean =
-    modeOf(df.sparkSession, root) match {
+    commitIfAbsent(df, root, version, newRootMode = None)
+
+  /** [[commitIfAbsent]] with an explicit mode for a NEW root — see
+    * [[commit]]'s three-arg overload for why parents thread this.
+    */
+  def commitIfAbsent(df: DataFrame, root: String, version: Long,
+      newRootMode: Option[CommitMode]): Boolean =
+    resolveMode(df.sparkSession, root, newRootMode) match {
       case CommitMode.Rename => commitIfAbsentRename(df, root, version)
       case CommitMode.ManifestLog => commitIfAbsentManifest(df, root, version)
     }
@@ -383,7 +470,9 @@ object VersionedTable {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val m = manifestPath(root, version)
-    if (fs.exists(m)) return false
+    // a zero-length manifest is a torn leftover, NOT a committed version
+    // — reporting "already committed" here would drop the replay's data
+    if (fs.exists(m) && isCommittedManifest(fs.getFileStatus(m))) return false
     fs.mkdirs(new Path(s"$root/$MDirName"))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"data-$nonce"

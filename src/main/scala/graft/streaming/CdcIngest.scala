@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.engine.{Cdc, VersionedTable}
+import graft.engine.Cdc
 
 /** Streaming CDC ingest — the streaming form of x207's [[Cdc]]: each
   * micro-batch of I/U/D events commits as a [[VersionedTable]] log
@@ -28,11 +28,29 @@ object CdcIngest {
       checkpoint: String): StreamingQuery =
     SnapshotIngest.toVersioned(events, root, checkpoint)((batch, _) => batch)
 
-  /** The committed log at a point in time. */
+  /** The lane's merge — plain union: a CDC log is append-only and
+    * `applyCdc` is a whole-log per-key argmax, so any regrouping of
+    * the events is invisible (associative, order-free).
+    */
+  val logFold: Seq[DataFrame] => DataFrame = _.reduce(_ unionByName _)
+
+  /** [[streamingCdcIngest]] with self-compaction: once the live log
+    * crosses `maxLiveVersions`, base+live fold into ONE log snapshot
+    * (same rows, one version — the win is version/file metadata, not
+    * row count; the served table is identical because apply is an
+    * argmax over the union either way).
+    */
+  def streamingCdcIngestCompacting(events: DataFrame, root: String,
+      checkpoint: String, maxLiveVersions: Int = 16): StreamingQuery =
+    SnapshotIngest.toVersionedCompacting(events, root, checkpoint,
+      maxLiveVersions)((batch, _) => batch)(logFold)
+
+  /** The committed log at a point in time: the compacted base (if a
+    * fold happened) plus every live version — identical to the plain
+    * union of all committed snapshots by the fold's associativity.
+    */
   def logFromSnapshots(s: SparkSession, root: String): DataFrame =
-    VersionedTable.versions(s, root)
-      .map(v => VersionedTable.read(s, root, Some(v)))
-      .reduce(_ unionByName _)
+    SnapshotIngest.standing(s, root)(logFold)
 
   /** Serve: apply the committed log to the base. */
   def serve(s: SparkSession, base: DataFrame, root: String,

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.engine.{Tables, VersionedTable}
 import graft.ext.Dedup
 
 /** Streaming contamination guard — the x210 audit as a continuously
@@ -33,22 +32,40 @@ object ContaminationIngest {
     SnapshotIngest.toVersioned(docs, root, checkpoint)(
       (batch, _) => gramBatch(batch))
 
-  /** The standing train gram set: the distinct union of every
-    * committed snapshot.
+  /** The lane's merge — union ∪ distinct over gram partials. It is the
+    * SAME fold standing reads and compaction use, so fold boundaries
+    * are invisible by associativity (merge-equals-rebuild, x211).
+    */
+  val gramFold: Seq[DataFrame] => DataFrame =
+    dfs => dfs.reduce(_ unionByName _).distinct()
+
+  /** [[streamingGramIngest]] with self-compaction: a week-long lane
+    * commits thousands of tiny per-batch gram snapshots; once the live
+    * log crosses `maxLiveVersions`, the lane folds base+live into one
+    * distinct base snapshot (shrinking, since grams repeat across
+    * batches) and truncates the folded versions. Standing probes are
+    * unchanged — [[standingGrams]] reads base + live either way.
+    */
+  def streamingGramIngestCompacting(docs: DataFrame, root: String,
+      checkpoint: String, maxLiveVersions: Int = 16): StreamingQuery =
+    SnapshotIngest.toVersionedCompacting(docs, root, checkpoint,
+      maxLiveVersions)((batch, _) => gramBatch(batch))(gramFold)
+
+  /** The standing train gram set: the distinct union of the compacted
+    * base (if any fold happened) and every live committed snapshot.
     */
   def standingGrams(s: SparkSession, root: String): DataFrame = {
-    val vs = VersionedTable.versions(s, root)
+    val hasBase = SnapshotIngest.horizon(s, root).isDefined
+    val live = SnapshotIngest.liveVersions(s, root)
     // Before the first batch commits (or after a vacuum to zero) the
     // standing set is EMPTY, not an error: an empty (h) frame keeps
     // probe() total and avoids reduce's opaque empty.reduceLeft throw.
-    if (vs.isEmpty)
+    if (!hasBase && live.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("h",
             org.apache.spark.sql.types.LongType, nullable = false))))
-    else vs.map(v => VersionedTable.read(s, root, Some(v)))
-      .reduce(_ unionByName _)
-      .distinct()
+    else SnapshotIngest.standing(s, root)(gramFold)
   }
 
   /** Probe an eval frame against the standing index. */

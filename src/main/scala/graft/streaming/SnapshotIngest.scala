@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.engine.VersionedTable
@@ -102,9 +102,21 @@ object SnapshotIngest {
       val folded = fold(
         h.map(hh => VersionedTable.read(s, baseRoot(root), Some(hh))).toSeq ++
           live.map(v => VersionedTable.read(s, root, Some(v))))
-      // the base write fully materializes BEFORE any input version drops
-      VersionedTable.commitIfAbsent(folded, baseRoot(root), newH)
+      // the base write fully materializes BEFORE any input version
+      // drops. The _base root inherits the LOG root's commit mode
+      // explicitly — on an object store, falling back to the mutable
+      // process default here would let a rename-mode base sneak under a
+      // manifest-mode lane, reintroducing the torn-rename hazard on the
+      // compacted path.
+      VersionedTable.commitIfAbsent(folded, baseRoot(root), newH,
+        Some(VersionedTable.modeOf(s, root)))
       live.foreach(v => VersionedTable.dropVersion(s, root, v))
+      // retire superseded base folds, else a week-long lane keeps
+      // O(folds) full copies of its cumulative state — quadratic
+      // storage. Safe through every crash window: a replayed fold's
+      // commitIfAbsent at the same horizon no-ops, and standing() only
+      // ever reads the LATEST horizon.
+      VersionedTable.vacuum(s, baseRoot(root), keepLast = 1)
       Some(newH)
     }
   }

@@ -36,3 +36,10 @@ class CdcIngestManifestModeSpec
   */
 class ContaminationIngestManifestModeSpec
   extends graft.streaming.ContaminationIngestSpec with ManifestModeFixture
+
+/** The self-compacting ingest lane's crash-window invariants, replayed
+  * over the object-store-safe protocol (fold + truncate + base vacuum
+  * all through manifest commits).
+  */
+class SnapshotIngestCompactionManifestModeSpec
+  extends graft.streaming.SnapshotIngestCompactionSpec with ManifestModeFixture

@@ -156,6 +156,60 @@ class SnapshotSetSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("publishMerged re-references untouched tables at their current versions") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root, Map(
+      "dim" -> Seq((1L, "a")).toDF("k", "v"),
+      "fact" -> Seq((1L, 10L)).toDF("k", "n")))
+    val s1 = SnapshotSet.publishMerged(spark, root,
+      Map("fact" -> Seq((1L, 20L)).toDF("k", "n")))
+    val m = SnapshotSet.manifest(spark, root, Some(s1))
+    assert(m.keySet === Set("dim", "fact"),
+      "the merged manifest must keep the untouched table")
+    assert(SnapshotSet.readTable(spark, root, "dim", Some(s1))
+      .collect().map(_.getString(1)).toSet === Set("a"),
+      "the untouched table must serve its prior version, not vanish")
+    assert(SnapshotSet.readTable(spark, root, "fact", Some(s1))
+      .collect().map(_.getLong(1)).toSet === Set(20L))
+    // a merged publish into an EMPTY set is just a publish
+    val root2 = tmp()
+    val s0 = SnapshotSet.publishMerged(spark, root2,
+      Map("solo" -> Seq((1L, "x")).toDF("k", "v")))
+    assert(SnapshotSet.manifest(spark, root2, Some(s0)).keySet === Set("solo"))
+  }
+
+  test("concurrent disjoint merge-publishers: both writers' tables visible") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root, Map(
+      "a" -> Seq((0L, "base")).toDF("k", "v"),
+      "b" -> Seq((0L, "base")).toDF("k", "v")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = Seq("a", "b").map { t =>
+        scala.concurrent.Future {
+          SnapshotSet.publishMerged(spark, root,
+            Map(t -> Seq((1L, s"new-$t")).toDF("k", "v")))
+        }
+      }
+      val got = fs.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf)).sorted
+      assert(got.distinct.size === 2, "both merge-publishes must win a set")
+      // the LATEST set sees BOTH writers' updates — the exact scenario
+      // where publish() would last-manifest-win one of them away
+      val latest = SnapshotSet.latestSet(spark, root).get
+      assert(latest === got.max)
+      Seq("a", "b").foreach { t =>
+        assert(SnapshotSet.readTable(spark, root, t, Some(latest))
+          .collect().map(_.getString(1)).toSet === Set(s"new-$t"),
+          s"writer $t's update must survive the concurrent merge")
+      }
+    } finally pool.shutdown()
+  }
+
   test("racing publishes serialize: both sets commit, each internally consistent") {
     import spark.implicits._
     val root = tmp()

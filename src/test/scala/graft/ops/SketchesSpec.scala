@@ -241,12 +241,12 @@ class SketchesSpec extends SparkSpec {
   test("x215 sample estimates track exact; correlated sampling dominates independent on the FK join") {
     import org.apache.spark.sql.functions.col
     val r = Sketches.sampleJoinEst(spark, Sf).head()
-    val (estInd, estCor) = (r.getAs[Long]("est_independent"),
-      r.getAs[Long]("est_correlated"))
+    val (estInd, estCor) = (r.getAs[Double]("est_independent"),
+      r.getAs[Double]("est_correlated"))
     val exact = spark.read.parquet(s"$Sf/orders.parquet").select(col("o_orderkey"))
       .join(spark.read.parquet(s"$Sf/lineitem.parquet").select(col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey")).count()
-    def relErr(e: Long) = math.abs(e - exact).toDouble / exact
+    def relErr(e: Double) = math.abs(e - exact) / exact
     // correlated sampling keys both coins on the join key: sampled keys
     // carry their COMPLETE match lists, so only key-population variance
     // remains — on a uniform FK join it must land within ~15%
