@@ -72,6 +72,26 @@ class JdbcV2Spec extends SparkSpec {
     assert(t.limit(7).count() === 7)
   }
 
+  test("corrected dialect: top-N and limit push down AND are value-equal") {
+    seeded
+    val fix = DerbyTopNDialect.install()
+    try {
+      JdbcV2.register(spark, "dvcfix", Url, pushDownLimits = true)
+      val tbl = JdbcV2.table(spark, "dvcfix", "APP", "ORDERS")
+      val topn = tbl.orderBy(col("AMOUNT").desc).limit(5)
+      val d = JdbcV2.scanDescription(topn)
+      assert(d.contains("PushedTopN"), d)
+      // value-equal to the Spark-side evaluation of the same query
+      assert(topn.collect().map(_.getInt(0)).toSeq === (96 to 100).reverse,
+        "a pushed top-N must return exactly the top rows")
+      val lim = tbl.limit(7)
+      assert(JdbcV2.scanDescription(lim).contains("PushedLimit"),
+        JdbcV2.scanDescription(lim))
+      assert(lim.count() === 7L,
+        "a pushed bare limit must actually limit")
+    } finally DerbyTopNDialect.uninstall(fix)
+  }
+
   test("Derby's limit pushdown is a wrong-results trap — the reason the default is off") {
     // opt in, and the pushed top-N comes back UNLIMITED: DerbyDialect
     // renders an empty limit clause, the database sorts but never
