@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture application — the lakehouse MERGE: fold a log of
@@ -25,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** The per-key argmax of a CDC log — one row per key, the event with
+    * the greatest (seq, op). Deliberately an AGGREGATE (`max_by` over a
+    * (seq, op) ordering struct), not a `row_number` window: a window
+    * partition must be fully co-located, so a hot key carrying half the
+    * log (one entity rewritten in a tight loop — the classic CDC skew)
+    * becomes one straggler task no AQE can split. The aggregate gets
+    * map-side PARTIAL aggregation instead: every input partition
+    * reduces the hot key to a single candidate before the shuffle, so
+    * the skew never crosses the wire (CdcSkewSpec pins both the plan
+    * shape and value-equality with the window form).
+    */
+  private def latestPerKey(log: DataFrame, key: String): DataFrame = {
+    val others = log.columns.toSeq.filterNot(_ == key)
+    log.groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col("seq"), col("op"))).as("_w"))
+      .select(col(key) +: others.map(c => col("_w").getField(c).as(c)): _*)
+  }
+
   /** Apply `log` (payload columns of `base` + `seq` + `op` ∈ I/U/D) to
     * `base`. Ties on seq break by op descending (U > I > D would be
     * arbitrary — we pin lexicographic DESC so ties are deterministic;
@@ -32,10 +50,7 @@ object Cdc {
     */
   def applyCdc(base: DataFrame, log: DataFrame, key: String): DataFrame = {
     val payload = base.columns.toSeq
-    val latest = log
-      .withColumn("rk", row_number().over(Window.partitionBy(col(key))
-        .orderBy(col("seq").desc, col("op").desc)))
-      .filter(col("rk") === 1).drop("rk")
+    val latest = latestPerKey(log, key)
     val untouched = base.join(latest.select(col(key)), Seq(key), "left_anti")
     untouched.unionByName(
       latest.filter(col("op") =!= "D")
@@ -74,10 +89,7 @@ object Cdc {
     */
   def applyCdcStateful(state: DataFrame, log: DataFrame, key: String): DataFrame = {
     val payload = state.columns.toSeq.filterNot(Set("_seq", "_op", "_tombstone"))
-    val latest = log
-      .withColumn("rk", row_number().over(Window.partitionBy(col(key))
-        .orderBy(col("seq").desc, col("op").desc)))
-      .filter(col("rk") === 1).drop("rk")
+    val latest = latestPerKey(log, key)
     val lw = latest.select(struct(payload.map(col): _*).as("_lrow"),
       col(key).as("_lk"), col("seq").as("_lseq"), col("op").as("_lop"))
     val sw = state.select(struct(payload.map(col): _*).as("_srow"),
