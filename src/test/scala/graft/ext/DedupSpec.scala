@@ -278,7 +278,7 @@ class DedupSpec extends SparkSpec {
         Dedup.shinglePostings(spark, Sf).filter(col("doc_id") >= 25), 32, 2)
       .select(col("bucket"), col("doc_id").as("doc_b"))
     val plan = probe.join(hist, Seq("bucket")).queryExecution.executedPlan.toString
-    assert(plan.contains("graft_band_idx_"), s"expected the persisted index scan:\n$plan")
+    assert(plan.contains("graft_band_idx2_"), s"expected the persisted index scan:\n$plan")
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nEx == 1, s"expected one probe-side shuffle only, got $nEx:\n$plan")
   }
