@@ -253,13 +253,54 @@ object SnapshotSet {
       .orderBy(col("n_nationkey"))
   }
 
+  /** x216: multi-writer merge-publish as a graded twin. A base set
+    * {nation, region} is published, then two writers owning DISJOINT
+    * tables each [[publishMerged]] only their own: writer A upper-cases
+    * nation, writer B suffixes region. The graded read joins the LATEST
+    * set — it must carry BOTH updates, which is exactly what plain
+    * [[publish]] semantics would lose (B's manifest would name only
+    * region, and nation would fall back to the base snapshot →
+    * hash-fail against the twin).
+    */
+  private val mergeTwinRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def mergePublishTwin(s: SparkSession, dir: String): DataFrame = {
+    val root = mergeTwinRoots.computeIfAbsent((s, dir), _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_mset").toString
+      val nation = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val region = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      publish(s, r, Map("nation" -> nation, "region" -> region))
+      publishMerged(s, r, Map(
+        "nation" -> nation.withColumn("n_name", upper(col("n_name")))))
+      publishMerged(s, r, Map(
+        "region" -> region.withColumn("r_name", concat(col("r_name"), lit("_v2")))))
+      r
+    })
+    readTable(s, root, "nation")
+      .join(readTable(s, root, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x209_atomic_publish" -> ((s: SparkSession, dir: String) => atomicPublishTwin(s, dir)))
+    "x209_atomic_publish" -> ((s: SparkSession, dir: String) => atomicPublishTwin(s, dir)),
+    "x216_merge_publish" -> ((s: SparkSession, dir: String) => mergePublishTwin(s, dir)))
 
   val oracles: Map[String, String] = Map(
     // the intact pre-crash pair: any orphan leak changes n_name rows
     "x209_atomic_publish" ->
       """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    // both writers' tables visible in the latest set: nation upper-cased
+    // (writer A), region suffixed (writer B) — losing either hash-fails
+    "x216_merge_publish" ->
+      """SELECT n_nationkey, upper(n_name) AS n_name,
+        |  r_name || '_v2' AS r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin)
 }

@@ -20,9 +20,18 @@ object ContaminationIngest {
 
   val GramN = 4
 
-  /** One train batch's distinct gram hashes. */
-  def gramBatch(docs: DataFrame): DataFrame =
-    Dedup.corpusGrams(docs, GramN)
+  /** One train batch's distinct gram hashes. The batch text is spread
+    * to defaultParallelism first when it arrives narrower (a source
+    * micro-batch is often 1-2 partitions while the gram explode
+    * amplifies ~50x in CPU — the one-partition text-scan trap, streaming
+    * form); identity when the batch is already wide, so a production
+    * feed pays no extra shuffle.
+    */
+  def gramBatch(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions >= p) docs else docs.repartition(p)
+    Dedup.corpusGrams(spread, GramN)
+  }
 
   /** Start the index maintenance: (doc_id, text) stream → one gram
     * snapshot per batchId.
