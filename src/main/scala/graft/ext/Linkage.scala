@@ -60,6 +60,29 @@ object Linkage {
     */
   def edSimJoin(s: SparkSession, dir: String, tau: Int = 1,
       cap: Int = 256): DataFrame = {
+    val (nm0, repPairs) = edRepPairs(s, dir, tau, cap)
+    // expand representative pairs through the duplicate groups, and add
+    // the within-group distance-0 pairs
+    val cross = repPairs
+      .join(nm0.select(col("nm").as("na"), col("key").as("ka")), Seq("na"))
+      .join(nm0.select(col("nm").as("nb"), col("key").as("kb")), Seq("nb"))
+      .select(least(col("ka"), col("kb")).as("a_custkey"),
+        greatest(col("ka"), col("kb")).as("b_custkey"), col("dist"))
+    val within = nm0.as("x").join(nm0.as("y"),
+        col("x.nm") === col("y.nm") && col("x.key") < col("y.key"))
+      .select(col("x.key").as("a_custkey"), col("y.key").as("b_custkey"),
+        lit(0).cast(IntegerType).as("dist"))
+    cross.union(within)
+      .orderBy(col("a_custkey"), col("b_custkey"))
+  }
+
+  /** The pair engine behind x190/x217: (all (key, nm) rows, verified
+    * DISTINCT-NAME representative pairs with na/nb/dist). The rep-pair
+    * frame is the scale-right intermediate — at the 100x corpus the
+    * expanded x190 answer is 2.7 G rows while this frame is ~270 K.
+    */
+  private def edRepPairs(s: SparkSession, dir: String, tau: Int,
+      cap: Int): (DataFrame, DataFrame) = {
     val nm0 = t(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("nm"))
     // collapse exact duplicates FIRST (the dedup-before-fuzzy rule):
@@ -129,19 +152,39 @@ object Linkage {
       .join(nm.select(col("key").as("b_custkey"), col("nm").as("nb")), Seq("b_custkey"))
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast(IntegerType))
       .filter(col("dist") <= tau)
-    // expand representative pairs through the duplicate groups, and add
-    // the within-group distance-0 pairs
-    val cross = repPairs
-      .join(nm0.select(col("nm").as("na"), col("key").as("ka")), Seq("na"))
-      .join(nm0.select(col("nm").as("nb"), col("key").as("kb")), Seq("nb"))
-      .select(least(col("ka"), col("kb")).as("a_custkey"),
-        greatest(col("ka"), col("kb")).as("b_custkey"), col("dist"))
-    val within = nm0.as("x").join(nm0.as("y"),
-        col("x.nm") === col("y.nm") && col("x.key") < col("y.key"))
-      .select(col("x.key").as("a_custkey"), col("y.key").as("b_custkey"),
-        lit(0).cast(IntegerType).as("dist"))
-    cross.union(within)
-      .orderBy(col("a_custkey"), col("b_custkey"))
+    (nm0, repPairs)
+  }
+
+  /** x217: the ED similarity graph resolved into CLUSTERS — per
+    * clustered customer its component's canonical (minimum) custkey and
+    * the component size; singletons (no name within distance tau) are
+    * not rows, the x57 dup-cluster convention. This is x190's
+    * scale-right consumer shape: at the 100x corpus the expanded pair
+    * list is 2.7 G rows (quadratic in the clone multiplicity — the
+    * ANSWER, not the algorithm), while the assignment is one row per
+    * customer. Connected components run on the ~270 K REP pairs only;
+    * members inherit their component through the name -> rep mapping,
+    * and an identical-name group is itself a cluster (its members are
+    * pairwise distance 0). The component label (min rep) IS the min
+    * member custkey, because every rep is its group's minimum.
+    */
+  def edClusters(s: SparkSession, dir: String, tau: Int = 1,
+      cap: Int = 256): DataFrame = {
+    val (nm0, repPairs) = edRepPairs(s, dir, tau, cap)
+    val reps = nm0.groupBy(col("nm")).agg(min(col("key")).as("rep"))
+    val m2r = nm0.join(reps, Seq("nm")).select(col("key"), col("rep"))
+    val lbl = Dedup.connectedComponents(
+      repPairs.select(col("a_custkey").as("doc_a"), col("b_custkey").as("doc_b")))
+    val assigned = m2r
+      .join(lbl.select(col("id").as("rep"), col("lbl")), Seq("rep"), "left")
+      .select(col("key").as("c_custkey"),
+        coalesce(col("lbl"), col("rep")).as("cluster_id"))
+    assigned
+      .join(assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("c_custkey"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("c_custkey"))
   }
 
   /** x191: Fellegi–Sunter record linkage with nation blocking. The
@@ -233,7 +276,8 @@ object Linkage {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x190_ed_simjoin" -> ((s: SparkSession, dir: String) => edSimJoin(s, dir)),
     "x191_fs_linkage" -> ((s: SparkSession, dir: String) => fsLinkage(s, dir)),
-    "x193_mutual_best_match" -> ((s: SparkSession, dir: String) => mutualBestMatch(s, dir)))
+    "x193_mutual_best_match" -> ((s: SparkSession, dir: String) => mutualBestMatch(s, dir)),
+    "x217_ed_clusters" -> ((s: SparkSession, dir: String) => edClusters(s, dir)))
 
   private def edOracle(tau: Int, cap: Int): String =
     s"""WITH nm AS MATERIALIZED (
@@ -272,6 +316,59 @@ object Linkage {
        |JOIN nm nb ON nb.key = c.b_custkey
        |WHERE levenshtein(na.nm, nb.nm) <= $tau
        |ORDER BY a_custkey, b_custkey""".stripMargin
+
+  /** x217's twin: the x190 pair set resolved into connected components
+    * (the x57 recursive-CTE discipline) — per clustered customer the
+    * component's min custkey and size.
+    */
+  private def edClustersOracle(tau: Int, cap: Int): String =
+    s"""WITH RECURSIVE nm AS MATERIALIZED (
+       |  SELECT c_custkey AS key, c_name AS nm, length(c_name) AS len
+       |  FROM customer),
+       |grams AS MATERIALIZED (
+       |  SELECT key, p.pos, substr(nm, p.pos, $Q) AS g
+       |  FROM nm, LATERAL (SELECT unnest(generate_series(1, len - ${Q - 1}))
+       |    AS pos) p),
+       |dfreq AS MATERIALIZED (
+       |  SELECT pos, g, count(*) AS df FROM grams GROUP BY pos, g),
+       |ridx AS MATERIALIZED (
+       |  SELECT gr.key AS i_key, gr.pos, gr.g
+       |  FROM grams gr JOIN dfreq USING (pos, g) WHERE df <= $cap),
+       |rcnt AS (SELECT i_key, count(*) AS r FROM ridx GROUP BY i_key),
+       |few AS MATERIALIZED (
+       |  SELECT nm.key AS f_key, nm.len FROM nm
+       |  LEFT JOIN rcnt ON rcnt.i_key = nm.key
+       |  WHERE coalesce(r, 0) < ${Q * tau + 1}),
+       |probes AS MATERIALIZED (
+       |  SELECT key AS p_key, g, pos + d.d AS pos
+       |  FROM grams, (SELECT unnest(generate_series(-$tau, $tau)) AS d) d),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a_custkey, b_custkey FROM (
+       |    SELECT least(i_key, p_key) AS a_custkey,
+       |      greatest(i_key, p_key) AS b_custkey
+       |    FROM ridx JOIN probes USING (pos, g) WHERE i_key <> p_key
+       |    UNION ALL
+       |    SELECT least(f.f_key, o.key), greatest(f.f_key, o.key)
+       |    FROM few f, (SELECT unnest(generate_series(-$tau, $tau)) AS d) d
+       |    JOIN nm o ON o.len = f.len + d.d
+       |    WHERE f.f_key <> o.key)),
+       |p AS MATERIALIZED (
+       |  SELECT c.a_custkey AS doc_a, c.b_custkey AS doc_b
+       |  FROM cand c JOIN nm na ON na.key = c.a_custkey
+       |  JOIN nm nb ON nb.key = c.b_custkey
+       |  WHERE levenshtein(na.nm, nb.nm) <= $tau),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+       |lbl AS (
+       |  SELECT src AS c_custkey, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT c_custkey, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lbl ORDER BY c_custkey""".stripMargin
 
   private val fsOracle: String =
     """WITH cust AS MATERIALIZED (
@@ -325,5 +422,6 @@ object Linkage {
   val oracles: Map[String, String] = Map(
     "x190_ed_simjoin" -> edOracle(1, 256),
     "x191_fs_linkage" -> fsOracle,
-    "x193_mutual_best_match" -> mutualOracle)
+    "x193_mutual_best_match" -> mutualOracle,
+    "x217_ed_clusters" -> edClustersOracle(1, 256))
 }

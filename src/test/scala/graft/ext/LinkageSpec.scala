@@ -83,4 +83,24 @@ class LinkageSpec extends SparkSpec {
     // every planted clone resolves to its source on this fixture
     got.foreach { case (c, k) => assert(c - 1000000000L === k) }
   }
+
+  test("x217 clusters: exact clones and ed-1 neighbors share a component, far names are absent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edcl").toString
+    Seq(
+      (1L, "alpha one"),  // ...
+      (2L, "alpha one"),  // exact clone of 1 (same-name group)
+      (3L, "alpha onf"),  // one substitution from "alpha one"
+      (4L, "zzzz nine"),  // no tau=1 neighbor -> singleton, not a row
+      (5L, "gamma fat"),  // pairs with 6 through the rep graph
+      (6L, "gamma fab"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = Linkage.edClusters(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 2L), (6L, 5L, 2L)),
+      s"got ${got.toSeq}")
+  }
 }
