@@ -124,9 +124,10 @@ object VersionedTable {
     val p = new Path(s"$root/$MDirName")
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      // zero-length = a writer died between create() and close(); such a
-      // manifest is UNCOMMITTED (skipped here, reclaimed by putIfAbsent)
-      .filter(st => st.isFile && isCommittedManifest(st))
+      // torn (zero-length OR partially-written) = a writer died between
+      // create() and close(); such a manifest is UNCOMMITTED (skipped
+      // here, reclaimed by putIfAbsent)
+      .filter(st => st.isFile && isCommittedManifest(fs, st))
       .flatMap(st => st.getPath.getName match {
         case MFile(n) => Some(n.toLong)
         case _ => None
@@ -164,13 +165,110 @@ object VersionedTable {
   @volatile var putIfAbsentOverride:
       Option[(FileSystem, Path, String) => Boolean] = None
 
-  /** A manifest counts as committed only when it has bytes: a writer
-    * dying between create() and close() can leave a zero-length
-    * v=N.json, which must read as UNCOMMITTED (skipped by listings,
-    * reclaimable at commit time) — never as a bricked version.
+  /** A manifest counts as committed only when its body PARSES (the
+    * DirField names a payload dir): a writer dying between create() and
+    * close() can leave a zero-length v=N.json, and on a store without
+    * atomic whole-payload visibility a crash mid-write can leave a
+    * PARTIAL non-empty one — both must read as UNCOMMITTED (skipped by
+    * listings, reclaimable at commit time), never as a bricked version
+    * or, worse, as an "already committed" replay skip that drops the
+    * replayed batch's data. Positive verdicts are cached by
+    * (path, length): a committed manifest is immutable, so the parse
+    * cost is paid once per manifest per process, keeping version
+    * listings metadata-only on the steady path.
     */
-  private def isCommittedManifest(st: org.apache.hadoop.fs.FileStatus): Boolean =
-    st.getLen > 0
+  private val committedManifestCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def cacheKey(p: Path, len: Long): String = s"${p.toString}#$len"
+
+  private def readWholeFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  private def isCommittedManifest(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    if (st.getLen == 0) return false
+    val key = cacheKey(st.getPath, st.getLen)
+    if (committedManifestCache.contains(key)) return true
+    val ok = try {
+      readWholeFile(fs, st.getPath) match {
+        case DirField(_) => true
+        case _ => false
+      }
+    } catch { case _: java.io.FileNotFoundException => false } // swept mid-list
+    if (ok) committedManifestCache.add(key)
+    ok
+  }
+
+  private def isCommittedManifest(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && isCommittedManifest(fs, fs.getFileStatus(p))
+
+  /** How old (by mtime) a TORN manifest must be before an OPTIMISTIC
+    * commit reclaims its name. A torn manifest younger than this may be
+    * a slow-but-alive writer between its create() and close(); deleting
+    * it under that writer can make BOTH commits report success for the
+    * same version on stores whose close() doesn't re-arbitrate — one
+    * payload silently orphaned. An optimistic writer loses nothing by
+    * skipping a young torn name (it retries at the next number); only
+    * the explicit replay path ([[commitIfAbsent]]) reclaims immediately,
+    * because there the caller IS the version's only legitimate writer
+    * (the exactly-once batchId contract) and the leftover is its own
+    * prior crashed attempt.
+    */
+  @volatile var tornManifestGraceMillis: Long = 5L * 60L * 1000L
+
+  /** Explicit acknowledgement that a store whose create(overwrite=false)
+    * failed the conditional-create probe (see [[putIfAbsent]]) is used
+    * SINGLE-WRITER per root, where arbitration is unnecessary. Without
+    * this, manifest-mode commits on such a store fail fast instead of
+    * silently losing snapshots under multi-writer races.
+    */
+  @volatile var assumeSingleWriterManifests: Boolean = false
+
+  /** Probe verdicts per FileSystem identity (scheme+authority+class):
+    * true = create(overwrite=false) arbitrates at create() time.
+    */
+  private val probeVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[engine] def resetProbeCache(): Unit = probeVerdicts.clear()
+
+  /** Fail-fast capability probe for stores taking the generic
+    * create(overwrite=false) branch: create a probe file and, WHILE THE
+    * FIRST STREAM IS STILL OPEN, attempt a second create(overwrite=false)
+    * of the same path. On a store that arbitrates server-side at
+    * create() time (HDFS under a NameNode lease; eager-create local
+    * wrappers) the second create throws — the primitive is usable as a
+    * commit point. On a HEAD-then-PUT store (stock S3A: the object only
+    * materializes at close(), so the second HEAD sees nothing) the
+    * second create SUCCEEDS — the primitive cannot arbitrate racing
+    * writers, and commits must either install [[putIfAbsentOverride]]
+    * or declare [[assumeSingleWriterManifests]]. One probe per
+    * FileSystem identity per process.
+    */
+  private def createArbitratesAtCreate(fs: FileSystem, near: Path): Boolean =
+    probeVerdicts.computeIfAbsent(
+      s"${fs.getUri}#${fs.getClass.getName}",
+      _ => {
+        val probe = new Path(near.getParent,
+          s".probe-${java.util.UUID.randomUUID().toString.take(8)}")
+        val first = fs.create(probe, false)
+        try {
+          val secondFails =
+            try { fs.create(probe, false).close(); false }
+            catch { case _: java.io.IOException => true }
+          java.lang.Boolean.valueOf(secondFails)
+        } finally {
+          try first.close() catch { case _: java.io.IOException => () }
+          fs.delete(probe, false): Unit
+        }
+      }).booleanValue()
 
   /** The atomic commit point of manifest mode: whole-payload
     * put-if-absent. Per-filesystem strategy (the Delta LogStore
@@ -186,26 +284,41 @@ object VersionedTable {
     *   - object stores: install [[putIfAbsentOverride]] with the store's
     *     real conditional PUT (If-None-Match / generation-0
     *     precondition). Stock S3A's create(overwrite=false) is NOT
-    *     conditional — see the override's docs.
+    *     conditional — without an override, the capability probe
+    *     ([[createArbitratesAtCreate]]) detects HEAD-then-PUT semantics
+    *     on first use and FAILS FAST with the remedy instead of letting
+    *     multi-writer races silently lose snapshots;
+    *     [[assumeSingleWriterManifests]] opts a known-single-writer
+    *     deployment back in.
     *
-    * A zero-length file at `path` (a writer that died between create()
-    * and close() on the non-link branch) is reclaimed: deleted and the
-    * put retried, so a torn manifest can never permanently brick the
-    * version — it either stays invisible (listings skip empty
-    * manifests) or is replaced by a whole one.
+    * A torn file at `path` (a writer that died between create() and
+    * close() on the non-link branch — zero-length or unparseable) is
+    * reclaimed: deleted and the put retried, so a torn manifest can
+    * never permanently brick the version — it either stays invisible
+    * (listings skip torn manifests) or is replaced by a whole one.
+    * Reclaim is immediate only when `reclaimTornNow` (the replay path);
+    * the optimistic path waits out [[tornManifestGraceMillis]] so a
+    * slow-but-alive writer mid-close is never raced.
     *
-    * Returns false iff someone else holds the path with a committed
-    * (non-empty) manifest.
+    * Returns false iff someone else holds the path — with a committed
+    * manifest, or with a torn one too young to reclaim.
     */
-  private def putIfAbsent(fs: FileSystem, path: Path, body: String): Boolean = {
+  private def putIfAbsent(fs: FileSystem, path: Path, body: String,
+      reclaimTornNow: Boolean): Boolean = {
     putIfAbsentOverride match {
       case Some(put) => return put(fs, path, body)
       case None =>
     }
     if (fs.exists(path)) {
-      if (isCommittedManifest(fs.getFileStatus(path))) return false
-      // torn leftover: uncommitted by contract, reclaim the name
+      val st = fs.getFileStatus(path)
+      if (isCommittedManifest(fs, st)) return false
+      // torn leftover: uncommitted by contract — reclaim the name, but
+      // on the optimistic path only once it is stale enough that no
+      // live writer can still be between create() and close()
+      if (!reclaimTornNow && st.getModificationTime >
+          System.currentTimeMillis() - tornManifestGraceMillis) return false
       fs.delete(path, false)
+      committedManifestCache.remove(cacheKey(path, st.getLen)): Unit
     }
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
@@ -219,6 +332,16 @@ object VersionedTable {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      if (fs.getScheme != "hdfs" && !assumeSingleWriterManifests &&
+          !createArbitratesAtCreate(fs, path))
+        throw new java.io.IOException(
+          s"VersionedTable: ${fs.getUri} create(overwrite=false) is " +
+            "HEAD-then-PUT (no server-side arbitration at create() time) — " +
+            "manifest-mode multi-writer commits would silently lose " +
+            "snapshots. Install VersionedTable.putIfAbsentOverride with the " +
+            "store's conditional PUT (If-None-Match / generation-0), or set " +
+            "VersionedTable.assumeSingleWriterManifests = true for a " +
+            "single-writer deployment.")
       val out =
         try fs.create(path, false)
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -231,24 +354,18 @@ object VersionedTable {
 
   private val DirField = """"dir"\s*:\s*"([^"]+)"""".r.unanchored
 
-  /** The payload dir a committed manifest names, relative to root. */
+  /** The payload dir a committed manifest names, relative to root. A
+    * torn manifest (zero-length OR unparseable — a crash mid-write on a
+    * store without atomic whole-payload visibility) is UNCOMMITTED:
+    * None, the same verdict [[isCommittedManifest]] gives listings, so
+    * a torn v=N.json can never brick latest-reads.
+    */
   private def manifestDataDir(fs: FileSystem, root: String, v: Long): Option[String] = {
     val p = manifestPath(root, v)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val body = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
-        bytes.toString("UTF-8")
-      } finally in.close()
-      body match {
-        case DirField(d) => Some(d)
-        // zero-length = torn leftover of a crashed create(): uncommitted
-        case "" => None
-        case _ => throw new java.io.IOException(
-          s"VersionedTable: torn or foreign manifest $p: '$body'")
-      }
+    else readWholeFile(fs, p) match {
+      case DirField(d) => Some(d)
+      case _ => None
     }
   }
 
@@ -294,6 +411,9 @@ object VersionedTable {
       fs.delete(p, recursive) || !fs.exists(p)
     if (fs.exists(m)) {
       val dir = manifestDataDir(fs, root, v)
+      try committedManifestCache.remove(
+        cacheKey(m, fs.getFileStatus(m).getLen)): Unit
+      catch { case _: java.io.FileNotFoundException => () }
       if (!deleted(m, recursive = false))
         throw new java.io.IOException(s"VersionedTable: cannot drop manifest $m")
       dir.foreach { d =>
@@ -422,7 +542,8 @@ object VersionedTable {
       if (attempt > lastAttempt) throw new java.io.IOException(
         s"VersionedTable: gave up publishing $dirName after 10000 contested versions")
       if (putIfAbsent(fs, manifestPath(root, attempt),
-          s"""{"version":$attempt,"dir":"$dirName"}""")) return attempt
+          s"""{"version":$attempt,"dir":"$dirName"}""",
+          reclaimTornNow = false)) return attempt
       attempt += 1L // lost the conditional put — no recovery dance needed
     }
     -1L // unreachable
@@ -470,15 +591,19 @@ object VersionedTable {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val m = manifestPath(root, version)
-    // a zero-length manifest is a torn leftover, NOT a committed version
-    // — reporting "already committed" here would drop the replay's data
-    if (fs.exists(m) && isCommittedManifest(fs.getFileStatus(m))) return false
+    // a torn manifest is a crashed leftover, NOT a committed version —
+    // reporting "already committed" here would drop the replay's data
+    if (isCommittedManifest(fs, m)) return false
     fs.mkdirs(new Path(s"$root/$MDirName"))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"data-$nonce"
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dirName")
     beforeManifestPut()
-    if (putIfAbsent(fs, m, s"""{"version":$version,"dir":"$dirName"}""")) true
+    // reclaimTornNow: this version's only legitimate writer is THIS
+    // caller (the exactly-once batchId contract), so a torn leftover
+    // here is its own prior crashed attempt — safe to replace at once
+    if (putIfAbsent(fs, m, s"""{"version":$version,"dir":"$dirName"}""",
+        reclaimTornNow = true)) true
     else {
       // lost to a racing replay — its commit stands; our payload is
       // unreferenced garbage, retire it now rather than waiting for the
@@ -598,9 +723,25 @@ object VersionedTable {
   /** Drop all but the newest `keepLast` versions; returns the versions
     * removed. The latest version is never removed.
     */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] =
+    vacuum(spark, root, keepLast, graceMillis = 0L)
+
+  /** [[vacuum]] with a reader grace window: versions committed within
+    * the last `graceMillis` are NEVER dropped, even beyond `keepLast`.
+    * An in-flight reader resolves a version number, then scans its
+    * files; a vacuum landing between the two turns the scan into
+    * FileNotFoundException mid-query. Age-gating superseded versions
+    * (the Delta retention-check discipline, same contract as
+    * [[SnapshotSet.vacuumSet]]) bounds that race to readers slower than
+    * the grace window — storage stays O(versions-per-grace-window), not
+    * O(history).
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+      graceMillis: Long): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val cutoff = System.currentTimeMillis() - graceMillis
     val doomed = versions(spark, root).dropRight(keepLast)
+      .filter(v => versionModTime(spark, root, v) < cutoff)
     doomed.foreach(v => dropVersion(spark, root, v))
     doomed
   }

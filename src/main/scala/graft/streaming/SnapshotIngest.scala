@@ -60,6 +60,17 @@ object SnapshotIngest {
 
   private def baseRoot(root: String) = s"$root/_base"
 
+  /** Reader grace for retiring superseded base folds: a concurrent
+    * standing()/probe reader that resolved the PREVIOUS horizon before a
+    * fold landed is still scanning the old base's files — dropping that
+    * version immediately turns its scan into FileNotFoundException
+    * mid-query. Superseded bases therefore only vacuum once older than
+    * this window (mirroring [[graft.engine.SnapshotSet.vacuumSet]]'s
+    * graceMillis); storage stays O(folds-per-hour), which is what kills
+    * the O(folds) advisory without reintroducing the reader race.
+    */
+  @volatile var baseVacuumGraceMillis: Long = 3600L * 1000L
+
   /** The fold horizon: every log version <= this is already in the base. */
   def horizon(s: SparkSession, root: String): Option[Long] =
     VersionedTable.latestVersion(s, baseRoot(root))
@@ -115,8 +126,10 @@ object SnapshotIngest {
       // O(folds) full copies of its cumulative state — quadratic
       // storage. Safe through every crash window: a replayed fold's
       // commitIfAbsent at the same horizon no-ops, and standing() only
-      // ever reads the LATEST horizon.
-      VersionedTable.vacuum(s, baseRoot(root), keepLast = 1)
+      // ever reads the LATEST horizon. Age-gated (baseVacuumGraceMillis)
+      // so an in-flight reader of the PREVIOUS horizon finishes its scan.
+      VersionedTable.vacuum(s, baseRoot(root), keepLast = 1,
+        graceMillis = baseVacuumGraceMillis)
       Some(newH)
     }
   }

@@ -26,10 +26,14 @@ class ManifestHardeningSpec extends SparkSpec {
 
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
     val before = VersionedTable.defaultMode
+    val beforeGrace = VersionedTable.tornManifestGraceMillis
+    val beforeSingle = VersionedTable.assumeSingleWriterManifests
     try super.withFixture(test)
     finally {
       VersionedTable.defaultMode = before
       VersionedTable.putIfAbsentOverride = None
+      VersionedTable.tornManifestGraceMillis = beforeGrace
+      VersionedTable.assumeSingleWriterManifests = beforeSingle
     }
   }
 
@@ -54,8 +58,9 @@ class ManifestHardeningSpec extends SparkSpec {
       "latest-read must keep serving the last whole version")
   }
 
-  test("the next commit reclaims a torn manifest instead of skipping past it") {
+  test("the next commit reclaims a STALE torn manifest instead of skipping past it") {
     VersionedTable.defaultMode = CommitMode.ManifestLog
+    VersionedTable.tornManifestGraceMillis = 0L // every torn file is stale
     val root = tmpRoot("graft_torn2")
     VersionedTable.commit(df(10), root) // v0
     fs(root).create(new Path(s"$root/_manifests/v=1.json"), false).close()
@@ -68,6 +73,49 @@ class ManifestHardeningSpec extends SparkSpec {
     assert(VersionedTable.commitIfAbsent(df(30), root, 2L),
       "a torn manifest is not a committed version")
     assert(VersionedTable.read(spark, root, Some(2L)).count() === 30L)
+  }
+
+  test("a YOUNG torn manifest is not raced by optimistic commits (live-writer grace)") {
+    // the ADVICE hazard: a slow-but-alive writer between create() and
+    // close() must never have its manifest deleted from under it by an
+    // optimistic commit — that writer's close() could still succeed and
+    // both commits would report the same version
+    VersionedTable.defaultMode = CommitMode.ManifestLog
+    val root = tmpRoot("graft_young")
+    VersionedTable.commit(df(10), root) // v0
+    // the live writer: create() happened seconds ago, close() pending
+    fs(root).create(new Path(s"$root/_manifests/v=1.json"), false).close()
+    // optimistic commit must SKIP the young torn name, not reclaim it
+    assert(VersionedTable.commit(df(20), root) === 2L,
+      "an optimistic commit must wait out the torn-manifest grace window")
+    assert(fs(root).exists(new Path(s"$root/_manifests/v=1.json")),
+      "the young torn manifest must be left for its (possibly live) writer")
+    // the REPLAY path still reclaims at once — v=1's only legitimate
+    // writer is the replaying caller itself
+    assert(VersionedTable.commitIfAbsent(df(30), root, 1L))
+    assert(VersionedTable.read(spark, root, Some(1L)).count() === 30L)
+  }
+
+  test("a PARTIAL non-empty manifest is uncommitted: unlisted, unbricked, reclaimed") {
+    // crash mid-write on a store without atomic whole-payload visibility:
+    // the manifest has bytes but no parseable dir field
+    VersionedTable.defaultMode = CommitMode.ManifestLog
+    VersionedTable.tornManifestGraceMillis = 0L
+    val root = tmpRoot("graft_partial")
+    VersionedTable.commit(df(10), root) // v0
+    val torn = new Path(s"$root/_manifests/v=1.json")
+    val out = fs(root).create(torn, false)
+    out.write("""{"version":1,"di""".getBytes("UTF-8")) // truncated body
+    out.close()
+    assert(VersionedTable.versions(spark, root) === Seq(0L),
+      "a partially-written manifest must not list as committed")
+    assert(VersionedTable.read(spark, root).count() === 10L,
+      "latest-read must keep serving the last whole version")
+    // replay at the torn version must COMMIT (skipping would drop data)
+    assert(VersionedTable.commitIfAbsent(df(25), root, 1L),
+      "a partial manifest is not a committed version")
+    assert(VersionedTable.read(spark, root, Some(1L)).count() === 25L)
+    assert(VersionedTable.versions(spark, root) === Seq(0L, 1L))
   }
 
   test("putIfAbsentOverride is the commit point when installed (LogStore seam)") {
@@ -96,6 +144,61 @@ class ManifestHardeningSpec extends SparkSpec {
     VersionedTable.dropVersion(spark, root, 0L)
     VersionedTable.dropVersion(spark, root, 0L) // second drop: no-op
     assert(VersionedTable.versions(spark, root).isEmpty)
+  }
+
+  private def htpRoot(): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.htp.impl", classOf[HeadThenPutFileSystem].getName)
+    "htp://" + java.nio.file.Files.createTempDirectory("htp").toString + "/t"
+  }
+
+  test("manifest commits FAIL FAST on a HEAD-then-PUT store without the LogStore seam") {
+    VersionedTable.defaultMode = CommitMode.ManifestLog
+    VersionedTable.resetProbeCache()
+    val root = htpRoot()
+    val boom = intercept[java.io.IOException] {
+      VersionedTable.commit(df(5), root)
+    }
+    assert(boom.getMessage.contains("HEAD-then-PUT"),
+      s"the probe must name the hazard, got: ${boom.getMessage}")
+    assert(boom.getMessage.contains("putIfAbsentOverride"),
+      "the failure must carry the documented remedy")
+    assert(VersionedTable.versions(spark, root).isEmpty,
+      "nothing may list as committed after the fail-fast")
+  }
+
+  test("the probed store commits fine once the seam or single-writer pledge is given") {
+    VersionedTable.defaultMode = CommitMode.ManifestLog
+    VersionedTable.resetProbeCache()
+    val root = htpRoot()
+    // remedy 1: the deployment declares single-writer use
+    VersionedTable.assumeSingleWriterManifests = true
+    assert(VersionedTable.commit(df(5), root) === 0L)
+    assert(VersionedTable.read(spark, root).count() === 5L)
+    // remedy 2: the store's real conditional PUT installed as the seam
+    VersionedTable.assumeSingleWriterManifests = false
+    VersionedTable.putIfAbsentOverride = Some { (f, p, body) =>
+      if (f.exists(p)) false
+      else { val o = f.create(p, true); o.write(body.getBytes("UTF-8")); o.close(); true }
+    }
+    assert(VersionedTable.commit(df(7), root) === 1L)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() === 7L)
+  }
+
+  test("the probe passes stores whose create() arbitrates server-side") {
+    // a non-local wrapper whose create is EAGER (the file exists, and
+    // blocks a second create, from create() on — HDFS-under-a-lease
+    // semantics) must pass: fail-fast is for HEAD-then-PUT only
+    VersionedTable.defaultMode = CommitMode.ManifestLog
+    VersionedTable.resetProbeCache()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ecr.impl", classOf[EagerCreateFileSystem].getName)
+    val root = "ecr://" +
+      java.nio.file.Files.createTempDirectory("ecr_probe").toString + "/t"
+    assert(VersionedTable.commit(df(5), root) === 0L)
+    assert(VersionedTable.read(spark, root).count() === 5L)
+    assert(VersionedTable.commit(df(6), root) === 1L,
+      "the probe verdict is cached — later commits must not re-probe or fail")
   }
 
   test("SnapshotSet child roots inherit the set's mode across default drift") {

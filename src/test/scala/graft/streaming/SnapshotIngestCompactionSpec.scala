@@ -31,8 +31,12 @@ class SnapshotIngestCompactionSpec extends SparkSpec {
     // restore (not hard-reset) so the ManifestModeFixture variant keeps
     // its suite-wide default across tests
     val before = VersionedTable.defaultMode
+    val beforeGrace = SnapshotIngest.baseVacuumGraceMillis
     try super.withFixture(test)
-    finally VersionedTable.defaultMode = before
+    finally {
+      VersionedTable.defaultMode = before
+      SnapshotIngest.baseVacuumGraceMillis = beforeGrace
+    }
   }
 
   private def tmpRoot(): String =
@@ -117,6 +121,7 @@ class SnapshotIngestCompactionSpec extends SparkSpec {
   }
 
   test("superseded base folds are vacuumed: exactly one base version") {
+    SnapshotIngest.baseVacuumGraceMillis = 0L // all folds "stale" at once
     val root = tmpRoot()
     (0 until 4).foreach(b =>
       VersionedTable.commitIfAbsent(batchDf(b), root, b.toLong))
@@ -128,6 +133,27 @@ class SnapshotIngestCompactionSpec extends SparkSpec {
       "each fold must retire the base it superseded")
     assert(standingSet(root) ===
       (0 until 8).flatMap(b => (b * 10) until (b * 10 + 15)).map(_.toLong).toSet)
+  }
+
+  test("a freshly superseded base survives the reader grace window") {
+    // the ADVICE race: a standing() reader resolved horizon 3, then a
+    // fold to horizon 7 lands — with the default 1h grace the old base
+    // version must remain readable until the window passes
+    val root = tmpRoot()
+    (0 until 4).foreach(b =>
+      VersionedTable.commitIfAbsent(batchDf(b), root, b.toLong))
+    assert(SnapshotIngest.maybeCompact(spark, root, 4)(distinctFold) === Some(3L))
+    val oldHorizonRead = VersionedTable.read(spark, s"$root/_base", Some(3L))
+    (4 until 8).foreach(b =>
+      VersionedTable.commitIfAbsent(batchDf(b), root, b.toLong))
+    assert(SnapshotIngest.maybeCompact(spark, root, 4)(distinctFold) === Some(7L))
+    assert(VersionedTable.versions(spark, s"$root/_base") === Seq(3L, 7L),
+      "a base fold younger than the grace window must not be dropped")
+    assert(oldHorizonRead.count() ===
+      (0 until 4).flatMap(b => (b * 10) until (b * 10 + 15)).distinct.size.toLong,
+      "the in-flight reader of the previous horizon must finish its scan")
+    assert(SnapshotIngest.horizon(spark, root) === Some(7L),
+      "standing reads resolve the LATEST horizon regardless")
   }
 
   test("_base inherits the log root's commit mode, not the process default") {
