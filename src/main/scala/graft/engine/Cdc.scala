@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.Pin.PinOps
 
 /** Change-data-capture application — the lakehouse MERGE: fold a log of
   * full-row I/U/D events into a base snapshot, latest event per key
@@ -85,7 +86,10 @@ object Cdc {
     * Scale shape: per-batch argmax on the (small) batch, one full-outer
     * join against state on the key — state bucketed on the key never
     * re-shuffles, and tombstones compact away once the feed's lateness
-    * horizon passes (the retention knob real CDC systems expose).
+    * horizon passes: [[expireTombstones]], paired with the horizon-gated
+    * apply overload below (the retention knob real CDC systems expose;
+    * wired into the self-compacting lane by
+    * [[graft.streaming.CdcIngest.streamingCdcIngestCompactingStateful]]).
     */
   def applyCdcStateful(state: DataFrame, log: DataFrame, key: String): DataFrame = {
     val payload = state.columns.toSeq.filterNot(Set("_seq", "_op", "_tombstone"))
@@ -111,6 +115,33 @@ object Cdc {
   /** The readable table behind CDC state. */
   def snapshot(state: DataFrame): DataFrame =
     state.filter(!col("_tombstone")).drop("_seq", "_op", "_tombstone")
+
+  /** [[applyCdcStateful]] under the feed's lateness contract: events
+    * with seq below `minSeqHorizon` are DISCARDED before the apply.
+    * This is the gate that makes tombstone retention sound — a
+    * tombstone's only job is to outrank late stale events for its key,
+    * so once the feed promises nothing older than the horizon can still
+    * arrive, (a) events below it must be dropped (they are contract
+    * violations — replays of already-folded history at best, corruption
+    * at worst) and (b) tombstones below it carry no information
+    * ([[expireTombstones]]).
+    */
+  def applyCdcStateful(state: DataFrame, log: DataFrame, key: String,
+      minSeqHorizon: Long): DataFrame =
+    applyCdcStateful(state, log.filter(col("seq") >= lit(minSeqHorizon)), key)
+
+  /** Tombstone retention — the knob real CDC systems expose: drop
+    * tombstone rows whose applied `_seq` is below the feed's lateness
+    * horizon. Without this, a long-running compacted CDC state grows by
+    * every key ever deleted — the one unbounded term in its O(live keys)
+    * footprint. Sound ONLY when every later apply is gated at the same
+    * (or a later) horizon: the expired tombstone can no longer lose to
+    * a stale insert because the gate discards that insert first
+    * (CdcRetentionSpec pins resurrection-prevention, boundedness, and
+    * fold==one-shot equivalence).
+    */
+  def expireTombstones(state: DataFrame, minSeqHorizon: Long): DataFrame =
+    state.filter(!col("_tombstone") || col("_seq") >= lit(minSeqHorizon))
 
   /** x207: CDC apply over a deterministic log derived from `orders` —
     * base = keys ≡ 0 (mod 3); the log inserts the ≡ 1 keys (seq k·10+1),
@@ -172,7 +203,7 @@ object Cdc {
     val batches = (0 until 3).map(i =>
       log.filter(pmod(col("seq"), lit(3L)) === i.toLong))
     val fin = batches.foldLeft(initState(base)) {
-      (st, b) => applyCdcStateful(st, b, "o_orderkey").localCheckpoint(true)
+      (st, b) => applyCdcStateful(st, b, "o_orderkey").pinned
     }
     snapshot(fin).orderBy(col("o_orderkey"))
   }

@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.engine.Pin.PinOps
 
 /** Insert-only incremental view maintenance for JOIN views (the
   * counting-free case of Blakeley, Larson & Tompa, SIGMOD 1986): for
@@ -46,16 +47,16 @@ object IncrementalView {
       keys: Seq[String]): DataFrame = {
     require(batches.nonEmpty)
     val (a0, b0) = batches.head
-    var aOld = a0.filter(lit(false)).localCheckpoint(true)
-    var bOld = b0.filter(lit(false)).localCheckpoint(true)
+    var aOld = a0.filter(lit(false)).pinned
+    var bOld = b0.filter(lit(false)).pinned
     var view: DataFrame = null
     batches.foreach { case (aD, bD) =>
-      val a = aD.localCheckpoint(true)
-      val b = bD.localCheckpoint(true)
+      val a = aD.pinned
+      val b = bD.pinned
       val dv = deltaJoin(aOld, a, bOld, b, keys)
       view = if (view == null) dv else view.unionByName(dv)
-      aOld = aOld.unionByName(a).localCheckpoint(true)
-      bOld = bOld.unionByName(b).localCheckpoint(true)
+      aOld = aOld.unionByName(a).pinned
+      bOld = bOld.unionByName(b).pinned
     }
     view
   }

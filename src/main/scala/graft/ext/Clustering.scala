@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Clustering operators over the `embeddings` table: integer-exact Lloyd
   * k-means and (below) the product-quantization lane built on it — the
@@ -128,7 +129,7 @@ object Clustering {
     for (_ <- 1 until iters) {
       // k rows: flatten the per-iteration lineage so iteration i+1's plan
       // does not re-derive iterations 1..i (the x129 checkpoint rule).
-      cents = recompute(assigned).localCheckpoint(true)
+      cents = recompute(assigned).pinned
       assigned = assign(pts, cents)
     }
     (assigned, cents)
@@ -229,7 +230,7 @@ object Clustering {
       tauNum: Long, tauDen: Long): (DataFrame, DataFrame) =
     dupCache.computeIfAbsent((s, dir, k, iters, tauNum, tauDen), _ => {
       val (dup, drops) = dupDrops(assignedWithNorms(s, dir, k, iters), tauNum, tauDen)
-      (dup.localCheckpoint(true), drops.localCheckpoint(true))
+      (dup.pinned, drops.pinned)
     })
 
   def semdedupKmeans(s: SparkSession, dir: String, k: Int = 8,
@@ -357,7 +358,7 @@ object Clustering {
     val base = pts.filter(pmod(col("vec_id"), lit(mod)) =!= lit(mod - 1))
     val cOld = lloydOn(base, k, iters)._2
     val before = assign(pts, cOld)
-    val cNew = recompute(before).localCheckpoint(true)
+    val cNew = recompute(before).pinned
     val after = assign(pts, cNew)
     val nb = before.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_before"), sum(col("dist")).as("inertia_before"))
@@ -445,7 +446,7 @@ object Clustering {
       .groupBy(col("sub"), col("code"), col("j"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .select(col("sub"), col("code"), col("j"), fdiv(col("sq"), col("n")).as("c"))
-      .localCheckpoint(true)
+      .pinned
   }
 
   private def pqCodebook(s: SparkSession, dir: String,
@@ -622,7 +623,7 @@ object Clustering {
       numQueries: Int): (DataFrame, DataFrame, DataFrame) =
     ivfpqModelCache.computeIfAbsent((s, dir, kCoarse, numQueries), _ => {
       val (c, b, k) = ivfpqModelPlan(s, dir, kCoarse, numQueries)
-      (c.localCheckpoint(true), b.localCheckpoint(true), k.localCheckpoint(true))
+      (c.pinned, b.pinned, k.pinned)
     })
 
   private def ivfpqModelPlan(s: SparkSession, dir: String, kCoarse: Int,
@@ -639,7 +640,7 @@ object Clustering {
     val (assigned0, cents) = lloydOn(pts, kCoarse, 2)
     // every point is assigned to its nearest centroid IN `cents`, so the
     // residual against that same centroid is the well-posed IVFADC one
-    val assigned = assigned0.localCheckpoint(true)
+    val assigned = assigned0.pinned
     val resid = assigned.join(broadcast(cents), Seq("cluster"))
       .select(col("vec_id"),
         zip_with(col("qa"), col("ca"), (x, y) => x - y).as("qa"))
@@ -828,7 +829,7 @@ object Clustering {
   def ivfpqRecallCurve(s: SparkSession, dir: String, kCoarse: Int = 8,
       maxProbe: Int = 4, numQueries: Int = 3, k: Int = 10): DataFrame = {
     val adc = ivfpqAdc(s, dir, kCoarse, maxProbe, numQueries)
-      .localCheckpoint(true)
+      .pinned
     val sdims = subDims(s, dir, 8)
     val qfull = sdims.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
@@ -838,7 +839,7 @@ object Clustering {
       .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("exact_d2"))
     val etop = topkAsc(exact, "exact_d2", k)
       .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
-      .localCheckpoint(true)
+      .pinned
     (1 to maxProbe).map { p =>
       val sel = topkAsc(adc.filter(col("prn") <= p), "adc_dist", k)
       sel.join(etop, Seq("query_id", "vec_id"), "left")
@@ -871,29 +872,29 @@ object Clustering {
     * not the vectors. k corpus passes total, the algorithm's bound.
     */
   def kcenterCoreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val q = qvecs(s, dir).localCheckpoint(true)
+    val q = qvecs(s, dir).pinned
     val seed = q
       .withColumn("h", TextAnalysis.tokenHash(
         concat(lit("kc:"), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(1)
       .select(col("vec_id").as("c_id"), col("qa").as("ca"))
-      .localCheckpoint(true)
+      .pinned
     var dm = q.crossJoin(broadcast(seed.select(col("ca"))))
       .select(col("vec_id"), sqDist(col("qa"), col("ca")).as("dm"))
-      .localCheckpoint(true)
+      .pinned
     var picked = Seq(seed.select(col("c_id"), lit(1).as("round"),
       lit(null).cast(LongType).as("sel_dist_grid")))
     (2 to k).foreach { r =>
       val c = dm.orderBy(col("dm").desc, col("vec_id")).limit(1)
         .join(q, Seq("vec_id"))
         .select(col("vec_id").as("c_id"), col("qa").as("ca"), col("dm").as("sel"))
-        .localCheckpoint(true)
+        .pinned
       picked :+= c.select(col("c_id"), lit(r).as("round"),
         col("sel").as("sel_dist_grid"))
       dm = dm.join(q, Seq("vec_id"))
         .crossJoin(broadcast(c.select(col("ca"))))
         .select(col("vec_id"), least(col("dm"), sqDist(col("qa"), col("ca"))).as("dm"))
-        .localCheckpoint(true)
+        .pinned
     }
     val cov = dm.agg(max(col("dm")).as("cov_radius_grid"))
     picked.reduce(_ union _).crossJoin(broadcast(cov))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Deduplication operators for LLM training-data pipelines over
   * `documents`: exact (hash-groupBy), exact n-gram Jaccard via an inverted
@@ -80,7 +81,7 @@ object Dedup {
 
   private[ext] def shinglePostings(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     shingleCache.computeIfAbsent((s, dir, n), _ =>
-      shinglePostingsPlan(s, dir, n).localCheckpoint(true))
+      shinglePostingsPlan(s, dir, n).pinned)
 
   private[ext] def shinglePostingsPlan(s: SparkSession, dir: String, n: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -430,10 +431,10 @@ object Dedup {
   private[ext] def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .pinned
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .pinned
     var prevSum = BigDecimal(-1)
     var converged = false
     var i = 0
@@ -448,7 +449,7 @@ object Dedup {
         .select(col("id"), least(col("lbl"),
           coalesce(col("nmin"), col("lbl")),
           coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .pinned
       // sum is NULL on an empty graph — treat as converged immediately
       val sumDec = next.agg(
         sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
@@ -637,7 +638,7 @@ object Dedup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
         .select(col("rep"), col("members"), col("incr_side"))
-        .localCheckpoint(true))
+        .pinned)
 
   private def textGroups(s: SparkSession, dir: String, histMax: Int,
       incrSide: Boolean): DataFrame =
@@ -867,7 +868,7 @@ object Dedup {
         .select(col("doc_id"),
           posexplode(gramHashes(TextAnalysis.wsTokens(lower(col("text"))), k)))
         .select(col("doc_id"), col("pos"), col("col").as("h"))
-        .localCheckpoint(true))
+        .pinned)
 
   private[ext] def winnowedFingerprints(s: SparkSession, dir: String,
       k: Int = 4, w: Int = 5): DataFrame = {
@@ -901,7 +902,7 @@ object Dedup {
 
   def winnowingTopk(s: SparkSession, dir: String, maxDf: Int = 20): DataFrame =
     winnowCache.computeIfAbsent((s, dir, maxDf), _ =>
-      winnowingTopkPlan(s, dir, maxDf).localCheckpoint(true))
+      winnowingTopkPlan(s, dir, maxDf).pinned)
 
   private def winnowingTopkPlan(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val fps = winnowedFingerprints(s, dir)
@@ -982,7 +983,7 @@ object Dedup {
     val pairIds: Array[Long] = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().collect().map(_.getLong(0))
-    val grams = prunedGrams(s, dir, pairIds, k).localCheckpoint(true)
+    val grams = prunedGrams(s, dir, pairIds, k).pinned
     val aSide = pairs
       .join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .select(col("doc_a"), col("doc_b"), col("pos"), col("h"))
@@ -1054,7 +1055,7 @@ object Dedup {
     val posts = shinglePostings(s, dir)
     val pairs = verifyPairs(dfCutCandidates(posts, 20, 3), posts)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"))
-      .localCheckpoint(true)
+      .pinned
     taus.map { pct =>
       val q = pairs.filter(col("n_common") * 100L >=
         lit(pct) * (col("n_a") + col("n_b") - col("n_common")))
@@ -1278,7 +1279,7 @@ object Dedup {
           explode(wordShingles(TextAnalysis.wsTokens(lower(col("text"))), n)).as("g"))
         .select(col("doc_id"), col("source"), TextAnalysis.tokenHash(col("g")).as("h"))
         .distinct()
-        .localCheckpoint(true)
+        .pinned
     })
 
   /** Distinct (doc_id, 60-bit n-gram hash) of a (doc_id, text) frame —

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Entity-resolution operators over the `customer` dimension: an exact
   * edit-distance similarity self-join (x190, the ED-Join shape — Xiao,
@@ -107,7 +108,7 @@ object Linkage {
     val ridx = grams.join(dfreq, Seq("pos", "g"))
       .filter(col("df") <= capV)
       .select(col("key").as("i_key"), col("len"), col("pos"), col("g"))
-      .localCheckpoint(true)
+      .pinned
     // strings with fewer than q·τ+1 rare grams cannot rely on the
     // pigeonhole argument — route them through the fallback leg
     val rcnt = ridx.groupBy(col("i_key")).agg(count(lit(1)).as("r"))
@@ -235,7 +236,7 @@ object Linkage {
     // per candidate pair (measured 24 s vs 8 s at the 10x corpus). The
     // checkpoint pins one DP per pair; the frame is block-join-sized,
     // never corpus-squared.
-    scored.localCheckpoint(true).filter(col("weight") >= 15)
+    scored.pinned.filter(col("weight") >= 15)
       .select(col("clone_id"), col("c_custkey").as("cand_custkey"),
         col("name_lvl"), col("acct_agree"), col("seg_agree"), col("weight"),
         when(col("weight") >= 40, lit("match")).otherwise(lit("possible"))

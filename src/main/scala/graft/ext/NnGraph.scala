@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** NN-descent k-NN graph construction over the `embeddings` table — the
   * build step of graph-based ANN serving (HNSW/NSG families all start
@@ -111,7 +112,7 @@ object NnGraph {
       val q = (tag match {
         case "standing" => base.filter(!isArrival(col("vec_id")))
         case _ => base
-      }).localCheckpoint(true)
+      }).pinned
       // seed: two salted bucketings over disjoint bucket spaces
       val bkt = q.select(col("vec_id"), explode(array(
           pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(buckets.toLong)),
@@ -121,7 +122,7 @@ object NnGraph {
         .filter(col("l.vec_id") =!= col("r.vec_id"))
         .select(col("l.vec_id").as("src"), col("r.vec_id").as("nbr"))
         .distinct()
-      var e = topK(withDist(p0, q), k).localCheckpoint(true)
+      var e = topK(withDist(p0, q), k).pinned
       (1 to rounds).foreach { r =>
         // undirected pool, degree-capped at 2k by a round-salted order
         // (the paper's reverse-neighbor sampling, pinned)
@@ -132,7 +133,7 @@ object NnGraph {
             .orderBy(h(concat(lit(s"nndu:$r:"), col("src"), lit(":"), col("nbr"))),
               col("nbr"))))
           .filter(col("rk") <= 2 * k).drop("rk")
-          .localCheckpoint(true)
+          .pinned
         // neighbors-of-neighbors ∪ pool ∪ current edges (the last term
         // makes per-node k-th distance monotone non-increasing)
         val cand = u.as("a").join(u.as("b"), col("a.nbr") === col("b.src"))
@@ -141,7 +142,7 @@ object NnGraph {
           .union(u.select(col("src"), col("nbr")))
           .union(e.select(col("src"), col("nbr")))
           .distinct()
-        e = topK(withDist(cand, q), k).localCheckpoint(true)
+        e = topK(withDist(cand, q), k).pinned
       }
       e
     })
@@ -311,13 +312,13 @@ object NnGraph {
   def beamSearch(s: SparkSession, dir: String, k: Int = 6, rounds: Int = 4,
       buckets: Int = 32, beam: Int = 8, hops: Int = 4): DataFrame = {
     val all = qvecs(s, dir)
-    val standing = all.filter(!isArrival(col("vec_id"))).localCheckpoint(true)
+    val standing = all.filter(!isArrival(col("vec_id"))).pinned
     val queries = all.filter(isArrival(col("vec_id")))
       .select(col("vec_id").as("qid"), col("qa").as("qqa"))
-      .localCheckpoint(true)
+      .pinned
     val g = nnEdges(s, dir, k, rounds, buckets, "standing")
     val kept = g.join(prunedPairs(standing, g), Seq("src", "nbr"), "left_anti")
-      .localCheckpoint(true)
+      .pinned
     val entry = standing
       .withColumn("eh", h(concat(lit("gse:"), col("vec_id").cast("string"))))
       .orderBy(col("eh"), col("vec_id")).limit(1)
@@ -336,7 +337,7 @@ object NnGraph {
         .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("dist"), col("node"))))
         .filter(col("rk") <= beam).select(col("qid"), col("node"))
-        .localCheckpoint(true)
+        .pinned
     }
     score(frontier)
       .withColumn("rank", row_number().over(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Retrieval operators over the `documents` + `embeddings` tables: Okapi
   * BM25 lexical search and lexical∪semantic hybrid fusion — the index-side
@@ -72,7 +73,7 @@ object Retrieval {
     * each branch re-exploding the text — 1 token pass, not 4.
     */
   def bm25Build(docs: DataFrame): Bm25Index =
-    indexFromTf(tfPartial(docs).localCheckpoint(true))
+    indexFromTf(tfPartial(docs).pinned)
 
   /** The doc-grain term-frequency partial for a (doc_id, text) batch —
     * the ONE artifact an ingest persists; everything else derives.
@@ -203,7 +204,7 @@ object Retrieval {
 
   private def fullBounds(s: SparkSession, dir: String): DataFrame =
     boundsCache.computeIfAbsent((s, dir), _ =>
-      termBounds(fullIndex(s, dir)).localCheckpoint(true))
+      termBounds(fullIndex(s, dir)).pinned)
 
   /** MaxScore evaluation core (Turtle & Flood 1995): returns the pruned
     * top-k ranking — PROVABLY identical to [[bm25TopkFromIndex]] — plus
@@ -278,7 +279,7 @@ object Retrieval {
       k: Int, k1: Double, b: Double, seedTerms: Int): MsCore = {
     val qt = qterms.join(ix.df, Seq("term")).join(bounds, Seq("term"))
       .select(col("query_id"), col("term"), col("df"), col("ub"))
-      .localCheckpoint(true) // queries × query-vocab: tiny by definition
+      .pinned // queries × query-vocab: tiny by definition
     val seedWin = Window.partitionBy(col("query_id"))
       .orderBy(col("df").asc, col("term").asc)
     val seed = qt.withColumn("srn", row_number().over(seedWin))
@@ -286,7 +287,7 @@ object Retrieval {
     val seedCand = ix.tf.join(broadcast(seed), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()
-      .localCheckpoint(true) // bounded by the rare terms' postings
+      .pinned // bounded by the rare terms' postings
     val partial = ix.tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(seedCand, Seq("query_id", "doc_id"), "left_semi")
@@ -312,7 +313,7 @@ object Retrieval {
           i => aggregate(slice(col("terms"), lit(1), i), lit(0.0),
             (a, v) => a + v.getField("ub"))),
         c => c < col("theta"))))
-      .localCheckpoint(true)
+      .pinned
     val essential = qarr
       .select(col("query_id"),
         explode(slice(col("terms"), col("noness") + 1,
@@ -367,7 +368,7 @@ object Retrieval {
     msCache.computeIfAbsent((s, dir), _ => {
       val (res, st) = maxscoreFromIndex(fullIndex(s, dir), fullBounds(s, dir),
         queryTerms(s, dir, 3), 10)
-      (res.localCheckpoint(true), st.localCheckpoint(true))
+      (res.pinned, st.pinned)
     })
 
   /** x168: MaxScore-pruned BM25 top-k. The oracle is x123's full-scoring
@@ -409,7 +410,7 @@ object Retrieval {
 
   private def fullBlockBounds(s: SparkSession, dir: String): DataFrame =
     blockBoundsCache.computeIfAbsent((s, dir), _ =>
-      blockBounds(fullIndex(s, dir)).localCheckpoint(true))
+      blockBounds(fullIndex(s, dir)).pinned)
 
   /** Block-Max pruned evaluation: the x168 MaxScore partition PLUS a
     * block-grain filter — a block survives only if the sum of its
@@ -432,7 +433,7 @@ object Retrieval {
       .agg(aggregate(
         array_sort(collect_list(struct(col("bub"), col("term")))),
         lit(0.0), (a, v) => a + v.getField("bub")).as("bub_sum"))
-      .localCheckpoint(true) // queries × touched blocks: block-count sized
+      .pinned // queries × touched blocks: block-count sized
     val surviving = bsum.join(broadcast(core.theta), Seq("query_id"))
       .filter(col("bub_sum") >= col("theta"))
       .select(col("query_id"), col("blk"))
@@ -467,7 +468,7 @@ object Retrieval {
     bmCache.computeIfAbsent((s, dir), _ => {
       val (res, st) = blockmaxFromIndex(fullIndex(s, dir), fullBounds(s, dir),
         fullBlockBounds(s, dir), queryTerms(s, dir, 3), 10)
-      (res.localCheckpoint(true), st.localCheckpoint(true))
+      (res.pinned, st.pinned)
     })
 
   /** x176: Block-Max pruned BM25 top-k — oracle: the full ranking SQL
@@ -585,12 +586,12 @@ object Retrieval {
           .as("cosine"))
     val pool = topkPerQuery(scored, "cosine", poolN)
       .select(col("query_id"), col("doc_id"), col("cosine").as("rel"))
-      .localCheckpoint(true)
+      .pinned
     // ≤ numQueries·poolN rows with their vectors — materialized so the
     // pairwise self-join below never re-reads the corpus
     val pe = pool.join(c, pool("doc_id") === c("vec_id"))
       .select(col("query_id"), col("doc_id"), col("rel"), col("embedding"), col("nrm"))
-      .localCheckpoint(true)
+      .pinned
     val sims = pe.as("a")
       .join(pe.as("b"),
         col("a.query_id") === col("b.query_id") && col("a.doc_id") =!= col("b.doc_id"))
@@ -598,7 +599,7 @@ object Retrieval {
         col("b.doc_id").as("doc_b"),
         (Similarity.dotD(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .localCheckpoint(true)
+      .pinned
     val w1 = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id"))
     var selected = pool.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("query_id"), lit(1).as("step"), col("doc_id"), col("rel"),
@@ -624,7 +625,7 @@ object Retrieval {
           col("simmax"))
       // ≤ numQueries·i rows — checkpointing flattens the recursion so
       // step i+1 never re-derives steps 1..i's subplans
-      selected = selected.unionByName(next).localCheckpoint(true)
+      selected = selected.unionByName(next).pinned
     }
     selected
       .select(col("query_id"), col("step"), col("doc_id"), col("rel"), col("simmax"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -84,7 +85,7 @@ object Similarity {
   def cosineTopk(s: SparkSession, dir: String,
       numQueries: Int = 5, k: Int = 10): DataFrame =
     exactTopkCache.computeIfAbsent((s, dir, numQueries, k), _ =>
-      cosineTopkPlan(s, dir, numQueries, k).localCheckpoint(true))
+      cosineTopkPlan(s, dir, numQueries, k).pinned)
 
   private def cosineTopkPlan(s: SparkSession, dir: String,
       numQueries: Int, k: Int): DataFrame = {
@@ -602,7 +603,7 @@ object Similarity {
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       blockSize: Int = 1024): DataFrame =
     nearDupCache.computeIfAbsent((s, dir, threshold, blockSize), _ =>
-      embeddingNearDupPlan(s, dir, threshold, blockSize).localCheckpoint(true))
+      embeddingNearDupPlan(s, dir, threshold, blockSize).pinned)
 
   private def embeddingNearDupPlan(s: SparkSession, dir: String, threshold: Double,
       blockSize: Int): DataFrame = {
@@ -1132,7 +1133,7 @@ object Similarity {
     keysCache.computeIfAbsent((s, dir, sb, bb), _ =>
       srpBandKeysFor(s, t(s, dir, "embeddings"), sb, bb)
         .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
-        .localCheckpoint(true))
+        .pinned)
   }
 
   /** Band keys for an arbitrary (vec_id, embedding) frame — the form a
@@ -1202,7 +1203,7 @@ object Similarity {
       sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): DataFrame = {
     val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
     bandedCache.computeIfAbsent((s, dir, threshold, sb, bb), _ =>
-      bandedNearDupPlan(s, dir, threshold, sb, bb).localCheckpoint(true))
+      bandedNearDupPlan(s, dir, threshold, sb, bb).pinned)
   }
 
   /** Exact-cosine verification of a candidate pair frame (vec_a, vec_b)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Exact-substring dedup (the ExactSubstr pass of Lee et al. 2022,
   * "Deduplicating Training Data Makes Language Models Better") via a
@@ -161,12 +162,12 @@ object SuffixDedup {
       // one tokenize+explode pass, reused by the vocab build, the seed
       // join, and the maxLen bound (was three separate corpus scans)
       val toks = saTimed("tokenize") {
-        tokenPositions(s, dir).localCheckpoint(true)
+        tokenPositions(s, dir).pinned
       }
       val vocab = saTimed("vocab-rank") {
         orderLabel(toks.select(col("tok")).distinct(), Seq(col("tok")))
           .select(col("tok"), col("rank_new").as("vr"))
-          .localCheckpoint(true)
+          .pinned
       }
       val byDocSeed = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val seeded = toks.join(vocab, Seq("tok"))
@@ -179,7 +180,7 @@ object SuffixDedup {
         orderLabel(seeded, (1 to SeedWidth).map(i => col(s"r$i")))
           .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
             col("grp_n"))
-          .localCheckpoint(true)
+          .pinned
       }
       // after the round with shift k, ranks order the first 2k tokens;
       // stop once that covers the longest document OR all ranks are
@@ -206,11 +207,11 @@ object SuffixDedup {
           val paired = ranks
             .withColumn("rank2",
               coalesce(lead(col("rank"), k.toInt).over(byDoc), lit(-1L)))
-            .localCheckpoint(false)
+            .pinnedLazy
           ranks = orderLabel(paired, Seq(col("rank"), col("rank2")))
             .select(col("doc_id"), col("pos"), col("rank_new").as("rank"),
               col("grp_n"))
-            .localCheckpoint(true)
+            .pinned
           // the all-distinct test reads the grp_n the labeling window
           // already computed — a filter on the checkpointed frame
           distinct = ranks.filter(col("grp_n") > 1L).isEmpty
@@ -239,7 +240,7 @@ object SuffixDedup {
           .repartitionByRange(col("rank"), col("doc_id"))
           .sortWithinPartitions(col("rank"), col("doc_id"))
           .withColumn("part", spark_partition_id())
-          .localCheckpoint(true)
+          .pinned
       }
       val counts = real.groupBy(col("part")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -255,7 +256,7 @@ object SuffixDedup {
               .orderBy(col("rank"), col("doc_id")))
               .cast(LongType) + offCol - 1L)
           .select(col("doc_id"), col("pos"), col("sa"))
-          .localCheckpoint(true)
+          .pinned
       }
     })
 
@@ -301,7 +302,7 @@ object SuffixDedup {
     coveredCache.computeIfAbsent((s, dir, L), _ => {
       val grams = gramAt(s, dir, L)
       val withSa = suffixArray(s, dir).join(grams, Seq("doc_id", "pos"), "inner")
-        .localCheckpoint(true)
+        .pinned
       val prev = withSa.select((col("sa") + 1L).as("sa"), col("gram").as("gram_prev"))
       val next = withSa.select((col("sa") - 1L).as("sa"), col("gram").as("gram_next"))
       val covered = withSa
@@ -309,7 +310,7 @@ object SuffixDedup {
         .join(next, Seq("sa"), "left")
         .filter(col("gram") === col("gram_prev") || col("gram") === col("gram_next"))
         .select(col("doc_id"), col("pos"), col("gram"))
-        .localCheckpoint(true)
+        .pinned
       val docsPerGram = covered.groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
       covered.join(docsPerGram, Seq("gram"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Text-analysis operators for LLM training-data pipelines over the
   * `documents` table: token counting, quality scoring, language ID, and
@@ -390,7 +391,7 @@ object TextAnalysis {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .select(col("w"), col("freq"),
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-        .localCheckpoint(true)
+        .pinned
       val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (r <- 1 to rounds) {
         val top = words
@@ -403,7 +404,7 @@ object TextAnalysis {
           .agg(sum(col("freq")).cast(LongType).as("pair_count"))
           .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
           .limit(1)
-          .localCheckpoint(true) // 1 row, consumed twice (output + apply)
+          .pinned // 1 row, consumed twice (output + apply)
         merges += top.select(lit(r.toLong).as("merge_rank"),
           col("left_sym"), col("right_sym"), col("pair_count"))
         words = words
@@ -415,7 +416,7 @@ object TextAnalysis {
               |    THEN concat(slice(acc, 1, size(acc) - 1),
               |                array(concat(left_sym, right_sym)))
               |    ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"))
-          .localCheckpoint(true)
+          .pinned
       }
       (merges.reduce(_ unionByName _).orderBy(col("merge_rank")), words)
     })
@@ -1338,9 +1339,9 @@ object TextAnalysis {
       .filter(col("c") >= minCo)
     val edges = adj.select(col("pa").as("src"), col("pb").as("dst"))
       .union(adj.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(true)
+      .pinned
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
+      .pinned
     var pr = deg.select(col("src").as("word"), lit(1000000000L).as("rank_q"))
     (1 to iters).foreach { _ =>
       val contrib = pr
@@ -1353,7 +1354,7 @@ object TextAnalysis {
           Seq("word"), "left")
         .select(col("word"), (lit(150000000L) +
           expr("(85 * coalesce(contrib, 0)) DIV 100")).as("rank_q"))
-        .localCheckpoint(true)
+        .pinned
     }
     val top = pr.join(deg.select(col("src").as("word"), col("degree")), Seq("word"))
       .orderBy(col("rank_q").desc, col("word")).limit(topN)

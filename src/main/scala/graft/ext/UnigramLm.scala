@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Unigram-LM (SentencePiece-style) tokenizer TRAINER — the subword family's
   * second member next to the x101 BPE trainer (Kudo ACL'18 "Subword
@@ -144,7 +145,7 @@ object UnigramLm {
            |END))""".stripMargin))
       // periodic materialization keeps the projection stack (and codegen
       // unit) bounded; vocab-sized rows, so this is cheap by design
-      if (i % 4 == 0) dp = dp.localCheckpoint(true)
+      if (i % 4 == 0) dp = dp.pinned
     }
     dp.select(col("w"), col("freq"),
         expr("element_at(dp, length(w) + 1).path").as("segmentation"))
@@ -173,14 +174,14 @@ object UnigramLm {
     * round + the output queries) would otherwise re-run the prefix chain.
     */
   private[graft] def trainFromWords(wordsIn: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
-    val words = wordsIn.localCheckpoint(true)
+    val words = wordsIn.pinned
     val (charsRaw, multi) = seedPieces(words)
-    val chars = charsRaw.localCheckpoint(true)
-    var pieces = chars.unionByName(multi).localCheckpoint(true)
+    val chars = charsRaw.pinned
+    var pieces = chars.unionByName(multi).pinned
     var seg: DataFrame = words.sparkSession.emptyDataFrame
     for (_ <- 1 to rounds) {
-      seg = viterbiSegment(words, pieces).localCheckpoint(true)
-      pieces = reestimate(chars, seg).localCheckpoint(true)
+      seg = viterbiSegment(words, pieces).pinned
+      pieces = reestimate(chars, seg).pinned
     }
     (pieces, seg)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Declarative data-quality checks — the dbt-test layer the reference's
   * warehouse would grow: primary-key uniqueness, referential integrity,
@@ -282,7 +283,7 @@ object DataQuality {
         (col("n").cast("double") - col("total").cast("double") * col("expected"))
           * (col("n").cast("double") - col("total").cast("double") * col("expected"))
           / (col("total").cast("double") * col("expected")))
-      .localCheckpoint(true)
+      .pinned
     // chi² total: fold the 9 terms in pinned ascending-digit order
     // (a double SUM would be partition-order-dependent)
     val chi = scored.groupBy()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Graph analytics beyond connected components (x47/x57): PageRank over
   * the part co-purchase graph — "which products sit at the center of
@@ -109,7 +110,7 @@ object Graph {
         .select(col("pa"), col("pb"))
       pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint(true)
+        .pinned
     })
 
   /** Part co-order PageRank: `iters` fixed iterations at damping 0.85.
@@ -126,7 +127,7 @@ object Graph {
       iters: Int = 5, minSupport: Long = 2L): DataFrame = {
     val edges = coOrderEdges(s, dir, minSupport)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
+      .pinned
     var pr = deg.select(col("src").as("part"), lit(Scale).as("rank_q"))
     (1 to iters).foreach { _ =>
       val contribs = pr
@@ -139,7 +140,7 @@ object Graph {
         .select(col("part"),
           (lit(15L * Scale / 100L) +
             expr("(85 * coalesce(contrib, 0)) DIV 100")).as("rank_q"))
-        .localCheckpoint(true)
+        .pinned
     }
     val out = pr
       .join(deg.select(col("src").as("part"), col("degree")), "part")
@@ -170,13 +171,13 @@ object Graph {
     // subtree. Checkpointing makes each hop one join + one MIN, period.
     val edges = coOrderEdges(s, dir, minSupport)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
+      .pinned
     // deterministic hub: max degree, tie-break min part id (1-row collect)
     val hub = deg.orderBy(col("degree").desc, col("src"))
       .limit(1).collect()(0).getLong(0)
     var dist = deg.select(col("src").as("part"),
       when(col("src") === hub, 0L).otherwise(Far).as("dist"))
-      .localCheckpoint(true)
+      .pinned
     (1 to iters).foreach { _ =>
       val relaxed = dist
         .join(edges, dist("part") === edges("src"))
@@ -185,7 +186,7 @@ object Graph {
       dist = dist.join(relaxed, Seq("part"), "left")
         .select(col("part"),
           least(col("dist"), coalesce(col("nd"), lit(Far))).as("dist"))
-        .localCheckpoint(true)
+        .pinned
     }
     dist.join(deg.select(col("src").as("part"), col("degree")), "part")
       .select(col("part").as("l_partkey"), col("degree"),
@@ -213,7 +214,7 @@ object Graph {
     val edges = coOrderEdges(s, dir, minSupport)
     val nodes = edges.select(col("src")).distinct()
     var lbl = nodes.select(col("src").as("part"), col("src").as("label"))
-      .localCheckpoint(true)
+      .pinned
     (1 to iters).foreach { _ =>
       val byNode = Window.partitionBy(col("part"))
         .orderBy(col("c").desc, col("label"))
@@ -226,7 +227,7 @@ object Graph {
         .select(col("part"), col("label").as("new_label"))
       lbl = lbl.join(pick, Seq("part"), "left")
         .select(col("part"), coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .pinned
     }
     val bySize = Window.partitionBy(col("label"))
     lbl
@@ -292,7 +293,7 @@ object Graph {
     * the spec for planted graphs.
     */
   private[ops] def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val nodes0 = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val nodes0 = edges.select(col("src").as("node")).distinct().pinned
     var active = nodes0
     var removed = nodes0.limit(0).withColumn("removed_round", lit(0))
     for (r <- 1 to rounds) {
@@ -301,10 +302,10 @@ object Graph {
         .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
       val surv = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("src").as("node"))
-        .localCheckpoint(true)
+        .pinned
       val dropped = active.join(surv, Seq("node"), "left_anti")
         .withColumn("removed_round", lit(r))
-      removed = removed.unionByName(dropped).localCheckpoint(true)
+      removed = removed.unionByName(dropped).pinned
       active = surv
     }
     nodes0

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Data-governance audits over the `customer` dimension: k-anonymity /
   * l-diversity (Sweeney 2002; Machanavajjhala et al. 2006) and a
@@ -72,7 +73,7 @@ object Privacy {
         band(col("cents"), 100000L).as("b0"),
         band(col("cents"), 500000L).as("b1"),
         band(col("cents"), 2500000L).as("b2"))
-      .localCheckpoint(true)
+      .pinned
     def sizes(keys: Seq[String], out: String): DataFrame =
       base.groupBy(keys.map(col): _*).agg(count(lit(1)).as(out))
     base
@@ -108,7 +109,7 @@ object Privacy {
         band(col("cents"), 100000L).as("b0"),
         band(col("cents"), 500000L).as("b1"),
         band(col("cents"), 2500000L).as("b2"))
-      .localCheckpoint(true)
+      .pinned
     def sizes(keys: Seq[String], out: String): DataFrame =
       base.groupBy(keys.map(col): _*).agg(count(lit(1)).as(out))
     base

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Scalar-function surface (SURVEY.md §2.7): JSON extraction/serialization
   * (the reference's jsonb columns, F2/F5), date/time parts (F1), string
@@ -932,7 +933,7 @@ object Scalars {
         unix_micros(col("ts")).as("ts"))
       .withColumn("bkt", floor(col("ts").cast(DoubleType) / lit(windowUs.toDouble))
         .cast(LongType))
-      .localCheckpoint(true)
+      .pinned
     // probe side: each event offered at its own bucket and the previous
     // one, so (b, b) and (b, b+1) pairs meet on an equi key
     val probe = ev.select(col("u"), col("t"), col("ts"),
@@ -950,7 +951,7 @@ object Scalars {
     val occ2 = step(ev.select(col("u"), col("t").as("a"), col("ts"), col("bkt")), "ts")
       .select(col("u"), col("a"), col("nt").as("b"), col("nts").as("tb"))
       .distinct()
-      .localCheckpoint(true)
+      .pinned
     val l2sup = occ2.select(col("u"), col("a"), col("b")).distinct()
       .groupBy(col("a"), col("b")).agg(countDistinct(col("u")).as("support"))
       .filter(col("support") >= minSup)

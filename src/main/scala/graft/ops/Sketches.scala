@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Sketch/approximate aggregates — the cardinality and quantile shapes
   * that replace exact (shuffle-heavy) computation at 100 TB:
@@ -225,7 +226,7 @@ object Sketches {
     // them instead of re-scanning both sides for a 3-row aggregate
     sa.join(sb, Seq("i", "bucket"))
       .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("est_i"))
-      .localCheckpoint(true)
+      .pinned
   }
 
   /** q81's SERVING form: the estimate alone — what a planner actually
@@ -287,7 +288,7 @@ object Sketches {
       .withColumn("contrib",
         (col("na") * col("nb")).cast("double") /
           greatest(col("ndva"), col("ndvb")).cast("double"))
-      .localCheckpoint(true)
+      .pinned
     val total = joined.groupBy()
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
@@ -327,7 +328,7 @@ object Sketches {
       .repartitionByRange(col("k"))
       .sortWithinPartitions(col("k"))
       .withColumn("part", spark_partition_id())
-      .localCheckpoint(true)
+      .pinned
     val counts = dparts.groupBy(col("part")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ndv = counts.values.sum
@@ -342,7 +343,7 @@ object Sketches {
       .withColumn("bucket", floor((col("rn") - 1) * buckets / lit(ndv)))
       .groupBy(col("bucket")).agg(max(col("k")).as("hi"))
       .withColumn("lo", lag(col("hi"), 1).over(Window.orderBy(col("bucket"))))
-      .localCheckpoint(true) // B rows — the broadcastable boundary frame
+      .pinned // B rows — the broadcastable boundary frame
     def side(df: DataFrame, n: String, v: String): DataFrame =
       df.crossJoin(broadcast(bounds))
         .filter(col("k") <= col("hi") &&
@@ -353,7 +354,7 @@ object Sketches {
       .withColumn("contrib",
         (col("na") * col("nb")).cast("double") /
           greatest(col("ndva"), col("ndvb")).cast("double"))
-      .localCheckpoint(true)
+      .pinned
     val total = joined.groupBy()
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
@@ -477,11 +478,11 @@ object Sketches {
       .withColumn("lrank", row_number().over(localW)).filter(col("lrank") <= k)
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select(col("source"), col("h"))
-      .localCheckpoint(true) // k rows per source: the published sketches
+      .pinned // k rows per source: the published sketches
     // one row per source — checkpoint so the twin n_a/n_b joins don't
     // each re-scan the element frame
     val nExact = el.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-      .localCheckpoint(true)
+      .pinned
     val srcs = sk.select(col("source")).distinct()
     val prs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
@@ -559,7 +560,7 @@ object Sketches {
             graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
         .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
         .distinct()
-        .localCheckpoint(true)
+        .pinned
     })
     bottomkPairs(el, k, withAnchor)
   }
@@ -603,7 +604,7 @@ object Sketches {
     val ranked = ev
       .withColumn("rn", row_number().over(w).cast(LongType))
       .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_events"))))
-      .localCheckpoint(true)
+      .pinned
     import s.implicits._
     val tdf = targets.toDF("q", "q_lo", "q_hi", "est")
     tdf.join(ranked,

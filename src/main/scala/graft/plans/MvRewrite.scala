@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Proj
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
+import graft.engine.Pin.PinOps
 
 /** Materialized-view substitution: an optimizer rule that rewrites an
   * aggregate over a base table onto a pre-aggregated MV when the query
@@ -219,7 +220,7 @@ object MvQueries {
           df.queryExecution.optimizedPlan)
       require(!paths.exists(_.contains("lineitem.parquet")),
         s"base scan must disappear from the substituted plan; scans: $paths")
-      gradedOut(df.localCheckpoint(true)
+      gradedOut(df.pinned
         .orderBy(col("l_returnflag"), col("l_linestatus")))
     } finally {
       s.experimental.extraOptimizations = prev

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.PlanBridge
 
 import graft.engine.Tables
+import graft.engine.Pin.PinOps
 
 /** Grouped bounded top-k as a CUSTOM PHYSICAL OPERATOR — the (c) tier of
   * the extension ladder (`LogicalPlan` + `SparkStrategy` + `SparkPlan`),
@@ -181,7 +182,7 @@ object TopKPerKey {
         .orderBy(col("event_type"), col("value").desc, col("event_id"))
       require(df.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKeyPlan]),
         s"TopKRewrite did not fire:\n${df.queryExecution.optimizedPlan}")
-      df.localCheckpoint(true) // materialize while the rule is active
+      df.pinned // materialize while the rule is active
     } finally PlanBridge.removeOptimizerRule(s, TopKRewrite)
   }
 

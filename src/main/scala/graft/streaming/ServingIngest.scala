@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.engine.{Tables, VersionedTable}
 import graft.ext.Clustering
+import graft.engine.Pin.PinOps
 
 /** The IVF-PQ serving lane's streaming form — the refresh boundary
   * between a training pipeline and a serving tier, run continuously:
@@ -126,8 +127,8 @@ object ServingIngest {
       .map(v => VersionedTable.read(s, arrivalVecs(root), Some(v)))
       .reduce(_ unionByName _)
     if (!Clustering.assignmentDrifted(base, arr, c, factorNum, factorDen)) return false
-    val all = base.unionByName(arr).localCheckpoint(true)
-    val cNew = Clustering.warmCentroids(all, c).localCheckpoint(true)
+    val all = base.unionByName(arr).pinned
+    val cNew = Clustering.warmCentroids(all, c).pinned
     val codesNew = Clustering.ivfpqEncodeWith(
       all.filter(col("vec_id") >= numQueries), cNew, b)
     val wNew = newBatches.max + 1L

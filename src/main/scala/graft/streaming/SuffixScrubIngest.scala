@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.engine.{Tables, VersionedTable}
 import graft.ext.SuffixDedup
+import graft.engine.Pin.PinOps
 
 /** Streaming exact-substring scrub — the continuous form of the
   * ExactSubstr lane (x161-x163): arriving documents are scrubbed of any
@@ -41,7 +42,7 @@ object SuffixScrubIngest {
     */
   def scrubBatch(batch: DataFrame, standingGrams: DataFrame,
       L: Int = SuffixDedup.MinMatchTokens): DataFrame = {
-    val grams = SuffixDedup.gramsOf(batch, L).localCheckpoint(true)
+    val grams = SuffixDedup.gramsOf(batch, L).pinned
     val batchDups = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2L)

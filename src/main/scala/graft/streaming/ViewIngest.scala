@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.engine.{IncrementalView, VersionedTable}
+import graft.engine.Pin.PinOps
 
 /** Streaming maintenance of a JOIN view — the streaming form of x202's
   * [[IncrementalView]]: one tagged stream carries BOTH tables' inserts
@@ -40,7 +41,7 @@ object ViewIngest {
       checkpoint: String): StreamingQuery =
     SnapshotIngest.run(tagged, checkpoint) { (batch, batchId) =>
         val s = batch.sparkSession
-        val b = batch.localCheckpoint(true)
+        val b = batch.pinned
         val l = b.filter(col("side") === "L")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val o = b.filter(col("side") === "O")
@@ -48,7 +49,7 @@ object ViewIngest {
         val lOld = snapshots(s, s"$root/L", l.filter(lit(false)))
         val oOld = snapshots(s, s"$root/O", o.filter(lit(false)))
         val dv = IncrementalView.deltaJoin(lOld, l, oOld, o, Seq("l_orderkey"))
-          .localCheckpoint(true)
+          .pinned
         VersionedTable.commitIfAbsent(l, s"$root/L", batchId)
         VersionedTable.commitIfAbsent(o, s"$root/O", batchId)
         VersionedTable.commitIfAbsent(dv, s"$root/V", batchId): Unit
