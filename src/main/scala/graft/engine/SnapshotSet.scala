@@ -108,9 +108,19 @@ object SnapshotSet {
       tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "SnapshotSet.publishMerged: empty table set")
     val mode = setMode(s, root)
+    // the writer's READ SET: the manifest it believes current. Retries
+    // merge freely as long as concurrent winners touched OTHER tables;
+    // a winner that republished one of OUR tables is a write-write
+    // conflict — merging our (stale-read) snapshot over theirs would be
+    // a silent lost update, so the loser must raise instead (the
+    // optimistic-concurrency contract every table format exposes as
+    // "ConcurrentModificationException: table changed since read").
+    val readSet = latestSet(s, root)
+      .map(v => manifest(s, root, Some(v))).getOrElse(Map.empty[String, Long])
     val committed = tables.map { case (name, df) =>
       name -> VersionedTable.commit(df, tableRoot(root, name), mode)
     }
+    beforeMergeManifestPut()
     var attempt = latestSet(s, root).map(_ + 1L).getOrElse(0L)
     val lastAttempt = attempt + 10000L // liveness guard, as in VersionedTable
     while (true) {
@@ -118,12 +128,24 @@ object SnapshotSet {
         s"SnapshotSet: gave up merge-publishing at $root after 10000 contested sets")
       val base = setVersions(s, root).lastOption
         .map(v => manifest(s, root, Some(v))).getOrElse(Map.empty[String, Long])
+      tables.keys.find(t => base.get(t) != readSet.get(t)).foreach { t =>
+        throw new java.util.ConcurrentModificationException(
+          s"SnapshotSet.publishMerged: table $t at $root changed since read " +
+            s"(read version ${readSet.get(t)}, now ${base.get(t)}) — " +
+            "another writer published it concurrently; re-read and retry")
+      }
       if (VersionedTable.commitIfAbsent(manifestDf(s, base ++ committed),
           manifestRoot(root), attempt, mode)) return attempt
       attempt += 1L // lost the manifest race — merge against the winner and retry
     }
     -1L // unreachable
   }
+
+  /** Test seam: invoked after the writer's read-set capture and table
+    * commits, before the manifest loop — the race window where a
+    * concurrent writer can publish an overlapping table.
+    */
+  @volatile private[engine] var beforeMergeManifestPut: () => Unit = () => ()
 
   /** Committed set versions, ascending. */
   def setVersions(s: SparkSession, root: String): Seq[Long] =

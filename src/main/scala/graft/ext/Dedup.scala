@@ -428,7 +428,19 @@ object Dedup {
     * unchanged label SUM is a complete convergence proof (one tiny
     * aggregate per round on checkpointed data).
     */
-  private[ext] def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  private[ext] def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] exposing the round count (spec certificate
+    * that the doubling hop is live: a 1000-node chain must converge in
+    * ~log2 rounds, where plain propagation needs ~1000). Non-convergence
+    * at the cap THROWS — with the hop, 50 rounds cover components of
+    * diameter ~2^49, so hitting the cap means a logic regression, and
+    * handing back un-converged labels would silently split clusters
+    * (x47/x57/x61/x84/x217 all consume these labels as truth).
+    */
+  private[ext] def connectedComponentsWithRounds(pairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .pinned
@@ -460,7 +472,13 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "with the doubling hop this covers diameter ~2^" + (maxIters - 1) +
+          ", so the propagation logic has regressed; returning partial " +
+          "labels would silently split clusters")
+    (labels, i)
   }
 
   /** The verified near-dup CC labels (x47's core), computed ONCE per

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   */
 class SnapshotSetSpec extends SparkSpec {
 
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally SnapshotSet.beforeMergeManifestPut = () => ()
+
   private def tmp() =
     java.nio.file.Files.createTempDirectory("snapset").toString
 
@@ -208,6 +212,38 @@ class SnapshotSetSpec extends SparkSpec {
           s"writer $t's update must survive the concurrent merge")
       }
     } finally pool.shutdown()
+  }
+
+  test("OVERLAPPING merge-publishers conflict: one winner, a loud loser") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root,
+      Map("t" -> Seq((0L, "base")).toDF("k", "v")))
+    // writer A reads the set and commits its table payload; inside its
+    // race window writer B fully publishes the SAME table — silently
+    // retry-merging A's stale snapshot over B's would be lost-update
+    SnapshotSet.beforeMergeManifestPut = () => {
+      SnapshotSet.beforeMergeManifestPut = () => () // B runs un-hooked
+      SnapshotSet.publishMerged(spark, root,
+        Map("t" -> Seq((1L, "writer-B")).toDF("k", "v"))): Unit
+    }
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      SnapshotSet.publishMerged(spark, root,
+        Map("t" -> Seq((1L, "writer-A")).toDF("k", "v")))
+    }
+    assert(boom.getMessage.contains("t"),
+      s"the conflict must name the table, got: ${boom.getMessage}")
+    assert(boom.getMessage.contains("changed since read"))
+    // exactly one winner: B's update serves, A's never entered a manifest
+    val latest = SnapshotSet.latestSet(spark, root).get
+    assert(SnapshotSet.readTable(spark, root, "t", Some(latest))
+      .collect().map(_.getString(1)).toSet === Set("writer-B"))
+    // no false positive: a SEQUENTIAL same-table merge-publish (reads
+    // the post-B manifest) must still succeed
+    val s2 = SnapshotSet.publishMerged(spark, root,
+      Map("t" -> Seq((2L, "writer-C")).toDF("k", "v")))
+    assert(SnapshotSet.readTable(spark, root, "t", Some(s2))
+      .collect().map(_.getString(1)).toSet === Set("writer-C"))
   }
 
   test("racing publishes serialize: both sets commit, each internally consistent") {
