@@ -86,17 +86,34 @@ object Linkage {
       cap: Int): (DataFrame, DataFrame) = {
     val nm0 = t(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("nm"))
-    // collapse exact duplicates FIRST (the dedup-before-fuzzy rule):
-    // the signature join runs on DISTINCT names — duplicated names
-    // multiply every positional gram's df and destroy blocking
-    // selectivity (measured on the 10x corpus: 10 copies per name push
-    // min df to 1000, leaving ZERO blockable grams) — and the result
-    // expands back through the duplicate groups afterwards (identical
-    // names are distance-0 pairs by definition, cross-group distances
-    // are the representatives' distance). On a duplicate-free corpus
-    // this is the identity transform.
-    val nm = nm0.groupBy(col("nm")).agg(min(col("key")).as("key"))
+    (nm0, repPairCore(distinctNames(nm0), tau, cap, newKeys = None))
+  }
+
+  /** Collapse exact duplicates FIRST (the dedup-before-fuzzy rule):
+    * the signature join runs on DISTINCT names — duplicated names
+    * multiply every positional gram's df and destroy blocking
+    * selectivity (measured on the 10x corpus: 10 copies per name push
+    * min df to 1000, leaving ZERO blockable grams) — and the result
+    * expands back through the duplicate groups afterwards (identical
+    * names are distance-0 pairs by definition, cross-group distances
+    * are the representatives' distance). On a duplicate-free corpus
+    * this is the identity transform.
+    */
+  private def distinctNames(members: DataFrame): DataFrame =
+    members.groupBy(col("nm")).agg(min(col("key")).as("key"))
       .withColumn("len", length(col("nm")))
+
+  /** The blocking + verify engine over a distinct-name frame
+    * (key, nm, len). `newKeys` (col `n_key`), when given, restricts the
+    * VERIFY to candidate pairs touching one of those keys — the
+    * incremental-maintenance hook (x218): completeness per batch holds
+    * because candidate generation is output-complete over the CURRENT
+    * corpus (pigeonhole + fallback, cap-independent), so dropping
+    * old-old candidates only drops pairs already verified when the
+    * later of the two names arrived.
+    */
+  private def repPairCore(nm: DataFrame, tau: Int, cap: Int,
+      newKeys: Option[DataFrame]): DataFrame = {
     val capV: Long = cap.toLong
     val grams = nm
       .select(col("key"), col("nm"), col("len"),
@@ -147,13 +164,23 @@ object Linkage {
       .filter(col("f_key") =!= col("o_key"))
       .select(least(col("f_key"), col("o_key")).as("a_custkey"),
         greatest(col("f_key"), col("o_key")).as("b_custkey"))
-    val cand = candBlock.union(candFew).distinct()
-    val repPairs = cand
+    val cand0 = candBlock.union(candFew).distinct()
+    val cand = newKeys match {
+      case None => cand0
+      case Some(nk) =>
+        cand0.join(nk.select(col("n_key").as("a_custkey")),
+            Seq("a_custkey"), "left_semi")
+          .select(col("a_custkey"), col("b_custkey"))
+          .union(cand0.join(nk.select(col("n_key").as("b_custkey")),
+              Seq("b_custkey"), "left_semi")
+            .select(col("a_custkey"), col("b_custkey")))
+          .distinct()
+    }
+    cand
       .join(nm.select(col("key").as("a_custkey"), col("nm").as("na")), Seq("a_custkey"))
       .join(nm.select(col("key").as("b_custkey"), col("nm").as("nb")), Seq("b_custkey"))
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast(IntegerType))
       .filter(col("dist") <= tau)
-    (nm0, repPairs)
   }
 
   /** x217: the ED similarity graph resolved into CLUSTERS — per
@@ -186,6 +213,109 @@ object Linkage {
       .filter(col("cluster_size") >= 2)
       .select(col("c_custkey"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("c_custkey"))
+  }
+
+  // -- x218: incremental ED-cluster maintenance ---------------------------
+  //
+  // x217 is whole-corpus; production ER feeds arrive as batches. The
+  // standing state is (members, verified distinct-NAME pairs): a new
+  // batch blocks + verifies only pairs TOUCHING a new name (the x194
+  // graph-insert treatment — old-old pairs were verified when the later
+  // of their names arrived), and cluster labels re-derive from the
+  // accumulated name-pair edges, which stay ~constant-sized (distinct
+  // names), never corpus-sized. Pairs are stored at NAME level, not key
+  // level, because a group's min-key representative can CHANGE when a
+  // smaller key arrives — names are the stable identity. One frame
+  // encodes both halves (kind='m' member rows, kind='p' pair rows) so
+  // the state travels through the shared self-compacting ingest runner.
+
+  private def stateMembers(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "m").select(col("key"), col("nm"))
+
+  private def statePairs(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "p").select(col("na"), col("nb"), col("dist"))
+
+  private def encodeState(members: DataFrame, pairs: DataFrame): DataFrame =
+    members.select(lit("m").as("kind"), col("key"), col("nm"),
+        lit(null).cast("string").as("na"), lit(null).cast("string").as("nb"),
+        lit(null).cast("int").as("dist"))
+      .unionByName(pairs.select(lit("p").as("kind"),
+        lit(null).cast("long").as("key"), lit(null).cast("string").as("nm"),
+        col("na"), col("nb"), col("dist").cast("int").as("dist")))
+
+  /** Empty ED state. */
+  def edStateInit(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("kind", StringType), StructField("key", LongType),
+        StructField("nm", StringType), StructField("na", StringType),
+        StructField("nb", StringType), StructField("dist", IntegerType))))
+  }
+
+  /** Fold one batch of (key, nm) members into ED state: verify only
+    * new-name-touching candidates, accumulate name pairs. Cost per
+    * batch: one gram/df pass over the distinct names (linear) + verify
+    * work proportional to the NEW names' candidates — never a re-verify
+    * of the standing corpus against itself.
+    */
+  def edInsertBatch(state: DataFrame, batch: DataFrame, tau: Int = 1,
+      cap: Int = 256): DataFrame = {
+    val members = stateMembers(state)
+    val pairs = statePairs(state)
+    val all = members.unionByName(batch.select(col("key"), col("nm")))
+    val nmAll = distinctNames(all)
+    val newNames = batch.select(col("nm")).distinct()
+      .join(members.select(col("nm")).distinct(), Seq("nm"), "left_anti")
+    val newKeys = nmAll.join(newNames, Seq("nm"), "left_semi")
+      .select(col("key").as("n_key"))
+    // canonicalize by NAME (stable across rep changes), dedup vs state
+    val fresh = repPairCore(nmAll, tau, cap, Some(newKeys))
+      .select(least(col("na"), col("nb")).as("na"),
+        greatest(col("na"), col("nb")).as("nb"), col("dist"))
+    encodeState(all, pairs.unionByName(fresh).dropDuplicates("na", "nb"))
+      .pinned
+  }
+
+  /** Resolve ED state into the x217 cluster shape: per clustered member
+    * the component's min custkey and size (singletons absent). The CC
+    * runs on NAME-pair edges mapped to current min-key reps — the
+    * label (min rep) is the min member custkey because every rep is
+    * its group's minimum.
+    */
+  def edClustersFromState(state: DataFrame): DataFrame = {
+    val members = stateMembers(state)
+    val pairs = statePairs(state)
+    val reps = members.groupBy(col("nm")).agg(min(col("key")).as("rep"))
+    val m2r = members.join(reps, Seq("nm")).select(col("key"), col("rep"))
+    val edges = pairs
+      .join(reps.select(col("nm").as("na"), col("rep").as("doc_a")), Seq("na"))
+      .join(reps.select(col("nm").as("nb"), col("rep").as("doc_b")), Seq("nb"))
+      .select(col("doc_a"), col("doc_b"))
+    val lbl = Dedup.connectedComponents(edges)
+    val assigned = m2r
+      .join(lbl.select(col("id").as("rep"), col("lbl")), Seq("rep"), "left")
+      .select(col("key").as("c_custkey"),
+        coalesce(col("lbl"), col("rep")).as("cluster_id"))
+    assigned
+      .join(assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("c_custkey"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** x218: the incremental fold as a graded twin — the customer table
+    * arrives in three deterministic batches (custkey mod 3), folds
+    * through [[edInsertBatch]], and the final state's clusters must
+    * hash-equal the one-shot x217 rebuild (the oracle IS x217's SQL).
+    */
+  def edClustersIncremental(s: SparkSession, dir: String, tau: Int = 1,
+      cap: Int = 256): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("nm"))
+    val fin = (0 until 3).map(i => cust.filter(pmod(col("key"), lit(3L)) === i.toLong))
+      .foldLeft(edStateInit(s))((st, b) => edInsertBatch(st, b, tau, cap))
+    edClustersFromState(fin)
   }
 
   /** x191: Fellegi–Sunter record linkage with nation blocking. The
@@ -278,7 +408,9 @@ object Linkage {
     "x190_ed_simjoin" -> ((s: SparkSession, dir: String) => edSimJoin(s, dir)),
     "x191_fs_linkage" -> ((s: SparkSession, dir: String) => fsLinkage(s, dir)),
     "x193_mutual_best_match" -> ((s: SparkSession, dir: String) => mutualBestMatch(s, dir)),
-    "x217_ed_clusters" -> ((s: SparkSession, dir: String) => edClusters(s, dir)))
+    "x217_ed_clusters" -> ((s: SparkSession, dir: String) => edClusters(s, dir)),
+    "x218_ed_clusters_incremental" -> ((s: SparkSession, dir: String) =>
+      edClustersIncremental(s, dir)))
 
   private def edOracle(tau: Int, cap: Int): String =
     s"""WITH nm AS MATERIALIZED (
@@ -424,5 +556,8 @@ object Linkage {
     "x190_ed_simjoin" -> edOracle(1, 256),
     "x191_fs_linkage" -> fsOracle,
     "x193_mutual_best_match" -> mutualOracle,
-    "x217_ed_clusters" -> edClustersOracle(1, 256))
+    "x217_ed_clusters" -> edClustersOracle(1, 256),
+    // the incremental fold must land EXACTLY on the one-shot rebuild —
+    // same SQL twin as x217, graded independently
+    "x218_ed_clusters_incremental" -> edClustersOracle(1, 256))
 }
