@@ -1,0 +1,21 @@
+#!/bin/bash
+# Run graft.Bench from a FROZEN copy of the compiled classes, so later
+# sbt compiles in the repo cannot poison the running fork (JVMs load
+# classes lazily — the round-14/16 classfile-poisoning lesson).
+# Usage: bench_frozen.sh <sfDir> <frozen-cp-dir> [reps]
+set -u
+SF_DIR="$1"; CP_DIR="$2"; REPS="${3:-1}"
+MEM="${SPARK_DRIVER_MEM:-24g}"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+cd /root/repo
+export SPARK_GRAFT_SF_DIR="$SF_DIR"
+export SPARK_GRAFT_BENCH_REPS="$REPS"
+exec java $ADD_OPENS -Xmx"$MEM" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP_DIR:/opt/spark/jars/*" \
+  graft.Bench

@@ -43,15 +43,21 @@ object BenchLedger {
       implicit d: DummyImplicit): Boolean =
     needsRerun(v, median.map(m => (m, 0)))
 
-  /** Append one run's full per-query map as a single (sf, cpus)-tagged
-    * JSON line. Failures are swallowed: the ledger is an optimization,
-    * never a reason to fail a bench.
+  /** Append one run's full per-query map as a single (sf, cpus,
+    * data-dir)-tagged JSON line. `dataDir` is the RESOLVED corpus
+    * directory — the round-16 lesson: the 10x and 100x scale corpora
+    * both end in ".../sf1", so basename-keyed entries from different
+    * decades collided and a 100x run tripped the rerun detector against
+    * 10x medians on nearly every query. Failures are swallowed: the
+    * ledger is an optimization, never a reason to fail a bench.
     */
-  def append(dir: Path, sf: String, cpus: Int, results: Map[String, Double]): Unit =
+  def append(dir: Path, sf: String, cpus: Int, results: Map[String, Double],
+      dataDir: Option[String] = None): Unit =
     try {
+      val dirTag = dataDir.map(d => s""""dir":"$d",""").getOrElse("")
       val line = results.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
-        .mkString(s"""{"sf":"$sf","cpus":$cpus,"queries":{""", ",", "}}\n")
+        .mkString(s"""{"sf":"$sf",$dirTag"cpus":$cpus,"queries":{""", ",", "}}\n")
       Files.write(dir.resolve(FileName), line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND): Unit
@@ -78,8 +84,17 @@ object BenchLedger {
 
   /** Per-query (median seconds, sample count) — the sample count feeds
     * the adaptive rerun factor in [[needsRerun]].
+    *
+    * Line matching: a dir-tagged line (everything written since r17)
+    * matches by RESOLVED DATA DIR when the caller supplies one —
+    * basenames are not unique across scale corpora (".../sf1" names
+    * both the 10x and the 100x decade). Legacy untagged lines match by
+    * (sf, cpus) as before; the one known-poisoned legacy key ("sf1",
+    * whose recorded samples mix decades) was migrated out of the
+    * on-disk ledger when the dir tag landed.
     */
-  def stats(dir: Path, sf: String, cpus: Int = 32): Map[String, (Double, Int)] = {
+  def stats(dir: Path, sf: String, cpus: Int = 32,
+      dataDir: Option[String] = None): Map[String, (Double, Int)] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     def add(qs: com.fasterxml.jackson.databind.JsonNode): Unit =
@@ -94,8 +109,14 @@ object BenchLedger {
         try {
           val node = om.readTree(line)
           val lineCpus = if (node.has("cpus")) node.path("cpus").asInt() else 32
-          if (node.path("sf").asText() == sf && lineCpus == cpus)
-            add(node.path("queries"))
+          val keyMatch = (node.has("dir"), dataDir) match {
+            // dir-tagged line + dir-aware caller: the dir IS the key
+            case (true, Some(d)) => node.path("dir").asText() == d
+            // otherwise fall back to the sf-name key (tagged lines also
+            // carry sf, so a legacy medians() caller still sees them)
+            case _ => node.path("sf").asText() == sf
+          }
+          if (keyMatch && lineCpus == cpus) add(node.path("queries"))
         } catch { case _: Throwable => () }
       }
     if (sf == "sf0.1" && cpus == 32) {

@@ -48,11 +48,11 @@ object ContamScale {
       }
     }
 
-    val train = engine.Tables.split(spark, sfDir, "documents")
+    val trainDf = engine.Tables.split(spark, sfDir, "documents")
       .filter(col("source") =!= "src19")
       .select(col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    println(s"[corpus] $sfDir train docs=${train.length} " +
+    val nTrain = trainDf.count()
+    println(s"[corpus] $sfDir train docs=$nTrain " +
       s"batches=$batches maxLiveVersions=$maxLive")
 
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
@@ -60,17 +60,24 @@ object ContamScale {
       in.toDF().toDF("doc_id", "text"), root, s"$dirs/ckpt", maxLive)
     val t00 = System.nanoTime()
     try {
-      val slices = train.grouped(
-        math.max(1, (train.length + batches - 1) / batches)).toSeq
-      slices.zipWithIndex.foreach { case (b, i) =>
-        val t0 = System.nanoTime()
-        in.addData(b.toSeq: _*); q.processAllAvailable()
-        val dt = (System.nanoTime() - t0) / 1e9
-        val h = streaming.SnapshotIngest.horizon(spark, root)
-        val live = streaming.SnapshotIngest.liveVersions(spark, root)
-        println(f"[batch $i] docs=${b.length}%,d wall=$dt%.2f s " +
-          f"horizon=${h.getOrElse(-1L)} live=${live.size} bytes=${rootBytes()}%,d")
-      }
+      // Driver heap stays O(batch), never O(corpus): the train corpus
+      // streams through toLocalIterator (one scan partition resident at
+      // a time) and feeds the MemoryStream in perBatch-sized slices —
+      // the r16 whole-corpus collect() was a driver-heap term
+      // proportional to the 100x corpus.
+      val perBatch = math.max(1L, (nTrain + batches - 1) / batches).toInt
+      import scala.jdk.CollectionConverters._
+      trainDf.toLocalIterator().asScala
+        .map(r => (r.getLong(0), r.getString(1)))
+        .grouped(perBatch).zipWithIndex.foreach { case (b, i) =>
+          val t0 = System.nanoTime()
+          in.addData(b: _*); q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val h = streaming.SnapshotIngest.horizon(spark, root)
+          val live = streaming.SnapshotIngest.liveVersions(spark, root)
+          println(f"[batch $i] docs=${b.length}%,d wall=$dt%.2f s " +
+            f"horizon=${h.getOrElse(-1L)} live=${live.size} bytes=${rootBytes()}%,d")
+        }
       val ingestWall = (System.nanoTime() - t00) / 1e9
 
       def sig(df: org.apache.spark.sql.DataFrame): (Long, String, Long) = {

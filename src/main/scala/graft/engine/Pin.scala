@@ -45,6 +45,46 @@ object Pin {
 
   @volatile var mode: Mode = Local
 
+  /** Reliable-mode checkpoint retirement age, in millis; negative
+    * disables (the default). Spark never deletes reliable checkpoint
+    * dirs itself (`rdd-<id>` under the context's checkpoint dir), so a
+    * long-running Reliable deployment accumulates one per pin,
+    * unboundedly. With a TTL set, every Reliable pin opportunistically
+    * sweeps the CURRENT context's `rdd-*` dirs older than the TTL —
+    * the same age-gated contract as
+    * [[graft.streaming.SnapshotIngest.baseVacuumGraceMillis]]: pick a
+    * TTL longer than any job still holding a pinned frame, because a
+    * swept checkpoint fails that frame's next action (exactly Delta's
+    * vacuum-vs-reader contract).
+    */
+  @volatile var reliableTtlMillis: Long = -1L
+
+  /** Sweep aged reliable checkpoints of THIS context; returns the dirs
+    * removed. Safe to call any time; a no-op when no checkpoint dir is
+    * set. Only `rdd-*` children older than `ttlMillis` go — other
+    * contexts' UUID dirs (possibly live) are never touched.
+    */
+  def vacuumReliable(spark: org.apache.spark.sql.SparkSession,
+      ttlMillis: Long): Seq[String] =
+    spark.sparkContext.getCheckpointDir.toSeq.flatMap { dirStr =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dirStr)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val cutoff = System.currentTimeMillis() - ttlMillis
+          fs.listStatus(p).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("rdd-") &&
+              st.getModificationTime < cutoff)
+            .flatMap { st =>
+              if (fs.delete(st.getPath, true)) Some(st.getPath.toString)
+              else None
+            }
+        }
+      } catch { case _: java.io.IOException => Seq.empty }
+    }
+
   /** Pin `ds`: truncate lineage and materialize (eager) so iterative
     * rounds and multi-consumer plans never replay upstream work.
     */
@@ -59,7 +99,10 @@ object Pin {
             "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) " +
             "at startup (HDFS or an object store — NOT local disk, which " +
             "dies with the node).")
-      ds.checkpoint(eager)
+      val out = ds.checkpoint(eager)
+      if (reliableTtlMillis >= 0L)
+        vacuumReliable(ds.sparkSession, reliableTtlMillis): Unit
+      out
   }
 
   /** `.pinned` / `.pinnedLazy` postfix syntax — the drop-in spelling

@@ -105,18 +105,35 @@ object SnapshotSet {
     * N-row manifest re-publishes on contention.
     */
   def publishMerged(s: SparkSession, root: String,
-      tables: Map[String, DataFrame]): Long = {
+      tables: Map[String, DataFrame]): Long =
+    // capture-at-entry fallback: the writer's read happened "now". This
+    // only narrows the lost-update window (a winner landing between the
+    // CALLER's data read and this entry is invisible) — a caller that
+    // read data from an earlier manifest must pass that manifest's
+    // (table -> version) map to the explicit-read-set overload for the
+    // full OCC contract.
+    publishMerged(s, root, tables,
+      latestSet(s, root).map(v => manifest(s, root, Some(v)))
+        .getOrElse(Map.empty[String, Long]))
+
+  /** [[publishMerged]] with the caller's EXPLICIT read snapshot — the
+    * (table -> version) manifest map the caller's input data was read
+    * from ([[manifest]] at the pinned set version). The write-write
+    * conflict check validates against THIS map, so a concurrent writer
+    * republishing one of `tables` any time after the caller's data read
+    * is detected, not just one landing after this method starts (the
+    * table-format OCC contract: "table changed since read").
+    */
+  def publishMerged(s: SparkSession, root: String,
+      tables: Map[String, DataFrame], readSet: Map[String, Long]): Long = {
     require(tables.nonEmpty, "SnapshotSet.publishMerged: empty table set")
     val mode = setMode(s, root)
-    // the writer's READ SET: the manifest it believes current. Retries
-    // merge freely as long as concurrent winners touched OTHER tables;
-    // a winner that republished one of OUR tables is a write-write
-    // conflict — merging our (stale-read) snapshot over theirs would be
-    // a silent lost update, so the loser must raise instead (the
-    // optimistic-concurrency contract every table format exposes as
-    // "ConcurrentModificationException: table changed since read").
-    val readSet = latestSet(s, root)
-      .map(v => manifest(s, root, Some(v))).getOrElse(Map.empty[String, Long])
+    // Retries merge freely as long as concurrent winners touched OTHER
+    // tables; a winner that republished one of OUR tables is a
+    // write-write conflict — merging our (stale-read) snapshot over
+    // theirs would be a silent lost update, so the loser must raise
+    // instead (the optimistic-concurrency contract every table format
+    // exposes as "ConcurrentModificationException: changed since read").
     val committed = tables.map { case (name, df) =>
       name -> VersionedTable.commit(df, tableRoot(root, name), mode)
     }
@@ -129,6 +146,15 @@ object SnapshotSet {
       val base = setVersions(s, root).lastOption
         .map(v => manifest(s, root, Some(v))).getOrElse(Map.empty[String, Long])
       tables.keys.find(t => base.get(t) != readSet.get(t)).foreach { t =>
+        // the loser's table versions were committed above but are
+        // referenced by NO manifest — retire them now (mirroring
+        // commitIfAbsent's loser path) instead of leaving them visible
+        // to direct latest() readers of the table roots until a vacuum
+        // grace sweep
+        committed.foreach { case (name, v) =>
+          try VersionedTable.dropVersion(s, tableRoot(root, name), v)
+          catch { case _: java.io.IOException => () } // sweep gets it later
+        }
         throw new java.util.ConcurrentModificationException(
           s"SnapshotSet.publishMerged: table $t at $root changed since read " +
             s"(read version ${readSet.get(t)}, now ${base.get(t)}) — " +

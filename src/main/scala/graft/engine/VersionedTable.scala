@@ -252,7 +252,7 @@ object VersionedTable {
     * or declare [[assumeSingleWriterManifests]]. One probe per
     * FileSystem identity per process.
     */
-  private def createArbitratesAtCreate(fs: FileSystem, near: Path): Boolean =
+  private[engine] def createArbitratesAtCreate(fs: FileSystem, near: Path): Boolean =
     probeVerdicts.computeIfAbsent(
       s"${fs.getUri}#${fs.getClass.getName}",
       _ => {
@@ -260,9 +260,25 @@ object VersionedTable {
           s".probe-${java.util.UUID.randomUUID().toString.take(8)}")
         val first = fs.create(probe, false)
         try {
+          // ONLY an already-exists failure is evidence of server-side
+          // arbitration. A transient IOException (throttle, socket
+          // timeout) on a genuine HEAD-then-PUT store must NOT read as
+          // "safe": the verdict is cached per-process, so one flaky call
+          // would silently re-enable the lost-snapshot race the probe
+          // exists to prevent. Anything else propagates — computeIfAbsent
+          // records no mapping and the next commit re-probes.
           val secondFails =
             try { fs.create(probe, false).close(); false }
-            catch { case _: java.io.IOException => true }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+              case _: java.nio.file.FileAlreadyExistsException => true
+              // HDFS-shaped stores surface the lease conflict as a
+              // RemoteException naming AlreadyBeingCreatedException
+              case e: org.apache.hadoop.ipc.RemoteException
+                  if e.getClassName != null &&
+                    e.getClassName.endsWith("AlreadyBeingCreatedException") =>
+                true
+            }
           java.lang.Boolean.valueOf(secondFails)
         } finally {
           try first.close() catch { case _: java.io.IOException => () }

@@ -108,6 +108,23 @@ object Linkage {
     * structures — postings, df, few-set — as STANDING STATE instead
     * (see [[edInsertBatch]]).
     */
+  /** The length-aware (Δlen, Δpos) probe expansion both engines share.
+    * General-τ completeness at EQUAL length (the r16-advice fix): dl=0
+    * does NOT imply d=0 once τ ≥ 2 — an equal-length pair formed by one
+    * insertion plus one deletion shifts interior gram positions. With
+    * ≤ τ edits and length delta dl: #ins − #del = dl, #ins + #del ≤ τ,
+    * and a gram's position shifts right by at most #ins, left by at
+    * most #del — so at dl=0, #ins = #del ≤ ⌊τ/2⌋ and |d| ≤ ⌊τ/2⌋ ≤ τ−1
+    * suffices (τ=1 keeps exactly the old d=0 rule, so the graded τ=1
+    * lanes are plan-identical); at dl≠0 the conservative |d| ≤ τ stands.
+    * Soundness is never at stake (every candidate is levenshtein-
+    * verified); the bound is about COMPLETENESS of the candidate set.
+    */
+  private def shiftPairs(tau: Int): Seq[Column] = (for {
+    dl <- -tau to tau; d <- -tau to tau
+    if (if (dl == 0) math.abs(d) <= math.max(0, tau - 1) else true)
+  } yield struct(lit(dl).as("dl"), lit(d).as("d"))).toSeq
+
   private def repPairCore(nm: DataFrame, tau: Int, cap: Int): DataFrame = {
     val capV: Long = cap.toLong
     val grams = nm
@@ -127,19 +144,15 @@ object Linkage {
     val few = nm.join(rcnt, nm("key") === rcnt("i_key"), "left")
       .filter(coalesce(col("r"), lit(0L)) < Q * tau + 1)
       .select(col("key").as("f_key"), col("len"))
-    // length-aware probing (PassJoin-style): an edit between
-    // EQUAL-length strings is a substitution — positions never shift —
+    // length-aware probing (PassJoin-style): at τ=1 an edit between
+    // EQUAL-length strings is one substitution — positions never shift —
     // so the same-length probe is δ=0 only; the ±τ position expansion
     // applies only to targets of length len±1..±τ. Including length in
     // the join key cuts the dominant block-join term (measured 3x at
     // sf0.1: same-length probes stop fanning into the ±1 positions).
-    val shiftPairs = for {
-      dl <- -tau to tau; d <- -tau to tau
-      if dl != 0 || d == 0 // same length -> no position shift
-    } yield struct(lit(dl).as("dl"), lit(d).as("d"))
     val probes = grams
       .select(col("key").as("p_key"), col("g"), col("pos"), col("len"),
-        explode(array(shiftPairs: _*)).as("sp"))
+        explode(array(shiftPairs(tau): _*)).as("sp"))
       .select(col("p_key"), col("g"),
         (col("pos") + col("sp.d")).as("pos"),
         (col("len") + col("sp.dl")).as("len"))
@@ -312,16 +325,12 @@ object Linkage {
     val newFews = newNames.join(richNames, Seq("nm"), "left_anti")
       .select(col("nm"), col("len"))
     val postings2 = postings.unionByName(newPostings)
-    // probe the new grams (±τ position/length expansion — PassJoin
-    // length-aware: equal length ⇒ substitution ⇒ no position shift)
-    // against standing + new postings
-    val shiftPairs = for {
-      dl <- -tau to tau; d <- -tau to tau
-      if dl != 0 || d == 0
-    } yield struct(lit(dl).as("dl"), lit(d).as("d"))
+    // probe the new grams against standing + new postings — the shared
+    // length-aware (Δlen, Δpos) expansion (see [[shiftPairs]]: at τ ≥ 2
+    // equal length no longer implies zero position shift)
     val probes = bgrams
       .select(col("nm").as("p_nm"), col("g"), col("pos"), col("len"),
-        explode(array(shiftPairs: _*)).as("sp"))
+        explode(array(shiftPairs(tau): _*)).as("sp"))
       .select(col("p_nm"), col("g"),
         (col("pos") + col("sp.d")).as("pos"),
         (col("len") + col("sp.dl")).as("len"))

@@ -224,16 +224,96 @@ object SuffixDedup {
   private val saCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Artifact store for persisted suffix arrays. Overridable per process
+    * (`-Dgraft.sa.root=...`); a deployment points it at the warehouse
+    * path the corpus-publish job owns.
+    */
+  private def saArtifactBase: String =
+    sys.props.getOrElse("graft.sa.root",
+      s"${sys.props("java.io.tmpdir")}/graft_sa_artifacts")
+
+  /** Corpus fingerprint: canonical path + per-file (name, length, mtime)
+    * of `documents.parquet` — the cheap metadata-only identity a publish
+    * job can compute without reading data. Any rewrite of the corpus
+    * (new files, new lengths, new mtimes) changes the fingerprint and
+    * therefore the artifact key; a byte-identical re-stage with fresh
+    * mtimes rebuilds spuriously, which is the safe direction.
+    */
+  private[ext] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(Tables.path(dir, "documents"))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val parts =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).sortBy(_.getPath.getName)
+      else Seq(st)
+    val sig = (fs.makeQualified(p).toString +:
+      parts.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"))
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The [[graft.engine.VersionedTable]] root holding this corpus
+    * state's persisted suffix array. Keyed by fingerprint: a changed
+    * corpus gets a NEW root (the old artifact stays readable — time
+    * travel with the corpus snapshot), an unchanged corpus always
+    * resolves the same root across processes.
+    */
+  private[ext] def saArtifactRoot(s: SparkSession, dir: String): String =
+    s"$saArtifactBase/sa-${corpusFingerprint(s, dir)}"
+
+  /** Build-once persistence of the suffix array — the 100-TB remedy for
+    * the lane's one super-linear term. The SA COLD build's
+    * prefix-doubling rounds each shuffle the full token frame (measured
+    * r16: 410 s of x174's 100x wall was the per-session rebuild); at
+    * scale the SA is built ONCE per corpus publish, committed as a
+    * versioned artifact keyed by the corpus fingerprint, and every
+    * dedup/scrub/curve consumer reads (doc_id, pos, sa) back as a plain
+    * parquet scan. Idempotent: an already-committed artifact is reused
+    * (across processes — the fingerprint, not the session, is the key);
+    * the L1 [[saCache]] then keeps the in-session DataFrame. Returns the
+    * committed artifact version. Bench/RunOne call this in their
+    * amortized-setup block, next to `buildAnnIndex`.
+    */
+  def ensureSa(s: SparkSession, dir: String): Long = {
+    val root = saArtifactRoot(s, dir)
+    val v = graft.engine.VersionedTable.latestVersion(s, root).getOrElse {
+      graft.engine.VersionedTable.commit(buildSuffixArray(s, dir), root)
+    }
+    saCache.put((s, dir),
+      graft.engine.VersionedTable.read(s, root, Some(v))): Unit
+    v
+  }
+
+  /** Spec seam: drop the in-session caches so artifact reads are
+    * observable (the read-back-equals-build gate).
+    */
+  private[ext] def resetSessionCaches(): Unit = {
+    rankCache.clear(); saCache.clear(); coveredCache.clear()
+  }
+
   /** The dense suffix array: (doc_id, pos, sa), sa = 0..n-1 in suffix
     * order, rank ties (content-identical cross-doc suffixes) broken by
-    * doc_id — the twin's ORDER BY suffix, doc_id. Densification is the
-    * one bounded driver round-trip in the lane: per-partition row
-    * counts (one long per shuffle partition) turn range-partitioned
+    * doc_id — the twin's ORDER BY suffix, doc_id. Resolution order:
+    * L1 session cache, then a committed artifact for this corpus
+    * fingerprint (see [[ensureSa]] — a parquet scan, no rebuild), then
+    * the in-session build. Densification in the build is the one
+    * bounded driver round-trip in the lane: per-partition row counts
+    * (one long per shuffle partition) turn range-partitioned
     * in-partition row numbers into global indexes — the same class as
     * the audited k-row collects in BloomJoin/Graph.
     */
   private[ext] def suffixArray(s: SparkSession, dir: String): DataFrame =
     saCache.computeIfAbsent((s, dir), _ => {
+      val root = saArtifactRoot(s, dir)
+      graft.engine.VersionedTable.latestVersion(s, root) match {
+        case Some(v) => graft.engine.VersionedTable.read(s, root, Some(v))
+        case None => buildSuffixArray(s, dir)
+      }
+    })
+
+  private def buildSuffixArray(s: SparkSession, dir: String): DataFrame = {
       val ranks = suffixRanks(s, dir)
       val real = saTimed("densify-sort") {
         ranks
@@ -258,7 +338,7 @@ object SuffixDedup {
           .select(col("doc_id"), col("pos"), col("sa"))
           .pinned
       }
-    })
+  }
 
   /** x161: the suffix array itself, hash-gated position by position
     * against DuckDB's brute-force suffix sort — the certificate the

@@ -43,9 +43,38 @@ object EdClusterIngest {
     SnapshotIngest.toVersionedCompacting(events, root, checkpoint,
       maxLiveVersions)((batch, _) => batch)(edFold(tau, cap))
 
-  /** The standing clusters: fold base state + live batches, resolve. */
+  /** Memoized standing fold, latest entry per (session, root): a
+    * read-mostly deployment otherwise re-folds the SAME live versions
+    * serially on every standing read (at maxLiveVersions=4 that is up
+    * to 3 sequential [[Linkage.edInsertBatch]] passes per read). The
+    * key is the lane's visible state — (horizon, live versions, tau,
+    * cap) — so any new batch commit or compaction changes the key and
+    * the next read folds fresh; only the newest fold is retained (stale
+    * keys would otherwise pin every historical fold's blocks).
+    */
+  private val foldCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), ((Option[Long], Seq[Long], Int, Int), DataFrame)]()
+
+  private[streaming] def standingState(s: SparkSession, root: String, tau: Int,
+      cap: Int): DataFrame = {
+    val key = (SnapshotIngest.horizon(s, root),
+      SnapshotIngest.liveVersions(s, root), tau, cap)
+    foldCache.compute((s, root), (_, prev) =>
+      prev match {
+        case (k, df) if k == key => (k, df)
+        // fold from the KEY's snapshot of the lane (not a re-listing):
+        // a batch landing between the key read and here must produce a
+        // key mismatch on the NEXT read, never a fresher-than-key value
+        case _ => (key, edFold(tau, cap)(
+          key._1.map(h => SnapshotIngest.baseRead(s, root, h)).toSeq ++
+            key._2.map(v => graft.engine.VersionedTable.read(s, root, Some(v)))))
+      })._2
+  }
+
+  /** The standing clusters: fold base state + live batches (memoized —
+    * repeated reads of an unchanged lane reuse one fold), resolve.
+    */
   def servedClusters(s: SparkSession, root: String, tau: Int = 1,
       cap: Int = 256): DataFrame =
-    Linkage.edClustersFromState(
-      SnapshotIngest.standing(s, root)(edFold(tau, cap)))
+    Linkage.edClustersFromState(standingState(s, root, tau, cap))
 }

@@ -75,6 +75,13 @@ object SnapshotIngest {
   def horizon(s: SparkSession, root: String): Option[Long] =
     VersionedTable.latestVersion(s, baseRoot(root))
 
+  /** Read the base fold at an EXPLICIT horizon — the seam a memoizing
+    * standing reader uses to fold from a pinned (horizon, live-versions)
+    * snapshot instead of a second listing that could race a compaction.
+    */
+  def baseRead(s: SparkSession, root: String, h: Long): org.apache.spark.sql.DataFrame =
+    VersionedTable.read(s, baseRoot(root), Some(h))
+
   /** Log versions not yet folded (the versions a standing read unions). */
   def liveVersions(s: SparkSession, root: String): Seq[Long] = {
     val h = horizon(s, root)

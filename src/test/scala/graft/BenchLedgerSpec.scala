@@ -89,6 +89,22 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(BenchLedger.stats(dir, "sf0.1") == Map("q" -> ((2.0, 3))))
   }
 
+  test("medians are data-dir-scoped: 10x and 100x corpora both named sf1 do not collide") {
+    val dir = tmpDir()
+    // the r16 incident: /tmp/sf10x/sf1 and /tmp/sf100x/sf1 share the
+    // basename, so a 100x run was judged against 10x medians and the
+    // rerun detector fired on nearly every query
+    BenchLedger.append(dir, "sf1", 32, Map("q" -> 2.0), Some("/tmp/sf10x/sf1"))
+    BenchLedger.append(dir, "sf1", 32, Map("q" -> 55.0), Some("/tmp/sf100x/sf1"))
+    val at10x = BenchLedger.stats(dir, "sf1", 32, Some("/tmp/sf10x/sf1"))
+    val at100x = BenchLedger.stats(dir, "sf1", 32, Some("/tmp/sf100x/sf1"))
+    assert(at10x == Map("q" -> ((2.0, 1))) && at100x == Map("q" -> ((55.0, 1))))
+    // the 100x value vs its OWN median: no spurious rerun
+    assert(!BenchLedger.needsRerun(55.0, at100x.get("q")))
+    // a dir-less reader still sees tagged lines through the sf name
+    assert(BenchLedger.stats(dir, "sf1", 32)("q")._2 == 2)
+  }
+
   test("medians are cpus-scoped: a local[4] debug run does not poison local[32]") {
     val dir = tmpDir()
     BenchLedger.append(dir, "sf0.1", 32, Map("q29" -> 1.9))

@@ -83,3 +83,56 @@ object EagerCreateFileSystem {
     override def getUri: URI = URI.create("ecr:///")
   }
 }
+
+/** A HEAD-then-PUT store whose create(overwrite=false) can also fail
+  * TRANSIENTLY (throttle/socket timeout) — the round-17 advisory case:
+  * the capability probe must RETHROW such a failure instead of caching
+  * it as proof of server-side arbitration (a false "safe" verdict is
+  * cached per-process and silently re-enables the lost-snapshot race).
+  * Scheme `fhp` via `fs.fhp.impl`; arm with
+  * [[FlakyHeadThenPutFileSystem.failCreateAfter]] — the Nth
+  * create(overwrite=false) call throws a plain IOException once.
+  */
+class FlakyHeadThenPutFileSystem extends FilterFileSystem(new FlakyHeadThenPutFileSystem.Inner()) {
+
+  override def getScheme: String = "fhp"
+  override def getUri: URI = URI.create("fhp:///")
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    fs.initialize(name, conf)
+    setConf(conf)
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite &&
+        FlakyHeadThenPutFileSystem.createCountdown.decrementAndGet() == 0)
+      throw new java.io.IOException("fhp: simulated transient throttle")
+    if (!overwrite && fs.exists(f))
+      throw new FileAlreadyExistsException(s"fhp: $f exists")
+    // HEAD-then-PUT: materialize (unconditionally) at close only
+    val buf = new java.io.ByteArrayOutputStream()
+    val deferred = new java.io.FilterOutputStream(buf) {
+      override def close(): Unit = {
+        super.close()
+        val out = fs.create(f, true)
+        try out.write(buf.toByteArray)
+        finally out.close()
+      }
+    }
+    new FSDataOutputStream(deferred, null)
+  }
+}
+
+object FlakyHeadThenPutFileSystem {
+  /** Counts down on each create(overwrite=false); the call that lands
+    * exactly on zero throws the transient IOException. <= 0 disarms.
+    */
+  val createCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private class Inner extends RawLocalFileSystem {
+    override def getScheme: String = "fhp"
+    override def getUri: URI = URI.create("fhp:///")
+  }
+}

@@ -201,6 +201,31 @@ class ManifestHardeningSpec extends SparkSpec {
       "the probe verdict is cached — later commits must not re-probe or fail")
   }
 
+  test("a transient probe failure RETHROWS — never cached as a safe verdict") {
+    VersionedTable.resetProbeCache()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.fhp.impl", classOf[FlakyHeadThenPutFileSystem].getName)
+    val dir = "fhp://" +
+      java.nio.file.Files.createTempDirectory("fhp_probe").toString
+    val near = new Path(s"$dir/_manifests/v=0.json")
+    val pfs = near.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pfs.mkdirs(near.getParent)
+    // arm: the probe's SECOND create (its first is the probe file
+    // itself) hits a simulated throttle — on this genuinely
+    // HEAD-then-PUT store, the r16 behavior took any IOException as
+    // proof of arbitration and cached "safe" per-process
+    FlakyHeadThenPutFileSystem.createCountdown.set(2)
+    val boom = intercept[java.io.IOException] {
+      VersionedTable.createArbitratesAtCreate(pfs, near)
+    }
+    assert(boom.getMessage.contains("transient throttle"),
+      s"the transient failure must surface, got: ${boom.getMessage}")
+    // the throttle cleared: the RE-probe (nothing was cached) now sees
+    // the store's true HEAD-then-PUT semantics — not a stale "safe"
+    assert(!VersionedTable.createArbitratesAtCreate(pfs, near),
+      "after a transient failure the next probe must run and detect HEAD-then-PUT")
+  }
+
   test("SnapshotSet child roots inherit the set's mode across default drift") {
     VersionedTable.defaultMode = CommitMode.ManifestLog
     val root = tmpRoot("graft_setmode")

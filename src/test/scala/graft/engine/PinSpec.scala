@@ -60,6 +60,43 @@ class PinSpec extends SparkSpec {
       5L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("Reliable checkpoints are age-gated vacuumed (TTL hygiene)") {
+    // Spark never deletes reliable checkpoint dirs itself — a
+    // long-running Reliable deployment leaks one rdd-* dir per pin
+    val ttlBefore = Pin.reliableTtlMillis
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ttl")
+      spark.sparkContext.setCheckpointDir(ckpt.toString)
+      Pin.mode = Pin.Reliable
+      val resolved = new java.io.File(
+        spark.sparkContext.getCheckpointDir.get.stripPrefix("file:"))
+      def rddDirs() = Option(resolved.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+      val first = Pin.pin(Seq(1L, 2L, 3L).toDF("id"))
+      assert(first.count() === 3L)
+      assert(rddDirs().nonEmpty, "a Reliable pin must leave a checkpoint dir")
+      // age the first pin's dir past the TTL
+      rddDirs().foreach { d =>
+        assert(d.setLastModified(System.currentTimeMillis() - 2L * 3600_000L))
+      }
+      Pin.reliableTtlMillis = 3600_000L
+      val second = Pin.pin(Seq(4L, 5L).toDF("id"))
+      assert(second.count() === 2L)
+      val left = rddDirs()
+      assert(left.length === 1,
+        s"the aged checkpoint must be swept, the young one kept: ${left.mkString(",")}")
+      assert(left.head.lastModified() > System.currentTimeMillis() - 3600_000L)
+      assert(second.count() === 2L, "the surviving pin must stay readable")
+      // disarmed (TTL < 0): nothing is ever swept
+      Pin.reliableTtlMillis = -1L
+      rddDirs().foreach { d =>
+        assert(d.setLastModified(System.currentTimeMillis() - 2L * 3600_000L))
+      }
+      Pin.pin(Seq(6L).toDF("id")).count(): Unit
+      assert(rddDirs().length === 2, "TTL off means no sweep")
+    } finally Pin.reliableTtlMillis = ttlBefore
+  }
+
   test("a real query lane is mode-invariant end-to-end (x217 ED clusters)") {
     Pin.mode = Pin.Local
     val local = graft.ext.Linkage.edClusters(spark, Sf)

@@ -246,6 +246,50 @@ class SnapshotSetSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSet === Set("writer-C"))
   }
 
+  test("publishMerged validates against the CALLER's read set, not capture-at-entry") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root, Map(
+      "a" -> Seq((1L, "a0")).toDF("k", "v"), "b" -> Seq((1L, "b0")).toDF("k", "v")))
+    // the caller reads its input data at set 0 and remembers the manifest
+    val readSet = SnapshotSet.manifest(spark, root)
+    // a concurrent writer republishes table a BEFORE our publishMerged
+    // even starts — capture-at-entry cannot see this window
+    SnapshotSet.publishMerged(spark, root,
+      Map("a" -> Seq((1L, "a1-concurrent")).toDF("k", "v")))
+    // the stale writer merges its set-0-derived snapshot of a: with the
+    // explicit read set the lost update is DETECTED
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotSet.publishMerged(spark, root,
+        Map("a" -> Seq((1L, "a1-stale")).toDF("k", "v")), readSet)
+    }
+    // the concurrent winner's update survives
+    assert(SnapshotSet.readTable(spark, root, "a")
+      .select("v").head().getString(0) === "a1-concurrent")
+  }
+
+  test("a conflicted merge-publish retires its orphan table versions") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotSet.publish(spark, root, Map(
+      "a" -> Seq((1L, "a0")).toDF("k", "v"), "b" -> Seq((1L, "b0")).toDF("k", "v")))
+    val readSet = SnapshotSet.manifest(spark, root)
+    SnapshotSet.publishMerged(spark, root,
+      Map("a" -> Seq((1L, "a1")).toDF("k", "v")))
+    val beforeLoss = VersionedTable.versions(spark, s"$root/tables/a")
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotSet.publishMerged(spark, root,
+        Map("a" -> Seq((1L, "a1-stale")).toDF("k", "v")), readSet)
+    }
+    // the loser's just-committed version must NOT linger as a
+    // committed-but-unreferenced orphan visible to direct latest()
+    // readers of the table root
+    assert(VersionedTable.versions(spark, s"$root/tables/a") === beforeLoss,
+      "the conflicted writer's table version must be dropped on the loser path")
+    assert(SnapshotSet.readTable(spark, root, "a")
+      .select("v").head().getString(0) === "a1")
+  }
+
   test("racing publishes serialize: both sets commit, each internally consistent") {
     import spark.implicits._
     val root = tmp()

@@ -35,6 +35,44 @@ class LinkageSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain distance-1 name pairs")
   }
 
+  test("tau=2 completeness: equal-length ins+del pairs (shifted grams) are found") {
+    // the r16-advice hole: at tau >= 2 an EQUAL-length pair can be one
+    // insertion + one deletion ("abcdefgh" -> "bcdefgha": delete the
+    // front 'a', append it — lev 2, every position differs, so every
+    // shared gram sits at a SHIFTED position). The old dl==0 => d==0
+    // probe rule generated no candidate for such pairs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tau2").toString
+    val names = Seq(
+      (1L, "abcdefgh"), (2L, "bcdefgha"), // the shifted pair, lev = 2
+      (3L, "abcdefgx"),                   // lev 1 from #1
+      (4L, "qrstuvwx"), (5L, "zzzzyyyy")) // far fillers
+    names.toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    val truth = (for {
+      (ka, na) <- names; (kb, nb) <- names if ka < kb
+      d = lev(na, nb) if d <= 2
+    } yield (ka, kb, d)).toSet
+    assert(truth.contains((1L, 2L, 2)), "the planted shifted pair must be in scope")
+    // both engines: the one-shot blocking join and the incremental fold
+    val oneShot = Linkage.edSimJoin(spark, dir, tau = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneShot === truth)
+    // split the shifted pair ACROSS batches: the late name's probes must
+    // hit the early name's STANDING postings at the shifted positions
+    val st = Linkage.edInsertBatch(
+      Linkage.edInsertBatch(Linkage.edStateInit(spark),
+        Seq(names(0), names(3)).toDF("key", "nm"), tau = 2),
+      Seq(names(1), names(2), names(4)).toDF("key", "nm"), tau = 2)
+    val incPairs = st.filter(col("kind") === "p")
+      .select(col("na"), col("nb"), col("dist")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val nameTruth = truth.map { case (ka, kb, d) =>
+      val (na, nb) = (names.toMap.apply(ka), names.toMap.apply(kb))
+      (if (na < nb) na else nb, if (na < nb) nb else na, d)
+    }
+    assert(incPairs === nameTruth)
+  }
+
   test("x191 classifies every planted clone/source pair as a match") {
     val rows = Linkage.fsLinkage(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),

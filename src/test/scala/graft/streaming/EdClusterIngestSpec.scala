@@ -45,6 +45,33 @@ class EdClusterIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repeated standing reads reuse ONE fold; a new batch invalidates it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_edm").toString + "/ed"
+    graft.engine.VersionedTable.commitIfAbsent(
+      Seq((1L, "Customer#000000001"), (2L, "Customer#000000002"))
+        .toDF("key", "nm"), root, 0L)
+    // a read-mostly deployment: three standing reads of an unchanged
+    // lane must fold once (at maxLive=4 a re-fold is up to 3 serial
+    // edInsertBatch passes per read)
+    val st1 = EdClusterIngest.standingState(spark, root, 1, 256)
+    val st2 = EdClusterIngest.standingState(spark, root, 1, 256)
+    assert(st1 eq st2, "an unchanged lane must reuse the memoized fold")
+    val served1 = EdClusterIngest.servedClusters(spark, root)
+      .collect().map(_.toString).toSeq
+    // a new batch changes the lane's visible (horizon, live) state:
+    // the next read folds fresh and serves the updated clusters
+    graft.engine.VersionedTable.commitIfAbsent(
+      Seq((3L, "Customer#000000003")).toDF("key", "nm"), root, 1L)
+    val st3 = EdClusterIngest.standingState(spark, root, 1, 256)
+    assert(!(st3 eq st1), "a committed batch must invalidate the fold")
+    val served2 = EdClusterIngest.servedClusters(spark, root)
+      .collect().map(_.toString).toSeq
+    assert(served1 !== served2,
+      "the fixture names are pairwise distance 1 — a third member grows the cluster")
+    assert(EdClusterIngest.standingState(spark, root, 1, 256) eq st3)
+  }
+
   test("batch twin: the x218 incremental fold equals the x217 one-shot") {
     val inc = graft.ext.Linkage.edClustersIncremental(spark, Sf)
       .collect().map(_.toString).toSeq
