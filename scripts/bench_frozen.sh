@@ -6,6 +6,22 @@
 set -u
 SF_DIR="$1"; CP_DIR="$2"; REPS="${3:-1}"
 MEM="${SPARK_DRIVER_MEM:-24g}"
+# Pre-run sweep of ORPHANED Spark scratch (the r17 lesson: OOM-killed
+# JVMs left 51 GiB of blockmgr-* spill debris that disk-filled a later
+# batch). Age-gated like the Pin reliable-checkpoint TTL — only dirs
+# untouched for SWEEP_AGE_MIN minutes (default 180, longer than any
+# single suite pass) are swept, so a concurrently running JVM's live
+# scratch is never touched. Override/disable via SPARK_SWEEP_AGE_MIN
+# (<=0 disables).
+SWEEP_AGE_MIN="${SPARK_SWEEP_AGE_MIN:-180}"
+if [ "$SWEEP_AGE_MIN" -gt 0 ] 2>/dev/null; then
+  for pat in 'blockmgr-*' 'spark-*' 'graft_bench_wh*' 'graft_runone_wh*' \
+             'graft_verify_wh*'; do
+    find "${TMPDIR:-/tmp}" -maxdepth 1 -name "$pat" -type d \
+      -mmin +"$SWEEP_AGE_MIN" -exec rm -rf {} + 2>/dev/null
+  done
+  df -h "${TMPDIR:-/tmp}" | tail -1 >&2
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \

@@ -50,7 +50,12 @@ for path in args.log.split(","):
     for line in open(path, errors="replace"):
         m = pat.match(line)
         if m:
-            times[m.group(3)] = float(m.group(4))
+            # min across sources if a query appears twice (same rule as
+            # the RunOne branch below — merged value must not depend on
+            # the order log paths are passed)
+            prev = times.get(m.group(3))
+            v = float(m.group(4))
+            times[m.group(3)] = v if prev is None else min(prev, v)
             total_q = int(m.group(2))
             continue
         m = pat_runone.match(line)
@@ -82,7 +87,8 @@ ref2 = ledger_line(args.ref_dir2)
 done = len(times)
 total = sum(times.values())
 ob = {k: v for k, v in times.items() if k in OUTPUT_BOUND}
-print(f"completed {done}/{total_q}  timed-total {total:.1f} s "
+print(f"completed {done}/{total_q if total_q is not None else len(times)}"
+      f"  timed-total {total:.1f} s "
       f"({total/60:.1f} min)")
 print(f"output-bound lanes present: {len(ob)}  sum {sum(ob.values()):.1f} s")
 print(f"total minus output-bound:   {total - sum(ob.values()):.1f} s")

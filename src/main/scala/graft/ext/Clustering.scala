@@ -179,6 +179,28 @@ object Clustering {
   /** The x144 lloyd assignment augmented with each vector's exact grid
     * squared norm (the τ test's denominator). Shared by x144 and x148.
     */
+  /** SemDeDup/D4 cluster count scaled with the corpus — the paper's own
+    * web-scale posture (SemDeDup runs k≈10⁵ at n=10⁹, i.e. PINNED
+    * cluster size): k = max(base, ⌈n / targetClusterSize⌉), so the
+    * within-cluster pair work Σ|c|² ≈ n·targetClusterSize stays LINEAR
+    * in the corpus while the assignment pass is n·k = n²/target — both
+    * bounded (at the 100x corpus the r17 fixed-k=8 spelling paid
+    * 10,000× the pairs of the 1x run: 934.7 s / 810.5 s measured).
+    * target=512 keeps k at the base 8 through the sf0.1 bench decade
+    * (n=2,000), so every graded oracle and the steady-state bench plan
+    * are byte-identical; the scaling engages only past n=4,096. The
+    * count is one parquet-footer read, memoized per (session, dataset).
+    */
+  private val nVecCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private[ext] def scaledK(s: SparkSession, dir: String, base: Int = 8,
+      targetClusterSize: Long = 512L): Int = {
+    val n: Long = nVecCache.computeIfAbsent((s, dir),
+      _ => t(s, dir, "embeddings").count())
+    math.max(base.toLong, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
   private def assignedWithNorms(s: SparkSession, dir: String, k: Int,
       iters: Int): DataFrame =
     // NOT checkpointed: the x144/x148 plans consume the assignment
@@ -909,8 +931,10 @@ object Clustering {
     "x140_kmeans_embed" -> ((s: SparkSession, dir: String) => kmeansEmbed(s, dir)),
     "x141_pq_codes" -> (pqCodes _),
     "x142_pq_adc" -> ((s: SparkSession, dir: String) => pqAdcParity(s, dir)),
-    "x144_semdedup_kmeans" -> ((s: SparkSession, dir: String) => semdedupKmeans(s, dir)),
-    "x148_d4_prune" -> ((s: SparkSession, dir: String) => d4Prune(s, dir)),
+    "x144_semdedup_kmeans" ->
+      ((s: SparkSession, dir: String) => semdedupKmeans(s, dir, k = scaledK(s, dir))),
+    "x148_d4_prune" ->
+      ((s: SparkSession, dir: String) => d4Prune(s, dir, k = scaledK(s, dir))),
     "x150_cluster_drift" -> ((s: SparkSession, dir: String) => clusterDrift(s, dir)),
     "x158_centroid_refresh" -> ((s: SparkSession, dir: String) => centroidRefresh(s, dir)),
     "x159_pq_error_outliers" -> ((s: SparkSession, dir: String) => pqErrorOutliers(s, dir)),

@@ -298,8 +298,15 @@ object Dedup {
     * against the exact inverted-index result.
     */
   def minhashPairs(s: SparkSession, dir: String,
-      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val posts = shinglePostings(s, dir)
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashPairsFromPosts(shinglePostings(s, dir), bands, rowsPerBand, threshold)
+
+  /** The banded MinHash pipeline over an explicit postings frame —
+    * shared by the whole-corpus x12 lane and the clone-collapsed
+    * `clusterLabels` (which runs it on distinct-TEXT reps only).
+    */
+  private[ext] def minhashPairsFromPosts(posts: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val banded = minhashSignatures(posts, bands * rowsPerBand)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -394,15 +401,30 @@ object Dedup {
       bandBits: Int = 15, maxHamming: Int = 3): DataFrame = {
     val nBands = SimhashBits / bandBits
     require(maxHamming < nBands, "pigeonhole exactness needs maxHamming < nBands")
-    // the 8-byte sketch rides the band shuffle next to the id (16-byte
-    // rows instead of 8) so the Hamming check needs NO re-join — the
-    // sketch aggregate is computed exactly once, not once per join leg
-    val banded = simhashCore(s, dir).select(col("doc_id"), col("simhash"),
+    // Clone-collapse ON THE SKETCH VALUE (the clusterLabels medicine,
+    // strictly more general here): the emitted set depends on doc ids
+    // only through the sketch, so docs sharing a sketch are fully
+    // interchangeable — band/bucket/Hamming all equal. The banded join
+    // therefore runs one REP per DISTINCT sketch (buckets bounded by
+    // distinct-sketch counts — at the 100x clone corpus the doc-level
+    // buckets were quadratic in the 100-way clone multiplicity and
+    // OOM'd a 40 GiB JVM), and the answer reassembles as
+    //   - cross-group: every member pair of a rep pair, same hamming;
+    //   - in-group: all pairs of a shared-sketch group, hamming 0.
+    // Exactness is unchanged: pigeonhole applies at the sketch level.
+    val sketchGroups = simhashCore(s, dir)
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .pinned
+    // the 8-byte sketch rides the band shuffle next to the rep id so the
+    // Hamming check needs NO re-join
+    val banded = sketchGroups.select(col("rep").as("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bkey"))
-    banded
+    val repPairs = banded
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -412,6 +434,16 @@ object Dedup {
           .cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
+    val memA = sketchGroups.select(col("rep").as("doc_a"), explode(col("members")).as("m_a"))
+    val memB = sketchGroups.select(col("rep").as("doc_b"), explode(col("members")).as("m_b"))
+    val cross = repPairs
+      .join(memA, "doc_a").join(memB, "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("hamming"))
+    val inGroup = sketchGroups.filter(size(col("members")) > 1)
+      .select(explode(pairsOfSorted(col("members"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(0L).as("hamming"))
+    cross.unionByName(inGroup)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -494,10 +526,43 @@ object Dedup {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Clone-collapsed (the r15 x86/x98 medicine, measured mandatory at
+    * the 100x clone corpus where the doc-level pair graph is quadratic
+    * in clone multiplicity — x75 paid 913.9 s riding it): the banded
+    * pipeline and the CC rounds run on DISTINCT-text reps only, and the
+    * labels expand back through the exact-clone groups afterwards.
+    * Semantics-preserving by construction — identical text ⇒ identical
+    * shingle set ⇒ identical signature, buckets, and Jaccard, so
+    *   - a cross-group member pair is a verified edge iff its rep pair
+    *     is (same buckets, same Jaccard),
+    *   - an in-group member pair is always an edge (all 32 buckets
+    *     shared, Jaccard 1.0),
+    * hence doc-level components = rep components expanded through the
+    * groups, plus each multi-member group whose rep is pair-isolated as
+    * its own component; and because a rep is its group's MINIMUM id,
+    * the expanded canonical (min-id) labels are identical too. Groups
+    * are restricted to docs that HAVE postings (shingle-less docs never
+    * enter the doc-level graph either).
+    */
   private[ext] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent((s, dir), _ =>
-      connectedComponents(minhashPairs(s, dir, bands = 32, rowsPerBand = 2)
-        .select(col("doc_a"), col("doc_b"))))
+    ccCache.computeIfAbsent((s, dir), _ => {
+      val posts = shinglePostings(s, dir)
+      val groups = textGroups(s, dir, histMax = 0, incrSide = true)
+        .join(posts.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+        .pinned
+      val repPosts = posts
+        .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      val repPairs = minhashPairsFromPosts(repPosts,
+          bands = 32, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val repLabels = connectedComponents(repPairs)
+      groups
+        .join(repLabels.select(col("id").as("rep"), col("lbl")), Seq("rep"), "left")
+        .filter(col("lbl").isNotNull || size(col("members")) > 1)
+        .select(explode(col("members")).as("id"),
+          coalesce(col("lbl"), col("rep")).as("lbl"))
+        .pinned
+    })
 
   /** Duplicate-cluster resolution: the verified near-dup pair set
     * (exact Jaccard >= 0.5, same pairs x12 grades) resolved into

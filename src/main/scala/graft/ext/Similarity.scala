@@ -600,6 +600,37 @@ object Similarity {
     * the banded lane); it exists as the exact ground truth the banded
     * lane is graded against.
     */
+  /** The block-pair BUDGET of the exact kernel: when the B·(B+1)/2
+    * block-pair grid exceeds this, block pairs are kept by a pinned
+    * md5-hash draw at rate budget/total (deterministic, cross-engine —
+    * the x40 hashBucket spelling) and the kernel computes an unbiased
+    * SAMPLE of the exact pair set. The un-bounded r17 kernel OOM'd a
+    * 40 GiB JVM at 200 K vectors: a bound that doesn't scale is not a
+    * bound. 4096 pairs × two ~0.5 MB packed blocks keeps the join's
+    * shuffle ≲4 GB and the pair compares ≲4·10⁹ at any corpus size.
+    * Both graded scales sit far under the budget (sf0.1: 3 block
+    * pairs), where the keep-all branch makes the plan — and the x24
+    * oracle — byte-identical to the unbounded kernel. The drop is NOT
+    * silent: x219 reports the kept/total coverage (the basketDrops
+    * convention), and it is the fraction to divide any downstream
+    * pair-count estimate by.
+    */
+  val MaxBlockPairs = 4096L
+
+  /** The md5 keep-draw for block pair (a, b) at rate budget/total —
+    * pinned, engine-portable (the twin spells the same md5 prefix).
+    * DECIMAL(38,0) products: hash‰ × total outgrows int64 once the
+    * grid passes ~10¹² pairs.
+    */
+  private def blockPairKeep(blkA: Column, blkB: Column, totalPairs: Column,
+      budget: Long): Column = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val h = pmod(TextAnalysis.tokenHash(
+      concat(lit("x24bp:"), blkA.cast("string"), lit(":"), blkB.cast("string"))),
+      lit(1000000L))
+    h.cast(dec) * totalPairs.cast(dec) < lit(budget).cast(dec) * lit(1000000L).cast(dec)
+  }
+
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       blockSize: Int = 1024): DataFrame =
     nearDupCache.computeIfAbsent((s, dir, threshold, blockSize), _ =>
@@ -616,9 +647,15 @@ object Similarity {
     // block count: a 1-row aggregate (like IVF's bounded sample), not a
     // corpus materialization
     val maxBlk = packed.agg(max(col("blk"))).head().getLong(0)
-    val pairs = packed
+    val totalBlockPairs = (maxBlk + 1L) * (maxBlk + 2L) / 2L
+    val grid = packed
       .select(col("blk").as("blk_a"), col("vecs").as("va"),
         explode(sequence(col("blk"), lit(maxBlk))).as("blk_b"))
+    val kept =
+      if (totalBlockPairs <= MaxBlockPairs) grid
+      else grid.filter(blockPairKeep(col("blk_a"), col("blk_b"),
+        lit(totalBlockPairs), MaxBlockPairs))
+    val pairs = kept
       .join(packed.select(col("blk").as("blk_b"), col("vecs").as("vb")), "blk_b")
       .select(col("blk_a"), col("blk_b"), col("va"), col("vb"))
       .as[BlockPair]
@@ -649,6 +686,40 @@ object Similarity {
       }
     pairs.toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** x219: the x24 kernel's coverage datasheet (the basketDrops
+    * convention — a cap is never silent): one row with the corpus size,
+    * the block grid, how many block pairs the budget keeps under the
+    * pinned md5 draw, and the kept/total coverage fraction. Downstream
+    * consumers of a sampled x24 run divide pair-count estimates by
+    * `coverage`; at the graded scales coverage = 1.0 (keep-all branch).
+    * The whole query is block-grid-sized arithmetic derived from a
+    * 1-row corpus aggregate — no corpus pair work anywhere.
+    */
+  def embeddingNearDupCoverage(s: SparkSession, dir: String,
+      blockSize: Int = 1024, budget: Long = MaxBlockPairs): DataFrame = {
+    val stats = t(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_vecs"),
+        (max(col("vec_id")).cast(LongType) / blockSize).cast(LongType).as("maxblk"))
+    val total = (col("maxblk") + 1L) * (col("maxblk") + 2L) / lit(2L)
+    val grid = stats
+      .select(col("n_vecs"), col("maxblk"), total.cast(LongType).as("total_block_pairs"),
+        explode(sequence(lit(0L), col("maxblk"))).as("ba"))
+      .select(col("n_vecs"), col("maxblk"), col("total_block_pairs"), col("ba"),
+        explode(sequence(col("ba"), col("maxblk"))).as("bb"))
+    grid
+      .select(col("n_vecs"), (col("maxblk") + 1L).as("n_blocks"),
+        col("total_block_pairs"),
+        when(col("total_block_pairs") <= budget
+            || blockPairKeep(col("ba"), col("bb"), col("total_block_pairs"), budget),
+          1L).otherwise(0L).as("keep"))
+      .groupBy(col("n_vecs"), col("n_blocks"), col("total_block_pairs"))
+      .agg(sum(col("keep")).as("kept_block_pairs"))
+      .select(col("n_vecs"), col("n_blocks"), col("total_block_pairs"),
+        col("kept_block_pairs"),
+        (col("kept_block_pairs").cast(DoubleType)
+          / col("total_block_pairs").cast(DoubleType)).as("coverage"))
   }
 
   /** Semantic-dedup cluster resolution: the BANDED cosine near-dup pair
@@ -2055,6 +2126,8 @@ object Similarity {
     "x42_label_centroids" -> (labelCentroids _),
     "x25_ivf_topk" -> ((s: SparkSession, dir: String) => ivfTopkGated(s, dir)),
     "x24_embedding_neardup" -> ((s: SparkSession, dir: String) => embeddingNearDup(s, dir)),
+    "x219_neardup_block_coverage" ->
+      ((s: SparkSession, dir: String) => embeddingNearDupCoverage(s, dir)),
     "x20_cosine_topk" -> ((s: SparkSession, dir: String) => cosineTopk(s, dir)),
     "x21_ann_topk" -> ((s: SparkSession, dir: String) => annTopkGated(s, dir)),
     "x48_ann_topk_indexed" -> ((s: SparkSession, dir: String) => annTopkIndexedGated(s, dir)),
@@ -2716,6 +2789,36 @@ object Similarity {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
         |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+    // x219: the x24 block-pair coverage datasheet — same block grid,
+    // same md5 keep-draw ('x24bp:<a>:<b>' prefix hash ‰ scaled by the
+    // grid size against the 4096-pair budget), keep-all under budget.
+    "x219_neardup_block_coverage" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_vecs, max(vec_id) // 1024 AS maxblk FROM embeddings),
+        |ga AS (
+        |  SELECT n_vecs, maxblk,
+        |    (maxblk + 1) * (maxblk + 2) // 2 AS total_block_pairs,
+        |    unnest(generate_series(0, maxblk)) AS ba
+        |  FROM s),
+        |g AS (
+        |  SELECT n_vecs, maxblk, total_block_pairs, ba,
+        |    unnest(generate_series(ba, maxblk)) AS bb
+        |  FROM ga)
+        |SELECT first(n_vecs) AS n_vecs,
+        |  first(maxblk) + 1 AS n_blocks,
+        |  first(total_block_pairs) AS total_block_pairs,
+        |  CAST(sum(CASE WHEN total_block_pairs <= 4096
+        |        OR (('0x' || substr(md5('x24bp:' || CAST(ba AS VARCHAR)
+        |             || ':' || CAST(bb AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+        |           * total_block_pairs < 4096 * 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS kept_block_pairs,
+        |  CAST(sum(CASE WHEN total_block_pairs <= 4096
+        |        OR (('0x' || substr(md5('x24bp:' || CAST(ba AS VARCHAR)
+        |             || ':' || CAST(bb AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+        |           * total_block_pairs < 4096 * 1000000
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(first(total_block_pairs) AS DOUBLE) AS coverage
+        |FROM g""".stripMargin,
     // x122: the x23 quantization inlined per row, integer dot products
     // (exact under BIGINT), vec_id tie-break, overlap vs the x20-shape
     // float exact top-k.

@@ -311,7 +311,19 @@ object Relational {
     * matches exactly.
     */
   def recursiveAncestry(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("customer_rc_v")
+    val cust = t(s, dir, "customer")
+    cust.createOrReplaceTempView("customer_rc_v")
+    // Spark's cteRecursionRowLimit guards runaway recursions at a FIXED
+    // 1 M rows — which this lane's total output crosses by design at the
+    // 60 M-row decade (measured: RECURSION_ROW_LIMIT_EXCEEDED at the
+    // 100x corpus). The real safety invariant is data-relative: each key
+    // contributes ≤ ⌈log2(maxKey)⌉ chain rows, so n·64 bounds ANY key
+    // width long can hold. Scale the limit to that bound (never below
+    // the stock default, so small corpora keep stock behavior); the
+    // level limit stays stock — depth is log-bounded regardless of n.
+    val bound = math.max(1000000L, cust.count() * 64L)
+    if (s.conf.get("spark.sql.cteRecursionRowLimit", "1000000").toLong < bound)
+      s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
     s.sql(
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS custkey, c_custkey DIV 2 AS anc, 1 AS depth

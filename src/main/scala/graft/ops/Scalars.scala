@@ -195,12 +195,21 @@ object Scalars {
     * digits, so x = round(value·100) is lossless; the BIGINT moment
     * combinations stay well under 2^53, making every int→double
     * conversion exact and the final double tree bitwise reproducible.
-    * (At 100 TB row counts the power sums outgrow int64 — swap the
-    * partials to DECIMAL(38,0); the shape is unchanged.)
+    *
+    * The power sums accumulate in DECIMAL(38,0) (the x95
+    * `correlationMatrix` discipline), NOT BIGINT: Σx² at the 60 M-row
+    * decade already exceeds 2^63 (measured: ARITHMETIC_OVERFLOW at the
+    * 100x corpus), while the decimal partials stay exact to 10^38 —
+    * ~10^19 rows at these magnitudes — and remain map-side-combinable.
+    * The combinations (sxx·n − sx², ≲10^27 here) are likewise exact in
+    * decimal; each one converts to double once, correctly rounded, so
+    * the final tree is still a fixed sequence of exact-or-once-rounded
+    * ops on both engines (the twin runs the same sums in HUGEINT).
     */
   def corrMoments(s: SparkSession, dir: String): DataFrame = {
-    val x = round(col("value") * lit(100.0)).cast(LongType)
-    val y = get_json_object(col("props"), "$.k").cast(LongType)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val x = round(col("value") * lit(100.0)).cast(LongType).cast(dec)
+    val y = get_json_object(col("props"), "$.k").cast(LongType).cast(dec)
     val nD = col("n").cast(DoubleType)
     t(s, dir, "events")
       .groupBy(col("event_type"))
@@ -1439,16 +1448,18 @@ object Scalars {
         |  CAST(n_events - prev_events AS DOUBLE) / CAST(prev_events AS DOUBLE) AS pct_change
         |FROM l ORDER BY event_type, day""".stripMargin,
     "q56_corr_moments" ->
+      // the moment sums run in HUGEINT (the twin of Spark's DECIMAL(38,0)
+      // accumulation): Σx² outgrows int64 at the 60 M-row decade
       """WITH e AS (
         |  SELECT event_type,
-        |    CAST(round(value * 100.0) AS BIGINT) AS x,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |    CAST(CAST(round(value * 100.0) AS BIGINT) AS HUGEINT) AS x,
+        |    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS HUGEINT) AS y
         |  FROM events),
         |m AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy
         |  FROM e GROUP BY event_type)
         |SELECT event_type, n,
         |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,

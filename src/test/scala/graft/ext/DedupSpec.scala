@@ -446,4 +446,72 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === ((2L, 2L, true)))  // both distinct 4-grams hit
     assert(got(11L) === ((3L, 0L, false)))
   }
+
+  /** A corpus with planted exact clones — every clone-collapse branch is
+    * live: a clone pair riding a cross-group near-dup edge, an isolated
+    * clone pair (multi-member group whose rep has no rep-level pair),
+    * a singleton, and shingle-less clones (must stay absent).
+    */
+  private def writeCloneCorpus(): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clone_cc").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // last token changed: 6 of 10 shingles shared -> exact Jaccard 0.6
+    val t1b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val t2 = "one two three four five six seven eight nine ten"
+    Seq(
+      (0L, t1), (1L, t1), (2L, t1b),
+      (3L, t2), (4L, t2),
+      (5L, "completely different vocabulary avoiding any overlap whatsoever"),
+      (6L, "hi"), (7L, "hi"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("clone-collapsed cluster labels equal the doc-level CC reference") {
+    val tmp = writeCloneCorpus()
+    val got = Dedup.clusterLabels(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the r17 doc-level spelling — CC over the verified
+    // banded pairs of the FULL corpus (quadratic in clones, fine here)
+    val ref = Dedup.connectedComponents(
+        Dedup.minhashPairs(spark, tmp, bands = 32, rowsPerBand = 2)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref, s"collapsed labels $got != doc-level reference $ref")
+    // clone-structure invariants that hold regardless of banding luck:
+    // clones always share a component; the isolated clone pair forms its
+    // own min-id component; the singleton and shingle-less docs are absent
+    val gm = got.toMap
+    assert(gm(0L) == gm(1L), "clones 0/1 must share a label")
+    assert(gm(3L) == 3L && gm(4L) == 3L, "isolated clone pair labels to its min id")
+    assert(!gm.contains(5L) && !gm.contains(6L) && !gm.contains(7L),
+      "singletons and shingle-less docs are not labeled")
+    // the cross-group near-dup edge (j=0.6, caught by 32x2 banding on
+    // this fixture) pulls 2 into the 0/1 component
+    assert(gm.get(2L).contains(0L), s"expected doc 2 in component 0, got $gm")
+  }
+
+  test("clone-collapsed simhash near-dup equals brute force on planted clones") {
+    val tmp = writeCloneCorpus()
+    val banded = Dedup.simhashNearDup(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sk = Dedup.simhashSketch(spark, tmp)
+    val a = sk.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = sk.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val brute = a.crossJoin(b) // test-scale oracle only
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"sketch-collapsed banding must stay exact; got $banded want $brute")
+    // the planted clone pairs surface through the in-group expansion
+    assert(banded.contains((0L, 1L, 0L)) && banded.contains((3L, 4L, 0L))
+      && banded.contains((6L, 7L, 0L)),
+      s"clone pairs must appear at Hamming 0: $banded")
+  }
 }

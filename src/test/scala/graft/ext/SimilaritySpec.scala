@@ -667,4 +667,37 @@ class SimilaritySpec extends SparkSpec {
     val ve = projs.values.head._2
     assert(ve > 0.0 && ve <= 1.0, s"variance explained $ve out of range")
   }
+
+  test("x24 block-pair budget: keep-all under it, pinned md5 sample over it, x219 reports it") {
+    // graded scale: one block, grid of 1 pair, keep-all branch -> coverage 1.0
+    val cov = Similarity.embeddingNearDupCoverage(spark, Dir).collect()(0)
+    assert(cov.getLong(0) == 500L && cov.getLong(1) == 1L && cov.getLong(2) == 1L
+      && cov.getLong(3) == 1L && cov.getDouble(4) == 1.0, s"keep-all datasheet: $cov")
+    // a grid past the budget keeps a strict, deterministic subset
+    val cov2 = Similarity.embeddingNearDupCoverage(spark, Dir,
+      blockSize = 16, budget = 50L).collect()(0)
+    assert(cov2.getLong(2) == 528L, s"32-block grid: $cov2") // 32*33/2
+    assert(cov2.getLong(3) > 0L && cov2.getLong(3) < 528L, s"partial keep: $cov2")
+    assert(cov2.getDouble(4) == cov2.getLong(3).toDouble / 528.0)
+    val cov2b = Similarity.embeddingNearDupCoverage(spark, Dir,
+      blockSize = 16, budget = 50L).collect()(0)
+    assert(cov2.getLong(3) == cov2b.getLong(3), "the md5 draw is pinned")
+    // the sampled KERNEL emits exactly the kept-block subset of the full
+    // pair set: blockSize=1 makes blk == vec_id, grid = 125,250 pairs >
+    // the 4096 budget, so the keep rule is recomputable per output pair
+    def h15(sv: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(sv.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val total = 500L * 501L / 2L
+    def keep(a: Long, b: Long): Boolean =
+      (h15(s"x24bp:$a:$b") % 1000000L) * total < Similarity.MaxBlockPairs * 1000000L
+    val full = Similarity.embeddingNearDup(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sampled = Similarity.embeddingNearDup(spark, Dir, blockSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.keySet.filter { case (a, b) => keep(a, b) }
+    assert(sampled.keySet == expected,
+      s"sampled kernel must equal the kept-block subset: got ${sampled.size}, want ${expected.size}")
+    sampled.foreach { case (k, c) => assert(c == full(k), s"cosine differs for $k") }
+  }
 }
