@@ -644,18 +644,27 @@ object Similarity {
         col("vec_id"), col("embedding"))
       .groupBy(col("blk"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vecs"))
-    // block count: a 1-row aggregate (like IVF's bounded sample), not a
-    // corpus materialization
-    val maxBlk = packed.agg(max(col("blk"))).head().getLong(0)
-    val totalBlockPairs = (maxBlk + 1L) * (maxBlk + 2L) / 2L
-    val grid = packed
-      .select(col("blk").as("blk_a"), col("vecs").as("va"),
-        explode(sequence(col("blk"), lit(maxBlk))).as("blk_b"))
+      .pinned
+    // The grid enumerates NON-EMPTY blocks only, and the budget counts
+    // their pairs — never the id-range: sparse/offset id spaces (the
+    // 100x corpus clones at +10M key offsets) make a range-derived grid
+    // arbitrarily larger than the data (measured: 4.7e11 phantom range
+    // pairs vs ~4.5e4 real ones at 100x, collapsing the keep-rate to ~0
+    // and the kernel output with it). Block count: a 1-row aggregate
+    // (like IVF's bounded sample), not a corpus materialization.
+    val nBlocks = packed.count()
+    val totalBlockPairs = nBlocks * (nBlocks + 1L) / 2L
+    val ids = packed.select(col("blk"))
+    val grid = ids.select(col("blk").as("blk_a"))
+      .join(ids.select(col("blk").as("blk_b")), col("blk_b") >= col("blk_a"))
     val kept =
       if (totalBlockPairs <= MaxBlockPairs) grid
       else grid.filter(blockPairKeep(col("blk_a"), col("blk_b"),
         lit(totalBlockPairs), MaxBlockPairs))
+    // payloads join AFTER the keep filter: only surviving block pairs
+    // ever carry the ~0.5 MB packed arrays through a shuffle
     val pairs = kept
+      .join(packed.select(col("blk").as("blk_a"), col("vecs").as("va")), "blk_a")
       .join(packed.select(col("blk").as("blk_b"), col("vecs").as("vb")), "blk_b")
       .select(col("blk_a"), col("blk_b"), col("va"), col("vb"))
       .as[BlockPair]
@@ -699,23 +708,27 @@ object Similarity {
     */
   def embeddingNearDupCoverage(s: SparkSession, dir: String,
       blockSize: Int = 1024, budget: Long = MaxBlockPairs): DataFrame = {
-    val stats = t(s, dir, "embeddings")
-      .agg(count(lit(1)).as("n_vecs"),
-        (max(col("vec_id")).cast(LongType) / blockSize).cast(LongType).as("maxblk"))
-    val total = (col("maxblk") + 1L) * (col("maxblk") + 2L) / lit(2L)
-    val grid = stats
-      .select(col("n_vecs"), col("maxblk"), total.cast(LongType).as("total_block_pairs"),
-        explode(sequence(lit(0L), col("maxblk"))).as("ba"))
-      .select(col("n_vecs"), col("maxblk"), col("total_block_pairs"), col("ba"),
-        explode(sequence(col("ba"), col("maxblk"))).as("bb"))
+    // NON-EMPTY blocks only, matching the kernel (sparse id spaces make
+    // a range-derived grid meaningless — see embeddingNearDupPlan)
+    val blks = t(s, dir, "embeddings")
+      .select((col("vec_id").cast("long") / blockSize).cast(LongType).as("blk"))
+      .distinct()
+    val nv = t(s, dir, "embeddings").agg(count(lit(1)).as("n_vecs"))
+    val tot = blks.agg(count(lit(1)).as("n_blocks"))
+      .select(col("n_blocks"),
+        (col("n_blocks") * (col("n_blocks") + 1L) / lit(2L))
+          .cast(LongType).as("total_block_pairs"))
+    val grid = blks.select(col("blk").as("ba"))
+      .join(blks.select(col("blk").as("bb")), col("bb") >= col("ba"))
+      .crossJoin(broadcast(tot))
     grid
-      .select(col("n_vecs"), (col("maxblk") + 1L).as("n_blocks"),
-        col("total_block_pairs"),
+      .select(col("n_blocks"), col("total_block_pairs"),
         when(col("total_block_pairs") <= budget
             || blockPairKeep(col("ba"), col("bb"), col("total_block_pairs"), budget),
           1L).otherwise(0L).as("keep"))
-      .groupBy(col("n_vecs"), col("n_blocks"), col("total_block_pairs"))
+      .groupBy(col("n_blocks"), col("total_block_pairs"))
       .agg(sum(col("keep")).as("kept_block_pairs"))
+      .crossJoin(broadcast(nv))
       .select(col("n_vecs"), col("n_blocks"), col("total_block_pairs"),
         col("kept_block_pairs"),
         (col("kept_block_pairs").cast(DoubleType)
@@ -2794,18 +2807,19 @@ object Similarity {
     // grid size against the 4096-pair budget), keep-all under budget.
     "x219_neardup_block_coverage" ->
       """WITH s AS (
-        |  SELECT count(*) AS n_vecs, max(vec_id) // 1024 AS maxblk FROM embeddings),
-        |ga AS (
-        |  SELECT n_vecs, maxblk,
-        |    (maxblk + 1) * (maxblk + 2) // 2 AS total_block_pairs,
-        |    unnest(generate_series(0, maxblk)) AS ba
-        |  FROM s),
+        |  SELECT count(*) AS n_vecs FROM embeddings),
+        |b AS (
+        |  SELECT DISTINCT vec_id // 1024 AS blk FROM embeddings),
+        |c AS (
+        |  SELECT count(*) AS n_blocks,
+        |    count(*) * (count(*) + 1) // 2 AS total_block_pairs
+        |  FROM b),
         |g AS (
-        |  SELECT n_vecs, maxblk, total_block_pairs, ba,
-        |    unnest(generate_series(ba, maxblk)) AS bb
-        |  FROM ga)
+        |  SELECT s.n_vecs, c.n_blocks, c.total_block_pairs,
+        |    a.blk AS ba, bb.blk AS bb
+        |  FROM b a JOIN b bb ON bb.blk >= a.blk, s, c)
         |SELECT first(n_vecs) AS n_vecs,
-        |  first(maxblk) + 1 AS n_blocks,
+        |  first(n_blocks) AS n_blocks,
         |  first(total_block_pairs) AS total_block_pairs,
         |  CAST(sum(CASE WHEN total_block_pairs <= 4096
         |        OR (('0x' || substr(md5('x24bp:' || CAST(ba AS VARCHAR)
