@@ -474,9 +474,11 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.clusterLabels(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // reference: the r17 doc-level spelling — CC over the verified
-    // banded pairs of the FULL corpus (quadratic in clones, fine here)
+    // banded pairs of the FULL corpus (quadratic in clones, fine here);
+    // minhashPairsFromPosts on the full postings IS doc-level banding
     val ref = Dedup.connectedComponents(
-        Dedup.minhashPairs(spark, tmp, bands = 32, rowsPerBand = 2)
+        Dedup.minhashPairsFromPosts(Dedup.shinglePostings(spark, tmp),
+            bands = 32, rowsPerBand = 2, threshold = 0.5)
           .select(col("doc_a"), col("doc_b")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == ref, s"collapsed labels $got != doc-level reference $ref")
@@ -491,6 +493,22 @@ class DedupSpec extends SparkSpec {
     // the cross-group near-dup edge (j=0.6, caught by 32x2 banding on
     // this fixture) pulls 2 into the 0/1 component
     assert(gm.get(2L).contains(0L), s"expected doc 2 in component 0, got $gm")
+  }
+
+  test("clone-collapsed minhashPairs equals doc-level banding on planted clones") {
+    val tmp = writeCloneCorpus()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = rows(Dedup.minhashPairs(spark, tmp, bands = 32, rowsPerBand = 2))
+    val ref = rows(Dedup.minhashPairsFromPosts(Dedup.shinglePostings(spark, tmp),
+      bands = 32, rowsPerBand = 2, threshold = 0.5))
+    assert(got == ref, s"collapsed pair set $got != doc-level reference $ref")
+    // the in-group expansion path is live: clone pairs at jaccard 1.0
+    // with n_common = the text's own shingle count (t1/t2 have 10 tokens
+    // -> 8 distinct 3-gram shingles)
+    assert(got.contains((0L, 1L, 8L, 1.0)) && got.contains((3L, 4L, 8L, 1.0)),
+      s"clone pairs must carry (n_common=8, jaccard=1.0): $got")
   }
 
   test("clone-collapsed simhash near-dup equals brute force on planted clones") {
