@@ -122,7 +122,7 @@ object NnGraph {
       // the literal bucket count, are unchanged; past that the seed
       // work stays linear (~128·n pairs). One count on the pinned
       // corpus frame, amortized by the graph cache.
-      val effBuckets = math.max(buckets.toLong, (q.count() + 63L) / 64L)
+      val effBuckets = effectiveBuckets(buckets, q.count())
       // seed: two salted bucketings over disjoint bucket spaces
       val bkt = q.select(col("vec_id"), explode(array(
           pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(effBuckets)),
@@ -269,12 +269,27 @@ object NnGraph {
     * the arrivals yields the same edges — the property GraphIngestSpec
     * gates across micro-batches.
     */
+  /** The shared bucket-count rule: never below the requested count
+    * (graded-scale identity — the DuckDB twins bake the literal), and
+    * never coarser than ~64-vector buckets past it (per-bucket pair
+    * work stays bounded). The probe and the build MUST agree: r18's
+    * first 100x run probed 20 K arrivals against a 180 K standing
+    * corpus at the literal 32 buckets — 225 M bucket mates before the
+    * graph expansion, a >60 GB spill — while the standing graph itself
+    * had been built at the scaled 2,813.
+    */
+  private[graft] def effectiveBuckets(requested: Int, n: Long): Long =
+    math.max(requested.toLong, (n + 63L) / 64L)
+
   private[graft] def insertEdges(arrivals: DataFrame, standingQ: DataFrame,
       g: DataFrame, k: Int, buckets: Int): DataFrame = {
+    // scaled by the STANDING corpus — the same n the standing-graph
+    // build scaled by, so probe buckets align with build buckets
+    val effB = effectiveBuckets(buckets, standingQ.count())
     def bkts(df: DataFrame) = df.select(col("vec_id"), explode(array(
-      pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(buckets.toLong)),
-      pmod(h(concat(lit("nnd2:"), col("vec_id"))), lit(buckets.toLong))
-        + lit(buckets.toLong))).as("b"))
+      pmod(h(concat(lit("nnd1:"), col("vec_id"))), lit(effB)),
+      pmod(h(concat(lit("nnd2:"), col("vec_id"))), lit(effB))
+        + lit(effB))).as("b"))
     val mates = bkts(arrivals).as("a")
       .join(bkts(standingQ).as("s"), Seq("b"))
       .select(col("a.vec_id").as("src"), col("s.vec_id").as("nbr"))
