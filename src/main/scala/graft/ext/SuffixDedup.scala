@@ -530,11 +530,15 @@ object SuffixDedup {
       val covAgg = cov.agg(count(lit(1)).as("n_covered_starts"),
         coalesce(sum(when(col("cross_doc"), 1L).otherwise(0L)), lit(0L))
           .as("n_cross_doc_starts"))
-      val cut = cov
-        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (l - 1)))
-          .as("pos"))
-        .distinct()
-        .agg(count(lit(1)).as("n_cut_tokens"))
+      // cut tokens = the size of the per-doc interval UNION of the
+      // covered windows = Σ span lengths of the x162 island merge —
+      // identical by construction (islands are disjoint and cover
+      // exactly the union), but a per-doc window pass over covered
+      // STARTS instead of explode(L)+distinct over covered TOKENS
+      // (at the 100x corpus the L=32 point alone exploded 860 M rows
+      // into a global distinct — the dominant term of x174's 229.9 s)
+      val cut = exactSubstrSpans(s, dir, l)
+        .agg(coalesce(sum(col("span_tokens")), lit(0L)).as("n_cut_tokens"))
       val starts = gramAt(s, dir, l).agg(count(lit(1)).as("n_window_starts"))
       val positions = tokenPositions(s, dir).agg(count(lit(1)).as("n_positions"))
       positions.crossJoin(starts).crossJoin(covAgg).crossJoin(cut)
