@@ -78,7 +78,89 @@ case class SqDistL(left: Expression, right: Expression) extends LongVecBinary {
   override def prettyName: String = "sqdist_l"
 }
 
+/** Native nearest-centroid argmin over a BROADCAST-LITERAL codebook —
+  * the k-means assignment kernel for the corpus-scaled k path (k ∝ n,
+  * §2.25): one pass over the corpus computing all k distances per row
+  * IN REGISTERS, against the crossJoin+min-of-struct spelling's n·k-row
+  * amplification through the aggregate (78 M struct rows per pass at
+  * the 100x corpus, the dominant term of x144's 200 s). Arguments:
+  * (qa, ids, cents) where ids is the ASCENDING cluster-id literal and
+  * cents the matching centroid-array literal (non-contiguous ids after
+  * a recompute drop empty clusters — the pair encoding carries that).
+  * Returns the id of the nearest centroid by exact integer sqdist,
+  * ties to the SMALLEST id (strict-improvement scan in id order —
+  * exactly min(struct(dist, cluster)))'s order. NULL on empty/ragged
+  * codebooks or null elements; overflow raises via the shared
+  * always-checked kernel (the LongVecBinary contract).
+  */
+case class NearestCentroidL(first: Expression, second: Expression,
+    third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _),
+          ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_l expects (ARRAY<BIGINT>, ARRAY<BIGINT>, " +
+          s"ARRAY<ARRAY<BIGINT>>), got ${a.catalogString}, " +
+          s"${b.catalogString}, ${c.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(q: Any, ids: Any, cents: Any): Any =
+    LongVec.nearestOrNull(q.asInstanceOf[ArrayData],
+      ids.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = LongVec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val result = ctx.freshName("nc")
+    nullSafeCodeGen(ctx, ev, (q, ids, cents) =>
+      s"""
+         |java.lang.Long $result = $helper.nearestOrNull($q, $ids, $cents);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $result.longValue();
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestCentroidL =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "nearest_centroid_l"
+}
+
 object LongVec {
+
+  /** Argmin cluster id by exact integer sqdist; ids scanned in the
+    * given (ascending) order with strict improvement, so ties go to
+    * the smallest id — the min(struct(dist, cluster)) rule.
+    */
+  def nearestOrNull(q: ArrayData, ids: ArrayData,
+      cents: ArrayData): java.lang.Long = {
+    val k = ids.numElements()
+    if (k == 0 || k != cents.numElements()) return null
+    var best = 0L
+    var bestD = Long.MaxValue
+    var found = false
+    var j = 0
+    while (j < k) {
+      if (ids.isNullAt(j) || cents.isNullAt(j)) return null
+      val d = sqDistOrNull(q, cents.getArray(j))
+      if (d == null) return null
+      if (d.longValue() < bestD) {
+        bestD = d.longValue(); best = ids.getLong(j); found = true
+      }
+      j += 1
+    }
+    if (!found) null else java.lang.Long.valueOf(best)
+  }
 
   def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()

@@ -337,4 +337,26 @@ class ClusteringSpec extends SparkSpec {
       assert(r.getLong(1) - r.getLong(3) === r.getLong(4), s"kept = members - dropped: $r")
     }
   }
+
+  test("native argmin assignment equals the broadcast-join reference, ties to min id") {
+    import spark.implicits._
+    val pts = Clustering.qvecs(spark, Sf)
+    // a real (non-contiguous-id after recompute is also covered: drop one)
+    val cents = Clustering.seedCentroidsOf(pts, 10)
+      .filter(org.apache.spark.sql.functions.col("cluster") =!= 4L)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = snap(Clustering.assign(pts, cents))
+    val fast = snap(Clustering.assignFast(pts, cents))
+    assert(fast === ref, "kernel assignment must equal the min-of-struct reference")
+    // planted tie: two IDENTICAL centroids — both paths must pick the
+    // smaller cluster id for every point
+    val c0 = cents.limit(1).collect()(0).getSeq[Long](1)
+    val tied = Seq((7L, c0), (3L, c0)).toDF("cluster", "ca")
+    val refT = snap(Clustering.assign(pts, tied))
+    val fastT = snap(Clustering.assignFast(pts, tied))
+    assert(fastT === refT)
+    assert(fastT.forall(_._2 == 3L), "ties must resolve to the smallest cluster id")
+  }
 }
