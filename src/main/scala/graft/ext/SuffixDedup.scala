@@ -67,6 +67,14 @@ object SuffixDedup {
     */
   val MinMatchTokens = 8
 
+  /** LCP cap persisted with the artifact: one more than the largest L any
+    * consumer tests (CurveLs max 32), so `min(realLcp, LcpCap) >= L` is
+    * exactly `realLcp >= L` for every consumed L. A deployment raising L
+    * past the cap (Lee et al.'s 50) raises the cap and re-publishes —
+    * the fingerprint-keyed root makes that a new artifact, not a rewrite.
+    */
+  private[ext] val LcpCap = 33
+
   /** Seed-rank width: the base sort orders this many leading tokens at
     * once, cutting two doubling rounds vs token-grain seeding.
     */
@@ -261,7 +269,10 @@ object SuffixDedup {
     * resolves the same root across processes.
     */
   private[ext] def saArtifactRoot(s: SparkSession, dir: String): String =
-    s"$saArtifactBase/sa-${corpusFingerprint(s, dir)}"
+    // `sa2-`: schema v2 (LCP-augmented). v1 roots (`sa-`, no lcp columns)
+    // never resolve under the new prefix, so a process upgrade rebuilds
+    // once per corpus instead of reading a column-short artifact.
+    s"$saArtifactBase/sa2-${corpusFingerprint(s, dir)}"
 
   /** Build-once persistence of the suffix array — the 100-TB remedy for
     * the lane's one super-linear term. The SA COLD build's
@@ -291,11 +302,13 @@ object SuffixDedup {
     */
   private[ext] def resetSessionCaches(): Unit = {
     rankCache.clear(); saCache.clear(); coveredCache.clear()
+    docLenCache.clear()
   }
 
-  /** The dense suffix array: (doc_id, pos, sa), sa = 0..n-1 in suffix
-    * order, rank ties (content-identical cross-doc suffixes) broken by
-    * doc_id — the twin's ORDER BY suffix, doc_id. Resolution order:
+  /** The dense LCP-augmented suffix array: (doc_id, pos, sa, lcp_prev,
+    * lcp_next), sa = 0..n-1 in suffix order, rank ties (content-identical
+    * cross-doc suffixes) broken by doc_id — the twin's ORDER BY suffix,
+    * doc_id — and the capped neighbor LCPs of [[withLcp]]. Resolution order:
     * L1 session cache, then a committed artifact for this corpus
     * fingerprint (see [[ensureSa]] — a parquet scan, no rebuild), then
     * the in-session build. Densification in the build is the one
@@ -329,7 +342,7 @@ object SuffixDedup {
         p -> pids.filter(_ < p).map(counts).sum).toMap
       val offCol = offsets.foldLeft(lit(0L)) {
         case (acc, (p, off)) => when(col("part") === p, lit(off)).otherwise(acc) }
-      saTimed("densify-label") {
+      val sa = saTimed("densify-label") {
         real
           .withColumn("sa",
             row_number().over(Window.partitionBy(col("part"))
@@ -338,6 +351,49 @@ object SuffixDedup {
           .select(col("doc_id"), col("pos"), col("sa"))
           .pinned
       }
+      saTimed("lcp") { withLcp(s, dir, sa) }
+  }
+
+  /** Augment the dense SA with capped token-LCPs of SA-adjacent suffixes:
+    * `lcp_next(sa)` = leading tokens shared with suffix `sa+1`,
+    * `lcp_prev(sa)` = `lcp_next(sa-1)`, both in [0, LcpCap]. This is the
+    * column that turns every threshold-L duplicated-window test into a
+    * FILTER on the artifact (window at p duplicated iff a full-SA
+    * neighbor shares >= L leading tokens iff `lcp_prev >= L or
+    * lcp_next >= L` — equal L-prefixes sort contiguously, and a
+    * shorter-than-L neighbor's lcp is bounded by its own length, so
+    * eligibility is implied). Spelled as one capped-slice pass
+    * (`slice(w, pos+1, LcpCap)` per position), one join to SA order, one
+    * shifted self-join, and a leading-equal fold (`zip_with` null-pads
+    * the shorter suffix, `<=>` makes the pad compare false — the
+    * min-length bound for free). Exact token comparison, no hashes — the
+    * artifact is the gate the whole lane rides on.
+    */
+  private def withLcp(s: SparkSession, dir: String, sa: DataFrame): DataFrame = {
+    val wins = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - 1),
+          i => slice(col("w"), i + 1, lit(LcpCap)))).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("win"))
+    val withWin = sa.join(wins, Seq("doc_id", "pos")).pinnedLazy
+    val nxt = withWin.select((col("sa") - 1L).as("sa"), col("win").as("win_next"))
+    val eqArr = zip_with(col("win"), col("win_next"), (x, y) => x <=> y)
+    val firstNe = array_position(eqArr, lit(false))
+    val lcpNext = withWin.join(nxt, Seq("sa"), "left")
+      .withColumn("lcp_next",
+        when(col("win_next").isNull, lit(0L)) // sa = n-1: no successor
+          .otherwise(when(firstNe === 0L, size(eqArr).cast(LongType))
+            .otherwise(firstNe - 1L)))
+      .select(col("doc_id"), col("pos"), col("sa"), col("lcp_next"))
+      .pinnedLazy
+    val prv = lcpNext.select((col("sa") + 1L).as("sa"),
+      col("lcp_next").as("lcp_prev"))
+    lcpNext.join(prv, Seq("sa"), "left")
+      .select(col("doc_id"), col("pos"), col("sa"),
+        coalesce(col("lcp_prev"), lit(0L)).as("lcp_prev"), col("lcp_next"))
+      .pinned
   }
 
   /** x161: the suffix array itself, hash-gated position by position
@@ -345,7 +401,8 @@ object SuffixDedup {
     * whole lane rides on. Emitted as (doc_id, pos, sa).
     */
   def suffixArrayDump(s: SparkSession, dir: String): DataFrame =
-    suffixArray(s, dir).orderBy(col("doc_id"), col("pos"))
+    suffixArray(s, dir).select(col("doc_id"), col("pos"), col("sa"))
+      .orderBy(col("doc_id"), col("pos"))
 
   /** The L-token window starting at each position, as the space-joined
     * token string (exact — no hash in the gate; a 100 TB run would
@@ -372,28 +429,55 @@ object SuffixDedup {
   /** Duplicated window starts: (doc_id, pos, cross_doc) for every
     * position whose L-token window occurs at least twice in the corpus.
     * The test is SA adjacency (equal windows are SA-contiguous, so any
-    * member of a >= 2 group has an equal NEIGHBOR); cross_doc marks
-    * windows whose occurrence set spans >= 2 documents (one further
-    * group-size aggregate on the duplicated grams only — the survivors,
-    * not the corpus).
+    * member of a >= 2 group has an equal NEIGHBOR), and since the
+    * artifact carries capped neighbor LCPs it is a pure FILTER:
+    * `lcp_prev >= L or lcp_next >= L` — zero gram derivation per L, the
+    * round-19 remedy for the per-L tokenize+window passes that dominated
+    * x174/x162 at 100x. cross_doc needs the window's full occurrence
+    * set: equal L-prefixes are exactly the maximal SA RUNS whose
+    * consecutive lcps are all >= L (prefix equality is transitive), so
+    * runs are segmented with the densify discipline — range-partition
+    * the survivors by sa, per-partition running max of run-start sa
+    * (start = `lcp_prev < L`; no row interrupts a run, because anything
+    * sorting between two >= L-prefix-equal suffixes shares the prefix),
+    * carry-in per partition from a bounded one-row-per-partition
+    * collect — then one countDistinct(doc_id) per run. No global
+    * window, no gram strings on the shuffle: longs only.
     */
   private[ext] def coveredPositions(s: SparkSession, dir: String,
       L: Int = MinMatchTokens): DataFrame =
     coveredCache.computeIfAbsent((s, dir, L), _ => {
-      val grams = gramAt(s, dir, L)
-      val withSa = suffixArray(s, dir).join(grams, Seq("doc_id", "pos"), "inner")
+      require(L <= LcpCap, s"coveredPositions L=$L exceeds LcpCap=$LcpCap: " +
+        "raise the cap and re-publish the artifact")
+      val covered = suffixArray(s, dir)
+        .filter(col("lcp_prev") >= L || col("lcp_next") >= L)
+        .repartitionByRange(col("sa"))
+        .sortWithinPartitions(col("sa"))
+        .withColumn("part", spark_partition_id())
+        .withColumn("start_sa", when(col("lcp_prev") < L, col("sa")))
         .pinned
-      val prev = withSa.select((col("sa") + 1L).as("sa"), col("gram").as("gram_prev"))
-      val next = withSa.select((col("sa") - 1L).as("sa"), col("gram").as("gram_next"))
-      val covered = withSa
-        .join(prev, Seq("sa"), "left")
-        .join(next, Seq("sa"), "left")
-        .filter(col("gram") === col("gram_prev") || col("gram") === col("gram_next"))
-        .select(col("doc_id"), col("pos"), col("gram"))
-        .pinned
-      val docsPerGram = covered.groupBy(col("gram"))
+      val runLocal = max(col("start_sa")).over(
+        Window.partitionBy(col("part")).orderBy(col("sa"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+      // carry-in: the last run start seen in any EARLIER partition (range
+      // layout orders partitions by sa) — one long per partition
+      val partMax = covered.groupBy(col("part"))
+        .agg(max(col("start_sa")).as("m")).collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .sortBy(_._1)
+      val ms = partMax.map(_._2)
+      val carries: Seq[(Int, Long)] = partMax.map(_._1).zipWithIndex.flatMap {
+        case (p, i) => ms.take(i).flatten.lastOption.map(p -> _)
+      }.toSeq
+      val carryCol = carries.foldLeft(lit(null).cast(LongType)) {
+        case (acc, (p, v)) => when(col("part") === p, lit(v)).otherwise(acc)
+      }
+      val runs = covered
+        .withColumn("run_id", coalesce(runLocal, carryCol))
+        .pinnedLazy
+      val runDocs = runs.groupBy(col("run_id"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
-      covered.join(docsPerGram, Seq("gram"))
+      runs.join(runDocs, Seq("run_id"))
         .select(col("doc_id"), col("pos"), (col("n_docs") >= 2L).as("cross_doc"))
     })
 
@@ -515,13 +599,28 @@ object SuffixDedup {
     */
   val CurveLs: Seq[Int] = Seq(8, 16, 32)
 
+  /** Per-document token counts, read off the SA artifact (one row per
+    * position) — the doc-grain frame every curve point's denominator
+    * aggregates derive from, cached per (session, corpus).
+    */
+  private val docLenCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def docTokenCounts(s: SparkSession, dir: String): DataFrame =
+    docLenCache.computeIfAbsent((s, dir), _ =>
+      suffixArray(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks")).pinned)
+
   /** x174: corpus duplication-rate curve vs the match threshold L — for
     * each L: total token positions, eligible window starts, duplicated
     * starts (and how many span >= 2 documents), tokens that scrubbing
-    * at that L would cut, and the resulting cut rate. One suffix-array
-    * build (cached) serves every L; each curve point is one gram pass +
-    * one SA adjacency join — the marginal cost of a POINT is the x162
-    * cost, not a new SA.
+    * at that L would cut, and the resulting cut rate. One LCP-augmented
+    * suffix-array build (the per-publish artifact) serves every L; each
+    * curve point is a FILTER on the artifact plus the per-doc island
+    * merge — no tokenize, no gram derivation, no corpus scan per L
+    * (the r18 record's remaining 157 s at 100x was exactly the three
+    * per-L gram passes this spelling deletes). Window-start counts come
+    * from the cached per-doc token counts: starts(L) = Σ max(n-L+1, 0).
     */
   def dupRateCurve(s: SparkSession, dir: String,
       ls: Seq[Int] = CurveLs): DataFrame =
@@ -539,9 +638,11 @@ object SuffixDedup {
       // into a global distinct — the dominant term of x174's 229.9 s)
       val cut = exactSubstrSpans(s, dir, l)
         .agg(coalesce(sum(col("span_tokens")), lit(0L)).as("n_cut_tokens"))
-      val starts = gramAt(s, dir, l).agg(count(lit(1)).as("n_window_starts"))
-      val positions = tokenPositions(s, dir).agg(count(lit(1)).as("n_positions"))
-      positions.crossJoin(starts).crossJoin(covAgg).crossJoin(cut)
+      val counts = docTokenCounts(s, dir).agg(
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_positions"),
+        coalesce(sum(greatest(col("n_toks") - (l - 1), lit(0L))), lit(0L))
+          .as("n_window_starts"))
+      counts.crossJoin(covAgg).crossJoin(cut)
         .select(lit(l).as("l_tokens"), col("n_positions"), col("n_window_starts"),
           col("n_covered_starts"), col("n_cross_doc_starts"), col("n_cut_tokens"),
           (col("n_cut_tokens").cast("double") / col("n_positions").cast("double"))

@@ -154,6 +154,48 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((40L, 12L, 0L, emptyMd5), (41L, 12L, 0L, emptyMd5)))
   }
 
+  test("LCP straddle: curve is exact when shared runs sit exactly at each CurveL boundary") {
+    // one full-dup doc pair per run length, lengths chosen to straddle
+    // every CurveL (7|8, 15|16, 31|32) plus one run CROSSING the LcpCap
+    // (40 > 33): the capped lcp must still pass every consumed L, and
+    // counts must stay exact. A 20-token singleton keeps
+    // n_window_starts distinguishable from n_covered_starts.
+    def run(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val lens = Seq("a" -> 7, "b" -> 8, "c" -> 15, "d" -> 16,
+      "e" -> 31, "f" -> 32, "g" -> 40)
+    val docs = lens.zipWithIndex.flatMap { case ((tag, n), i) =>
+      Seq((2L * i, run(tag, n)), (2L * i + 1, run(tag, n)))
+    } :+ ((99L, run("solo", 20)))
+    val dir = plant(docs)
+    // the cap is actually exercised: the 40-run pair's pos-0 suffixes
+    // share 40 tokens, stored as LcpCap
+    val maxLcp = SuffixDedup.suffixArray(spark, dir)
+      .agg(max(col("lcp_next"))).head().getLong(0)
+    assert(maxLcp === 33L)
+    val rows = SuffixDedup.dupRateCurve(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // per full-dup pair of run length R: starts(L) = 2*max(0, R-L+1),
+    // cut(L) = 2*R if R >= L else 0; singleton contributes starts only
+    def expect(l: Int) = {
+      val starts = lens.map(_._2).map(n => 2 * math.max(0, n - l + 1)).sum +
+        math.max(0, 20 - l + 1)
+      val covered = lens.map(_._2).map(n => 2 * math.max(0, n - l + 1)).sum
+      val cut = lens.map(_._2).filter(_ >= l).map(2 * _).sum
+      (starts.toLong, covered.toLong, cut.toLong)
+    }
+    for (l <- Seq(8, 16, 32)) {
+      val (starts, covered, cut) = expect(l)
+      val r = rows(l)
+      assert(r.getAs[Long]("n_positions") === 318L)
+      assert(r.getAs[Long]("n_window_starts") === starts, s"starts at L=$l")
+      assert(r.getAs[Long]("n_covered_starts") === covered, s"covered at L=$l")
+      assert(r.getAs[Long]("n_cross_doc_starts") === covered, s"cross at L=$l")
+      assert(r.getAs[Long]("n_cut_tokens") === cut, s"cut at L=$l")
+    }
+    assert(rows(8).getAs[Long]("n_covered_starts") === 200L)
+    assert(rows(32).getAs[Long]("n_cut_tokens") === 144L)
+  }
+
   test("x174: dup-rate curve is exact on a planted run and monotone in L") {
     val run = (0 until 20).map(i => s"r$i").mkString(" ")
     val dir = plant(Seq(
