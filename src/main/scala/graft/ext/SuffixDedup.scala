@@ -419,6 +419,20 @@ object SuffixDedup {
         .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("gram"))
 
+  /** (doc_id, pos, ghash): the 8-byte window identity per L-token window
+    * — [[graft.functions.HashedWindows]] in one generator pass, for
+    * consumers that join on window EQUALITY and never read the text
+    * (the scrub-ingest standing set). ~25x smaller join payload than
+    * [[gramsOf]]'s strings; equal windows always hash equal, distinct
+    * ones collide at ~2^-64 per pair (odds documented on the generator).
+    */
+  private[graft] def gramHashesOf(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"), ColumnBridge.column(
+      graft.functions.HashedWindows(
+        ColumnBridge.expression(lower(col("text"))), L)))
+  }
+
   private[ext] def gramAt(s: SparkSession, dir: String, L: Int): DataFrame =
     gramsOf(t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism), L)

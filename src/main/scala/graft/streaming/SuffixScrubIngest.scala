@@ -19,13 +19,15 @@ import graft.engine.Pin.PinOps
   * yesterday's shards), so only the new documents are cut — the honest
   * streaming contract, stated rather than hidden.
   *
-  * The standing state is the L-GRAM SET of the corpus — the index
-  * artifact the batch lane derives from suffix-array adjacency and a
-  * 100 TB deployment persists bucketed by gram hash (the x98
+  * The standing state is the L-WINDOW HASH SET of the corpus (8-byte
+  * window identities from [[graft.functions.HashedWindows]]) — the
+  * index artifact the batch lane derives from suffix-array adjacency
+  * and a 100 TB deployment persists bucketed by hash (the x98
   * discipline); here it is re-derived from the committed snapshots'
   * raw text, which the snapshot schema retains for exactly this reason.
   * Batch-vs-standing matching needs only a hash-join of the batch's
-  * grams against that set — no suffix array rebuild per micro-batch.
+  * window hashes against that set — no suffix array rebuild per
+  * micro-batch, no gram strings on any shuffle.
   *
   * Exactly-once: one [[VersionedTable]] snapshot per batchId via
   * `commitIfAbsent` — a replayed batch is a skipped commit, and because
@@ -34,22 +36,31 @@ import graft.engine.Pin.PinOps
   */
 object SuffixScrubIngest {
 
-  /** One micro-batch through the scrub: coverage = (gram in standing)
-    * OR (gram occurs >= 2 times within the batch). Public so the spec
+  /** One micro-batch through the scrub: coverage = (window in standing)
+    * OR (window occurs >= 2 times within the batch). Public so the spec
     * pins batch semantics without a stream. Output: (doc_id, text,
     * n_tokens, n_cut, n_kept, scrubbed_md5) — raw text retained so the
     * snapshot can serve as future standing state.
+    *
+    * Windows travel as 8-byte [[SuffixDedup.gramHashesOf]] identities,
+    * not gram strings — the standing-set membership join and the
+    * within-batch dup count only test window EQUALITY, so the string
+    * payload bought nothing (measured at 100x: two full
+    * tokenize+window-concat passes plus a ~200-byte-per-row string
+    * equijoin dominated the lane's 138.6 s). Equal windows always hash
+    * equal; distinct-window collisions (~2^-64 per pair) can only ADD a
+    * covered window, at odds the lane's 100 TB posture already accepts.
     */
-  def scrubBatch(batch: DataFrame, standingGrams: DataFrame,
+  def scrubBatch(batch: DataFrame, standingHashes: DataFrame,
       L: Int = SuffixDedup.MinMatchTokens): DataFrame = {
-    val grams = SuffixDedup.gramsOf(batch, L).pinned
-    val batchDups = grams.groupBy(col("gram"))
+    val grams = SuffixDedup.gramHashesOf(batch, L).pinned
+    val batchDups = grams.groupBy(col("ghash"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2L)
-      .select(col("gram"))
-    val dupGrams = standingGrams.select(col("gram")).distinct()
+      .select(col("ghash"))
+    val dupHashes = standingHashes.select(col("ghash")).distinct()
       .unionByName(batchDups).distinct()
-    val covered = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val covered = grams.join(dupHashes, Seq("ghash"), "left_semi")
       .select(col("doc_id"), col("pos"))
     SuffixDedup.scrubReport(SuffixDedup.tokenPositionsOf(batch), covered, L)
       .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -57,20 +68,23 @@ object SuffixScrubIngest {
         col("n_kept"), col("scrubbed_md5"))
   }
 
-  /** The standing gram set at a point in time: the batch corpus plus
-    * every committed arrival snapshot (raw text — duplicates match
-    * against what actually arrived, not its scrubbed residue).
+  /** The standing window-hash set at a point in time: the batch corpus
+    * plus every committed arrival snapshot (raw text — duplicates match
+    * against what actually arrived, not its scrubbed residue). At 100 TB
+    * this set is the PERSISTED index artifact (8 bytes per distinct
+    * window, bucketed by hash — the x98 discipline); here it is
+    * re-derived from the snapshots' retained text.
     */
-  def standingGrams(s: SparkSession, dir: String, root: String,
+  def standingGramHashes(s: SparkSession, dir: String, root: String,
       L: Int = SuffixDedup.MinMatchTokens): DataFrame = {
     val corpus = SuffixDedup
-      .gramsOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")), L)
-      .select(col("gram"))
+      .gramHashesOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")), L)
+      .select(col("ghash"))
     VersionedTable.versions(s, root)
       .map(v => SuffixDedup
-        .gramsOf(VersionedTable.read(s, root, Some(v))
+        .gramHashesOf(VersionedTable.read(s, root, Some(v))
           .select(col("doc_id"), col("text")), L)
-        .select(col("gram")))
+        .select(col("ghash")))
       .foldLeft(corpus)(_.unionByName(_))
       .distinct()
   }
@@ -79,20 +93,22 @@ object SuffixScrubIngest {
       root: String, checkpoint: String,
       L: Int = SuffixDedup.MinMatchTokens): StreamingQuery =
     SnapshotIngest.toVersioned(docs, root, checkpoint)(
-      (batch, _) => scrubBatch(batch, standingGrams(s, dir, root, L), L))
+      (batch, _) => scrubBatch(batch, standingGramHashes(s, dir, root, L), L))
 
   /** x172: the scrub gate as a graded batch twin (the x120 discipline —
     * the streaming lane's core is HASH-GATED, not just spec-gated):
     * documents with doc_id >= `splitAt` play one arriving micro-batch,
     * the rest play the standing corpus, and the scrub report must match
-    * DuckDB computing the same coverage rule relationally.
+    * DuckDB computing the same coverage rule relationally (on gram
+    * STRINGS — the oracle never sees the hash; the gate would catch a
+    * collision, and its odds are the generator's documented ~2^-64).
     */
   def scrubIngestTwin(s: SparkSession, dir: String,
       splitAt: Long = 300L): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val standing = SuffixDedup
-      .gramsOf(docs.filter(col("doc_id") < splitAt), SuffixDedup.MinMatchTokens)
-      .select(col("gram"))
+      .gramHashesOf(docs.filter(col("doc_id") < splitAt), SuffixDedup.MinMatchTokens)
+      .select(col("ghash"))
     scrubBatch(docs.filter(col("doc_id") >= splitAt), standing)
       .orderBy(col("doc_id"))
   }

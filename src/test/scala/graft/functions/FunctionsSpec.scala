@@ -227,4 +227,25 @@ class FunctionsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
   }
+
+  test("HashedWindows agrees with the gram-string spelling: same positions, hash-equal iff gram-equal") {
+    import spark.implicits._
+    // repeats within and across docs, a short doc below L, mixed case/ws
+    val docs = Seq(
+      (1L, "A b c d e f G h i j"),
+      (2L, "x  y c d e f g h q"),
+      (3L, "a b c d e f g h i j"),
+      (4L, "w1 w2 w3")).toDF("doc_id", "text")
+    val L = 4
+    val viaHash = graft.ext.SuffixDedup.gramHashesOf(docs, L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaStr = graft.ext.SuffixDedup.gramsOf(docs, L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(viaHash.keySet === viaStr.keySet, "same (doc_id, pos) coverage")
+    assert(viaHash.nonEmpty)
+    // hash equality must coincide with gram equality on every pair
+    for (k1 <- viaHash.keys; k2 <- viaHash.keys)
+      assert((viaHash(k1) == viaHash(k2)) === (viaStr(k1) == viaStr(k2)),
+        s"$k1 vs $k2")
+  }
 }

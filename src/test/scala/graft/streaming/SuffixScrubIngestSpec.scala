@@ -20,8 +20,8 @@ class SuffixScrubIngestSpec extends SparkSpec {
     import spark.implicits._
     // standing doc: 12 tokens s1..s12
     val standing = graft.ext.SuffixDedup
-      .gramsOf(Seq((0L, toks(12, "s"))).toDF("doc_id", "text"), L)
-      .select(col("gram"))
+      .gramHashesOf(Seq((0L, toks(12, "s"))).toDF("doc_id", "text"), L)
+      .select(col("ghash"))
     // batch doc 10: novel prefix + the standing run s3..s12 (10 tokens)
     // batch docs 11/12: share a duplicated 9-token run d1..d9; doc 13 novel
     val run = (3 to 12).map(i => s"s$i").mkString(" ")
@@ -47,8 +47,8 @@ class SuffixScrubIngestSpec extends SparkSpec {
   test("scrubBatch leaves sub-L overlaps alone (threshold is exact)") {
     import spark.implicits._
     val standing = graft.ext.SuffixDedup
-      .gramsOf(Seq((0L, toks(12, "s"))).toDF("doc_id", "text"), L)
-      .select(col("gram"))
+      .gramHashesOf(Seq((0L, toks(12, "s"))).toDF("doc_id", "text"), L)
+      .select(col("ghash"))
     // only a 7-token overlap with the standing doc: below L=8, kept whole
     val run7 = (3 to 9).map(i => s"s$i").mkString(" ")
     val got = SuffixScrubIngest
@@ -80,7 +80,7 @@ class SuffixScrubIngestSpec extends SparkSpec {
           (r.getAs[Long]("n_cut"), r.getAs[String]("scrubbed_md5"))).toMap
       // sequential batch twins over the same state
       val t1 = SuffixScrubIngest.scrubBatch(b1.toDF("doc_id", "text"),
-        SuffixScrubIngest.standingGrams(spark, Sf, s"$dirs/none"))
+        SuffixScrubIngest.standingGramHashes(spark, Sf, s"$dirs/none"))
         .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(5))).toMap
       assert(snap(0L) === t1, "batch 0 must equal the batch twin")
       assert(snap(0L)(5000L)._1 === 0L, "novel docs arrive uncut")
