@@ -47,6 +47,8 @@ object Bench {
       graft.ext.Similarity.buildAnnIndex(spark, sfDir)
       graft.ext.SuffixDedup.ensureSa(spark, warmDir): Unit
       graft.ext.SuffixDedup.ensureSa(spark, sfDir): Unit
+      graft.ops.Sketches.ensureKmvElements(spark, warmDir): Unit
+      graft.ops.Sketches.ensureKmvElements(spark, sfDir): Unit
     } catch { case _: Throwable => () }
     // Min of REPS (default 2) timed passes per query: this box is shared,
     // and single-pass numbers have recorded spurious 20-40 s outliers three

@@ -35,6 +35,8 @@ object RunOne {
       graft.ext.Similarity.buildAnnIndex(spark, sfDir)
       graft.ext.SuffixDedup.ensureSa(spark, warmDir): Unit
       graft.ext.SuffixDedup.ensureSa(spark, sfDir): Unit
+      graft.ops.Sketches.ensureKmvElements(spark, warmDir): Unit
+      graft.ops.Sketches.ensureKmvElements(spark, sfDir): Unit
     } catch { case _: Throwable => () }
     // a comma list shares one session across queries (JVM+codegen
     // startup would otherwise dominate a multi-query measurement loop)

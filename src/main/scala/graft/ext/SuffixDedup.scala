@@ -232,35 +232,12 @@ object SuffixDedup {
   private val saCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  /** Artifact store for persisted suffix arrays. Overridable per process
-    * (`-Dgraft.sa.root=...`); a deployment points it at the warehouse
-    * path the corpus-publish job owns.
+  /** Corpus fingerprint — see [[graft.engine.CorpusArtifact.fingerprint]]
+    * (the store machinery was factored to the engine in round 19 so the
+    * KMV element frame and future publish-time products share it).
     */
-  private def saArtifactBase: String =
-    sys.props.getOrElse("graft.sa.root",
-      s"${sys.props("java.io.tmpdir")}/graft_sa_artifacts")
-
-  /** Corpus fingerprint: canonical path + per-file (name, length, mtime)
-    * of `documents.parquet` — the cheap metadata-only identity a publish
-    * job can compute without reading data. Any rewrite of the corpus
-    * (new files, new lengths, new mtimes) changes the fingerprint and
-    * therefore the artifact key; a byte-identical re-stage with fresh
-    * mtimes rebuilds spuriously, which is the safe direction.
-    */
-  private[ext] def corpusFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(Tables.path(dir, "documents"))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val parts =
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).sortBy(_.getPath.getName)
-      else Seq(st)
-    val sig = (fs.makeQualified(p).toString +:
-      parts.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"))
-      .mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private[ext] def corpusFingerprint(s: SparkSession, dir: String): String =
+    graft.engine.CorpusArtifact.fingerprint(s, dir)
 
   /** The [[graft.engine.VersionedTable]] root holding this corpus
     * state's persisted suffix array. Keyed by fingerprint: a changed
@@ -269,10 +246,10 @@ object SuffixDedup {
     * resolves the same root across processes.
     */
   private[ext] def saArtifactRoot(s: SparkSession, dir: String): String =
-    // `sa2-`: schema v2 (LCP-augmented). v1 roots (`sa-`, no lcp columns)
-    // never resolve under the new prefix, so a process upgrade rebuilds
+    // `sa2`: schema v2 (LCP-augmented). v1 roots (`sa-`, no lcp columns)
+    // never resolve under the new name, so a process upgrade rebuilds
     // once per corpus instead of reading a column-short artifact.
-    s"$saArtifactBase/sa2-${corpusFingerprint(s, dir)}"
+    graft.engine.CorpusArtifact.root(s, dir, "sa2")
 
   /** Build-once persistence of the suffix array — the 100-TB remedy for
     * the lane's one super-linear term. The SA COLD build's
@@ -377,11 +354,18 @@ object SuffixDedup {
         posexplode(transform(sequence(lit(0), size(col("w")) - 1),
           i => slice(col("w"), i + 1, lit(LcpCap)))).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("win"))
-    val withWin = sa.join(wins, Seq("doc_id", "pos")).pinnedLazy
+    // every join here is corpus-sized on BOTH sides — pin sort-merge.
+    // Unhinted, the checkpointed SA frame's propagated size estimate
+    // (stats survive localCheckpoint, chained from a pruned parquet
+    // scan that never saw the text column) read small enough to
+    // BROADCAST 60 M rows at the 100x corpus: a 3.4 GiB driver collect
+    // that blows maxResultSize. The hint states what is true at any
+    // scale: neither side of a position-grain join fits a driver.
+    val withWin = sa.hint("merge").join(wins, Seq("doc_id", "pos")).pinnedLazy
     val nxt = withWin.select((col("sa") - 1L).as("sa"), col("win").as("win_next"))
     val eqArr = zip_with(col("win"), col("win_next"), (x, y) => x <=> y)
     val firstNe = array_position(eqArr, lit(false))
-    val lcpNext = withWin.join(nxt, Seq("sa"), "left")
+    val lcpNext = withWin.hint("merge").join(nxt, Seq("sa"), "left")
       .withColumn("lcp_next",
         when(col("win_next").isNull, lit(0L)) // sa = n-1: no successor
           .otherwise(when(firstNe === 0L, size(eqArr).cast(LongType))
@@ -390,7 +374,7 @@ object SuffixDedup {
       .pinnedLazy
     val prv = lcpNext.select((col("sa") + 1L).as("sa"),
       col("lcp_next").as("lcp_prev"))
-    lcpNext.join(prv, Seq("sa"), "left")
+    lcpNext.hint("merge").join(prv, Seq("sa"), "left")
       .select(col("doc_id"), col("pos"), col("sa"),
         coalesce(col("lcp_prev"), lit(0L)).as("lcp_prev"), col("lcp_next"))
       .pinned

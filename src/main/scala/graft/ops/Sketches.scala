@@ -543,25 +543,63 @@ object Sketches {
     * first `numSources` document sources — elements are the distinct
     * (source, md5-60-bit shingle hash) pairs.
     */
-  private val elCache = new java.util.concurrent.ConcurrentHashMap[
+  // private[ops]: the artifact spec observes WHICH frame a cold
+  // consumer resolved (the overlap result's lineage is checkpoint-cut,
+  // so inputFiles must be read off the cached element frame itself)
+  private[ops] val elCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]()
+
+  /** The distinct (source, md5-60-bit shingle hash) element frame over
+    * the first `numSources` sources — the lane's expensive build (corpus
+    * scan + 3-gram shingle + per-shingle md5 + distinct; it CANNOT reuse
+    * the session shingle postings, which hash with xxhash64 — the KMV
+    * twin needs the md5 60-bit hash for DuckDB parity). A pure function
+    * of the corpus, so it is a publish-time [[graft.engine.CorpusArtifact]]
+    * (the SA-artifact pattern): built once per corpus state, read back as
+    * a parquet scan by every later session — exactly the published-sketch
+    * posture the lane documents for 100 TB.
+    */
+  private def kmvElementName(numSources: Int) = s"kmvel$numSources"
+
+  private def kmvElementsBuild(s: SparkSession, dir: String,
+      numSources: Int): DataFrame = {
+    val srcs = (0 until numSources).map("src" + _)
+    Tables(s, dir, "documents")
+      .filter(col("source").isin(srcs: _*))
+      .select(col("source"),
+        explode(graft.ext.Dedup.wordShingles(
+          graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
+      .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
+      .distinct()
+  }
+
+  /** Publish-time ensure for the element artifact — Bench/RunOne call
+    * this in the amortized-setup block, next to `ensureSa`. Returns the
+    * committed version.
+    */
+  def ensureKmvElements(s: SparkSession, dir: String,
+      numSources: Int = 6): Long = {
+    val v = graft.engine.CorpusArtifact.ensure(s, dir,
+      kmvElementName(numSources))(kmvElementsBuild(s, dir, numSources))
+    elCache.put((s, dir, numSources),
+      graft.engine.CorpusArtifact.resolve(s, dir,
+        kmvElementName(numSources)).get): Unit
+    v
+  }
+
+  /** Spec seam: drop the in-session element cache so artifact reads are
+    * observable.
+    */
+  private[graft] def resetElementCache(): Unit = elCache.clear()
 
   def bottomkOverlap(s: SparkSession, dir: String, numSources: Int = 6,
       k: Int = 128, withAnchor: Boolean = true): DataFrame = {
-    // the distinct (source, h) element frame is the expensive build
-    // (corpus scan + shingle + distinct) — checkpoint + memoize it so
-    // the audit and served registrations share one materialization
-    val el = elCache.computeIfAbsent((s, dir, numSources), _ => {
-      val srcs = (0 until numSources).map("src" + _)
-      Tables(s, dir, "documents")
-        .filter(col("source").isin(srcs: _*))
-        .select(col("source"),
-          explode(graft.ext.Dedup.wordShingles(
-            graft.ext.TextAnalysis.wsTokens(lower(col("text"))), 3)).as("g"))
-        .select(col("source"), graft.ext.TextAnalysis.tokenHash(col("g")).as("h"))
-        .distinct()
-        .pinned
-    })
+    // resolution order: L1 session cache, committed artifact for this
+    // corpus state, in-session build (checkpointed — the audit and
+    // served registrations share one materialization either way)
+    val el = elCache.computeIfAbsent((s, dir, numSources), _ =>
+      graft.engine.CorpusArtifact.resolve(s, dir, kmvElementName(numSources))
+        .getOrElse(kmvElementsBuild(s, dir, numSources).pinned))
     bottomkPairs(el, k, withAnchor)
   }
 
