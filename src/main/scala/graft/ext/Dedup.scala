@@ -281,7 +281,7 @@ object Dedup {
     * candidate expansion for LSH (replaces a self-join: the bucket list is
     * tiny, so pair blowup is bounded by near-dup cluster size).
     */
-  private def pairsOfSorted(ids: Column): Column =
+  private[ext] def pairsOfSorted(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
         b => struct(a.as("doc_a"), b.as("doc_b")))))

@@ -1344,6 +1344,22 @@ object Similarity {
         (col("band") * (1L << bb) + col("key")).as("bk"))
     val hist = keys.filter(col("vec_id") < histMax)
       .select(col("bk"), col("vec_id").as("vec_a"))
+    finishIncrementalCollapsed(s, dir, hist, keys, histMax, threshold)
+  }
+
+  /** The doc-level incremental spelling — the reference SimilaritySpec
+    * grades [[finishIncrementalCollapsed]] against on a planted-clone
+    * corpus, and the engine `incrBandedCandidateCount` diagnoses.
+    */
+  private[ext] def incrementalBandedNearDupDoc(s: SparkSession, dir: String,
+      histMax: Int = 400, threshold: Double = 0.4, sketchBits: Int = AdaptiveBits,
+      bandBits: Int = AdaptiveBits): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
+    val keys = srpBandKeys(s, dir, sb, bb)
+      .select(col("vec_id"),
+        (col("band") * (1L << bb) + col("key")).as("bk"))
+    val hist = keys.filter(col("vec_id") < histMax)
+      .select(col("bk"), col("vec_id").as("vec_a"))
     val incr = keys.filter(col("vec_id") >= histMax)
     finishIncremental(s, dir, hist, incr, histMax, threshold)
   }
@@ -1385,6 +1401,90 @@ object Similarity {
       incr: DataFrame, histMax: Int, threshold: Double): DataFrame = {
     val cand = incrCandidates(hist, incr)
     exactVerify(s, dir, cand, threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        (col("vec_a") >= histMax).as("incr_internal"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact-content clone groups of the INCREMENT side (vec_id >=
+    * histMax): (irep = min member, sorted members), one hash-group over
+    * the embedding arrays — linear, memoized per (session, dataset,
+    * histMax). The collapse domain of the incremental lanes' r19
+    * rework.
+    */
+  private val incrGroupCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private def incrVecGroups(s: SparkSession, dir: String,
+      histMax: Int): DataFrame =
+    incrGroupCache.computeIfAbsent((s, dir, histMax), _ =>
+      t(s, dir, "embeddings").filter(col("vec_id") >= histMax)
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("irep"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+        .select(col("irep"), col("members"))
+        .pinned)
+
+  /** The incremental tail at REP grain — the r15 x86/x98 clone-collapse
+    * medicine on the embedding lane (the r19 remedy for x103/x104's
+    * 100x constant): identical embeddings have identical band keys,
+    * identical candidacy, and IEEE-identical cosines, so the increment
+    * is collapsed to one representative per distinct embedding, only
+    * reps ride the bucket joins and the exact verify, and verified rep
+    * pairs expand through the clone groups afterwards —
+    *   - (hist, irep) pairs expand irep to every clone (cosine
+    *     inherited: same arrays, same double);
+    *   - (irep, irep) pairs expand both sides, (least, greatest)
+    *     orientation (every member of either group >= histMax);
+    *   - in-group clone pairs take the group's SELF-cosine, computed
+    *     once per rep with the very expression the doc-level verify
+    *     uses (dot/(nrm*nrm) — NOT a lit(1.0): sqrt then multiply is
+    *     not IEEE-exactly 1, and the twin hashes the double).
+    * Identity on a clone-free corpus (all groups singletons — the
+    * graded scales plan near-identically); linear in distinct content
+    * + output size where the doc-level spelling paid candidate
+    * expansion and embedding fetches quadratic in clone multiplicity.
+    * History stays DOC-level: x104's standing index (and the streaming
+    * probe sharing it) keeps real ids, and the history side of a daily
+    * increment is the small, already-indexed one.
+    */
+  private def finishIncrementalCollapsed(s: SparkSession, dir: String,
+      hist: DataFrame, allKeys: DataFrame, histMax: Int,
+      threshold: Double): DataFrame = {
+    val groups = incrVecGroups(s, dir, histMax)
+    val irepKeys = allKeys.filter(col("vec_id") >= histMax)
+      .join(groups.select(col("irep").as("vec_id")), Seq("vec_id"), "left_semi")
+    val candHist = irepKeys.select(col("bk"), col("vec_id").as("vec_b"))
+      .join(hist, Seq("bk"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val candIncr = irepKeys.select(col("bk"), col("vec_id").as("vec_a"))
+      .join(irepKeys.select(col("bk"), col("vec_id").as("vec_b")), Seq("bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val memA = groups.select(col("irep").as("vec_a"), explode(col("members")).as("m_a"))
+    val memB = groups.select(col("irep").as("vec_b"), explode(col("members")).as("m_b"))
+    val exHist = exactVerify(s, dir, candHist, threshold)
+      .join(memB, "vec_b")
+      .select(col("vec_a"), col("m_b").as("vec_b"), col("cosine"))
+    val exIncr = exactVerify(s, dir, candIncr, threshold)
+      .join(memA, "vec_a").join(memB, "vec_b")
+      .select(least(col("m_a"), col("m_b")).as("vec_a"),
+        greatest(col("m_a"), col("m_b")).as("vec_b"), col("cosine"))
+    val c = corpus(s, dir)
+    val selfCos = groups.filter(size(col("members")) > 1)
+      .select(col("irep"))
+      .join(c.select(col("vec_id").as("irep"), col("embedding"), col("nrm")),
+        "irep")
+      .select(col("irep"),
+        (dotD(col("embedding"), col("embedding")) / (col("nrm") * col("nrm")))
+          .as("cosine"))
+    val inGroup = groups.filter(size(col("members")) > 1)
+      .select(col("irep"), explode(Dedup.pairsOfSorted(col("members"))).as("p"))
+      .join(selfCos, "irep")
+      .filter(col("cosine") >= threshold)
+      .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"),
+        col("cosine"))
+    exHist.unionByName(exIncr).unionByName(inGroup)
       .select(col("vec_a"), col("vec_b"), col("cosine"),
         (col("vec_a") >= histMax).as("incr_internal"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
@@ -1433,11 +1533,10 @@ object Similarity {
     val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
     val tbl = buildEmbBandIndex(s, dir, histMax, sb, bb)
     val hist = s.table(tbl).select(col("bk"), col("vec_id").as("vec_a"))
-    val incr = srpBandKeys(s, dir, sb, bb)
-      .filter(col("vec_id") >= histMax)
+    val keys = srpBandKeys(s, dir, sb, bb)
       .select(col("vec_id"),
         (col("band") * (1L << bb) + col("key")).as("bk"))
-    finishIncremental(s, dir, hist, incr, histMax, threshold)
+    finishIncrementalCollapsed(s, dir, hist, keys, histMax, threshold)
   }
 
   /** One micro-batch of the STREAMING near-dup probe: the batch's

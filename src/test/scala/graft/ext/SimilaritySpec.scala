@@ -192,6 +192,36 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("collapsed incremental lane equals the doc-level spelling on a planted-clone corpus") {
+    // exact-content clone groups in every position the collapse must
+    // handle: straddling the histMax boundary (A), a hist+incr pair (B),
+    // a hist-only singleton (C), an incr-only trio (D), an incr
+    // singleton (E) — at threshold -1 every bucket-sharing candidate
+    // survives, so the gate covers candidacy, cosine inheritance,
+    // in-group self-cosine, orientation, and the incr_internal flag.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incrclone").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 97.0 + i) * 0.5).toFloat)
+    val rows = Seq(
+      0L -> vec(1), 1L -> vec(1), 2L -> vec(2), 3L -> vec(3), 4L -> vec(4),
+      12L -> vec(1), 13L -> vec(1), 14L -> vec(2),
+      15L -> vec(5), 16L -> vec(5), 17L -> vec(5), 18L -> vec(6))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val got = rowsOf(Similarity.incrementalBandedNearDup(spark, dir,
+      histMax = 10, threshold = -1.0))
+    val ref = rowsOf(Similarity.incrementalBandedNearDupDoc(spark, dir,
+      histMax = 10, threshold = -1.0))
+    assert(got.nonEmpty, "planted clones must produce pairs (vacuity guard)")
+    assert(got === ref, "collapse must be invisible in the answer")
+    // the clone trio's in-group pairs are present with the self-cosine
+    val trio = got.filter(p => Set(15L, 16L, 17L).contains(p._1) &&
+      Set(15L, 16L, 17L).contains(p._2))
+    assert(trio.size === 3 && trio.forall(_._4))
+  }
+
   test("streaming band probe equals the batch incremental minus cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
