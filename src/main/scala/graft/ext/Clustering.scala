@@ -248,12 +248,83 @@ object Clustering {
     lloyd(s, dir, k, iters)._1
       .withColumn("n2", dotL(col("qa"), col("qa")))
 
-  /** Within-cluster SemDeDup dup pairs + order-free drops over a lloyd
-    * assignment (shared by x144 and the x148 D4 prune): the integer τ
-    * test and the closer-to-centroid tuple drop rule documented on
-    * `semdedupKmeans`. Returns (dup pairs, distinct dropped ids).
+  /** Within-cluster SemDeDup dup-pair COUNTS + order-free drops over a
+    * lloyd assignment (shared by x144 and the x148 D4 prune): the
+    * integer τ test and the closer-to-centroid tuple drop rule
+    * documented on `semdedupKmeans`. Returns ((cluster, n_dup_pairs),
+    * distinct dropped (cluster, vec_id)).
+    *
+    * Clone-collapsed (the r19 extension of the x86/x98 medicine to this
+    * lane): identical grid vectors in one cluster share qa, dist, and
+    * n2, so the τ test and the drop rule are decided once per CONTENT
+    * pair and expanded arithmetically — the within-cluster pair join
+    * runs on distinct content (the r18 record's remaining x144 cost was
+    * ~51 M pairwise dotL evaluations at the 100x clone corpus; rep
+    * grain is ~C(5,2) per cluster there). Expansion rules, each provably
+    * the doc-level per-pair outcome:
+    *   - cross pair counts: m_a·m_b; self (m≥2, τ passes with
+    *     dot = n2): m·(m-1)/2;
+    *   - cross drops at da<db: all of b's members (each pairs with
+    *     something closer); da>db symmetric; da==db: a member z is
+    *     dropped iff SOME opposite member is smaller (per-pair
+    *     larger-id rule) ⟺ z > min(opposite members);
+    *   - self drops: all but the group's min id.
+    * Identity on a clone-free corpus (all groups singletons — the
+    * graded-scale pair join is the same doc-grain join as before).
     */
-  private def dupDrops(asg: DataFrame, tauNum: Long,
+  private[ext] def dupDrops(asg: DataFrame, tauNum: Long,
+      tauDen: Long): (DataFrame, DataFrame) = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val groups = asg.groupBy(col("cluster"), col("qa"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"),
+        count(lit(1)).as("m"),
+        min(col("dist")).as("dist"),
+        min(col("n2")).as("n2"))
+    val a = groups.select(col("cluster"), col("rep").as("rep_a"),
+      col("qa").as("qaa"), col("dist").as("da"), col("n2").as("na2"),
+      col("members").as("mem_a"), col("m").as("m_a"))
+    val b = groups.select(col("cluster"), col("rep").as("rep_b"),
+      col("qa").as("qab"), col("dist").as("db"), col("n2").as("nb2"),
+      col("members").as("mem_b"), col("m").as("m_b"))
+    val cross = a.join(b, Seq("cluster")).filter(col("rep_b") > col("rep_a"))
+      .withColumn("dot", dotL(col("qaa"), col("qab")))
+      .filter(col("dot") > 0 &&
+        lit(tauDen).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >
+          lit(tauNum).cast(dec) * col("na2").cast(dec) * col("nb2").cast(dec))
+      .select(col("cluster"), col("da"), col("db"),
+        col("mem_a"), col("mem_b"), col("m_a"), col("m_b"))
+    val self = groups.filter(col("m") > 1)
+      .filter(col("n2") > 0 &&
+        lit(tauDen).cast(dec) * col("n2").cast(dec) * col("n2").cast(dec) >
+          lit(tauNum).cast(dec) * col("n2").cast(dec) * col("n2").cast(dec))
+      .select(col("cluster"), col("members"), col("m"))
+    val dupCounts = cross
+      .select(col("cluster"), (col("m_a") * col("m_b")).as("npairs"))
+      .unionByName(self.select(col("cluster"),
+        ((col("m") * (col("m") - 1)) / 2).cast("long").as("npairs")))
+      .groupBy(col("cluster")).agg(sum(col("npairs")).as("n_dup_pairs"))
+    val crossDrops = cross.select(col("cluster"),
+      explode(
+        when(col("da") < col("db"), col("mem_b"))
+          .when(col("da") > col("db"), col("mem_a"))
+          .otherwise(concat(
+            filter(col("mem_a"), x => x > element_at(col("mem_b"), 1)),
+            filter(col("mem_b"), x => x > element_at(col("mem_a"), 1)))))
+        .as("vec_id"))
+    val selfDrops = self.select(col("cluster"),
+      explode(slice(col("members"), lit(2), (col("m") - 1).cast("int")))
+        .as("vec_id"))
+    val drops = crossDrops.unionByName(selfDrops)
+      .select(col("cluster"), col("vec_id")).distinct()
+    (dupCounts, drops)
+  }
+
+  /** The doc-grain spelling — the reference ClusteringSpec grades the
+    * collapsed [[dupDrops]] against on a planted-clone corpus. Returns
+    * (dup PAIRS, distinct dropped ids) like the r18 form did.
+    */
+  private[ext] def dupDropsDoc(asg: DataFrame, tauNum: Long,
       tauDen: Long): (DataFrame, DataFrame) = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("qaa"),
@@ -287,16 +358,16 @@ object Clustering {
   private def cachedDupDrops(s: SparkSession, dir: String, k: Int, iters: Int,
       tauNum: Long, tauDen: Long): (DataFrame, DataFrame) =
     dupCache.computeIfAbsent((s, dir, k, iters, tauNum, tauDen), _ => {
-      val (dup, drops) = dupDrops(assignedWithNorms(s, dir, k, iters), tauNum, tauDen)
-      (dup.pinned, drops.pinned)
+      val (dupCounts, drops) =
+        dupDrops(assignedWithNorms(s, dir, k, iters), tauNum, tauDen)
+      (dupCounts.pinned, drops.pinned)
     })
 
   def semdedupKmeans(s: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2, tauNum: Long = 49L, tauDen: Long = 400L): DataFrame = {
     val asg = assignedWithNorms(s, dir, k, iters)
-    val (dup, drops) = cachedDupDrops(s, dir, k, iters, tauNum, tauDen)
+    val (pairs, drops) = cachedDupDrops(s, dir, k, iters, tauNum, tauDen)
     val members = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    val pairs = dup.groupBy(col("cluster")).agg(count(lit(1)).as("n_dup_pairs"))
     val dropped = drops.groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
     members.join(pairs, Seq("cluster"), "left").join(dropped, Seq("cluster"), "left")
       .select(col("cluster"), col("n_members"),

@@ -338,6 +338,43 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("collapsed dup/drops equal the doc-grain spelling on a planted-clone assignment") {
+    // hand-built lloyd assignment covering every expansion branch:
+    // cluster 0 — content A x3 (dist 4) and B x2 (dist 4, parallel to A:
+    // the τ test passes and the dists TIE), C x1 orthogonal-ish (dot 0);
+    // cluster 1 — D x2 (self-pair only, E fails the dot>0 gate);
+    // cluster 2 — two ZERO vectors (n2=0: never a dup, even as clones).
+    import spark.implicits._
+    val qA = Seq(3L, 4L); val qB = Seq(6L, 8L); val qC = Seq(-4L, 3L)
+    val qD = Seq(1L, 0L); val qE = Seq(0L, 1L); val qZ = Seq(0L, 0L)
+    def n2(q: Seq[Long]) = q.map(x => x * x).sum
+    val asg = Seq(
+      (0L, 1L, qA, 4L), (0L, 5L, qA, 4L), (0L, 9L, qA, 4L),
+      (0L, 2L, qB, 4L), (0L, 3L, qB, 4L), (0L, 7L, qC, 2L),
+      (1L, 10L, qD, 3L), (1L, 11L, qD, 3L), (1L, 12L, qE, 9L),
+      (2L, 20L, qZ, 0L), (2L, 21L, qZ, 0L))
+      .map { case (c, id, q, d) => (c, id, q, d, n2(q)) }
+      .toDF("cluster", "vec_id", "qa", "dist", "n2")
+    val (gotCounts, gotDrops) = Clustering.dupDrops(asg, 49L, 400L)
+    val (refPairs, refDrops) = Clustering.dupDropsDoc(asg, 49L, 400L)
+    val counts = gotCounts.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refCounts = refPairs.groupBy(col("cluster"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === refCounts)
+    // hand expectations: cluster 0 = A x B (6) + C(3,2) (3) + C(2,2) (1),
+    // cluster 1 = D's self pair, cluster 2 absent (zero vectors)
+    assert(counts === Map(0L -> 10L, 1L -> 1L))
+    val drops = gotDrops.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refD = refDrops.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drops === refD)
+    // the tie branch: A x B drops {z in A: z > min B} u {z in B: z > min A}
+    // = {5,9,2,3}; self drops add nothing new; D's self drops 11
+    assert(drops === Set((0L, 2L), (0L, 3L), (0L, 5L), (0L, 9L), (1L, 11L)))
+  }
+
   test("native argmin assignment equals the broadcast-join reference, ties to min id") {
     import spark.implicits._
     val pts = Clustering.qvecs(spark, Sf)
