@@ -524,17 +524,49 @@ object SuffixDedup {
     * token positions and duplicated WINDOW-START positions, cut every
     * token inside a window, re-join survivors in position order, report
     * exact counts + the md5 of the scrubbed text per document.
+    *
+    * Coverage is decided by a per-doc BOUNDARY-EVENT scan over the
+    * island-merged spans (the x174 lesson applied to the cut set): the
+    * old spelling exploded every covered window into its L token
+    * positions and global-distinct'ed them — ~240 M rows into one
+    * distinct at the 100x clone corpus — where the spans are disjoint
+    * intervals whose +1/−1 boundary prefix-sum marks each token in ONE
+    * ordered pass per document (token at p covered iff
+    * #starts(<=p) > #ends(<=p); ends sort before starts before tokens
+    * at equal pos, the half-open [start, end) rule). Linear in
+    * tokens + spans at any duplication density — a pathological
+    * alternating-span document costs its token count, never
+    * tokens x spans.
     */
   private[graft] def scrubReport(tokens: DataFrame, coveredStarts: DataFrame,
       L: Int): DataFrame = {
-    val cut = coveredStarts
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (L - 1)))
-        .as("pos"))
-      .distinct()
-      .withColumn("covered", lit(true))
-    tokens
-      .join(cut, Seq("doc_id", "pos"), "left")
-      .withColumn("covered", coalesce(col("covered"), lit(false)))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = coveredStarts
+      .withColumn("end", col("pos") + L)
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
+    val nullTok = lit(null).cast(org.apache.spark.sql.types.StringType).as("tok")
+    val events = spans
+      .select(col("doc_id"), col("span_end").as("pos"),
+        lit(0).as("prio"), lit(-1L).as("delta"), nullTok)
+      .unionByName(spans.select(col("doc_id"), col("span_start").as("pos"),
+        lit(1).as("prio"), lit(1L).as("delta"), nullTok))
+      .unionByName(tokens.select(col("doc_id"), col("pos"),
+        lit(2).as("prio"), lit(0L).as("delta"), col("tok")))
+    val byDocEv = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("prio"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("open", sum(col("delta")).over(byDocEv))
+      .filter(col("prio") === 2)
+      .withColumn("covered", col("open") > 0L)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("covered"), 1L).otherwise(0L)).as("n_cut"),
