@@ -138,24 +138,82 @@ case class NearestCentroidL(first: Expression, second: Expression,
 
 object LongVec {
 
+  /** Identity-memoized codebook decode. The codebook reaches the kernel
+    * as a constant LITERAL — the very same ArrayData instance on every
+    * row — but a literal built from Scala collections is
+    * GenericArrayData over BOXED longs, so reading it element-wise per
+    * row costs an unboxing virtual call per coordinate: k·d ≈ 25k boxed
+    * reads per row, ~5e9 per assignment pass at the 100x corpus — the
+    * real residual of x144's 161 s, hiding inside a "codegen'd" kernel.
+    * Decode to primitive arrays once per codebook instance (volatile
+    * single-slot cache: racy replacement is idempotent, and each task
+    * sees one codebook at a time). Returns null for the kernel's NULL
+    * cases (empty/ragged id list, null elements).
+    */
+  @volatile private var centSlot: (ArrayData, ArrayData,
+    Array[Long], Array[Array[Long]]) = null
+
+  private def decodeBook(ids: ArrayData,
+      cents: ArrayData): (Array[Long], Array[Array[Long]]) = {
+    val c = centSlot
+    if (c != null && (c._1 eq ids) && (c._2 eq cents)) return (c._3, c._4)
+    val k = ids.numElements()
+    if (k == 0 || k != cents.numElements()) return null
+    val idArr = new Array[Long](k)
+    val cArr = new Array[Array[Long]](k)
+    var j = 0
+    while (j < k) {
+      if (ids.isNullAt(j) || cents.isNullAt(j)) return null
+      idArr(j) = ids.getLong(j)
+      val inner = cents.getArray(j)
+      val n = inner.numElements()
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        if (inner.isNullAt(i)) return null
+        a(i) = inner.getLong(i)
+        i += 1
+      }
+      cArr(j) = a
+      j += 1
+    }
+    centSlot = (ids, cents, idArr, cArr)
+    (idArr, cArr)
+  }
+
   /** Argmin cluster id by exact integer sqdist; ids scanned in the
     * given (ascending) order with strict improvement, so ties go to
     * the smallest id — the min(struct(dist, cluster)) rule.
     */
   def nearestOrNull(q: ArrayData, ids: ArrayData,
       cents: ArrayData): java.lang.Long = {
-    val k = ids.numElements()
-    if (k == 0 || k != cents.numElements()) return null
+    val dec = decodeBook(ids, cents)
+    if (dec == null) return null
+    val (idArr, cArr) = dec
+    val n = q.numElements()
+    val qv = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      qv(i) = q.getLong(i)
+      i += 1
+    }
     var best = 0L
     var bestD = Long.MaxValue
     var found = false
     var j = 0
-    while (j < k) {
-      if (ids.isNullAt(j) || cents.isNullAt(j)) return null
-      val d = sqDistOrNull(q, cents.getArray(j))
-      if (d == null) return null
-      if (d.longValue() < bestD) {
-        bestD = d.longValue(); best = ids.getLong(j); found = true
+    while (j < cArr.length) {
+      val b = cArr(j)
+      if (b.length != n) return null // ragged vs q: the sqdist NULL rule
+      var acc = 0L
+      i = 0
+      while (i < n) {
+        val d = Math.subtractExact(qv(i), b(i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
+        i += 1
+      }
+      if (acc < bestD) {
+        bestD = acc; best = idArr(j); found = true
       }
       j += 1
     }
