@@ -751,12 +751,10 @@ object Similarity {
     * banded/exact recall curve rather than assuming it.
     */
   def embeddingDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = bandedNearDup(s, dir)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = bandedLabels(s, dir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
-      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .select(col("vec_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy(col("vec_id"))
   }
 
@@ -774,10 +772,7 @@ object Similarity {
     * sizes-sized aggregate.
     */
   def semdedupReport(s: SparkSession, dir: String): DataFrame = {
-    val pairs = bandedNearDup(s, dir)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = Dedup.connectedComponents(pairs)
-      .select(col("id").as("vec_id"), col("lbl"))
+    val labels = bandedLabels(s, dir)
     val toks = t(s, dir, "documents")
       .select(col("doc_id").as("vec_id"),
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
@@ -1283,11 +1278,117 @@ object Similarity {
     * corpus's threshold 0.4 it is ~0.56 — see `WideSrpBits` for why
     * that is information-theoretically forced, not a tuning miss.
     */
+  /** Whole-corpus exact-content clone groups (rep = min vec_id, sorted
+    * members) — the collapse domain of the full-corpus banded family
+    * (x99/x57/x138/x100), cached per (session, dataset). One linear
+    * hash-group over the embedding arrays.
+    */
+  private val vecGroupCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def vecGroupsAll(s: SparkSession, dir: String): DataFrame =
+    vecGroupCache.computeIfAbsent((s, dir), _ =>
+      t(s, dir, "embeddings")
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("rep"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+        .select(col("rep"), col("members"))
+        .pinned)
+
+  /** Verified REP-grain banded pairs + the qualifying (self-cosine >=
+    * threshold) multi-member groups — the engine of the collapsed
+    * full-corpus lane, pinned per (session, dataset, threshold,
+    * geometry). Identical embeddings have identical band keys,
+    * candidacy, and IEEE-identical cosines, so banding + verify runs on
+    * one rep per distinct embedding. Zero-norm vectors are outside the
+    * lane's domain in BOTH spellings (ANSI divide-by-zero: at doc level
+    * a zero vector shares buckets and reaches the verify's division the
+    * same way the self-cosine does here — the collapse preserves even
+    * the failure mode).
+    */
+  private val repBandedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, Int, Int), (DataFrame, DataFrame)]()
+
+  private def repBandedPairs(s: SparkSession, dir: String, threshold: Double,
+      sb: Int, bb: Int): (DataFrame, DataFrame) =
+    repBandedCache.computeIfAbsent((s, dir, threshold, sb, bb), _ => {
+      val groups = vecGroupsAll(s, dir)
+      val keys = srpBandKeys(s, dir, sb, bb)
+        .join(groups.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
+      val cand = keys.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+        .join(keys.select(col("band"), col("key"), col("vec_id").as("vec_b")),
+          Seq("band", "key"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .distinct()
+      val pairs = exactVerify(s, dir, cand, threshold)
+      val c = corpus(s, dir)
+      val selfPass = groups.filter(size(col("members")) > 1)
+        .select(col("rep"), col("members"))
+        .join(c.select(col("vec_id").as("rep"), col("embedding"), col("nrm")),
+          "rep")
+        .select(col("rep"), col("members"),
+          (dotD(col("embedding"), col("embedding")) / (col("nrm") * col("nrm")))
+            .as("cosine"))
+        .filter(col("cosine") >= threshold)
+      (pairs.pinned, selfPass.pinned)
+    })
+
   def bandedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       sketchBits: Int = AdaptiveBits, bandBits: Int = AdaptiveBits): DataFrame = {
     val (sb, bb) = resolveGeometry(s, dir, sketchBits, bandBits)
-    bandedCache.computeIfAbsent((s, dir, threshold, sb, bb), _ =>
-      bandedNearDupPlan(s, dir, threshold, sb, bb).pinned)
+    // rep-grain banding + clone-group expansion (the r19 collapse): the
+    // emitted pair set is byte-identical to the doc-level plan (the
+    // spec's reference spelling, bandedNearDupPlan) at any clone
+    // multiplicity — cross pairs inherit the rep cosine, in-group pairs
+    // the group self-cosine — and the bucket join + verify run on
+    // distinct content only.
+    bandedCache.computeIfAbsent((s, dir, threshold, sb, bb), _ => {
+      val (repPairs, selfPass) = repBandedPairs(s, dir, threshold, sb, bb)
+      val groups = vecGroupsAll(s, dir)
+      val memA = groups.select(col("rep").as("vec_a"),
+        explode(col("members")).as("m_a"))
+      val memB = groups.select(col("rep").as("vec_b"),
+        explode(col("members")).as("m_b"))
+      val cross = repPairs.join(memA, "vec_a").join(memB, "vec_b")
+        .select(least(col("m_a"), col("m_b")).as("vec_a"),
+          greatest(col("m_a"), col("m_b")).as("vec_b"), col("cosine"))
+      val inGroup = selfPass
+        .select(explode(Dedup.pairsOfSorted(col("members"))).as("p"),
+          col("cosine"))
+        .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"),
+          col("cosine"))
+      cross.unionByName(inGroup)
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+        .pinned
+    })
+  }
+
+  /** (vec_id, lbl) near-dup cluster labels of the banded lane at REP
+    * grain — CC runs on the rep pair graph and labels expand through
+    * the clone groups (the Dedup.clusterLabels discipline on the
+    * embedding side): a group's rep is its MINIMUM id, so the
+    * component-min label at rep grain IS the component-min over all
+    * members; multi-member groups whose self-cosine passes but whose
+    * rep pairs with nothing become their own cliques.
+    */
+  private[ext] def bandedLabels(s: SparkSession, dir: String): DataFrame = {
+    val (sb, bb) = resolveGeometry(s, dir, AdaptiveBits, AdaptiveBits)
+    val (repPairs, selfPass) = repBandedPairs(s, dir, 0.4, sb, bb)
+    val groups = vecGroupsAll(s, dir)
+    val connected = Dedup.connectedComponents(
+      repPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("id").as("rep"), col("lbl"))
+    val cliques = selfPass.select(col("rep"))
+    val expandedConnected = connected.join(groups, "rep")
+      .join(cliques.withColumn("clq", lit(true)), Seq("rep"), "left")
+      .select(explode(
+        when(size(col("members")) === 1 || col("clq"), col("members"))
+          .otherwise(array(col("rep")))).as("vec_id"), col("lbl"))
+    val isolated = selfPass
+      .join(connected.select(col("rep")), Seq("rep"), "left_anti")
+      .select(explode(col("members")).as("vec_id"), col("rep").as("lbl"))
+    expandedConnected.unionByName(isolated)
   }
 
   /** Exact-cosine verification of a candidate pair frame (vec_a, vec_b)

@@ -222,6 +222,39 @@ class SimilaritySpec extends SparkSpec {
     assert(trio.size === 3 && trio.forall(_._4))
   }
 
+  test("collapsed full-corpus banded lane and labels equal the doc-level spellings on planted clones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandclone").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 97.0 + i) * 0.5).toFloat)
+    // clone trios/pairs/singletons (zero-norm vectors are outside the
+    // lane's domain in BOTH spellings — ANSI divide-by-zero)
+    val rows = Seq(
+      0L -> vec(1), 1L -> vec(1), 2L -> vec(1),
+      3L -> vec(2), 4L -> vec(2),
+      5L -> vec(3), 6L -> vec(4))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.bandedNearDup(spark, dir, threshold = -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ref = Similarity.bandedNearDupPlan(spark, dir, -1.0,
+      Similarity.WideSrpBits, Similarity.WideBandBits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty, "planted clones must produce pairs (vacuity guard)")
+    assert(got === ref, "collapse must be invisible in the pair set")
+    // labels: the rep-grain CC + group expansion equals CC over the
+    // expanded pair set (an independent path through the same kernel)
+    val gotLabels = Similarity.embeddingDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pairFrame = Similarity.bandedNearDup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val refLbl = Dedup.connectedComponents(pairFrame)
+    val refSizes = refLbl.groupBy(col("lbl")).count()
+    val refLabels = refLbl.join(refSizes, "lbl")
+      .select(col("id"), col("lbl"), col("count")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotLabels === refLabels)
+  }
+
   test("streaming band probe equals the batch incremental minus cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
