@@ -571,31 +571,83 @@ object Clustering {
     * sample; the ranking window partitions by subspace — m small), then
     * ONE floor-div Lloyd refine. Cached per (session, dataset): x141 and
     * x142 share the trained book, the x123 fullIndex discipline.
+    *
+    * `sdims` may carry an `m` multiplicity column (the rep-grain
+    * collapse): the refine then computes Σ m·q / Σ m — the exact
+    * integer sums the doc-grain refine computes, one term per clone
+    * group instead of per row. Seeds are resolved from `seedDims`
+    * (default `sdims`): the seed draw is hash-ranked over IDS, so a
+    * collapsed caller passes the doc-grain frame there — only the ≤m·k
+    * chosen ids join it.
     */
   private def trainBook(sdims: DataFrame, ids: DataFrame, prefix: String,
-      k: Int): DataFrame = {
+      k: Int, seedDims: Option[DataFrame] = None): DataFrame = {
+    val sd = seedDims.getOrElse(sdims)
+    val w = if (sdims.columns.contains("m")) col("m") else lit(1L)
     val ranked = ids
-      .crossJoin(broadcast(sdims.select(col("sub")).distinct()))
+      .crossJoin(broadcast(sd.select(col("sub")).distinct()))
       .withColumn("h", TextAnalysis.tokenHash(concat(lit(prefix),
         col("sub").cast("string"), lit(":"), col("vec_id").cast("string"))))
       .withColumn("code", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))).cast(LongType))
       .filter(col("code") <= k)
       .select(col("vec_id"), col("sub"), col("code"))
-    val c0 = ranked.join(sdims, Seq("vec_id", "sub"))
+    val c0 = ranked.join(sd, Seq("vec_id", "sub"))
       .select(col("sub"), col("code"), col("j"), col("q").as("c"))
     val a1 = pqEncode(sdims, c0)
     a1.join(sdims, Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("code"), col("j"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .agg(sum(col("q") * w).as("sq"), sum(w).as("n"))
       .select(col("sub"), col("code"), col("j"), fdiv(col("sq"), col("n")).as("c"))
       .pinned
   }
 
+  /** Exact-content clone groups at the GRID grain (two embeddings that
+    * quantize to the same qa are PQ-indistinguishable — every PQ
+    * quantity derives from qa alone): (rep = min vec_id, members, m).
+    * The collapse domain of the x141/x159/x142 encode passes, cached
+    * per (session, dataset).
+    */
+  private val qaGroupCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def qaGroups(s: SparkSession, dir: String): DataFrame =
+    qaGroupCache.computeIfAbsent((s, dir), _ =>
+      qvecs(s, dir).groupBy(col("qa"))
+        .agg(min(col("vec_id")).as("rep"),
+          sort_array(collect_list(col("vec_id"))).as("members"),
+          count(lit(1)).as("m"))
+        .pinned)
+
+  /** Rep-grain subspace coordinates (vec_id = rep), the frame the
+    * collapsed encode passes run on.
+    */
+  private def repSubDims(s: SparkSession, dir: String, dsub: Int): DataFrame =
+    toSubDims(qaGroups(s, dir)
+      .select(col("rep").as("vec_id"), col("qa")), dsub)
+
+  /** Rep-grain corpus encode against the trained book, pinned per
+    * (session, dataset) — x141's histogram, x159's outliers, and x142's
+    * ADC scoring all expand or weight this one ~reps·m-row frame where
+    * the doc-grain encode pushed corpus×k coordinate rows through the
+    * aggregate per consumer (~205 M rows per pass at the 100x clone
+    * corpus).
+    */
+  private val repEncodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def repEncode(s: SparkSession, dir: String): DataFrame =
+    repEncodeCache.computeIfAbsent((s, dir), _ =>
+      pqEncode(repSubDims(s, dir, 8), cachedBook(s, dir)).pinned)
+
   private def pqCodebook(s: SparkSession, dir: String,
-      dsub: Int, k: Int): DataFrame =
-    trainBook(subDims(s, dir, dsub),
-      t(s, dir, "embeddings").select(col("vec_id")), "pq:", k)
+      dsub: Int, k: Int): DataFrame = {
+    val groups = qaGroups(s, dir)
+    val rsd = repSubDims(s, dir, dsub)
+      .join(groups.select(col("rep").as("vec_id"), col("m")), "vec_id")
+    trainBook(rsd, t(s, dir, "embeddings").select(col("vec_id")), "pq:", k,
+      seedDims = Some(subDims(s, dir, dsub)))
+  }
 
   private val bookCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
@@ -611,9 +663,14 @@ object Clustering {
     * n=0 via a left join from the book side. Fully integer end to end.
     */
   def pqCodes(s: SparkSession, dir: String): DataFrame = {
-    val enc = pqEncode(subDims(s, dir, 8), cachedBook(s, dir))
+    // rep-grain encode, multiplicity-weighted histogram: a clone group
+    // encodes once and contributes (m, m·qerr) — the doc-grain sums
+    // exactly, one term per distinct grid vector
+    val enc = repEncode(s, dir)
+      .join(qaGroups(s, dir).select(col("rep").as("vec_id"), col("m")),
+        "vec_id")
     val hist = enc.groupBy(col("sub"), col("code"))
-      .agg(count(lit(1)).as("n"), sum(col("qerr")).as("total_qerr"))
+      .agg(sum(col("m")).as("n"), sum(col("qerr") * col("m")).as("total_qerr"))
     cachedBook(s, dir).select(col("sub"), col("code")).distinct()
       .join(hist, Seq("sub", "code"), "left")
       .select(col("sub"), col("code"),
@@ -636,9 +693,16 @@ object Clustering {
     * nothing new touches the corpus.
     */
   def pqErrorOutliers(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val perVec = pqEncode(subDims(s, dir, 8), cachedBook(s, dir))
+    // per-rep qerr expands to every clone (identical qa, identical
+    // encode); the corpus total weights by multiplicity
+    val repVec = repEncode(s, dir)
       .groupBy(col("vec_id")).agg(sum(col("qerr")).as("total_qerr"))
-    val corpus = perVec.agg(sum(col("total_qerr")).as("corpus_qerr"))
+      .withColumnRenamed("vec_id", "rep")
+    val groups = qaGroups(s, dir)
+    val perVec = repVec.join(groups, "rep")
+      .select(explode(col("members")).as("vec_id"), col("total_qerr"))
+    val corpus = repVec.join(groups.select(col("rep"), col("m")), "rep")
+      .agg(sum(col("total_qerr") * col("m")).as("corpus_qerr"))
     // two-phase global top-k: partition-local prune before the single-
     // partition rank window sees anything (perVec is corpus-sized)
     val local = Window.partitionBy(col("part"))
@@ -687,7 +751,12 @@ object Clustering {
       numQueries: Int = 3, k: Int = 10): DataFrame = {
     val sdims = subDims(s, dir, 8)
     val book = cachedBook(s, dir)
-    val enc = pqEncode(sdims, book).filter(col("vec_id") >= numQueries)
+    // per-id codes via the rep encode expanded through the clone groups
+    // (the ADC ranking ties break by vec_id, so ids must be real)
+    val enc = repEncode(s, dir).withColumnRenamed("vec_id", "rep")
+      .join(qaGroups(s, dir).select(col("rep"), col("members")), "rep")
+      .select(explode(col("members")).as("vec_id"), col("sub"), col("code"))
+      .filter(col("vec_id") >= numQueries)
     val qsub = sdims.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("j"), col("q").as("qq"))
     val tab = qsub.join(book, Seq("sub", "j"))
