@@ -150,10 +150,17 @@ object Clustering {
     * distances, final centroids). Shared by the x140 report and the x144
     * SemDeDup prune.
     */
-  private def lloydOn(pts: DataFrame, k: Int,
+  private def lloydOn(pts0: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     // scaled-k runs (k > the base 8, i.e. past the graded decades) take
-    // the native-argmin assignment; base-k runs keep the r17 plan
+    // the native-argmin assignment; base-k runs keep the r17 plan.
+    // Scaled runs also SPREAD the points first (the srpBandKeys lesson:
+    // a small parquet file scans as 1-2 partitions, and the n·k argmin
+    // pass would run on 2 of 32 cores — the kernel is compute-bound, so
+    // occupancy is the whole game); base-k plans stay byte-identical.
+    val pts = if (k > 8)
+      pts0.repartition(pts0.sparkSession.sparkContext.defaultParallelism)
+    else pts0
     val doAssign: (DataFrame, DataFrame) => DataFrame =
       if (k > 8) assignFast else assign
     // the scaled path pins the seed (assignFast collects it driver-side
