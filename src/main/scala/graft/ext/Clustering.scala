@@ -258,16 +258,27 @@ object Clustering {
     math.max(base.toLong, (n + targetClusterSize - 1) / targetClusterSize).toInt
   }
 
+  /** Base-k (graded scales): NOT checkpointed — the x144/x148 plans
+    * consume the assignment through up to six join legs, but every leg
+    * bottoms out in the same Exchanges and ReuseExchange deduplicates
+    * them at runtime; an eager localCheckpoint measured SLOWER (12.8 vs
+    * 8.4 s at sf0.1) because it serializes the legs behind one
+    * materialization and forfeits the broadcast-size estimate on the
+    * tiny cents side. Scaled-k: PINNED — there each consumer evaluation
+    * re-runs a full n·k argmin pass (~10 s at the 100x corpus) and the
+    * downstream legs never join the centroids, so the r18 trade
+    * inverts.
+    */
+  private val asgCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
   private def assignedWithNorms(s: SparkSession, dir: String, k: Int,
-      iters: Int): DataFrame =
-    // NOT checkpointed: the x144/x148 plans consume the assignment
-    // through up to six join legs, but every leg bottoms out in the
-    // same Exchanges and ReuseExchange deduplicates them at runtime —
-    // an eager localCheckpoint here measured SLOWER (12.8 vs 8.4 s at
-    // sf0.1) because it serializes the legs behind one materialization
-    // and forfeits the broadcast-size estimate on the tiny cents side
-    lloyd(s, dir, k, iters)._1
+      iters: Int): DataFrame = {
+    def frame = lloyd(s, dir, k, iters)._1
       .withColumn("n2", dotL(col("qa"), col("qa")))
+    if (k <= 8) frame
+    else asgCache.computeIfAbsent((s, dir, k, iters), _ => frame.pinned)
+  }
 
   /** Within-cluster SemDeDup dup-pair COUNTS + order-free drops over a
     * lloyd assignment (shared by x144 and the x148 D4 prune): the

@@ -205,9 +205,13 @@ object LongVec {
     while (j < cArr.length) {
       val b = cArr(j)
       if (b.length != n) return null // ragged vs q: the sqdist NULL rule
+      // early exit: the partial sum only grows, and the tie rule is
+      // STRICT improvement, so a candidate whose prefix already reaches
+      // bestD can never win — typical centroids lose within a few
+      // coordinates, cutting the k·d inner work several-fold
       var acc = 0L
       i = 0
-      while (i < n) {
+      while (i < n && acc < bestD) {
         val d = Math.subtractExact(qv(i), b(i))
         acc = Math.addExact(acc, Math.multiplyExact(d, d))
         i += 1
