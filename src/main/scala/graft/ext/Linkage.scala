@@ -77,6 +77,35 @@ object Linkage {
       .orderBy(col("a_custkey"), col("b_custkey"))
   }
 
+  /** x220: the ED-join answer's SIZE, by distance, WITHOUT materializing
+    * it — the serving datasheet for the suite's one 1000-second lane.
+    * x190's cost at scale is purely the answer's own row count (the
+    * verified rep-pair frame is ~270 K rows where the expansion is
+    * 2.7 G at the 100x corpus, ~20 minutes of pure materialization);
+    * an operator deciding whether to pay that needs the size first.
+    * Counts expand arithmetically through the duplicate groups —
+    * cross pairs contribute m_a·m_b at the representatives' distance,
+    * duplicate groups C(m,2) at distance 0 (identical names) — the
+    * x219 convention: what a bounded lane would drop is REPORTED, here
+    * as the exact per-distance total the full dump would have.
+    * Cap-independent for the same reason x190 is.
+    */
+  def edSimJoinStats(s: SparkSession, dir: String, tau: Int = 1,
+      cap: Int = 256): DataFrame = {
+    val (nm0, repPairs) = edRepPairs(s, dir, tau, cap)
+    val sizes = nm0.groupBy(col("nm")).agg(count(lit(1)).as("m"))
+    val cross = repPairs
+      .join(sizes.select(col("nm").as("na"), col("m").as("ma")), Seq("na"))
+      .join(sizes.select(col("nm").as("nb"), col("m").as("mb")), Seq("nb"))
+      .select(col("dist"), (col("ma") * col("mb")).as("npairs"))
+    val within = sizes.filter(col("m") > 1)
+      .select(lit(0).cast(IntegerType).as("dist"),
+        ((col("m") * (col("m") - 1)) / 2).cast("long").as("npairs"))
+    cross.unionByName(within)
+      .groupBy(col("dist")).agg(sum(col("npairs")).as("n_pairs"))
+      .orderBy(col("dist"))
+  }
+
   /** The pair engine behind x190/x217: (all (key, nm) rows, verified
     * DISTINCT-NAME representative pairs with na/nb/dist). The rep-pair
     * frame is the scale-right intermediate — at the 100x corpus the
@@ -500,6 +529,8 @@ object Linkage {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x190_ed_simjoin" -> ((s: SparkSession, dir: String) => edSimJoin(s, dir)),
+    "x220_ed_simjoin_stats" ->
+      ((s: SparkSession, dir: String) => edSimJoinStats(s, dir)),
     "x191_fs_linkage" -> ((s: SparkSession, dir: String) => fsLinkage(s, dir)),
     "x193_mutual_best_match" -> ((s: SparkSession, dir: String) => mutualBestMatch(s, dir)),
     "x217_ed_clusters" -> ((s: SparkSession, dir: String) => edClusters(s, dir)),
@@ -648,6 +679,15 @@ object Linkage {
 
   val oracles: Map[String, String] = Map(
     "x190_ed_simjoin" -> edOracle(1, 256),
+    // x220: brute-force pair scan — a STRONGER independent twin than
+    // replaying the blocking (every unordered pair, exact levenshtein)
+    "x220_ed_simjoin_stats" ->
+      """WITH nm AS (SELECT c_custkey AS key, c_name AS nm FROM customer)
+        |SELECT CAST(levenshtein(a.nm, b.nm) AS INT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM nm a JOIN nm b ON a.key < b.key
+        |WHERE levenshtein(a.nm, b.nm) <= 1
+        |GROUP BY 1 ORDER BY dist""".stripMargin,
     "x191_fs_linkage" -> fsOracle,
     "x193_mutual_best_match" -> mutualOracle,
     "x217_ed_clusters" -> edClustersOracle(1, 256),

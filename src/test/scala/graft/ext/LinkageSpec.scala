@@ -35,6 +35,33 @@ class LinkageSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain distance-1 name pairs")
   }
 
+  test("x220 stats equal the materialized x190 dump's per-distance counts, incl. clone groups") {
+    import spark.implicits._
+    // planted CLONE groups (the expansion branches x220 must count
+    // without materializing): a name duplicated 3x, a pair of clones
+    // one edit from another clone pair, singletons
+    val dir = java.nio.file.Files.createTempDirectory("graft_edstats").toString
+    val names = Seq(
+      (1L, "alphabeta"), (2L, "alphabeta"), (3L, "alphabeta"), // trio: C(3,2) at d=0
+      (4L, "gammadelt"), (5L, "gammadelt"),                    // pair at d=0
+      (6L, "gammadelx"), (7L, "gammadelx"),                    // pair, d=1 from group 4/5
+      (8L, "qrstuvwxy"))
+    names.toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    val fromDump = Linkage.edSimJoin(spark, dir).collect()
+      .groupBy(_.getInt(2)).view.mapValues(_.length.toLong).toMap
+    val stats = Linkage.edSimJoinStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats === fromDump)
+    assert(stats === Map(0 -> 5L, 1 -> 4L),
+      "trio C(3,2)=3 + pair 1 at d=0; 2x2 cross clones at d=1")
+    // and on the fixture corpus (the graded shape)
+    val fx = Linkage.edSimJoinStats(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fxDump = Linkage.edSimJoin(spark, Sf).collect()
+      .groupBy(_.getInt(2)).view.mapValues(_.length.toLong).toMap
+    assert(fx === fxDump && fx.nonEmpty)
+  }
+
   test("tau=2 completeness: equal-length ins+del pairs (shifted grams) are found") {
     // the r16-advice hole: at tau >= 2 an EQUAL-length pair can be one
     // insertion + one deletion ("abcdefgh" -> "bcdefgha": delete the
