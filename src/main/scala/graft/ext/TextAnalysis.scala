@@ -55,6 +55,24 @@ object TextAnalysis {
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, w => w.isInCollection(words))).cast(LongType)
 
+  /** The x02 stoplist, shared with the SQL twin ([[StopListSql]]). */
+  private val StopList = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** The four curation counters in ONE native code-point scan
+    * ([[graft.functions.QualityCounts]]) — the r20-seed fix for the
+    * quality family's three-regex-passes-per-document constant (x02's
+    * single projection measured 42 s at the 100x corpus, dominated by
+    * regexp_extract_all materializing every punctuation char as its own
+    * array element). Values identical to the regex spellings
+    * (FunctionsSpec pins the equivalence, the x02/x05/x89/x109 oracles
+    * gate it end-to-end).
+    */
+  private def qcCol(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.QualityCounts(
+      ColumnBridge.expression(text), StopList))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex lexer. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -69,11 +87,11 @@ object TextAnalysis {
     * boolean keep/drop verdict — the standard pre-training corpus filter.
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val nChars = length(col("text")).cast(LongType)
-    val nToks = size(toks).cast(LongType)
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
-    val nStop = hits(toks, Seq("the", "a", "and", "of", "to", "in", "is"))
+    val qc = qcCol(col("text"))
+    val nChars = qc.getField("n_chars")
+    val nToks = qc.getField("n_tokens")
+    val nPunct = qc.getField("n_punct")
+    val nStop = qc.getField("n_stop")
     t(s, dir, "documents")
       .select(
         col("doc_id"), nChars.as("n_chars_calc"), nToks.as("n_tokens"),
@@ -232,17 +250,17 @@ object TextAnalysis {
     * the same documents.
     */
   def qualityOkCol(text: Column): Column = {
-    val nChars = length(text).cast(LongType)
-    val nToks = size(wsTokens(text)).cast(LongType)
-    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    val qc = qcCol(text)
+    val nChars = qc.getField("n_chars")
+    val nToks = qc.getField("n_tokens")
+    val nPunct = qc.getField("n_punct")
     nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
       (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)
   }
 
   def corpusCurate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = wsTokens(col("text"))
-    val nToks = size(toks).cast(LongType)
+    val nToks = qcCol(col("text")).getField("n_tokens")
     val qualityOk = qualityOkCol(col("text"))
     val survivors = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), nToks.as("n_tokens"),
@@ -280,15 +298,12 @@ object TextAnalysis {
     */
   private def datasheetRows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = wsTokens(col("text"))
-    val nChars = length(col("text")).cast(LongType)
-    val nToks = size(toks).cast(LongType)
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
-    val qualityOk = nChars >= 100 && nChars <= 5000 && nToks >= 20 &&
-      (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < lit(0.1)
+    val qc = qcCol(col("text"))
+    val nToks = qc.getField("n_tokens")
     t(s, dir, "documents")
       .select(col("source"), col("doc_id"), nToks.as("n_tokens"),
-        qualityOk.as("quality_ok"), fingerprintCol(col("text")).as("fp"))
+        qualityOkCol(col("text")).as("quality_ok"),
+        fingerprintCol(col("text")).as("fp"))
       .withColumn("is_canonical",
         col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
   }

@@ -248,4 +248,35 @@ class FunctionsSpec extends SparkSpec {
       assert((viaHash(k1) == viaHash(k2)) === (viaStr(k1) == viaStr(k2)),
         s"$k1 vs $k2")
   }
+  test("QualityCounts equals the regex spellings on real text and edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val docs = Seq(
+      "the quick brown fox, JUMPED over 2 lazy dogs!!",
+      "  leading and trailing   whitespace\tand tabs  ",
+      "",
+      "   ",
+      "a",
+      "punct-only: !!! ??? ;;; ...",
+      "caf\u00e9 na\u00efve \u4f60\u597d mixed unicode",
+      "the the the of of a",
+      "single\nnewline\nand\rcarriage\freturns",
+      "x" * 200)
+      .toDF("text")
+    val qc = ColumnBridge.column(graft.functions.QualityCounts(
+      ColumnBridge.expression(col("text")), stops))
+    val toks = split(trim(col("text")), "\\s+")
+    val ref = docs.select(
+      length(col("text")).cast("long").as("c"),
+      size(toks).cast("long").as("t"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("p"),
+      size(filter(toks, w => w.isInCollection(stops))).cast("long").as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = docs.select(qc.as("q")).select(
+      col("q.n_chars"), col("q.n_tokens"), col("q.n_punct"), col("q.n_stop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === ref.toSeq)
+  }
 }
