@@ -191,6 +191,17 @@ object Clustering {
   private val lloydCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
 
+  /** Spec seam: drop every (session, dir)-keyed memo so an in-session
+    * corpus rewrite is observable (the SuffixDedup.resetSessionCaches
+    * contract). indexRootCache is included — its filesystem root is
+    * rebuilt on next use.
+    */
+  private[graft] def resetSessionCaches(): Unit = {
+    lloydCache.clear(); nVecCache.clear(); asgCache.clear()
+    dupCache.clear(); qaGroupCache.clear(); repEncodeCache.clear()
+    bookCache.clear(); ivfpqModelCache.clear(); indexRootCache.clear()
+  }
+
   private def lloyd(s: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, DataFrame) =
     lloydCache.computeIfAbsent((s, dir, k, iters), _ =>
@@ -334,7 +345,9 @@ object Clustering {
     val dupCounts = cross
       .select(col("cluster"), (col("m_a") * col("m_b")).as("npairs"))
       .unionByName(self.select(col("cluster"),
-        ((col("m") * (col("m") - 1)) / 2).cast("long").as("npairs")))
+        // integer DIV, not fractional `/` then cast: double division is
+        // exact only while m(m-1) <= 2^53 (~1.3e8-member groups)
+        expr("CAST(m * (m - 1) DIV 2 AS LONG)").as("npairs")))
       .groupBy(col("cluster")).agg(sum(col("npairs")).as("n_dup_pairs"))
     val crossDrops = cross.select(col("cluster"),
       explode(

@@ -82,6 +82,17 @@ object Similarity {
   private val exactTopkCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), DataFrame]()
 
+  /** Spec seam: drop every (session, dir)-keyed memo so an in-session
+    * corpus rewrite is observable (the SuffixDedup.resetSessionCaches /
+    * Sketches.resetElementCache contract — without this, a rewritten
+    * corpus dir would be served stale pinned results).
+    */
+  private[graft] def resetSessionCaches(): Unit = {
+    exactTopkCache.clear(); nearDupCache.clear(); countCache.clear()
+    keysCache.clear(); bandedCache.clear(); vecGroupCache.clear()
+    repBandedCache.clear(); incrGroupCache.clear(); pcCache.clear()
+  }
+
   def cosineTopk(s: SparkSession, dir: String,
       numQueries: Int = 5, k: Int = 10): DataFrame =
     exactTopkCache.computeIfAbsent((s, dir, numQueries, k), _ =>

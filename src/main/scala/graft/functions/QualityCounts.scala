@@ -22,11 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - whitespace = Java/RE2 `\s` = the six ASCII chars
   *     { space, \t, \n, , \f, \r } (neither engine uses Unicode
   *     classes here);
-  *   - n_tokens = `split(trim(text), "\\s+")` semantics: maximal
-  *     non-whitespace runs of the trimmed text, EXCEPT that an
-  *     empty/all-whitespace input yields ONE (empty-string) token —
+  *   - n_tokens = `split(trim(text), "\\s+")` semantics with Java's
+  *     limit -1 (Spark's `StringSplit` default): maximal
+  *     non-whitespace runs of the space-trimmed text, PLUS one empty
+  *     token when the space-trimmed text starts with non-space
+  *     whitespace (split emits a leading "") and one when it ends
+  *     with non-space whitespace (limit -1 keeps the trailing "").
+  *     Spark's `trim` strips ONLY ASCII spaces, so e.g.
+  *     `"hello\n"` splits to ["hello", ""] = 2 tokens. An
+  *     empty/all-space input yields ONE (empty-string) token —
   *     `"".split` returns [""], and DuckDB's string_split_regex
-  *     agrees;
+  *     agrees on all of the above;
   *   - n_punct = matches of `[^A-Za-z0-9\s]` over the UNtrimmed text:
   *     one per non-alnum non-ws code point (a supplementary code point
   *     is one match in both engines);
@@ -54,8 +60,12 @@ case class QualityCounts(child: Expression, stops: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = QualityCounts.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // Java SOURCE syntax, not the JVM binary name "[Ljava.lang.String;"
+    // (the name is pasted into a cast in generated code; Janino cannot
+    // compile the binary form and Spark would silently fall back to
+    // interpreted eval)
     val stopsRef = ctx.addReferenceObj("stops", stopsArray,
-      classOf[Array[String]].getName)
+      "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $helper.count($c, $stopsRef);")
   }
@@ -84,6 +94,12 @@ object QualityCounts {
     var tokStart = -1
     var i = 0
     val len = str.length
+    // split-limit-(-1) bookkeeping: Spark's trim strips ONLY ASCII
+    // spaces, so the trimmed text can still begin/end with other
+    // whitespace — split then emits a leading/trailing EMPTY token
+    var seenNonSpace = false     // any code point != ' '
+    var firstNonSpaceIsWs = false // trimmed text starts with \t\n\x0B\f\r
+    var lastNonSpaceIsWs = false  // trimmed text ends with \t\n\x0B\f\r
     def closeToken(end: Int): Unit = {
       if (tokStart >= 0) {
         nTokens += 1
@@ -101,6 +117,11 @@ object QualityCounts {
     while (i < len) {
       val cp = str.codePointAt(i)
       nChars += 1
+      if (cp != ' ') {
+        val ws = isWs(cp)
+        if (!seenNonSpace) { seenNonSpace = true; firstNonSpaceIsWs = ws }
+        lastNonSpaceIsWs = ws
+      }
       if (isWs(cp)) closeToken(i)
       else {
         if (!isAlnum(cp)) nPunct += 1
@@ -109,9 +130,19 @@ object QualityCounts {
       i += Character.charCount(cp)
     }
     closeToken(len)
-    // split(trim(""), "\\s+") = [""]: blank input still has ONE token
-    // (the empty string), which is never a stop word
-    if (nTokens == 0L) nTokens = 1L
+    val hasEmptyStop = stops.exists(_.isEmpty)
+    if (!seenNonSpace) {
+      // split(trim(""), "\\s+") = [""]: blank/all-space input still has
+      // ONE token (the empty string)
+      nTokens = 1L
+      if (hasEmptyStop) nStop += 1
+    } else {
+      // "\thello" -> ["", "hello"]; "hello\n" -> ["hello", ""] (limit -1
+      // keeps trailing empties). All-non-space-whitespace ("\t\n") gets
+      // BOTH: ["", ""].
+      if (firstNonSpaceIsWs) { nTokens += 1; if (hasEmptyStop) nStop += 1 }
+      if (lastNonSpaceIsWs) { nTokens += 1; if (hasEmptyStop) nStop += 1 }
+    }
     new GenericInternalRow(Array[Any](nChars, nTokens, nPunct, nStop))
   }
 }

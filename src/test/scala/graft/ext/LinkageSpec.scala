@@ -62,6 +62,46 @@ class LinkageSpec extends SparkSpec {
     assert(fx === fxDump && fx.nonEmpty)
   }
 
+  test("x221 sample: subset of the dump, exact denominator, keep-all under budget, deterministic") {
+    val dump = Linkage.edSimJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sampled = Linkage.edSimJoinSample(spark, Sf, budget = 200L).collect()
+    val pairs = sampled.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.subsetOf(dump), "every sampled pair is a real answer pair")
+    assert(sampled.forall(_.getLong(3) == dump.size.toLong),
+      "total_pairs carries x220's exact denominator on every row")
+    // budget 200 over the fixture's >200 pairs: the draw really thins
+    assert(pairs.nonEmpty && pairs.size < dump.size)
+    // Bernoulli at rate budget/total: mean=budget, sd=sqrt(budget) —
+    // 6 sigma keeps the flake odds ~1e-9 while catching rate bugs
+    assert(math.abs(pairs.size - 200L) <= 6 * math.sqrt(200.0),
+      s"kept ${pairs.size}, expected ~200")
+    // keep-all branch: budget above the total makes the sample the dump
+    val all = Linkage.edSimJoinSample(spark, Sf, budget = dump.size + 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all === dump)
+    // pinned md5 draw: a re-run keeps exactly the same pairs
+    val again = Linkage.edSimJoinSample(spark, Sf, budget = 200L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again === pairs)
+  }
+
+  test("rep-pair memo: corpus rewrite + resetSessionCaches serves the new corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edmemo").toString
+    Seq((1L, "alphabeta"), (2L, "alphabetx"))
+      .toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    val before = Linkage.edSimJoin(spark, dir).count()
+    assert(before === 1L)
+    // rewrite the corpus in-session: without the reset seam the pinned
+    // rep-pair memo would keep serving the old blocking
+    Seq((1L, "alphabeta"), (2L, "alphabetx"), (3L, "alphabetz"))
+      .toDF("c_custkey", "c_name").write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    Linkage.resetSessionCaches()
+    assert(Linkage.edSimJoin(spark, dir).count() === 3L)
+  }
+
   test("tau=2 completeness: equal-length ins+del pairs (shifted grams) are found") {
     // the r16-advice hole: at tau >= 2 an EQUAL-length pair can be one
     // insertion + one deletion ("abcdefgh" -> "bcdefgha": delete the

@@ -262,6 +262,13 @@ class FunctionsSpec extends SparkSpec {
       "caf\u00e9 na\u00efve \u4f60\u597d mixed unicode",
       "the the the of of a",
       "single\nnewline\nand\rcarriage\freturns",
+      // trim strips ONLY spaces: these begin/end with OTHER whitespace,
+      // so split(limit -1) emits leading/trailing EMPTY tokens
+      "\tleading tab",
+      "trailing newline\n",
+      "\n both ends \t",
+      " \t ", // all-whitespace but not all-space: ["", ""] = 2 tokens
+      "\r\n",
       "x" * 200)
       .toDF("text")
     val qc = ColumnBridge.column(graft.functions.QualityCounts(
@@ -278,5 +285,30 @@ class FunctionsSpec extends SparkSpec {
       col("q.n_chars"), col("q.n_tokens"), col("q.n_punct"), col("q.n_stop"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === ref.toSeq)
+  }
+
+  test("QualityCounts codegen actually compiles (no interpreted fallback)") {
+    // CODEGEN_ONLY turns Janino failures into hard errors instead of a
+    // silent fallback — guards the addReferenceObj class-name spelling
+    // ("java.lang.String[]", Java source syntax, not "[Ljava.lang.String;")
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val qc = ColumnBridge.column(graft.functions.QualityCounts(
+        ColumnBridge.expression(col("text")), Seq("the", "a")))
+      val row = Seq("the quick fox\n").toDF("text")
+        .select(qc.as("q")).select(col("q.n_tokens"), col("q.n_stop"))
+        .head()
+      assert(row.getLong(0) === 4L) // ["the","quick","fox",""] under limit -1
+      assert(row.getLong(1) === 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
