@@ -58,6 +58,40 @@ object TextAnalysis {
   /** The x02 stoplist, shared with the SQL twin ([[StopListSql]]). */
   private val StopList = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Session-scoped memo of the doc-grain filter legs the curation
+    * composites share (x54/x63 LM scores, x03 language ID, x71 Gopher
+    * flags): x155's funnel, x136's agreement matrix, x147's weak labels
+    * and x74's manifest all re-derive the SAME per-doc frames — at the
+    * 100x corpus the bigram-LM leg alone is three shuffle joins at
+    * bigram grain, paid once per consumer without the memo. Values are
+    * pinned doc-grain frames (a few narrow columns per document — MBs
+    * at sf0.1, low GBs at a 100 TB corpus fraction of distinct docs),
+    * keyed by (session, dir). The reset seam makes an in-session corpus
+    * rewrite observable (the SuffixDedup.resetSessionCaches /
+    * Sketches.resetElementCache contract).
+    */
+  private val legCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private[graft] def resetSessionCaches(): Unit = legCache.clear()
+
+  /** get/putIfAbsent rather than computeIfAbsent: leg builds NEST (the
+    * x63 build consumes the cached x54 leg), and a nested computeIfAbsent
+    * on one ConcurrentHashMap can deadlock on a shared bin. The race is
+    * benign — a duplicate build pins twice, both frames identical.
+    */
+  private def cachedLeg(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    val k = (s, dir, key)
+    val hit = legCache.get(k)
+    if (hit != null) hit
+    else {
+      val built = build.pinned
+      val prev = legCache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** The four curation counters in ONE native code-point scan
     * ([[graft.functions.QualityCounts]]) — the r20-seed fix for the
     * quality family's three-regex-passes-per-document constant (x02's
@@ -112,14 +146,23 @@ object TextAnalysis {
     * Docs whose tokens hit nothing drop out of the aggregate and rejoin
     * with zero counts through the left join.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    docs.select(col("doc_id"), col("lang"))
-      .join(langDetected(docs.select(col("doc_id"), col("text"))), Seq("doc_id"))
-      .select(col("doc_id"), col("lang").as("lang_labeled"),
-        col("lang_detected"), col("n_cjk"))
-      .orderBy(col("doc_id"))
-  }
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langIdCore(s, dir).orderBy(col("doc_id"))
+
+  /** Cached UNORDERED x03 frame — the memo deliberately excludes the
+    * lane's presentation sort: a pinned frame materializes its sort
+    * physically (one global sort per leg, per corpus), while every
+    * composite consumer joins on doc_id and the optimizer would have
+    * eliminated that sort anyway (EliminateSorts under a join).
+    */
+  private def langIdCore(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "langId") {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(langDetected(docs.select(col("doc_id"), col("text"))), Seq("doc_id"))
+        .select(col("doc_id"), col("lang").as("lang_labeled"),
+          col("lang_detected"), col("n_cjk"))
+    }
 
   /** Core of `langId` over any (doc_id, text) frame — shared with
     * `corpusCurate`, which runs it post-filter over the survivors only.
@@ -648,7 +691,13 @@ object TextAnalysis {
     * ascending value order (array_sort ↔ ORDER BY p) so the double sum
     * is order-pinned and matches DuckDB's `list_reduce` bitwise.
     */
-  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame =
+    bigramLmCore(s, dir).orderBy(col("doc_id"))
+
+  /** Cached UNORDERED x54 frame (see [[langIdCore]] for why the memo
+    * excludes the presentation sort).
+    */
+  private def bigramLmCore(s: SparkSession, dir: String): DataFrame = cachedLeg(s, dir, "bigramLm") {
     import org.apache.spark.sql.graft.ColumnBridge
     val ngrams = ColumnBridge.column(
       graft.functions.WordNGrams(ColumnBridge.expression(lower(col("text"))), 2))
@@ -668,7 +717,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         (aggregate(array_sort(collect_list(col("p"))), lit(0.0d), (a, b) => a + b)
           / count(lit(1)).cast(DoubleType)).as("avg_p"))
-      .orderBy(col("doc_id"))
   }
 
   /** LM-score quality gate: rank every document by its x54 bigram-LM
@@ -682,11 +730,17 @@ object TextAnalysis {
     * balance unit, and a skewed giant language falls back to the
     * approx-quantile threshold + filter spelling).
     */
-  def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def lmQualityFilter(s: SparkSession, dir: String): DataFrame =
+    lmQualityCore(s, dir).orderBy(col("doc_id"))
+
+  /** Cached UNORDERED x63 frame (see [[langIdCore]] for why the memo
+    * excludes the presentation sort).
+    */
+  private def lmQualityCore(s: SparkSession, dir: String): DataFrame = cachedLeg(s, dir, "lmQuality") {
     val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     val w = Window.partitionBy(col("lang")).orderBy(col("avg_p"), col("doc_id"))
     val wLang = Window.partitionBy(col("lang"))
-    bigramLmScore(s, dir)
+    bigramLmCore(s, dir)
       .join(lang, "doc_id")
       .withColumn("pct_rank", percent_rank().over(w))
       // a singleton language has percent_rank 0.0 (the 1-row partition's
@@ -695,7 +749,6 @@ object TextAnalysis {
       .withColumn("keep",
         col("pct_rank") >= 0.25 || count(lit(1)).over(wLang) === 1)
       .select(col("doc_id"), col("lang"), col("avg_p"), col("pct_rank"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-document bigram novelty: the share of a doc's DISTINCT bigrams
@@ -812,7 +865,10 @@ object TextAnalysis {
     * cross-engine. No shuffle at all — this is a pure map over the
     * corpus, the shape you want in front of a 100 TB filter.
     */
-  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherCore(s, dir).orderBy(col("doc_id"))
+
+  private def gopherCore(s: SparkSession, dir: String): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val lines = split(col("text"), "\n")
     val nWords = size(toks).cast(LongType)
@@ -845,8 +901,16 @@ object TextAnalysis {
         rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
         (rWordCount && rMeanLen && rSymbol && rBullet &&
           rEllipsis && rAlpha && rStop).as("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  /** [[gopherRules]] through the session leg memo — the spelling the
+    * composites (x147/x155/x74/x136) consume. The public lane stays the
+    * pure un-pinned map so its no-shuffle plan remains inspectable
+    * (RelationalPlanSpec pins that shape) and a standalone x71 run
+    * never pays a materialization it does not need.
+    */
+  private def gopherRulesCached(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "gopher")(gopherCore(s, dir))
 
   /** x147: weak-supervision quality classifier — the CCNet/GPT-3 recipe
     * (train a cheap linear classifier on rule-derived labels, score the
@@ -871,7 +935,7 @@ object TextAnalysis {
     * tokenized once and never shuffled at token grain twice.
     */
   def nbQualityScore(s: SparkSession, dir: String): DataFrame = {
-    val labels = gopherRules(s, dir).select(col("doc_id"), col("keep"))
+    val labels = gopherRulesCached(s, dir).select(col("doc_id"), col("keep"))
     val tf = t(s, dir, "documents")
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
@@ -918,11 +982,16 @@ object TextAnalysis {
     * unpivot — nothing wider than a doc_id join at any scale.
     */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    val g = gopherRules(s, dir).select(col("doc_id"), col("keep").as("kg"))
-    val l = langId(s, dir).select(col("doc_id"),
+    val g = gopherRulesCached(s, dir).select(col("doc_id"), col("keep").as("kg"))
+    val l = langIdCore(s, dir).select(col("doc_id"),
       (col("lang_detected") === col("lang_labeled")).as("kl"))
     val c = Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_canonical").as("kc"))
-    val lm = lmQualityFilter(s, dir).select(col("doc_id"), col("keep").as("km"))
+    val lm = lmQualityCore(s, dir).select(col("doc_id"), col("keep").as("km"))
+    // pinned: the 4-stage unpivot below references this 1-row aggregate
+    // from four union branches, and column pruning specializes each
+    // branch's subtree (different nX columns survive) so exchange reuse
+    // cannot deduplicate them — unpinned, the whole leg-join chain runs
+    // four times
     val a = g.join(l, "doc_id").join(c, "doc_id").join(lm, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n0"),
         sum(when(col("kg"), 1L).otherwise(0L)).as("n1"),
@@ -930,6 +999,7 @@ object TextAnalysis {
         sum(when(col("kg") && col("kl") && col("kc"), 1L).otherwise(0L)).as("n3"),
         sum(when(col("kg") && col("kl") && col("kc") &&
           coalesce(col("km"), lit(false)), 1L).otherwise(0L)).as("n4"))
+      .pinned
     Seq(("1_gopher", "n0", "n1"), ("2_lang", "n1", "n2"),
         ("3_canonical", "n2", "n3"), ("4_lm_quartile", "n3", "n4"))
       .map { case (stage, in, out) =>
@@ -950,7 +1020,7 @@ object TextAnalysis {
     */
   def curationManifest(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keepQ = gopherRules(s, dir).select(col("doc_id"), col("keep").as("keep_q"))
+    val keepQ = gopherRulesCached(s, dir).select(col("doc_id"), col("keep").as("keep_q"))
     val canon = Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_canonical"))
     val mix = graft.ops.Sampling.temperatureMixture(s, dir)
       .select(col("doc_id"), col("lang"), col("keep").as("keep_m"))
@@ -977,7 +1047,7 @@ object TextAnalysis {
     * row totals; recall is a single division of exact counts.
     */
   def langConfusion(s: SparkSession, dir: String): DataFrame = {
-    val cells = langId(s, dir)
+    val cells = langIdCore(s, dir)
       .groupBy(col("lang_labeled"), col("lang_detected"))
       .agg(count(lit(1)).as("n_docs"))
     val rowTot = cells.groupBy(col("lang_labeled")).agg(sum(col("n_docs")).as("row_tot"))
@@ -1154,7 +1224,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         size(wsTokens(lower(col("text")))).cast(LongType).as("n_tokens"))
     val w = Window.partitionBy(col("lang")).orderBy(col("avg_p").desc, col("doc_id"))
-    bigramLmScore(s, dir)
+    bigramLmCore(s, dir)
       .join(docs, "doc_id")
       .withColumn("bucket", ntile(3).over(w).cast(LongType))
       .groupBy(col("lang"), col("bucket"))
@@ -1241,11 +1311,16 @@ object TextAnalysis {
     val base = t(s, dir, "documents")
       .select(col("doc_id"), qualityOkCol(col("text")).as("k_heuristic"))
     val flags = base
-      .join(gopherRules(s, dir).select(col("doc_id"), col("keep").as("k_gopher")),
+      .join(gopherRulesCached(s, dir).select(col("doc_id"), col("keep").as("k_gopher")),
         Seq("doc_id"), "left")
-      .join(lmQualityFilter(s, dir).select(col("doc_id"), col("keep").as("k_lm")),
+      .join(lmQualityCore(s, dir).select(col("doc_id"), col("keep").as("k_lm")),
         Seq("doc_id"), "left")
       .na.fill(false, Seq("k_gopher", "k_lm"))
+      // pinned for the same reason as the x155 funnel: three union
+      // branches below each reference this doc-grain flag frame, and
+      // per-branch pruning defeats exchange reuse — unpinned, the
+      // heuristic scan and both leg joins run three times
+      .pinned
     val pairs = Seq(("gopher", "heuristic", "k_gopher", "k_heuristic"),
       ("gopher", "lm", "k_gopher", "k_lm"),
       ("heuristic", "lm", "k_heuristic", "k_lm"))

@@ -379,6 +379,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4)
     assert(n0 > 0)
   }
+  test("leg memo serves one pinned frame per (session, dir) and the reset seam observes a rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-legcache").toString
+    def write(docs: Seq[(Long, String, String)]): Unit =
+      docs.map { case (id, text, lang) => (id, text, lang, "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextAnalysis.resetSessionCaches()
+    write(Seq(
+      (1L, "the cat sat on the mat and the cat slept", "en"),
+      (2L, "the dog sat on the mat and the dog slept", "en"),
+      (3L, "a bird flew over the mat and a bird slept", "en")))
+    val first = TextAnalysis.lmQualityFilter(spark, dir)
+    assert(first.count() === 3L)
+    assert(TextAnalysis.langId(spark, dir)
+      .select("lang_detected").as[String].collect().toSet === Set("en"))
+    // an in-place corpus rewrite is NOT observable through the memo
+    // (the lanes wrap one pinned core frame per (session, dir))...
+    write(Seq(
+      (10L, "uno dos tres un gato en la casa que duerme", "es"),
+      (11L, "uno dos tres un perro en la casa que duerme", "es")))
+    assert(TextAnalysis.lmQualityFilter(spark, dir).count() === 3L)
+    assert(TextAnalysis.langId(spark, dir)
+      .select("lang_detected").as[String].collect().toSet === Set("en"))
+    // ...until the reset seam clears it (the SuffixDedup/Sketches contract)
+    TextAnalysis.resetSessionCaches()
+    val fresh = TextAnalysis.lmQualityFilter(spark, dir)
+    assert(fresh.count() === 2L)
+    assert(fresh.select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
+    assert(TextAnalysis.langId(spark, dir)
+      .select("lang_detected").as[String].collect().toSet === Set("es"))
+  }
+
   test("x199 TextRank equals a driver-side integer PageRank on the co-occurrence graph") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select(org.apache.spark.sql.functions.col("text")).collect()
