@@ -49,6 +49,19 @@ object Bench {
       graft.ext.SuffixDedup.ensureSa(spark, sfDir): Unit
       graft.ops.Sketches.ensureKmvElements(spark, warmDir): Unit
       graft.ops.Sketches.ensureKmvElements(spark, sfDir): Unit
+      // store hygiene, same posture as bench_frozen.sh's scratch sweep:
+      // retire artifact roots no live corpus resolves (superseded
+      // fingerprints of rewritten corpora — ~292 MB/round at 100x),
+      // age-gated so a concurrent batch's fresh builds survive. TTL in
+      // minutes via SPARK_GRAFT_ARTIFACT_TTL_MIN (default 180, <=0
+      // disables), mirroring SPARK_SWEEP_AGE_MIN.
+      val ttlMin = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_TTL_MIN", "180").toLong
+      if (ttlMin > 0) {
+        val gone = graft.engine.CorpusArtifact.vacuum(
+          spark, Seq(warmDir, sfDir), ttlMin * 60000L)
+        if (gone.nonEmpty)
+          System.err.println(s"[bench] artifact vacuum retired ${gone.size} root(s): ${gone.mkString(", ")}")
+      }
     } catch { case _: Throwable => () }
     // Min of REPS (default 2) timed passes per query: this box is shared,
     // and single-pass numbers have recorded spurious 20-40 s outliers three

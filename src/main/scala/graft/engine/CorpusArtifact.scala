@@ -80,4 +80,44 @@ object CorpusArtifact {
     VersionedTable.latestVersion(s, r)
       .getOrElse(VersionedTable.commit(build, r))
   }
+
+  /** Retire artifact roots that no LIVE corpus resolves — the store
+    * otherwise accumulates one fingerprint-keyed root per corpus REWRITE
+    * forever (~292 MB per 100x bench round measured in round 18). The
+    * contract is the scratch-sweep / [[Pin.reliableTtlMillis]] one,
+    * age-gated twice over: a root is removed only when (a) its
+    * fingerprint suffix matches none of `liveDirs`' CURRENT fingerprints
+    * for any of `tables` — an unchanged corpus keeps its artifacts at
+    * any age — and (b) the root has been untouched for `ttlMillis`, so
+    * artifacts freshly built by a concurrent process for a corpus this
+    * caller does not know about survive. Pick a TTL longer than any job
+    * still holding a resolved reader: a swept root fails that reader's
+    * next action (Delta's vacuum-vs-reader contract). Returns the roots
+    * removed; a missing store is a no-op.
+    */
+  def vacuum(s: SparkSession, liveDirs: Seq[String], ttlMillis: Long,
+      tables: Seq[String] = Seq("documents")): Seq[String] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) Seq.empty
+    else {
+      val live: Set[String] = (for {
+        d <- liveDirs
+        t <- tables
+        fp <- try Some(fingerprint(s, d, t))
+              catch { case _: java.io.IOException => None }
+      } yield fp).toSet
+      val cutoff = System.currentTimeMillis() - ttlMillis
+      fs.listStatus(basePath).toSeq
+        .filter { st =>
+          val fp = st.getPath.getName.split('-').last
+          st.isDirectory && !live.contains(fp) &&
+            st.getModificationTime < cutoff
+        }
+        .flatMap { st =>
+          if (fs.delete(st.getPath, true)) Some(st.getPath.toString)
+          else None
+        }
+    }
+  }
 }

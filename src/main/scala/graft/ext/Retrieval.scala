@@ -633,6 +633,86 @@ object Retrieval {
       .orderBy(col("query_id"), col("step"))
   }
 
+  /** Deterministic stand-in for a learned cross-encoder — the multimodal
+    * stub discipline (the decode arm of x111/x115): the PLUMBING a real
+    * model server needs is all here and real — pair construction,
+    * iterator-to-iterator `mapPartitions`, fixed-size batch accumulation
+    * (the GPU-inference shape), scores rejoined by position — while the
+    * model itself is a deterministic fake the DuckDB twin replays
+    * exactly: distinct-whitespace-token Jaccard of the pair's lowercased
+    * texts. Swapping in a real cross-encoder changes `scoreBatch` alone.
+    */
+  object CrossEncoder {
+    /** Spark `split(trim(lower(text)), "\\s+")` parity, the QualityCounts
+      * lesson: Spark's trim strips ASCII SPACES only (never \t\n), and
+      * split's default limit -1 keeps leading/trailing empty tokens.
+      */
+    private def wsTokenSet(text: String): Set[String] = {
+      var i = 0
+      var j = text.length
+      while (i < j && text.charAt(i) == ' ') i += 1
+      while (j > i && text.charAt(j - 1) == ' ') j -= 1
+      text.substring(i, j).split("\\s+", -1).toSet
+    }
+
+    /** (n_common, n_union, score): distinct-token Jaccard — exact integer
+      * counts, one IEEE division, cross-engine reproducible.
+      */
+    def score(q: String, d: String): (Long, Long, Double) = {
+      val a = wsTokenSet(q)
+      val b = wsTokenSet(d)
+      val nc = a.count(b).toLong
+      val nu = a.size.toLong + b.size.toLong - nc
+      (nc, nu, nc.toDouble / nu.toDouble)
+    }
+
+    /** The batched-inference seam a model server would implement. */
+    def scoreBatch(pairs: Seq[(String, String)]): Seq[(Long, Long, Double)] =
+      pairs.map { case (q, d) => score(q, d) }
+  }
+
+  /** x223: cross-encoder-style rerank over the x129 MMR output — the
+    * standard retrieval stack's last stage (bi-encoder recall → MMR
+    * diversification → cross-encoder precision): every (query, doc)
+    * pair surviving MMR is re-scored by a pairwise model over the TEXTS
+    * (vec_id ≡ doc_id, the x124 identification) and re-ranked by
+    * (score desc, doc_id). Scale shape: the pair frame is
+    * numQueries·k rows — rerank cost is independent of corpus size,
+    * which is the entire point of running the expensive pairwise model
+    * AFTER the cheap recall stages; the batched `mapPartitions` is the
+    * x30 media-decode shape, so a real model drops in without touching
+    * the plan.
+    */
+  def crossEncoderRerank(s: SparkSession, dir: String, numQueries: Int = 3,
+      poolN: Int = 20, k: Int = 5, batchSize: Int = 32): DataFrame = {
+    import s.implicits._
+    val pool = mmrRerank(s, dir, numQueries, poolN, k)
+      .select(col("query_id"), col("step").as("mmr_step"), col("doc_id"))
+    val txt = t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+    val pairs = pool
+      .join(txt.select(col("doc_id").as("query_id"), col("lt").as("q_text")),
+        "query_id")
+      .join(txt.select(col("doc_id"), col("lt").as("d_text")), "doc_id")
+      .select(col("query_id"), col("mmr_step"), col("doc_id"),
+        col("q_text"), col("d_text"))
+      .as[(Long, Int, Long, String, String)]
+    val scored = pairs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = CrossEncoder.scoreBatch(batch.map(p => (p._4, p._5)))
+        batch.zip(scores).map { case ((qid, step, did, _, _), (nc, nu, sc)) =>
+          (qid, step, did, nc, nu, sc)
+        }
+      }
+    }.toDF("query_id", "mmr_step", "doc_id", "n_common", "n_union", "ce_score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ce_score").desc, col("doc_id"))
+    scored.withColumn("ce_rank", row_number().over(w))
+      .select(col("query_id"), col("ce_rank"), col("doc_id"), col("mmr_step"),
+        col("n_common"), col("n_union"), col("ce_score"))
+      .orderBy(col("query_id"), col("ce_rank"))
+  }
+
   /** x134: label-grounded evaluation of the LEXICAL lane — precision@k /
     * recall@k of the x123 BM25 ranking against the embeddings labels
     * (vec_id ≡ doc_id, the x124 identification), the counterpart of
@@ -726,6 +806,7 @@ object Retrieval {
     "x124_hybrid_rrf" -> ((s: SparkSession, dir: String) => hybridRrf(s, dir)),
     "x128_incr_bm25" -> ((s: SparkSession, dir: String) => incrBm25Topk(s, dir)),
     "x129_mmr_rerank" -> ((s: SparkSession, dir: String) => mmrRerank(s, dir)),
+    "x223_crossencoder_rerank" -> ((s: SparkSession, dir: String) => crossEncoderRerank(s, dir)),
     "x168_maxscore_topk" -> ((s: SparkSession, dir: String) => maxscoreTopk(s, dir)),
     "x169_maxscore_stats" -> ((s: SparkSession, dir: String) => maxscoreStats(s, dir)),
     "x176_blockmax_topk" -> ((s: SparkSession, dir: String) => blockmaxTopk(s, dir)),
@@ -788,6 +869,35 @@ object Retrieval {
        |  CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * simmax AS mmr_score
        |FROM ($union) ORDER BY query_id, step""".stripMargin
   }
+
+  /** x223's DuckDB twin: the x129 oracle spliced verbatim as the pool,
+    * then the SAME deterministic stand-in scorer — distinct tokens via
+    * list_distinct over the identical split/trim spelling, intersection/
+    * union as exact integer counts, one double division — and the same
+    * (score desc, doc_id) re-rank.
+    */
+  private def crossEncoderOracle(numQueries: Int, poolN: Int, k: Int): String =
+    s"""WITH mmr AS (
+       |  SELECT query_id, step, doc_id FROM (${mmrOracle(numQueries, poolN, k)})),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+       |  FROM documents),
+       |j AS (
+       |  SELECT m.query_id, m.step AS mmr_step, m.doc_id,
+       |    CAST(len(list_intersect(qt.tk, dt.tk)) AS BIGINT) AS n_common,
+       |    CAST(len(qt.tk) + len(dt.tk)
+       |      - len(list_intersect(qt.tk, dt.tk)) AS BIGINT) AS n_union
+       |  FROM mmr m
+       |  JOIN tok qt ON qt.doc_id = m.query_id
+       |  JOIN tok dt ON dt.doc_id = m.doc_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY
+       |    CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) DESC, doc_id)
+       |    AS ce_rank,
+       |  doc_id, mmr_step, n_common, n_union,
+       |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS ce_score
+       |FROM j ORDER BY query_id, ce_rank""".stripMargin
 
   /** Shared lexical CTE block: tf/dl/df/stats + the per-(query,doc,term)
     * BM25 score — the x123 oracle and the x124 lexical leg both splice it.
@@ -1065,6 +1175,7 @@ object Retrieval {
          |  h.first_hit_rank
          |FROM hits h JOIN cs ON cs.label = h.qlabel ORDER BY query_id""".stripMargin,
     "x129_mmr_rerank" -> mmrOracle(3, 20, 5),
+    "x223_crossencoder_rerank" -> crossEncoderOracle(3, 20, 5),
     "x123_bm25_topk" -> FullTopkOracle,
     // x128's oracle IS the full rebuild: merge-equals-rebuild is the gate.
     "x128_incr_bm25" -> FullTopkOracle,

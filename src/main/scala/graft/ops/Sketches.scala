@@ -660,6 +660,68 @@ object Sketches {
       .orderBy(col("q"))
   }
 
+  /** x222: daily KLL quantile partials, merged — the DataSketches-style
+    * interchange sketch next to x175's q-digest ([[graft.functions
+    * .KllSketch]]: unbounded ordered domain, O(k·log n) items, the
+    * publish format quantile state actually crosses systems in). Same
+    * daily-pipeline posture and the same gate shape as x175: per-day
+    * byte-blob partials, one level-concatenating merge across days, and
+    * the exact order-statistic legs — computed as ONE global rank
+    * window — hash-compare while each sketch estimate rides as a
+    * bound-check boolean the twin pins TRUE inside the exact ±5%-rank
+    * value window (a ≥5× margin over the k=512 compaction error).
+    *
+    * The MERGE-PARITY leg this lane adds over x175: the same quantile
+    * is also read from a single whole-stream build (no daily split),
+    * and `whole_ok` pins that BOTH serving paths — merged partials and
+    * monolithic rebuild — land inside the same exact window, the
+    * merge-equals-rebuild discipline x128 applies to BM25, here in its
+    * bound-check form (KLL compaction schedules differ between the two
+    * paths, so byte equality is not the invariant; the error envelope
+    * is).
+    */
+  def kllDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{KllSketch, KllAgg, KllMergeAgg}
+    val build = udaf(new KllAgg(), org.apache.spark.sql.Encoders.scalaLong)
+    val merge = udaf(new KllMergeAgg(), org.apache.spark.sql.Encoders.BINARY)
+    val ev = Tables(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("qv"),
+        col("event_id"))
+    val partials = ev.groupBy(col("day")).agg(build(col("qv")).as("sk"))
+    val merged = KllSketch.fromBytes(
+      partials.agg(merge(col("sk"))).head().getAs[Array[Byte]](0))
+    val whole = KllSketch.fromBytes(
+      ev.agg(build(col("qv"))).head().getAs[Array[Byte]](0))
+    val targets = Seq(
+      (0.50, 0.45, 0.55, merged.quantile(0.50), whole.quantile(0.50)),
+      (0.90, 0.85, 0.95, merged.quantile(0.90), whole.quantile(0.90)),
+      (0.99, 0.94, 1.00, merged.quantile(0.99), whole.quantile(0.99)))
+    val w = Window.orderBy(col("qv"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_events"))))
+      .pinned
+    import s.implicits._
+    val tdf = targets.toDF("q", "q_lo", "q_hi", "est", "est_whole")
+    tdf.join(ranked,
+      col("rn") === ceil(col("q") * col("n_events")).cast(LongType))
+      .select(col("q"), col("n_events"), col("qv").as("exact_value"),
+        col("q_lo"), col("q_hi"), col("est"), col("est_whole"))
+      .join(ranked.select(col("rn").as("rn_lo"), col("qv").as("exact_lo")),
+        ceil(col("q_lo") * col("n_events")).cast(LongType) === col("rn_lo"))
+      .join(ranked.select(col("rn").as("rn_hi"), col("qv").as("exact_hi")),
+        ceil(col("q_hi") * col("n_events")).cast(LongType) === col("rn_hi"))
+      .select(col("q"), col("n_events"), col("exact_lo"), col("exact_value"),
+        col("exact_hi"),
+        (col("est") >= col("exact_lo") && col("est") <= col("exact_hi"))
+          .as("est_ok"),
+        (col("est_whole") >= col("exact_lo") && col("est_whole") <= col("exact_hi"))
+          .as("whole_ok"))
+      .orderBy(col("q"))
+  }
+
   private val LongType = org.apache.spark.sql.types.LongType
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -676,6 +738,7 @@ object Sketches {
       ((s: SparkSession, dir: String) => bottomkOverlap(s, dir, withAnchor = false)),
     "x212_hist_equidepth" -> ((s: SparkSession, dir: String) => histEquiDepthEst(s, dir)),
     "x215_sample_join_est" -> ((s: SparkSession, dir: String) => sampleJoinEst(s, dir)),
+    "x222_kll_daily" -> ((s: SparkSession, dir: String) => kllDaily(s, dir)),
     "q50_hll_daily_merge" -> (hllDailyMerge _))
 
   /** Every sketch query hash-gates: exact legs compare outright and each
@@ -702,6 +765,29 @@ object Sketches {
         |  (CAST(0.99 AS DOUBLE), CAST(0.94 AS DOUBLE), CAST(1.00 AS DOUBLE)))
         |SELECT t.q, n.n_events, rl.qv AS exact_lo, rv.qv AS exact_value,
         |  rh.qv AS exact_hi, TRUE AS est_ok
+        |FROM t CROSS JOIN n
+        |JOIN r rv ON rv.rn = CAST(ceil(t.q * n.n_events) AS BIGINT)
+        |JOIN r rl ON rl.rn = CAST(ceil(t.q_lo * n.n_events) AS BIGINT)
+        |JOIN r rh ON rh.rn = CAST(ceil(t.q_hi * n.n_events) AS BIGINT)
+        |ORDER BY t.q""".stripMargin,
+    // x222: x175's twin text with BOTH serving paths' bound booleans
+    // pinned TRUE — merged daily partials (est_ok) and the monolithic
+    // whole-stream build (whole_ok), the merge-equals-rebuild invariant
+    // in its bound-check form.
+    "x222_kll_daily" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS qv, event_id
+        |  FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM ev),
+        |r AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY qv, event_id) AS BIGINT) AS rn
+        |  FROM ev),
+        |t(q, q_lo, q_hi) AS (VALUES
+        |  (CAST(0.50 AS DOUBLE), CAST(0.45 AS DOUBLE), CAST(0.55 AS DOUBLE)),
+        |  (CAST(0.90 AS DOUBLE), CAST(0.85 AS DOUBLE), CAST(0.95 AS DOUBLE)),
+        |  (CAST(0.99 AS DOUBLE), CAST(0.94 AS DOUBLE), CAST(1.00 AS DOUBLE)))
+        |SELECT t.q, n.n_events, rl.qv AS exact_lo, rv.qv AS exact_value,
+        |  rh.qv AS exact_hi, TRUE AS est_ok, TRUE AS whole_ok
         |FROM t CROSS JOIN n
         |JOIN r rv ON rv.rn = CAST(ceil(t.q * n.n_events) AS BIGINT)
         |JOIN r rl ON rl.rn = CAST(ceil(t.q_lo * n.n_events) AS BIGINT)

@@ -10,6 +10,49 @@ import org.apache.spark.sql.functions._
   */
 class RetrievalSpec extends SparkSpec {
 
+  test("x223: cross-encoder rerank permutes the MMR pool; stub and batching are deterministic") {
+    // the trim/split parity edges the stub documents (the QualityCounts
+    // lesson): trailing newline and leading tab produce EMPTY tokens
+    assert(Retrieval.CrossEncoder.score("hello world\n", "hello world") ===
+      ((2L, 3L, 2.0 / 3.0)))
+    assert(Retrieval.CrossEncoder.score("\tx", "x") === ((1L, 2L, 0.5)))
+    assert(Retrieval.CrossEncoder.score("  x  ", "x") === ((1L, 1L, 1.0)))
+    val ce = Retrieval.crossEncoderRerank(spark, Sf).collect()
+    // rerank is a permutation of the x129 selection, never a re-retrieval
+    val mmr = Retrieval.mmrRerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ce.map(r => (r.getLong(0), r.getLong(2))).toSet === mmr)
+    // per query: ce_rank covers 1..k in (score desc, doc_id) order
+    ce.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rows.length))
+      val key = sorted.map(r => (-r.getDouble(6), r.getLong(2)))
+      assert(key.sorted.toSeq === key.toSeq)
+    }
+    // scores equal a driver-side recompute of the deterministic stand-in
+    val txt = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase).toMap
+    def tokset(t: String): Set[String] = {
+      var i = 0; var j = t.length
+      while (i < j && t.charAt(i) == ' ') i += 1
+      while (j > i && t.charAt(j - 1) == ' ') j -= 1
+      t.substring(i, j).split("\\s+", -1).toSet
+    }
+    ce.foreach { r =>
+      val q = tokset(txt(r.getLong(0)))
+      val d = tokset(txt(r.getLong(2)))
+      val nc = q.intersect(d).size.toLong
+      val nu = q.size.toLong + d.size.toLong - nc
+      assert(r.getLong(4) === nc && r.getLong(5) === nu)
+      assert(r.getDouble(6) === nc.toDouble / nu.toDouble)
+    }
+    // batch accumulation is pure plumbing: batch size never shifts a value
+    val b1 = Retrieval.crossEncoderRerank(spark, Sf, batchSize = 1)
+      .collect().map(_.toSeq)
+    assert(b1.toSeq === ce.map(_.toSeq).toSeq)
+  }
+
   test("x123: BM25 ranking matches a driver-side brute-force reference") {
     val rows = Retrieval.bm25Topk(spark, Sf, numQueries = 3, k = 10).collect()
     // independent reference: recompute BM25 from the raw text in Scala

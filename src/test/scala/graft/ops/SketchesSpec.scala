@@ -140,6 +140,69 @@ class SketchesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) === n))
   }
 
+  test("KLL: exact below capacity, weight-conserving, byte-stable, bounded under compaction") {
+    import graft.functions.KllSketch
+    // no compaction: the sketch IS the sorted stream — quantiles exact
+    val small = (1L to 400L).foldLeft(KllSketch.empty(k = 512))(_.insert(_))
+    assert(small.n === 400L && small.compactions === 0L)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(small.quantile(q) === math.ceil(q * 400).toLong)
+    // serialization round-trips the whole structure
+    val back = KllSketch.fromBytes(small.toBytes)
+    assert(back === small)
+    // deterministic: same stream → byte-identical sketch
+    val again = (1L to 400L).foldLeft(KllSketch.empty(k = 512))(_.insert(_))
+    assert(again.toBytes.toSeq === small.toBytes.toSeq)
+    // heavy compaction: weight conserved exactly, rank error inside the
+    // gate window's 5% with a wide margin (k=512 ⇒ ~1% here)
+    val n = 100000L
+    val big = (1L to n).foldLeft(KllSketch.empty(k = 512))(_.insert(_))
+    assert(big.compactions > 0L)
+    assert(big.weightedCount === n)
+    for (q <- Seq(0.50, 0.90, 0.99)) {
+      val est = big.quantile(q)
+      val err = math.abs(est - q * n) / n.toDouble
+      assert(err < 0.02, s"q=$q est=$est rank error $err")
+    }
+  }
+
+  test("KLL: merge conserves weight and any grouping of partials stays in the error window") {
+    import graft.functions.KllSketch
+    val n = 60000L
+    // a shuffled-but-deterministic stream (multiplicative hop mod prime)
+    val stream = (1L to n).map(i => (i * 48271L) % 65537L)
+    val chunks = stream.grouped(5000).toSeq
+      .map(_.foldLeft(KllSketch.empty(k = 512))(_.insert(_)))
+    // two different merge trees over the same partials
+    val leftFold = chunks.reduceLeft(_.merge(_))
+    val pairwise = chunks.grouped(2).map(_.reduceLeft(_.merge(_))).toSeq
+      .reduceLeft(_.merge(_))
+    val sortedStream = stream.sorted
+    for (sk <- Seq(leftFold, pairwise)) {
+      assert(sk.n === n)
+      assert(sk.weightedCount === n)
+      for (q <- Seq(0.50, 0.90, 0.99)) {
+        val est = sk.quantile(q)
+        val exactRank = sortedStream.count(_ <= est).toDouble / n
+        assert(math.abs(exactRank - q) < 0.02,
+          s"q=$q est=$est landed at rank $exactRank")
+      }
+    }
+  }
+
+  test("x222: daily KLL merge and the whole-stream build answer inside the ±5%-rank windows") {
+    val rows = Sketches.kllDaily(spark, Sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.50, 0.90, 0.99))
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"q=${r.getDouble(0)}: merged-partial estimate out of window")
+      assert(r.getBoolean(6), s"q=${r.getDouble(0)}: whole-build estimate out of window")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        "exact legs must be ordered lo <= value <= hi")
+    }
+    val n = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(rows.forall(_.getLong(1) === n))
+  }
+
   test("x171: KMV pair algebra degrades to exact when k covers the union") {
     import spark.implicits._
     // A = {1..1000}, B = {501..1500}: union 1500, intersection 500
