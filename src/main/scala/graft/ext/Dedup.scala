@@ -138,13 +138,29 @@ object Dedup {
     * oracle implements the identical cut.
     */
   def jaccardTopk(s: SparkSession, dir: String,
-      maxDf: Int = 20, minCommon: Int = 3): DataFrame = {
-    val posts = shinglePostings(s, dir)
-    verifyPairs(dfCutCandidates(posts, maxDf, minCommon), posts)
+      maxDf: Int = 20, minCommon: Int = 3): DataFrame =
+    verifiedPairsCached(s, dir, maxDf, minCommon)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
-  }
+
+  /** The exact df-cut verified pair frame shared by x11 (Jaccard top-k),
+    * x62 (containment top-k) and x154 (threshold sweep) — identical
+    * candidate generation and verification in all three, so it is
+    * derived once per (session, dataset, maxDf, minCommon) and pinned
+    * (r19 optimization round; the shinglePostings/repPairsCached
+    * pattern — three consumers were re-running the same blocking+verify
+    * pipeline per invocation).
+    */
+  private val vpairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
+  private def verifiedPairsCached(s: SparkSession, dir: String,
+      maxDf: Int, minCommon: Int): DataFrame =
+    vpairCache.computeIfAbsent((s, dir, maxDf, minCommon), _ => {
+      val posts = shinglePostings(s, dir)
+      verifyPairs(dfCutCandidates(posts, maxDf, minCommon), posts).pinned
+    })
 
   /** Containment-similarity top-k: |A∩B| / min(|A|, |B|) — the
     * SUB-DOCUMENT duplication detector. A short document embedded
@@ -156,8 +172,7 @@ object Dedup {
     */
   def containmentTopk(s: SparkSession, dir: String,
       maxDf: Int = 20, minCommon: Int = 3): DataFrame = {
-    val posts = shinglePostings(s, dir)
-    verifyPairs(dfCutCandidates(posts, maxDf, minCommon), posts)
+    verifiedPairsCached(s, dir, maxDf, minCommon)
       .withColumn("n_min", least(col("n_a"), col("n_b")))
       .withColumn("containment",
         col("n_common").cast(DoubleType) / col("n_min").cast(DoubleType))
@@ -555,13 +570,28 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nmin"))
-      val parent = labels.select(col("id").as("lbl"), col("lbl").as("plbl"))
+      // three chained parent hops per round (r19 optimization round):
+      // each hop is one more broadcast join of the tiny label frame, but
+      // it multiplies the pointer-jumping contraction per round — the
+      // expensive unit here is the ROUND (pin + convergence action +
+      // stage scheduling, ~0.5 s of fixed cost on a small graph), not
+      // the join. Measured on the x217 rep-pair graph: 4 rounds / 2.2 s
+      // with one hop → 3 rounds / 1.75 s with three. Labels only ever
+      // decrease and the fixpoint (component min) is unchanged, so the
+      // unchanged-sum convergence proof carries over verbatim.
+      val parent = labels.select(col("id").as("lbl"), col("lbl").as("p1"))
+      val parent2 = labels.select(col("id").as("p1"), col("lbl").as("p2"))
+      val parent3 = labels.select(col("id").as("p2"), col("lbl").as("p3"))
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .join(parent, Seq("lbl"), "left")
+        .join(parent2, Seq("p1"), "left")
+        .join(parent3, Seq("p2"), "left")
         .select(col("id"), least(col("lbl"),
           coalesce(col("nmin"), col("lbl")),
-          coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          coalesce(col("p1"), col("lbl")),
+          coalesce(col("p2"), col("lbl")),
+          coalesce(col("p3"), col("lbl"))).as("lbl"))
         .pinned
       // sum is NULL on an empty graph — treat as converged immediately
       val sumDec = next.agg(
@@ -1199,25 +1229,40 @@ object Dedup {
     */
   def dedupThresholdSweep(s: SparkSession, dir: String,
       taus: Seq[Long] = Seq(50L, 60L, 70L, 80L)): DataFrame = {
-    val posts = shinglePostings(s, dir)
-    val pairs = verifyPairs(dfCutCandidates(posts, 20, 3), posts)
+    // r19 optimization round (guide §1.2): the previous shape ran one
+    // filter + side-union + distinct + two aggregates PER τ (4 legs,
+    // ~18 stages). The τ test `100·n_common ≥ τ·union` is monotone in
+    // τ, so each pair qualifies exactly for τ ≤ maxτ = ⌊100·n_common /
+    // union⌋ (exact integer DIV — union > 0 since a verified pair
+    // shares a shingle), and the τ-independent drop rule means a doc is
+    // dropped at τ iff its best dropping partner's pair has maxτ ≥ τ.
+    // One pass computes per-pair maxτ and per-doc max-of-maxτ; the
+    // sweep is then four conditional counts over two one-row frames —
+    // identical integers, ~4 stages.
+    val pairs = verifiedPairsCached(s, dir, 20, 3)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"))
-      .pinned
-    taus.map { pct =>
-      val q = pairs.filter(col("n_common") * 100L >=
-        lit(pct) * (col("n_a") + col("n_b") - col("n_common")))
-      val sides = q.select(col("doc_a").as("id"), col("n_a").as("n_me"),
-          col("n_b").as("n_other"), col("doc_b").as("other"))
-        .unionByName(q.select(col("doc_b").as("id"), col("n_b").as("n_me"),
-          col("n_a").as("n_other"), col("doc_a").as("other")))
-      val dropped = sides
-        .filter(col("n_other") > col("n_me") ||
-          (col("n_other") === col("n_me") && col("other") < col("id")))
-        .select(col("id")).distinct()
-      q.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(dropped.agg(count(lit(1)).as("n_docs_dropped")))
-        .select(lit(pct).as("tau_pct"), col("n_pairs"), col("n_docs_dropped"))
-    }.reduce(_ unionByName _).orderBy(col("tau_pct"))
+      .withColumn("max_tau", expr(
+        "CAST(n_common * 100 DIV (n_a + n_b - n_common) AS LONG)"))
+    val sides = pairs.select(col("doc_a").as("id"), col("n_a").as("n_me"),
+        col("n_b").as("n_other"), col("doc_b").as("other"), col("max_tau"))
+      .unionByName(pairs.select(col("doc_b").as("id"), col("n_b").as("n_me"),
+        col("n_a").as("n_other"), col("doc_a").as("other"), col("max_tau")))
+    val docDrop = sides
+      .filter(col("n_other") > col("n_me") ||
+        (col("n_other") === col("n_me") && col("other") < col("id")))
+      .groupBy(col("id")).agg(max(col("max_tau")).as("d_tau"))
+    val pAggs = taus.map(pct =>
+      sum(when(col("max_tau") >= pct, 1L).otherwise(0L)).as(s"p$pct"))
+    val dAggs = taus.map(pct =>
+      sum(when(col("d_tau") >= pct, 1L).otherwise(0L)).as(s"d$pct"))
+    val pairCounts = pairs.agg(pAggs.head, pAggs.tail: _*)
+    val dropCounts = docDrop.agg(dAggs.head, dAggs.tail: _*)
+    pairCounts.crossJoin(dropCounts)
+      .select(explode(array(taus.map(pct => struct(lit(pct).as("tau_pct"),
+        coalesce(col(s"p$pct"), lit(0L)).as("n_pairs"),
+        coalesce(col(s"d$pct"), lit(0L)).as("n_docs_dropped"))): _*)).as("r"))
+      .select(col("r.tau_pct"), col("r.n_pairs"), col("r.n_docs_dropped"))
+      .orderBy(col("tau_pct"))
   }
 
   /** x149: CCNet-style line-grain exact dedup (Wenzek et al. 2020 §3.1

@@ -2304,19 +2304,31 @@ object Similarity {
         Seq("ia", "d"))
       .groupBy(col("ia"))
       .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2o"))
-    val pa = proj.select((col("vec_id").as("ia") +:
+    // r19 optimization round (guide §1.2: don't compute things twice):
+    // the previous shape referenced `proj` twice (pa/pb) and `joined`
+    // once per width leg, so the 32-sum projection aggregate subtree was
+    // re-evaluated up to 6× and d2o 3× — ~4.7 s at sf0.1 for a
+    // 2,000-row table. Pinning the (tiny, one-row-per-vector) projection
+    // frame makes the self-join read materialized rows, and emitting all
+    // widths from ONE scan via an inline-table unpivot replaces the
+    // 3-leg union. Every ratio value is computed by the identical
+    // expression, so the result is bit-identical.
+    val projP = proj.pinned
+    val pa = projP.select((col("vec_id").as("ia") +:
       (0 until maxW).map(b => col(s"y$b").as(s"ya$b"))): _*)
-    val pb = proj.select(((col("vec_id") - 1L).as("ia") +:
+    val pb = projP.select(((col("vec_id") - 1L).as("ia") +:
       (0 until maxW).map(b => col(s"y$b").as(s"yb$b"))): _*)
     val joined = pa.join(pb, "ia").join(d2o, "ia").filter(col("d2o") > 0)
-    widths.map { k =>
+    val ratios = widths.map { k =>
       val d2p = (0 until k)
         .map(b => (col(s"ya$b") - col(s"yb$b")) * (col(s"ya$b") - col(s"yb$b")))
         .reduce(_ + _)
-      joined.select(lit(k.toLong).as("k"),
+      struct(lit(k.toLong).as("k"),
         ((d2p.cast(DoubleType) / lit(k.toDouble)) / col("d2o").cast(DoubleType))
           .as("ratio"))
-    }.reduce(_ unionByName _)
+    }
+    joined.select(explode(array(ratios: _*)).as("kr"))
+      .select(col("kr.k").as("k"), col("kr.ratio").as("ratio"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_pairs"),
         (aggregate(array_sort(collect_list(col("ratio"))), lit(0.0), (a, b) => a + b)
