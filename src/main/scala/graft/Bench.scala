@@ -23,11 +23,30 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
     }
+    // r19 optimization round, guide §9 (config last, and parameterized):
+    // - codegen.cache.maxEntries (static conf, default 100): a 300-query
+    //   suite holds far more than 100 generated classes, so the default
+    //   recompiles most of every query's codegen units on every
+    //   invocation (measured: x143 re-janinos 68 classes per run at the
+    //   default, 0-10 with the cache sized to the workload). The same
+    //   sizing is right for any long-running multi-query service; it
+    //   trades bounded driver memory (generated classes are KB-scale)
+    //   for not re-running janino.
+    // - AQE coalescing minPartitionSize: kept at Spark's 1m default
+    //   after a full-suite A/B — a 64k floor parallelized the few
+    //   CPU-dense byte-small reduce stages (q29 2.1 s → 0.9 s) but cost
+    //   more across the many ITERATIVE lanes (pagerank/CC/k-core rounds
+    //   each gained tasks: +0.5–1.4 s on 8 lanes; suite 187.8 s at 64k
+    //   vs 185.9 s at 1m). Env-overridable for re-measurement.
+    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")
+    val aqeMinPart = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", cgCache)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", aqeMinPart)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)

@@ -1083,13 +1083,29 @@ object Clustering {
     val etop = topkAsc(exact, "exact_d2", k)
       .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
       .pinned
-    (1 to maxProbe).map { p =>
-      val sel = topkAsc(adc.filter(col("prn") <= p), "adc_dist", k)
-      sel.join(etop, Seq("query_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_ranked"),
-          sum(coalesce(col("in_exact"), lit(0L))).as("n_hits"))
-        .select(lit(p.toLong).as("nprobe"), col("n_ranked"), col("n_hits"))
-    }.reduce(_ unionByName _)
+    // r19 optimization round (guide §1.2): one pass over the candidate
+    // frame instead of one topk+join+aggregate leg per curve point — a
+    // candidate probed at cell rank prn is visible at every p ≥ prn, so
+    // exploding that range and ranking once per (query, p) group gives
+    // every point's top-k in a single window (same (adc_dist, vec_id)
+    // order ⇒ identical top-k sets ⇒ identical counts; the left join to
+    // the probe range restores the zero rows an empty candidate frame
+    // would otherwise drop).
+    val cand = adc.select(col("query_id"), col("vec_id"), col("adc_dist"),
+      explode(sequence(col("prn").cast(LongType), lit(maxProbe.toLong)))
+        .as("nprobe"))
+    val wp = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    val sel = cand.withColumn("rank", row_number().over(wp))
+      .filter(col("rank") <= k)
+    val counts = sel.join(etop, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_hits"))
+    s.range(1, maxProbe + 1).toDF("nprobe")
+      .join(counts, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .orderBy(col("nprobe"))
   }
 

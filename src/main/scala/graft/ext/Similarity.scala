@@ -241,9 +241,37 @@ object Similarity {
     * (SelectedBucketsCount in the scan) — the index is never fully
     * read, let alone shuffled.
     */
+  /** Storage bucket count for the persisted ANN index, derived from the
+    * corpus (r19 optimization round — guide §2/§6: partitioning must be
+    * scale-adaptive, not a constant tuned for one decade). A bucketed
+    * scan schedules one task per storage bucket whatever the pruning
+    * selects, so a fixed 256 meant 256 near-empty tasks (~1.3 s of pure
+    * scheduling at sf0.1's 2,000 vectors). ~64 vectors per storage
+    * bucket keeps tasks meaningful at every decade; the cap keeps task
+    * counts sane at 10^8+ vectors (buckets are a FILE layout, not the
+    * LSH geometry — `tb` values and the probe pruning are unchanged, so
+    * the index CONTENT and every query answer are identical; the count
+    * rides the table name, so differently-sized corpora never collide).
+    */
+  private val annBucketCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
+
+  private def annStorageBuckets(s: SparkSession, dir: String): Int =
+    annBucketCache.computeIfAbsent((s, dir), _ => {
+      val n = corpus(s, dir).count()
+      // floor 128: a probe batch carries at most numQueries·numTables
+      // (= 90 at the defaults) distinct bucket keys, so any count above
+      // that keeps the scan's bucket pruning STRICT (SelectedBucketsCount
+      // < total — the SimilaritySpec property); the ~64-vectors-per-
+      // bucket term grows the count with the corpus so tasks stay
+      // meaningful, and the cap bounds scheduling at 10^8+ vectors.
+      Integer.valueOf(math.max(128L, math.min(4096L, n / 64L)).toInt)
+    }).intValue()
+
   def buildAnnIndex(s: SparkSession, dir: String,
-      numTables: Int = 18, bitsPerTable: Int = 4, numBuckets: Int = 256): String = {
-    val tbl = annIndexTable(dir, numTables, bitsPerTable, numBuckets)
+      numTables: Int = 18, bitsPerTable: Int = 4, numBuckets: Int = 0): String = {
+    val nb = if (numBuckets > 0) numBuckets else annStorageBuckets(s, dir)
+    val tbl = annIndexTable(dir, numTables, bitsPerTable, nb)
     if (!s.catalog.tableExists(tbl)) {
       val c = corpus(s, dir)
       val planes = hyperplaneTensor(64, numTables, bitsPerTable)
@@ -251,7 +279,7 @@ object Similarity {
         .withColumn("tb", col("tbl") * (1 << bitsPerTable) + col("bucket"))
         .join(c, "vec_id")
         .select(col("tb"), col("vec_id"), col("embedding"), col("nrm"))
-      graft.engine.Bucketing.writeBucketed(idx, tbl, "tb", numBuckets)
+      graft.engine.Bucketing.writeBucketed(idx, tbl, "tb", nb)
     }
     tbl
   }

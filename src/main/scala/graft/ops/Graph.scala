@@ -128,12 +128,23 @@ object Graph {
     val edges = coOrderEdges(s, dir, minSupport)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .pinned
+    // degree attached to the edge list ONCE before the loop (r19
+    // optimization round — guide §2.4, don't re-establish the same
+    // join every iteration): each rank step is then one join + one
+    // aggregate instead of two joins. `rank_q DIV degree` is the same
+    // integer division whether evaluated once per part or once per
+    // edge row, and the integer contribution sum is order-independent,
+    // so every iteration's ranks are bit-identical.
+    val edgesDeg = edges
+      .join(deg.select(col("src").as("eds"), col("degree")),
+        edges("src") === col("eds"))
+      .select(col("src"), col("dst"), col("degree"))
+      .pinned
     var pr = deg.select(col("src").as("part"), lit(Scale).as("rank_q"))
     (1 to iters).foreach { _ =>
       val contribs = pr
-        .join(deg, pr("part") === deg("src"))
-        .select(col("part"), expr("rank_q DIV degree").as("c"))
-        .join(edges, col("part") === col("src"))
+        .join(edgesDeg, pr("part") === edgesDeg("src"))
+        .select(col("dst"), expr("rank_q DIV degree").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       pr = deg.select(col("src").as("part"))
         .join(contribs.select(col("dst").as("part"), col("contrib")), Seq("part"), "left")

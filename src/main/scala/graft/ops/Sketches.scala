@@ -23,6 +23,17 @@ import graft.engine.Pin.PinOps
   */
 object Sketches {
 
+  /** Spread an already-projected narrow frame to the session's
+    * parallelism when the source arrives under-split (the Tables.split
+    * contract, applied AFTER column pruning so the exchange carries
+    * only the aggregated columns). Identity when the input is already
+    * at or above the session's parallelism.
+    */
+  private def spreadNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Exact vs approximate distinct users and value percentiles per
     * event_type — output shaped so the whole row hash-gates: the exact
     * legs (count, distinct count) compare against DuckDB outright, and
@@ -40,7 +51,21 @@ object Sketches {
     *     their interpolation arithmetic never meets the oracle.
     */
   def eventSketches(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events")
+    // Project-then-spread before the aggregate (r19 optimization round,
+    // guide §2.3 project before the exchange + §2 scale-adaptive
+    // parallelism): the events fixture is one parquet row group, so the
+    // partial aggregates — the countDistinct expand plus the
+    // percentile/HLL buffers, the heavy part of this query — otherwise
+    // run on ONE core; and the spread must carry ONLY the three
+    // aggregated columns (a whole-row repartition ships the props map,
+    // measured 5x worse than no spread at all). Identity on a
+    // production corpus with >= cores input splits. Aggregate results
+    // are partitioning-independent: count/countDistinct/exact-
+    // percentile are exact, HLL merge is commutative, and
+    // percentile_approx feeds only the tolerant p45..p55 gate boolean.
+    spreadNarrow(s,
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value")))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
