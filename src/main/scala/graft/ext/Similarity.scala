@@ -815,10 +815,14 @@ object Similarity {
     val toks = t(s, dir, "documents")
       .select(col("doc_id").as("vec_id"),
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+    // pinned (r19 optimization round): `all` feeds both the size
+    // aggregate and the outer join below — without the checkpoint the
+    // label join AND the text-tokenizing n_tokens scan run twice
     val all = t(s, dir, "embeddings").select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
       .join(toks, "vec_id")
+      .pinned
     val sized = all
       .join(all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")),
         "cluster_id")
@@ -1079,7 +1083,11 @@ object Similarity {
     */
   def srpNearDup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val sk = srpSketch(s, dir)
+    // pinned (r19 optimization round, guide §1.2): the 64-sum projection
+    // aggregate behind the sketch is referenced by all four band legs on
+    // BOTH join sides — without the checkpoint the plan re-evaluates it
+    // up to 8x per run
+    val sk = srpSketch(s, dir).pinned
     val bands = (0 until 4).map(bd => sk.select(col("vec_id"), col("srp"),
         lit(bd).as("band"),
         shiftright(col("srp"), bd * 8).bitwiseAND(lit(255L)).as("key")))

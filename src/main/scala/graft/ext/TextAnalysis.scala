@@ -1432,12 +1432,21 @@ object TextAnalysis {
       .pinned
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .pinned
+    // degree attached to the edge list once before the loop (r19
+    // optimization round — the x82 treatment: one join + one aggregate
+    // per rank step instead of two joins; `rank_q DIV degree` per edge
+    // row is the same integer division, contribution sums
+    // order-independent, every iteration bit-identical)
+    val edgesDeg = edges
+      .join(deg.select(col("src").as("eds"), col("degree")),
+        edges("src") === col("eds"))
+      .select(col("src"), col("dst"), col("degree"))
+      .pinned
     var pr = deg.select(col("src").as("word"), lit(1000000000L).as("rank_q"))
     (1 to iters).foreach { _ =>
       val contrib = pr
-        .join(deg, pr("word") === deg("src"))
-        .select(col("word"), expr("rank_q DIV degree").as("cq"))
-        .join(edges, col("word") === col("src"))
+        .join(edgesDeg, pr("word") === edgesDeg("src"))
+        .select(col("dst"), expr("rank_q DIV degree").as("cq"))
         .groupBy(col("dst")).agg(sum(col("cq")).as("contrib"))
       pr = deg.select(col("src").as("word"))
         .join(contrib.select(col("dst").as("word"), col("contrib")),
