@@ -259,13 +259,13 @@ object Similarity {
   private def annStorageBuckets(s: SparkSession, dir: String): Int =
     annBucketCache.computeIfAbsent((s, dir), _ => {
       val n = corpus(s, dir).count()
-      // floor 128: a probe batch carries at most numQueries·numTables
+      // floor 96: a probe batch carries at most numQueries·numTables
       // (= 90 at the defaults) distinct bucket keys, so any count above
       // that keeps the scan's bucket pruning STRICT (SelectedBucketsCount
       // < total — the SimilaritySpec property); the ~64-vectors-per-
       // bucket term grows the count with the corpus so tasks stay
       // meaningful, and the cap bounds scheduling at 10^8+ vectors.
-      Integer.valueOf(math.max(128L, math.min(4096L, n / 64L)).toInt)
+      Integer.valueOf(math.max(96L, math.min(4096L, n / 64L)).toInt)
     }).intValue()
 
   def buildAnnIndex(s: SparkSession, dir: String,

@@ -936,9 +936,13 @@ object TextAnalysis {
     */
   def nbQualityScore(s: SparkSession, dir: String): DataFrame = {
     val labels = gopherRulesCached(s, dir).select(col("doc_id"), col("keep"))
+    // pinned (r19 optimization round): `tf` feeds the training side AND
+    // the scoring join — two tokenize+aggregate passes without the
+    // checkpoint
     val tf = t(s, dir, "documents")
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .pinned
     val train = tf.join(labels, "doc_id")
       .filter(pmod(col("doc_id"), lit(2L)) === 0L)
     // tf is (doc_id, w)-distinct, so df per token is a plain count
@@ -1146,6 +1150,9 @@ object TextAnalysis {
     */
   def dsirWeights(s: SparkSession, dir: String,
       targetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    // (r19 optimization round: a pin here was A/B'd and REVERTED — the
+    // exploded token frame is wide enough that checkpointing it costs
+    // more than the three recomputed tokenize passes at this row size)
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(wsTokens(lower(col("text")))).as("w"))

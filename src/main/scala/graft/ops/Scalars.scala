@@ -333,10 +333,14 @@ object Scalars {
     */
   def paretoAbc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned (r19 optimization round): `rev` feeds the grand total AND
+    // the cumulative window — two 600 K-row decimal aggregations
+    // without the checkpoint
     val rev = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice").cast(M) * (lit(1) - col("l_discount").cast(M)))
         .cast(M)).as("rev_dec"))
+      .pinned
     val total = rev.agg(sum(col("rev_dec")).as("total_dec"))
     val w = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
     rev.crossJoin(broadcast(total))
@@ -619,8 +623,13 @@ object Scalars {
     */
   def basketAffinity(s: SparkSession, dir: String,
       minSupport: Long = 5L, k: Int = 30): DataFrame = {
+    // pinned (r19 optimization round, guide §1.2): `items` feeds the
+    // order total, the per-part marginals AND both sides of the pair
+    // self-join — without the checkpoint the 600 K-row scan+distinct
+    // re-runs up to four times per invocation
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .pinned
     val totals = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
     val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
